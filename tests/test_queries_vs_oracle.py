@@ -1,0 +1,23 @@
+"""Every registered query with an oracle must hash-match DuckDB at
+sf0.001 — the same gate the driver applies at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from daft_spark.queries import all_queries
+from tests.conftest import SF_DIR, assert_frames_match
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, ducks):
+    spec = QUERIES[name]
+    df = spec.spark_fn(spark, SF_DIR)
+    if spec.oracle is None:
+        # rows-only check (same as the driver's weaker path)
+        n = df.count()
+        assert n >= 0
+        return
+    assert_frames_match(df, ducks, spec.oracle)
