@@ -1,0 +1,124 @@
+"""As-of join — backward / forward / nearest, with optional ``by`` keys.
+
+Parity target: ``DataFrame.join_asof`` (reference:
+``daft/dataframe/dataframe.py:3964-4006``; strategies
+``src/daft-core/src/join.rs:158-162``; native impl
+``src/daft-local-execution/src/join/asof_join.rs``). ``nearest`` breaks
+ties toward the forward match (reference: ``dataframe.py:3989``).
+
+Spark-first design (no per-row Python): the classic union-marker +
+window composition —
+
+1. Pack the right side's payload columns into one struct, tag right
+   rows 0 and left rows 1, ``unionByName`` the two sides.
+2. One window per strategy over ``(by..., t, tag)``:
+   backward = ``last(payload, ignorenulls=True)`` over
+   ``(-inf, current)``; forward = the mirror with negated time.
+3. Keep left rows, unpack the struct.
+
+Cost model at scale: exactly ONE shuffle on the ``by`` keys (the window
+partition), no join explosion, no driver materialization — each
+partition is then a linear merge, the same asymptotics as the
+reference's sorted-merge as-of kernel. Without ``by`` keys the window
+is global (single partition) — correct but serial; prefer passing
+``by`` at scale, or pre-bucket time ranges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_STRATEGIES = ("backward", "forward", "nearest")
+
+
+def _with_time_key(df: DataFrame, on: str, name: str) -> DataFrame:
+    """Normalize the as-of key to int64 for uniform window arithmetic."""
+    dtype = dict(df.dtypes)[on]
+    c = F.col(on)
+    if dtype.startswith("timestamp"):
+        key = F.unix_micros(c.cast("timestamp"))
+    elif dtype == "date":
+        key = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("long")
+    else:
+        key = c.cast("long") if dtype in ("int", "bigint", "smallint", "tinyint") else c.cast("double")
+    return df.withColumn(name, key)
+
+
+def _directional(
+    union_df: DataFrame,
+    by: list[str],
+    sign: int,
+    payload: str,
+    out: str,
+) -> DataFrame:
+    """Attach the backward (sign=+1) or forward (sign=-1) match struct."""
+    order = [(F.col("__asof_t") * sign).asc(), F.col("__asof_tag").asc()]
+    w = (
+        Window.partitionBy(*by).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return union_df.withColumn(out, F.last(payload, ignorenulls=True).over(w))
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    strategy: str = "backward",
+    right_on: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: for each left row, the single best right match.
+
+    backward: latest right with ``r.on <= l.on``;
+    forward:  earliest right with ``r.on >= l.on``;
+    nearest:  min ``|r.on - l.on|``, ties prefer the forward match.
+    Right rows with a null key never match; left rows always survive.
+    """
+    if strategy not in _STRATEGIES:
+        raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
+    by = [by] if isinstance(by, str) else list(by or [])
+    right_on = right_on or on
+
+    left_cols = left.columns
+    # Right payload: everything except by/on keys, deconflicted names.
+    r_payload_cols = [c for c in right.columns if c not in by and c != right_on]
+    out_names = {
+        c: (c + suffix if c in left_cols else c) for c in r_payload_cols
+    }
+
+    l = _with_time_key(left, on, "__asof_t").withColumn("__asof_tag", F.lit(1))
+    r = _with_time_key(right.filter(F.col(right_on).isNotNull()), right_on, "__asof_t")
+    r = r.select(
+        *[F.col(c) for c in by],
+        "__asof_t",
+        F.lit(0).alias("__asof_tag"),
+        F.struct(
+            F.col("__asof_t").alias("__asof_rt"),
+            *[F.col(c).alias(out_names[c]) for c in r_payload_cols],
+        ).alias("__asof_payload"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    if strategy in ("backward", "forward"):
+        sign = 1 if strategy == "backward" else -1
+        u = _directional(u, by, sign, "__asof_payload", "__match")
+        matched = u.filter(F.col("__asof_tag") == 1)
+    else:  # nearest: take both directions, pick the closer (tie -> forward)
+        u = _directional(u, by, 1, "__asof_payload", "__bwd")
+        u = _directional(u, by, -1, "__asof_payload", "__fwd")
+        matched = u.filter(F.col("__asof_tag") == 1)
+        bwd_d = F.col("__asof_t") - F.col("__bwd.__asof_rt")
+        fwd_d = F.col("__fwd.__asof_rt") - F.col("__asof_t")
+        pick_bwd = F.col("__fwd").isNull() | (F.col("__bwd").isNotNull() & (bwd_d < fwd_d))
+        matched = matched.withColumn(
+            "__match", F.when(pick_bwd, F.col("__bwd")).otherwise(F.col("__fwd"))
+        )
+
+    result = matched.select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"__match.{out_names[c]}").alias(out_names[c]) for c in r_payload_cols],
+    )
+    return result

@@ -61,7 +61,17 @@ def _norm(v):
 
 
 def _sort_key(row):
-    return tuple((x is None, str(x)) for x in row)
+    # Floats formatted to 6 significant digits so cross-engine ulp noise
+    # doesn't change sort position (alignment ties broken by the other,
+    # exact columns — outputs should always carry a unique key column).
+    def k(x):
+        if x is None:
+            return (True, "")
+        if isinstance(x, float):
+            return (False, f"{x:.6e}")
+        return (False, str(x))
+
+    return tuple(k(x) for x in row)
 
 
 def assert_frames_match(spark_df, ducks_con, oracle_sql, rtol=1e-6, sort=True):
