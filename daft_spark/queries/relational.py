@@ -1,1 +1,321 @@
-"""(stub — populated in this round)"""
+"""Relational-core operator queries: distinct, set ops, explode,
+pivot/unpivot, sample, limit/offset, cross join, null-safe join,
+monotonically_increasing_id — SURVEY §2.1's inventory
+(reference: ``src/daft-logical-plan/src/logical_plan.rs:35-66``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daft_spark.io.readers import load_table
+from daft_spark.queries import register
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "rel_distinct",
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+)
+def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct on a projection (reference: ops/distinct.rs:13,
+    sinks/dedup.rs). Spark hash-dedups map-side first — partial agg."""
+    return (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )
+
+
+_HALVES = """
+    WITH a AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 0),
+         b AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 1)
+"""
+
+
+def _halves(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type")
+    b = e.filter(F.col("event_id") % 2 == 1).select("user_id", "event_type")
+    return a, b
+
+
+@register(
+    "rel_union_all",
+    _HALVES + "SELECT user_id, event_type FROM (SELECT * FROM a UNION ALL SELECT * FROM b)",
+)
+def rel_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (reference: ops/concat.rs:15 — Concat)."""
+    a, b = _halves(spark, sf_dir)
+    return a.unionAll(b)
+
+
+@register(
+    "rel_union_distinct",
+    _HALVES + "SELECT user_id, event_type FROM (SELECT * FROM a UNION SELECT * FROM b)",
+)
+def rel_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT (reference: ops/set_operations.rs:264)."""
+    a, b = _halves(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@register("rel_intersect", _HALVES + "SELECT * FROM a INTERSECT SELECT * FROM b")
+def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) (reference: ops/set_operations.rs:106)."""
+    a, b = _halves(spark, sf_dir)
+    return a.intersect(b)
+
+
+@register("rel_intersect_all", _HALVES + "SELECT * FROM a INTERSECT ALL SELECT * FROM b")
+def rel_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _halves(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+@register("rel_except", _HALVES + "SELECT * FROM a EXCEPT SELECT * FROM b")
+def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT distinct (reference: ops/set_operations.rs:417)."""
+    a, b = _halves(spark, sf_dir)
+    return a.subtract(b)
+
+
+@register("rel_except_all", _HALVES + "SELECT * FROM a EXCEPT ALL SELECT * FROM b")
+def rel_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _halves(spark, sf_dir)
+    return a.exceptAll(b)
+
+
+@register(
+    "rel_union_by_name",
+    """
+    SELECT user_id, n_events, total FROM (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, NULL::DOUBLE AS total
+      FROM events GROUP BY user_id
+      UNION ALL BY NAME
+      SELECT sum(value) AS total, user_id, NULL::BIGINT AS n_events
+      FROM events GROUP BY user_id)
+    """,
+)
+def rel_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union BY NAME with missing columns (reference: union(by_name=True),
+    daft union supports ALL/DISTINCT and BY NAME — ops/set_operations.rs)."""
+    e = _events(spark, sf_dir)
+    a = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    b = e.groupBy("user_id").agg(F.sum("value").alias("total"))
+    return a.unionByName(b, allowMissingColumns=True).select("user_id", "n_events", "total")
+
+
+@register(
+    "rel_explode",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def rel_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode a list column (reference: ops/explode.rs:20)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+@register(
+    "rel_explode_outer",
+    """
+    SELECT doc_id, u.word
+    FROM (SELECT doc_id,
+                 CASE WHEN n_chars < 60 THEN [] ELSE string_split(text, ' ') END AS words
+          FROM documents WHERE doc_id < 200) t
+    LEFT JOIN LATERAL (SELECT unnest(t.words) AS word) u ON TRUE
+    """,
+)
+def rel_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer keeps rows whose list is empty/null (reference:
+    explode ``ignore_empty_and_null`` flag — daft/functions/list.py:382)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.when(F.col("n_chars") < 60, F.array().cast("array<string>")).otherwise(
+        F.split("text", " ")
+    )
+    return d.select("doc_id", F.explode_outer(words).alias("word"))
+
+
+@register(
+    "rel_pivot",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN value END) AS click,
+           sum(CASE WHEN event_type = 'view' THEN value END) AS view,
+           sum(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+           sum(CASE WHEN event_type = 'error' THEN value END) AS error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide (reference: ops/pivot.rs:18, sinks/pivot.rs).
+    Explicit value list avoids the extra distinct-values job — the same
+    reason the reference requires pivot values up front."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.sum("value"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "rel_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_orderkey < 100)
+    """,
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt wide->long (reference: ops/unpivot.rs:18)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [F.col("l_quantity").alias("quantity"), F.col("l_extendedprice").alias("price"),
+         F.col("l_tax").alias("tax")],
+        "measure",
+        "val",
+    )
+
+
+@register(
+    "rel_topn",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE value IS NOT NULL
+    ORDER BY value DESC, event_id LIMIT 25
+    """,
+)
+def rel_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopN — Catalyst fuses sort+limit into TakeOrderedAndProject
+    (reference: ops/top_n.rs:26, sinks/top_n.rs)."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return (
+        e.select("event_id", "user_id", "value")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(25)
+    )
+
+
+@register(
+    "rel_limit_offset",
+    """
+    SELECT event_id, user_id FROM events ORDER BY event_id LIMIT 50 OFFSET 100
+    """,
+)
+def rel_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Limit + Offset (reference: ops/limit.rs, ops/offset.rs; offset
+    rewritten away by rules/rewrite_offset.rs — Spark has native offset)."""
+    e = _events(spark, sf_dir)
+    return e.select("event_id", "user_id").orderBy("event_id").offset(100).limit(50)
+
+
+@register(
+    "rel_cross_join",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+    """,
+)
+def rel_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (reference: join/cross_join.rs)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "rel_join_null_safe",
+    """
+    WITH a AS (SELECT user_id, CASE WHEN value < 50 THEN NULL ELSE round(value) END AS vkey
+               FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id, CASE WHEN value < 50 THEN NULL ELSE round(value) END AS vkey
+               FROM events WHERE event_type = 'view')
+    SELECT a.user_id, a.vkey, count(*) AS n
+    FROM a JOIN b ON a.user_id = b.user_id AND a.vkey IS NOT DISTINCT FROM b.vkey
+    GROUP BY a.user_id, a.vkey ORDER BY a.user_id, a.vkey NULLS FIRST
+    """,
+)
+def rel_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join — eqNullSafe == the reference's `<=>`
+    (reference: src/daft-core/src/operator.rs:10, misc.py:123)."""
+    e = _events(spark, sf_dir)
+    vkey = F.when(F.col("value") < 50, F.lit(None)).otherwise(F.round(F.col("value")))
+    a = e.filter(F.col("event_type") == "click").select("user_id", vkey.alias("vkey"))
+    b = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("b_user"), vkey.alias("b_vkey")
+    )
+    return (
+        a.join(b, (F.col("user_id") == F.col("b_user")) & F.col("vkey").eqNullSafe(F.col("b_vkey")))
+        .groupBy("user_id", "vkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id", F.col("vkey").asc_nulls_first())
+    )
+
+
+@register(
+    "rel_monotonic_id",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_distinct_ids
+    FROM events
+    """,
+)
+def rel_monotonic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monotonically_increasing_id: 64-bit partition-in-upper-bits ID —
+    same bit-split design as the reference
+    (ops/monotonically_increasing_id.rs:14). Values are
+    partitioning-dependent, so the oracle checks the invariant:
+    one distinct id per row."""
+    e = _events(spark, sf_dir).withColumn("mid", F.monotonically_increasing_id())
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("mid")).alias("n_distinct_ids"),
+    )
+
+
+@register("rel_sample_seeded", None)
+def rel_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (reference: ops/sample.rs:15,
+    streaming_sink/sample.rs — fraction, seed). Engine-specific RNG ->
+    rows-only check."""
+    e = _events(spark, sf_dir)
+    return e.sample(withReplacement=False, fraction=0.1, seed=42).select(
+        "event_id", "user_id"
+    )
+
+
+@register(
+    "rel_shard",
+    """
+    SELECT CAST(user_id % 4 AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE user_id % 4 = 1 GROUP BY shard
+    """,
+)
+def rel_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard for distributed training readers (reference: ops/shard.rs:13,
+    rules/push_down_shard.rs): deterministic key-hash filter
+    world_size=4, rank=1."""
+    from daft_spark.operators.shard import shard
+
+    e = _events(spark, sf_dir)
+    return (
+        shard(e, world_size=4, rank=1, key=F.col("user_id"), strategy="mod")
+        .groupBy((F.col("user_id") % 4).cast("long").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
