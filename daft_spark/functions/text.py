@@ -1,0 +1,118 @@
+"""Text-analysis functions for large-scale corpus pipelines: token
+counting, quality scoring, language ID, fingerprinting.
+
+Extension components (per the north-star brief) built ONLY from
+JVM-side expressions so they hold at 100 TB: no Python UDFs, every
+function is a Column-in/Column-out expression that fuses into
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9]+"
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language-ID. Deliberately small + deterministic; accuracy scales with
+# the lexicon, the plumbing is what matters here.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "une"],
+    "es": ["el", "de", "la", "que", "los", "una", "por", "con"],
+    "zh": ["的", "是", "在", "了", "我", "有", "他", "这"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "it", "for", "on", "as", "are", "was"]
+
+
+def words(col: Column) -> Column:
+    """Word tokens via regexp extraction — identical semantics to the
+    DuckDB oracle's regexp_extract_all."""
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace/regex token count (reference: tokenize_* surface in
+    daft/functions/str.py; BPE-ish regex tokenization approximated by
+    the word regex)."""
+    return F.size(words(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(col, "[A-Za-z0-9 ]", "")
+    return F.length(stripped).cast("double") / F.greatest(
+        F.length(col).cast("double"), F.lit(1.0)
+    )
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    toks = words(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = words(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length in range, sane mean word
+    length, low punctuation, some stopwords (C4/Gopher-style rules)."""
+    n_tok = token_count(col)
+    mwl = mean_word_length(col)
+    pr = punct_ratio(col)
+    score = (
+        F.when((n_tok >= 5) & (n_tok <= 100000), 0.25).otherwise(0.0)
+        + F.when((mwl >= 2.0) & (mwl <= 12.0), 0.25).otherwise(0.0)
+        + F.when(pr <= 0.2, 0.25).otherwise(0.0)
+        + F.when(stopword_ratio(col) >= 0.01, 0.25).otherwise(0.0)
+    )
+    return score
+
+
+def lang_scores(col: Column) -> list[Column]:
+    """Marker-hit count per language, aliased lang_<code>."""
+    toks = words(col)
+    out = []
+    for code, markers in LANG_MARKERS.items():
+        m = F.array(*[F.lit(x) for x in markers])
+        # NB: single-arg lambda only — F.filter treats a second lambda
+        # parameter as the element index.
+        out.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(m, t))).alias(f"lang_{code}")  # noqa: B023
+        )
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language = argmax marker-hit count, 'und' when no hits.
+    Ties break by lexicon order (deterministic)."""
+    toks = words(col)
+    best_code = F.lit("und")
+    best_score = F.lit(0)
+    for code, markers in LANG_MARKERS.items():
+        m = F.array(*[F.lit(x) for x in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(m, t)))  # noqa: B023
+        improved = score > best_score
+        best_code = F.when(improved, F.lit(code)).otherwise(best_code)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return best_code
+
+
+def fingerprint(col: Column) -> Column:
+    """64-bit content fingerprint of the normalized text (rolling-hash
+    stand-in; xxhash64 is seeded + deterministic across partitionings)."""
+    from daft_spark.operators.dedup import normalize_text
+
+    return F.xxhash64(normalize_text(col))

@@ -1,0 +1,322 @@
+"""Document deduplication operators — exact, normalized, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Parity + extension: the reference ships minhash/simhash kernels
+(reference: ``src/daft-minhash/``, ``daft/functions/misc.py:428-462``)
+but not the LSH pipeline; this module provides the full
+shingle -> signature -> band -> bucket-join -> verify pipeline as a
+Spark-first composition.
+
+Scale design (100 TB posture):
+- Signatures are computed with array higher-order functions — zero
+  shuffle, zero Python, whole-stage codegen.
+- Candidate generation shuffles (band_hash) keys only — a few hundred
+  bytes/doc, never the documents themselves.
+- Exact verification joins payloads ONLY for candidate pairs.
+- All hashing is xxhash64 with fixed integer seeds — deterministic
+  across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for near-dup detection: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens_of(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles_of(col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string> — built with
+    transform(sequence(...)) so it stays inside codegen."""
+    toks = tokens_of(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<long>, length num_hashes): per seed i,
+    min over shingles of xxhash64(shingle, i). Matches the reference's
+    minhash semantics (daft/functions/misc.py:428, src/daft-minhash/)
+    without leaving the JVM.
+
+    NOTE: column-expression form, O(num_hashes) array traversals — fine
+    for small signature counts. The LSH pipeline uses the cheaper
+    exploded formulation in ``minhash_signatures`` below."""
+    # Single-arg lambdas only (a second parameter would be bound to the
+    # element index by transform); closure capture of the loop var is
+    # safe because transform() builds the expression eagerly.
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))  # noqa: B023
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _perm_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine constants for universal-hash MinHash
+    permutations. Kept < 2^30 so a*h32 + b never overflows a signed
+    64-bit long (Spark 4 ANSI mode raises on overflow)."""
+    consts = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        a = ((x >> 33) | 1) & 0x3FFFFFFF
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        b = (x >> 34) & 0x3FFFFFFF
+        consts.append((a, b))
+    return consts
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures as a DataFrame (id, __m0..__m{n-1}) via the
+    scale formulation: explode shingles ONCE, hash each shingle once
+    (xxhash64 -> 32-bit), then num_hashes affine permutations as plain
+    min() aggregates — map-side partial aggregation halves the shuffle,
+    codegen stays small. This is how it must run at 100 TB."""
+    ex = (
+        df.select(F.col(id_col).alias("__id"), F.explode(shingles_of(F.col(text_col), shingle_k)).alias("__s"))
+        .select("__id", F.xxhash64("__s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h"))
+    )
+    aggs = [
+        F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    return ex.groupBy("__id").agg(*aggs)
+
+
+def simhash64(token_col: Column) -> Column:
+    """64-bit SimHash of a token array (reference:
+    daft/functions/misc.py:462 simhash): per bit, sign of the sum of
+    ±1 contributions of each token's xxhash64 bit."""
+    hashes = F.transform(token_col, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc  # noqa: B023 — eager build, capture is safe
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(bit_votes):
+        # bit 63 as two's-complement (1<<63 overflows a Java long literal)
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        out = out + F.when(v > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """SimHash-64 per document via the scale formulation: explode tokens,
+    hash once, 64 conditional sums (plain aggregates, partial-agg
+    friendly), then assemble the bits. Returns (__id, __sim)."""
+    ex = (
+        df.select(F.col(id_col).alias("__id"), F.explode(tokens_of(F.col(text_col))).alias("__t"))
+        .select("__id", F.xxhash64("__t").alias("__h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy("__id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        sim = sim + F.when(F.col(f"__v{b}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("__id", sim.alias("__sim"))
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str, keep: str = "min") -> DataFrame:
+    """Exact dedup keeping a deterministic representative per key group
+    (min/max of id_col) — unlike dropDuplicates, which keeps an
+    arbitrary row. One hash-agg shuffle; map-side partial agg applies."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keeper = df.groupBy(*cols).agg(agg.alias(id_col))
+    return keeper.join(df, on=cols + [id_col], how="inner")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
+
+    rows_per_band = num_hashes // bands; docs sharing any band bucket
+    become candidates. Probability a pair with true Jaccard j is
+    produced: 1 - (1 - j^r)^b (tune bands/rows for the threshold).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws("|", *[F.col(f"__m{b * r + j}") for j in range(r)]),
+            F.lit(b),
+        ).alias(f"__band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("__id", *band_cols)
+    stacked = banded.selectExpr(
+        "__id",
+        "stack({n}, {args}) as (band_id, band_hash)".format(
+            n=bands, args=", ".join(f"{b}, __band{b}" for b in range(bands))
+        ),
+    )
+    left = stacked.select("band_id", "band_hash", F.col("__id").alias("id_a"))
+    right = stacked.select("band_id", "band_hash", F.col("__id").alias("id_b"))
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs (optionally blocked
+    by ``block_cols`` to bound the quadratic) — the brute-force oracle
+    companion to MinHash LSH. Returns (id_a, id_b, jaccard >= threshold).
+    """
+    base = df.select(
+        *(block_cols or []),
+        F.col(id_col).alias("__id"),
+        shingles_of(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    a = base.select(
+        *[F.col(c).alias(f"__ba_{c}") for c in (block_cols or [])],
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("sh_a"),
+    )
+    b = base.select(
+        *[F.col(c).alias(f"__bb_{c}") for c in (block_cols or [])],
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("sh_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, cond)
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def verify_candidates_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs (the standard
+    LSH false-positive filter)."""
+    sh = df.select(F.col(id_col).alias("__vid"), shingles_of(F.col(text_col), shingle_k).alias("__vsh"))
+    out = (
+        candidates.join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vsh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__vsh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        out.select("id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    the block-permutation trick: split the 64-bit hash into ``blocks``
+    chunks; any pair within distance d < blocks must agree on >= 1
+    chunk, so a chunk-equality join bounds candidates, then bit_count
+    verifies. Returns (id_a, id_b, hamming)."""
+    width = 64 // blocks
+    sh = simhash_signatures(df, text_col, id_col).select(
+        F.col("__id"), F.col("__sim")
+    )
+    chunk_cols = [
+        (
+            F.shiftright(F.col("__sim"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"__c{i}")
+        )
+        for i in range(blocks)
+    ]
+    chunked = sh.select("__id", "__sim", *chunk_cols)
+    stacked = chunked.selectExpr(
+        "__id",
+        "__sim",
+        "stack({n}, {args}) as (chunk_id, chunk_val)".format(
+            n=blocks, args=", ".join(f"{i}, __c{i}" for i in range(blocks))
+        ),
+    )
+    left = stacked.select("chunk_id", "chunk_val", F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"))
+    right = stacked.select("chunk_id", "chunk_val", F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"))
+    cand = (
+        left.join(right, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
