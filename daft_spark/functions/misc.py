@@ -1,0 +1,236 @@
+"""Misc functions — Daft-name parity (reference:
+``daft/functions/misc.py``, 1,040 LoC: monotonically_increasing_id,
+uuid, random, eq_null_safe, cast/try_cast, null handling, is_in, hash,
+minhash/simhash handles, length, concat, coalesce, when) + struct/map
+accessors (``daft/functions/struct.py``, ``misc.py:658-814``) + binary
+(``binary.py``) + bitwise (``bitwise.py``) + json (``str.py:13-175``)
++ url parsing (``url.py:149``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- identity / random ------------------------------------------------------
+def monotonically_increasing_id():
+    return F.monotonically_increasing_id()
+
+
+def uuid4():
+    """Random v4 UUID per row (reference misc.py:53). Non-deterministic
+    across retries — same caveat as the reference."""
+    return F.uuid()
+
+
+def random_int(seed: int | None = None):
+    return (F.rand(seed) * F.lit(2**31)).cast("long")
+
+
+# --- comparisons / null handling -------------------------------------------
+def eq_null_safe(a, b):
+    return _c(a).eqNullSafe(_c(b))
+
+
+def cast(col, dtype: str):
+    return _c(col).cast(dtype)
+
+
+def try_cast(col, dtype: str):
+    return _c(col).try_cast(dtype)
+
+
+def is_null(col):
+    return _c(col).isNull()
+
+
+def not_null(col):
+    return _c(col).isNotNull()
+
+
+def fill_null(col, value):
+    return F.coalesce(_c(col), value if isinstance(value, Column) else F.lit(value))
+
+
+def is_in(col, values):
+    return _c(col).isin(*values)
+
+
+def coalesce(*cols):
+    return F.coalesce(*[_c(c) for c in cols])
+
+
+def if_else(cond, if_true, if_false):
+    return F.when(_c(cond), if_true).otherwise(if_false)
+
+
+when = F.when  # re-export for WhenExpr parity (misc.py:905)
+
+
+# --- hashing ----------------------------------------------------------------
+def hash_(*cols, seed: int | None = None):
+    """64-bit hash (reference misc.py:388 hash -> xxhash64)."""
+    if seed is not None:
+        return F.xxhash64(F.lit(seed), *[_c(c) for c in cols])
+    return F.xxhash64(*[_c(c) for c in cols])
+
+
+def minhash(col, num_hashes: int = 64, ngram_size: int = 3, seed: int = 1):
+    """MinHash signature column (reference misc.py:428; kernels
+    src/daft-minhash/). See operators/dedup.py for the scale pipeline."""
+    from daft_spark.operators.dedup import minhash_signature, shingles_of
+
+    return minhash_signature(shingles_of(_c(col), ngram_size), num_hashes)
+
+
+def length(col):
+    return F.length(_c(col))
+
+
+def concat(*cols):
+    return F.concat(*[_c(c) for c in cols])
+
+
+# --- struct / map -----------------------------------------------------------
+def to_struct(*cols, **named):
+    parts = [_c(c) for c in cols] + [_c(v).alias(k) for k, v in named.items()]
+    return F.struct(*parts)
+
+
+def unnest(col):
+    """struct -> columns: use df.select(unnest(c)) (reference struct.py:8)."""
+    return _c(col)["*"]
+
+
+def get_field(col, field: str):
+    return _c(col).getField(field)
+
+
+def map_get(col, key):
+    return F.element_at(_c(col), key)
+
+
+def map_keys(col):
+    return F.map_keys(_c(col))
+
+
+def map_values(col):
+    return F.map_values(_c(col))
+
+
+# --- binary -----------------------------------------------------------------
+def encode(col, charset: str = "utf-8"):
+    return F.encode(_c(col), charset.upper().replace("UTF-8", "UTF-8"))
+
+
+def decode(col, charset: str = "utf-8"):
+    return F.decode(_c(col), charset.upper())
+
+
+def base64_encode(col):
+    return F.base64(_c(col))
+
+
+def base64_decode(col):
+    return F.unbase64(_c(col))
+
+
+def hex_encode(col):
+    return F.hex(_c(col))
+
+
+def hex_decode(col):
+    return F.unhex(_c(col))
+
+
+def compress(col, codec: str = "gzip"):
+    """Binary compression (reference binary.py compress — gzip/zlib).
+    Pandas-UDF path: compression codecs are not Spark expressions."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gz(s):
+        import gzip
+        import zlib
+        import pandas as pd
+
+        fn = gzip.compress if codec == "gzip" else zlib.compress
+        return pd.Series(
+            [fn(x.encode() if isinstance(x, str) else x) if x is not None else None for x in s]
+        )
+
+    return _gz(_c(col))
+
+
+def decompress(col, codec: str = "gzip"):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gunz(s):
+        import gzip
+        import zlib
+        import pandas as pd
+
+        fn = gzip.decompress if codec == "gzip" else zlib.decompress
+        return pd.Series([fn(x) if x is not None else None for x in s])
+
+    return _gunz(_c(col))
+
+
+# --- bitwise (reference bitwise.py:8-41) ------------------------------------
+def bitwise_and(a, b):
+    return _c(a).bitwiseAND(_c(b))
+
+
+def bitwise_or(a, b):
+    return _c(a).bitwiseOR(_c(b))
+
+
+def bitwise_xor(a, b):
+    return _c(a).bitwiseXOR(_c(b))
+
+
+def shift_left(col, n):
+    return F.shiftleft(_c(col), n)
+
+
+def shift_right(col, n):
+    return F.shiftright(_c(col), n)
+
+
+# --- json (reference str.py:13-175, src/daft-functions-json/) ---------------
+def json_query(col, path: str):
+    """jq-style query — Spark's get_json_object covers the common
+    `$.a.b[0]` subset (reference `jq` full generality would need a UDF)."""
+    return F.get_json_object(_c(col), path)
+
+
+def deserialize(col, schema):
+    return F.from_json(_c(col), schema)
+
+
+def serialize(col):
+    return F.to_json(_c(col))
+
+
+def json_array_length(col, path: str | None = None):
+    c = _c(col) if path is None else F.get_json_object(_c(col), path)
+    return F.json_array_length(c)
+
+
+def json_object_keys(col):
+    return F.json_object_keys(_c(col))
+
+
+def json_tuple(col, *fields):
+    return F.json_tuple(_c(col), *fields)
+
+
+# --- url (reference url.py:149 parse_url) -----------------------------------
+def parse_url(col, part: str = "HOST"):
+    return F.parse_url(_c(col), F.lit(part))

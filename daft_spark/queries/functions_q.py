@@ -1,1 +1,275 @@
-"""(stub — populated in this round)"""
+"""Scalar-function battery — cross-engine checks for the §2.6 function
+modules (strings/regex/datetime/numeric/json/list/conditional), one
+wide query per family over the testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daft_spark.io.readers import load_table
+from daft_spark.queries import register
+
+
+@register(
+    "fn_strings",
+    """
+    SELECT doc_id,
+           upper(source) AS up,
+           lower(source) AS lo,
+           length(text) AS n,
+           substring(text, 1, 20) AS prefix,
+           reverse(source) AS rev,
+           lpad(source, 8, '_') AS padded,
+           left(text, 5) AS l5,
+           right(text, 5) AS r5,
+           concat_ws('|', lang, source) AS tagged,
+           replace(source, 'src', 'S') AS repl,
+           levenshtein(lang, 'en') AS lev
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (reference daft/functions/str.py:369-1965)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("up"),
+        F.lower("source").alias("lo"),
+        F.length("text").alias("n"),
+        F.substring("text", 1, 20).alias("prefix"),
+        F.reverse("source").alias("rev"),
+        F.lpad("source", 8, "_").alias("padded"),
+        F.left("text", F.lit(5)).alias("l5"),
+        F.right("text", F.lit(5)).alias("r5"),
+        F.concat_ws("|", "lang", "source").alias("tagged"),
+        F.replace("source", F.lit("src"), F.lit("S")).alias("repl"),
+        F.levenshtein("lang", F.lit("en")).alias("lev"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_regex",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, 'scan')) AS INT) AS n_scan,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devowel_prefix,
+           regexp_matches(text, 'join.*scan') AS has_join_scan
+    FROM (SELECT doc_id, substring(text, 1, 60) AS text FROM documents WHERE doc_id < 200)
+    ORDER BY doc_id
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family — regexp_extract/count/replace/rlike."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.substring("text", 1, 60)
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, "([a-z]+)", 1).alias("first_word"),
+        F.regexp_count(t, F.lit("scan")).alias("n_scan"),
+        F.regexp_replace(t, "[aeiou]", "_").alias("devowel_prefix"),
+        t.rlike("join.*scan").alias("has_join_scan"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_datetime",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS mo,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST(minute(ts) AS INT) AS mi,
+           CAST(second(ts) AS INT) AS s,
+           CAST(quarter(ts) AS INT) AS q,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(weekofyear(ts) AS INT) AS woy,
+           CAST(isodow(ts) AS INT) AS iso_dow,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts_hour,
+           CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS plus7,
+           CAST(last_day(CAST(ts AS DATE)) AS DATE) AS eom,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family (reference daft/functions/datetime.py). iso_dow
+    uses the Monday=1..Sunday=7 convention — Spark's dayofweek
+    (Sunday=1) is remapped, the same adjustment our dt.day_of_week does."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"),
+        F.second(ts).alias("s"),
+        F.quarter(ts).alias("q"),
+        F.dayofyear(ts).alias("doy"),
+        F.weekofyear(ts).alias("woy"),
+        (((F.dayofweek(ts) + 5) % 7) + 1).alias("iso_dow"),
+        F.date_trunc("hour", ts).cast("timestamp_ntz").alias("ts_hour"),
+        F.date_add(ts.cast("date"), 7).alias("plus7"),
+        F.last_day(ts.cast("date")).alias("eom"),
+        F.unix_micros(ts.cast("timestamp")).alias("us"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_numeric",
+    """
+    SELECT event_id,
+           round(value, 1) AS r1,
+           floor(value) AS fl,
+           ceil(value) AS ce,
+           sqrt(abs(value)) AS sq,
+           pow(value, 2) AS p2,
+           CASE WHEN value > 0 THEN ln(value) END AS lnv,
+           sign(value - 100) AS sg,
+           CAST(CAST(event_id AS BIGINT) % 7 AS BIGINT) AS m7,
+           greatest(value, 50.0) AS gr,
+           least(value, 50.0) AS le
+    FROM events WHERE value IS NOT NULL AND event_id < 500 ORDER BY event_id
+    """,
+)
+def fn_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric family (reference daft/functions/numeric.py:10-422)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("event_id") < 500)
+    )
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.round(v, 1).alias("r1"),
+        F.floor(v).cast("double").alias("fl"),
+        F.ceil(v).cast("double").alias("ce"),
+        F.sqrt(F.abs(v)).alias("sq"),
+        F.pow(v, 2).alias("p2"),
+        F.when(v > 0, F.log(v)).alias("lnv"),
+        F.signum(v - 100).alias("sg"),
+        F.pmod(F.col("event_id"), F.lit(7)).alias("m7"),
+        F.greatest(v, F.lit(50.0)).alias("gr"),
+        F.least(v, F.lit(50.0)).alias("le"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_json",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (reference str.py:13-175 serialize/deserialize/jq;
+    get_json_object covers the jq subset)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_list",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+           array_to_string(toks[1:3], '-') AS first3,
+           list_contains(toks, 'scan') AS has_scan,
+           toks[2] AS second_tok,
+           list_sort(list_distinct(toks[1:3]))[1] AS min_tok
+    FROM t ORDER BY doc_id
+    """,
+)
+def fn_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List family (reference daft/functions/list.py:11-586)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        F.array_contains(toks, "scan").alias("has_scan"),
+        F.get(toks, 1).alias("second_tok"),
+        F.element_at(F.array_sort(F.array_distinct(F.slice(toks, 1, 3))), 1).alias("min_tok"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_conditional",
+    """
+    SELECT event_id,
+           CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           coalesce(value, -1.0) AS v_filled,
+           nullif(event_type, 'error') AS et_nn,
+           CASE WHEN value IS NULL THEN 0.0 ELSE value END AS v_zero
+    FROM events WHERE event_id < 1000 ORDER BY event_id
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise, coalesce, nullif, fill_null (reference
+    misc.py:242-339, :905 WhenExpr)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.when(v >= 100, "high").when(v >= 50, "mid").otherwise("low").alias("bucket"),
+        F.coalesce(v, F.lit(-1.0)).alias("v_filled"),
+        F.nullif("event_type", F.lit("error")).alias("et_nn"),
+        F.when(v.isNull(), 0.0).otherwise(v).alias("v_zero"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_struct_map",
+    """
+    SELECT event_id,
+           struct_extract({u: user_id, t: event_type}, 'u') AS u_back,
+           struct_extract({u: user_id, t: event_type}, 't') AS t_back,
+           map(['a','b'], [value, value * 2])['b'][1] AS map_b
+    FROM events WHERE event_id < 200 ORDER BY event_id
+    """,
+)
+def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map construction + access (reference struct.py:8-38,
+    misc.py:658-814)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    st = F.struct(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
+    m = F.create_map(F.lit("a"), F.col("value"), F.lit("b"), F.col("value") * 2)
+    return e.select(
+        "event_id",
+        st.getField("u").alias("u_back"),
+        st.getField("t").alias("t_back"),
+        F.element_at(m, "b").alias("map_b"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_hash_invariant",
+    """
+    SELECT count(*) AS n, count(*) AS n_hashes
+    FROM (SELECT DISTINCT text FROM documents)
+    """,
+)
+def fn_hash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 (reference misc.py:388): engine-specific values, so the
+    oracle checks the collision-free invariant over distinct texts."""
+    d = load_table(spark, sf_dir, "documents").select("text").distinct()
+    return d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64("text")).alias("n_hashes"),
+    )
