@@ -1,0 +1,113 @@
+"""daft_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the Eventual-Inc/Daft reference,
+re-expressed Spark-first (SURVEY.md is the blueprint).
+
+Top-level surface mirrors ``daft``'s: readers, from_* constructors,
+col/lit, sql, DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql.functions import col, lit
+
+from daft_spark.context import configure, get_or_create
+from daft_spark.dataframe import DataFrame, GroupedDataFrame
+from daft_spark.sql import Session, sql, sql_expr
+
+__version__ = "0.1.0"
+
+
+def _wrap(sdf) -> DataFrame:
+    return DataFrame(sdf)
+
+
+def read_parquet(path, **kw) -> DataFrame:
+    from daft_spark.io.readers import read_parquet as _rp
+
+    return _wrap(_rp(path, **kw))
+
+
+def read_csv(path, **kw) -> DataFrame:
+    from daft_spark.io.readers import read_csv as _rc
+
+    return _wrap(_rc(path, **kw))
+
+
+def read_json(path, **kw) -> DataFrame:
+    from daft_spark.io.readers import read_json as _rj
+
+    return _wrap(_rj(path, **kw))
+
+
+def read_text(path, **kw) -> DataFrame:
+    from daft_spark.io.readers import read_text as _rt
+
+    return _wrap(_rt(path, **kw))
+
+
+def read_sql(query, url, **kw) -> DataFrame:
+    from daft_spark.io.readers import read_sql as _rs
+
+    return _wrap(_rs(query, url, **kw))
+
+
+def read_kafka(bootstrap_servers, topic, **kw) -> DataFrame:
+    from daft_spark.io.readers import read_kafka as _rk
+
+    return _wrap(_rk(bootstrap_servers, topic, **kw))
+
+
+def from_pydict(data, **kw) -> DataFrame:
+    from daft_spark.io.readers import from_pydict as _fp
+
+    return _wrap(_fp(data, **kw))
+
+
+def from_pandas(pdf, **kw) -> DataFrame:
+    from daft_spark.io.readers import from_pandas as _fp
+
+    return _wrap(_fp(pdf, **kw))
+
+
+def from_arrow(tbl, **kw) -> DataFrame:
+    from daft_spark.io.readers import from_arrow as _fa
+
+    return _wrap(_fa(tbl, **kw))
+
+
+def from_glob_path(pattern, **kw) -> DataFrame:
+    from daft_spark.io.readers import from_glob_path as _fg
+
+    return _wrap(_fg(pattern, **kw))
+
+
+def range(end, start: int = 0, step: int = 1, partitions=None) -> DataFrame:  # noqa: A001
+    from daft_spark.io.readers import range_
+
+    return _wrap(range_(end, start, step, partitions))
+
+
+__all__ = [
+    "Column",
+    "DataFrame",
+    "GroupedDataFrame",
+    "Session",
+    "col",
+    "configure",
+    "from_arrow",
+    "from_glob_path",
+    "from_pandas",
+    "from_pydict",
+    "get_or_create",
+    "lit",
+    "range",
+    "read_csv",
+    "read_json",
+    "read_kafka",
+    "read_parquet",
+    "read_sql",
+    "read_text",
+    "sql",
+    "sql_expr",
+]

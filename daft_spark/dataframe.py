@@ -1,0 +1,358 @@
+"""Daft-style DataFrame API over pyspark.sql.DataFrame.
+
+Parity surface: ``daft/dataframe/dataframe.py`` (~6,500 LoC). Methods
+keep the reference's names/semantics but delegate 1:1 to the Spark
+DataFrame so every operation stays declarative — Catalyst sees the full
+plan (predicate pushdown, column pruning, join reordering, AQE).
+
+Expressions are plain ``pyspark.sql.Column`` objects (``daft_spark.col``
+/ ``daft_spark.lit``) — the reference's Expression tree
+(``src/daft-dsl/src/expr/mod.rs:222``) maps onto Column operator
+overloads directly, so no wrapper class is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import functions as F
+
+
+def _unwrap(df):
+    return df._sdf if isinstance(df, DataFrame) else df
+
+
+class DataFrame:
+    """Lazy DataFrame with the reference's method surface."""
+
+    def __init__(self, sdf: SparkDataFrame):
+        self._sdf = sdf
+
+    # --- plan-building (all lazy) ------------------------------------------
+    def select(self, *exprs) -> "DataFrame":
+        return DataFrame(self._sdf.select(*exprs))
+
+    def exclude(self, *names: str) -> "DataFrame":
+        return DataFrame(self._sdf.drop(*names))
+
+    def where(self, predicate) -> "DataFrame":
+        return DataFrame(self._sdf.filter(predicate))
+
+    filter = where
+
+    def with_column(self, name: str, expr) -> "DataFrame":
+        return DataFrame(self._sdf.withColumn(name, expr))
+
+    def with_columns(self, cols: dict[str, Column]) -> "DataFrame":
+        return DataFrame(self._sdf.withColumns(cols))
+
+    def with_column_renamed(self, old: str, new: str) -> "DataFrame":
+        return DataFrame(self._sdf.withColumnRenamed(old, new))
+
+    def with_columns_renamed(self, mapping: dict[str, str]) -> "DataFrame":
+        return DataFrame(self._sdf.withColumnsRenamed(mapping))
+
+    def cast_to_schema(self, schema) -> "DataFrame":
+        sdf = self._sdf
+        for field in schema.fields:
+            if field.name in sdf.columns:
+                sdf = sdf.withColumn(field.name, F.col(field.name).cast(field.dataType))
+        return DataFrame(sdf)
+
+    def sort(self, by, desc: bool | list[bool] = False, nulls_first=None) -> "DataFrame":
+        cols = by if isinstance(by, (list, tuple)) else [by]
+        descs = desc if isinstance(desc, (list, tuple)) else [desc] * len(cols)
+        nf = nulls_first if isinstance(nulls_first, (list, tuple)) else [nulls_first] * len(cols)
+        order = []
+        for c, d, n in zip(cols, descs, nf):
+            col = F.col(c) if isinstance(c, str) else c
+            # Daft default: nulls last for asc, nulls first for desc
+            # (reference ops/sort.rs per-key descending+nulls_first flags)
+            if n is None:
+                n = bool(d)
+            if d:
+                order.append(col.desc_nulls_first() if n else col.desc_nulls_last())
+            else:
+                order.append(col.asc_nulls_first() if n else col.asc_nulls_last())
+        return DataFrame(self._sdf.orderBy(*order))
+
+    def limit(self, n: int) -> "DataFrame":
+        return DataFrame(self._sdf.limit(n))
+
+    def offset(self, n: int) -> "DataFrame":
+        return DataFrame(self._sdf.offset(n))
+
+    def distinct(self, *cols: str) -> "DataFrame":
+        if cols:
+            return DataFrame(self._sdf.dropDuplicates(list(cols)))
+        return DataFrame(self._sdf.distinct())
+
+    unique = distinct
+    drop_duplicates = distinct
+
+    def sample(self, fraction: float, with_replacement: bool = False,
+               seed: int | None = None) -> "DataFrame":
+        return DataFrame(self._sdf.sample(with_replacement, fraction, seed))
+
+    def repartition(self, num: int | None, *cols) -> "DataFrame":
+        """Hash repartition (reference ops/repartition.rs)."""
+        if cols:
+            return DataFrame(self._sdf.repartition(num, *cols) if num else self._sdf.repartition(*cols))
+        return DataFrame(self._sdf.repartition(num))
+
+    def into_partitions(self, num: int) -> "DataFrame":
+        """Split/coalesce without a full shuffle (reference
+        ops/into_partitions.rs)."""
+        return DataFrame(self._sdf.coalesce(num))
+
+    def shuffle(self, seed: int | None = None) -> "DataFrame":
+        """Seeded random global shuffle (reference dataframe.py:3799) =
+        repartition by rand(seed)."""
+        n = self._sdf.sparkSession.sparkContext.defaultParallelism
+        return DataFrame(self._sdf.repartition(n, F.rand(seed)))
+
+    def join(
+        self,
+        other: "DataFrame | SparkDataFrame",
+        on=None,
+        left_on=None,
+        right_on=None,
+        how: str = "inner",
+        strategy: str | None = None,
+        prefix: str | None = None,
+        suffix: str | None = None,
+    ) -> "DataFrame":
+        """reference dataframe.py:3869-3892 join surface; ``strategy``
+        maps to Spark join hints (SURVEY §2.4)."""
+        right = _unwrap(other)
+        how = {"outer": "full", "anti": "left_anti", "semi": "left_semi"}.get(how, how)
+        if strategy:
+            hint = {"broadcast": "broadcast", "sort_merge": "merge", "hash": "shuffle_hash"}[strategy]
+            right = right.hint(hint)
+        if left_on is not None:
+            lcond = [left_on] if isinstance(left_on, (str, Column)) else list(left_on)
+            rcond = [right_on] if isinstance(right_on, (str, Column)) else list(right_on)
+            cond = None
+            for lc, rc in zip(lcond, rcond):
+                lcol = self._sdf[lc] if isinstance(lc, str) else lc
+                rcol = right[rc] if isinstance(rc, str) else rc
+                piece = lcol == rcol
+                cond = piece if cond is None else (cond & piece)
+            return DataFrame(self._sdf.join(right, cond, how))
+        return DataFrame(self._sdf.join(right, on, how))
+
+    def cross_join(self, other) -> "DataFrame":
+        return DataFrame(self._sdf.crossJoin(_unwrap(other)))
+
+    def join_asof(self, other, on: str, by=None, strategy: str = "backward") -> "DataFrame":
+        from daft_spark.operators.asof_join import join_asof
+
+        return DataFrame(join_asof(self._sdf, _unwrap(other), on=on, by=by, strategy=strategy))
+
+    def concat(self, other) -> "DataFrame":
+        return DataFrame(self._sdf.unionAll(_unwrap(other)))
+
+    def union(self, other) -> "DataFrame":
+        return DataFrame(self._sdf.unionAll(_unwrap(other)).distinct())
+
+    def union_all(self, other) -> "DataFrame":
+        return DataFrame(self._sdf.unionAll(_unwrap(other)))
+
+    def union_by_name(self, other) -> "DataFrame":
+        return DataFrame(
+            self._sdf.unionByName(_unwrap(other), allowMissingColumns=True)
+        )
+
+    def intersect(self, other) -> "DataFrame":
+        return DataFrame(self._sdf.intersect(_unwrap(other)))
+
+    def intersect_all(self, other) -> "DataFrame":
+        return DataFrame(self._sdf.intersectAll(_unwrap(other)))
+
+    def except_distinct(self, other) -> "DataFrame":
+        return DataFrame(self._sdf.subtract(_unwrap(other)))
+
+    def except_all(self, other) -> "DataFrame":
+        return DataFrame(self._sdf.exceptAll(_unwrap(other)))
+
+    def explode(self, *cols) -> "DataFrame":
+        sdf = self._sdf
+        for c in cols:
+            name = c if isinstance(c, str) else sdf.select(c).columns[0]
+            sdf = sdf.withColumn(name, F.explode_outer(F.col(name) if isinstance(c, str) else c))
+        return DataFrame(sdf)
+
+    def unpivot(self, ids, values, variable_name="variable", value_name="value") -> "DataFrame":
+        return DataFrame(self._sdf.unpivot(ids, values, variable_name, value_name))
+
+    melt = unpivot
+
+    def pivot(self, group_by, pivot_col: str, value_col: str, agg: str, names=None) -> "DataFrame":
+        g = group_by if isinstance(group_by, (list, tuple)) else [group_by]
+        agg_fn = getattr(F, {"sum": "sum", "mean": "avg", "avg": "avg", "min": "min",
+                             "max": "max", "count": "count"}[agg])
+        p = self._sdf.groupBy(*g).pivot(pivot_col, names)
+        return DataFrame(p.agg(agg_fn(value_col)))
+
+    def transform(self, fn, *args, **kwargs) -> "DataFrame":
+        """reference pipe/transform (dataframe.py:273)."""
+        out = fn(self, *args, **kwargs)
+        return out if isinstance(out, DataFrame) else DataFrame(out)
+
+    pipe = transform
+
+    def add_monotonically_increasing_id(self, column_name: str = "id") -> "DataFrame":
+        return DataFrame(self._sdf.withColumn(column_name, F.monotonically_increasing_id()))
+
+    # --- aggregation --------------------------------------------------------
+    def groupby(self, *cols) -> "GroupedDataFrame":
+        return GroupedDataFrame(self._sdf.groupBy(*cols))
+
+    group_by = groupby
+
+    def agg(self, *exprs) -> "DataFrame":
+        return DataFrame(self._sdf.agg(*exprs))
+
+    def _agg_all(self, fn) -> "DataFrame":
+        num = [f.name for f in self._sdf.schema.fields
+               if f.dataType.typeName() in ("integer", "long", "double", "float", "short", "byte", "decimal")]
+        return DataFrame(self._sdf.agg(*[fn(c).alias(c) for c in num]))
+
+    def sum(self, *cols) -> "DataFrame":
+        return DataFrame(self._sdf.agg(*[F.sum(c).alias(c) for c in cols])) if cols else self._agg_all(F.sum)
+
+    def mean(self, *cols) -> "DataFrame":
+        return DataFrame(self._sdf.agg(*[F.avg(c).alias(c) for c in cols])) if cols else self._agg_all(F.avg)
+
+    def min(self, *cols) -> "DataFrame":
+        return DataFrame(self._sdf.agg(*[F.min(c).alias(c) for c in cols])) if cols else self._agg_all(F.min)
+
+    def max(self, *cols) -> "DataFrame":
+        return DataFrame(self._sdf.agg(*[F.max(c).alias(c) for c in cols])) if cols else self._agg_all(F.max)
+
+    def stddev(self, *cols) -> "DataFrame":
+        return DataFrame(self._sdf.agg(*[F.stddev(c).alias(c) for c in cols])) if cols else self._agg_all(F.stddev)
+
+    def count_rows(self) -> int:
+        return self._sdf.count()
+
+    def describe(self) -> "DataFrame":
+        return DataFrame(self._sdf.describe())
+
+    def summarize(self) -> "DataFrame":
+        return DataFrame(self._sdf.summary())
+
+    # --- execution ----------------------------------------------------------
+    def collect(self) -> "DataFrame":
+        """Materialize (reference collect caches the result; we cache +
+        trigger)."""
+        self._sdf = self._sdf.cache()
+        self._sdf.count()
+        return self
+
+    def show(self, n: int = 8) -> None:
+        self._sdf.show(n, truncate=False)
+
+    def explain(self, show_all: bool = False) -> None:
+        self._sdf.explain("formatted" if show_all else "simple")
+
+    def to_pydict(self) -> dict[str, list]:
+        rows = self._sdf.collect()
+        return {c: [r[c] for r in rows] for c in self._sdf.columns}
+
+    def to_pylist(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self._sdf.collect()]
+
+    def to_pandas(self):
+        return self._sdf.toPandas()
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(self._sdf.toPandas())
+
+    def iter_rows(self) -> Iterable[dict[str, Any]]:
+        for r in self._sdf.toLocalIterator():
+            yield r.asDict(recursive=True)
+
+    def iter_partitions(self):
+        yield from self._sdf.toLocalIterator(prefetchPartitions=True)
+
+    # --- io -----------------------------------------------------------------
+    def write_parquet(self, path: str, partition_cols=None, write_mode: str = "append",
+                      compression: str = "snappy") -> None:
+        from daft_spark.io.writers import write_parquet
+
+        write_parquet(self._sdf, path, partition_cols=partition_cols,
+                      write_mode=write_mode, compression=compression)
+
+    def write_csv(self, path: str, partition_cols=None, write_mode: str = "append") -> None:
+        from daft_spark.io.writers import write_csv
+
+        write_csv(self._sdf, path, partition_cols=partition_cols, write_mode=write_mode)
+
+    def write_json(self, path: str, write_mode: str = "append") -> None:
+        from daft_spark.io.writers import write_json
+
+        write_json(self._sdf, path, write_mode=write_mode)
+
+    # --- introspection ------------------------------------------------------
+    @property
+    def schema(self):
+        return self._sdf.schema
+
+    @property
+    def column_names(self) -> list[str]:
+        return self._sdf.columns
+
+    def __getitem__(self, name: str) -> Column:
+        return self._sdf[name]
+
+    def __getattr__(self, name):
+        # fall through to the underlying Spark DataFrame for anything we
+        # haven't wrapped (escape hatch, same spirit as reference to_*)
+        return getattr(self._sdf, name)
+
+    def to_spark(self) -> SparkDataFrame:
+        return self._sdf
+
+    def __repr__(self) -> str:
+        return f"daft_spark.DataFrame[{', '.join(f'{f.name}: {f.dataType.simpleString()}' for f in self._sdf.schema.fields)}]"
+
+
+class GroupedDataFrame:
+    """Parity: reference GroupedDataFrame (dataframe.py:6219-6495)."""
+
+    def __init__(self, gd):
+        self._gd = gd
+
+    def agg(self, *exprs) -> DataFrame:
+        return DataFrame(self._gd.agg(*exprs))
+
+    def sum(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.sum(c).alias(c) for c in cols]))
+
+    def mean(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.avg(c).alias(c) for c in cols]))
+
+    def min(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.min(c).alias(c) for c in cols]))
+
+    def max(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.max(c).alias(c) for c in cols]))
+
+    def count(self) -> DataFrame:
+        return DataFrame(self._gd.count())
+
+    def any_value(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.any_value(c).alias(c) for c in cols]))
+
+    def concat(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.collect_list(c).alias(c) for c in cols]))
+
+    def map_groups(self, fn, schema) -> DataFrame:
+        """Full-group pandas UDF (reference map_groups dataframe.py:6495
+        -> applyInPandas)."""
+        return DataFrame(self._gd.applyInPandas(fn, schema))

@@ -1,0 +1,66 @@
+"""SQL entry points — parity with ``daft.sql`` / ``daft.sql_expr``
+(reference: ``daft/sql/sql.py:77``, ``:19``) and the Session catalog
+surface (reference: ``daft/session.py:86``).
+
+Spark SQL is a strict superset of the reference dialect (SURVEY §2.7),
+so this is a thin veneer: register DataFrames as temp views, delegate to
+``spark.sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daft_spark.context import get_or_create
+
+
+def sql(query: str, spark: SparkSession | None = None, **frames) -> DataFrame:
+    """Run SQL. Keyword args register DataFrames as temp views first:
+    ``sql("SELECT * FROM t WHERE x > 1", t=my_df)``."""
+    spark = spark or get_or_create()
+    from daft_spark.dataframe import DataFrame as WrappedDF
+
+    for name, df in frames.items():
+        sdf = df.to_spark() if isinstance(df, WrappedDF) else df
+        sdf.createOrReplaceTempView(name)
+    return spark.sql(query)
+
+
+def sql_expr(expression: str) -> Column:
+    """Parse a scalar SQL expression to a Column (reference sql_expr)."""
+    return F.expr(expression)
+
+
+class Session:
+    """Catalog/session surface (reference daft/session.py:86:
+    attach_table/create_temp_table/list_tables...). Backed by
+    spark.catalog."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_or_create()
+
+    def attach_table(self, df, alias: str) -> None:
+        from daft_spark.dataframe import DataFrame as WrappedDF
+
+        sdf = df.to_spark() if isinstance(df, WrappedDF) else df
+        sdf.createOrReplaceTempView(alias)
+
+    create_temp_table = attach_table
+
+    def detach_table(self, alias: str) -> None:
+        self.spark.catalog.dropTempView(alias)
+
+    def list_tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    def read_table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def attach_function(self, fn, name: str, return_dtype: str = "string") -> None:
+        """Register a Python function for SQL use (reference
+        attach_function, session.py:176-404)."""
+        self.spark.udf.register(name, fn, return_dtype)

@@ -1,0 +1,143 @@
+"""UDF surface — parity with the reference's decorators
+(reference: ``daft/udf/__init__.py``):
+
+- ``@func`` (row-wise scalar, :22-62)        -> Arrow-optimized Python UDF
+- ``@func.batch`` (Series->Series, :252)     -> pandas_udf
+- ``@cls`` / ``@method`` (stateful, :360-560)-> per-executor lazy
+  singleton inside a pandas UDF (the standard PySpark model-serving
+  pattern; replaces the reference's actor pools —
+  ``intermediate_ops/distributed_actor_pool_project.rs``)
+- ``udaf`` (``daft/udf/udaf.py:16``)         -> pandas_udf GROUPED_AGG
+
+Generator functions (UDTF-like, ``daft/udf/udf_v2.py:55-188``) map to
+``mapInPandas`` — see ``generator_udf``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+
+def func(return_dtype: str = "string", **_resource_opts):
+    """Row-wise scalar UDF (reference @daft.func). Arrow-optimized.
+    Resource options (cpus/gpus/max_concurrency) are accepted for API
+    compatibility; on Spark they map to task-level scheduling configs,
+    not per-UDF settings."""
+
+    def deco(fn: Callable):
+        wrapped = udf(fn, returnType=return_dtype, useArrow=True)
+        wrapped.__daft_spark_udf__ = "func"
+        return wrapped
+
+    return deco
+
+
+def batch_func(return_dtype: str = "double"):
+    """Batch UDF over pandas Series (reference @daft.func.batch — the
+    exact pandas_udf Series->Series contract). ~10-100x faster than
+    row-wise; prefer this in any hot path."""
+
+    def deco(fn: Callable):
+        wrapped = pandas_udf(fn, returnType=return_dtype)
+        wrapped.__daft_spark_udf__ = "batch"
+        return wrapped
+
+    return deco
+
+
+func.batch = batch_func
+
+
+def udaf(return_dtype: str = "double"):
+    """Custom aggregation (reference daft.udf.udaf): the function
+    receives pandas Series per group and returns one scalar.
+    NOTE: GROUPED_AGG pandas UDFs have no partial aggregation — shuffle
+    is whole-rows. For reduce-style UDAFs that CAN be split, prefer
+    expressing map/combine/reduce as built-in aggs (see
+    functions/aggs.py product for the pattern)."""
+
+    def deco(fn: Callable):
+        return pandas_udf(fn, returnType=return_dtype)
+
+    return deco
+
+
+def generator_udf(schema: str):
+    """Generator UDF -> one output row per yield (reference generator
+    @daft.func, udf_v2.py:55,100,188). Use with
+    df.mapInPandas(generator_udf(schema)(fn), schema)."""
+
+    def deco(fn: Callable):
+        def map_fn(batches):
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    for produced in fn(*row):
+                        out.append(produced)
+                yield pd.DataFrame(out)
+
+        return map_fn
+
+    return deco
+
+
+class cls:  # noqa: N801 — reference spells it @daft.cls
+    """Stateful class UDF (reference @daft.cls/@daft.method): expensive
+    __init__ runs ONCE per executor process (lazy module-level
+    singleton), not per batch — the Spark-native replacement for the
+    reference's actor pools. Concurrency = executor cores; bound it with
+    spark.task.cpus rather than max_concurrency.
+
+    Usage::
+
+        @daft_spark.udf.cls
+        class Embedder:
+            def __init__(self):
+                self.model = load_model()          # once per executor
+            def __call__(self, s: pd.Series) -> pd.Series:
+                return s.map(self.model)
+
+        df.withColumn("emb", Embedder.as_pandas_udf("array<float>")(df.text))
+    """
+
+    _instances: dict[str, object] = {}
+
+    def __init__(self, user_cls):
+        functools.update_wrapper(self, user_cls, updated=[])
+        self._user_cls = user_cls
+
+    def instance(self):
+        key = f"{self._user_cls.__module__}.{self._user_cls.__qualname__}"
+        inst = cls._instances.get(key)
+        if inst is None:
+            inst = self._user_cls()
+            cls._instances[key] = inst
+        return inst
+
+    def as_pandas_udf(self, return_dtype: str):
+        outer = self
+
+        @pandas_udf(return_dtype)
+        def _run(*series: pd.Series) -> pd.Series:
+            return outer.instance()(*series)
+
+        return _run
+
+    def as_map_in_pandas(self, schema: str):
+        """mapInPandas runner for whole-frame stateful transforms."""
+        outer = self
+
+        def _run(batches):
+            inst = outer.instance()
+            for pdf in batches:
+                yield inst(pdf)
+
+        return _run, schema
+
+
+method = staticmethod  # @daft.method parity: plain methods on a @cls class
