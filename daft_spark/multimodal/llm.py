@@ -1,0 +1,142 @@
+"""Batch LLM / embedding inference operators.
+
+Parity targets: ``daft/functions/llm.py:11`` (llm_generate),
+``daft/functions/ai/`` (embed_text :72, embed_image :157, classify_text
+:250), the vLLM operator (``ops/vllm.rs:12``,
+``streaming_sink/vllm.rs``) and provider protocol (``daft/ai/``).
+
+Spark-first design — the reference's actor-pool + dynamic batching
+becomes:
+- ``mapInPandas`` with a per-executor lazy model singleton (load once,
+  serve every batch on that executor);
+- Arrow batch size controls the inference batch
+  (spark.sql.execution.arrow.maxRecordsPerBatch);
+- GPU binding via spark.task.resource.gpu.amount — one task per GPU.
+
+No model runtimes exist in this container, so providers are pluggable:
+pass any callable ``batch -> outputs``; ``EchoProvider``/
+``HashEmbedProvider`` are deterministic stand-ins that keep the whole
+pipeline executable and testable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_PROVIDERS: dict[str, object] = {}
+
+
+def _singleton(key: str, factory: Callable[[], object]) -> object:
+    """Per-executor-process model cache (the @daft.cls actor replacement)."""
+    inst = _PROVIDERS.get(key)
+    if inst is None:
+        inst = factory()
+        _PROVIDERS[key] = inst
+    return inst
+
+
+class EchoProvider:
+    """Deterministic text 'model': f(prompt) = reversed prompt tag."""
+
+    def generate(self, prompts: list[str]) -> list[str]:
+        return [f"echo:{(p or '')[:48][::-1]}" for p in prompts]
+
+
+class HashEmbedProvider:
+    """Deterministic embedding 'model': 16-dim hash-derived unit vector."""
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        import hashlib
+        import math
+
+        out = []
+        for t in texts:
+            h = hashlib.sha256((t or "").encode()).digest()
+            v = [((b / 255.0) * 2 - 1) for b in h[:16]]
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            out.append([x / n for x in v])
+        return out
+
+
+def llm_generate(
+    df: DataFrame,
+    prompt_col: str,
+    out_col: str = "generation",
+    provider_factory: Callable[[], object] = EchoProvider,
+    batch_size: int | None = None,
+) -> DataFrame:
+    """Batched text generation (reference llm_generate, llm.py:11).
+    One model instance per executor; prompts flow through in Arrow
+    batches; output cardinality 1:1."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, `{out_col}` string"
+    key = f"llm:{provider_factory.__module__}.{provider_factory.__qualname__}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _singleton(key, provider_factory)
+        for pdf in batches:
+            prompts = list(pdf[prompt_col])
+            if batch_size:
+                outs: list[str] = []
+                for i in range(0, len(prompts), batch_size):
+                    outs.extend(model.generate(prompts[i : i + batch_size]))
+            else:
+                outs = model.generate(prompts)
+            pdf[out_col] = outs
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "embedding",
+    provider_factory: Callable[[], object] = HashEmbedProvider,
+) -> DataFrame:
+    """Batched text embedding (reference embed_text, ai/:72). Output is
+    array<float> — the Embedding dtype convention (SURVEY §1.2)."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, `{out_col}` array<float>"
+    key = f"embed:{provider_factory.__module__}.{provider_factory.__qualname__}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _singleton(key, provider_factory)
+        for pdf in batches:
+            pdf[out_col] = model.embed(list(pdf[text_col]))
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def classify_text(
+    df: DataFrame,
+    text_col: str,
+    labels: list[str],
+    out_col: str = "label",
+    provider_factory: Callable[[], object] | None = None,
+) -> DataFrame:
+    """Batched zero-shot-style classification (reference classify_text,
+    ai/:250). Default deterministic provider: argmax over hash-embedding
+    dot products with label embeddings."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, `{out_col}` string"
+    factory = provider_factory or HashEmbedProvider
+    key = f"clf:{factory.__module__}.{factory.__qualname__}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _singleton(key, factory)
+        label_vecs = model.embed(labels)
+        for pdf in batches:
+            vecs = model.embed(list(pdf[text_col]))
+            preds = []
+            for v in vecs:
+                scores = [sum(a * b for a, b in zip(v, lv)) for lv in label_vecs]
+                preds.append(labels[max(range(len(labels)), key=scores.__getitem__)])
+            pdf[out_col] = preds
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         similarity,
         functions_q,
+        multimodal_q,
     )
 
     return REGISTRY

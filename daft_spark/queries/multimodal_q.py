@@ -1,0 +1,103 @@
+"""Multimodal / LLM operator queries — exercising the mapInPandas
+pipelines through the driver contract. Codecs are deterministic fakes
+(container has no Pillow/av/model runtimes — see multimodal/*.py), so
+oracles check structural invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daft_spark.io.readers import load_table
+from daft_spark.queries import register
+
+
+@register(
+    "mm_embed_text",
+    """
+    SELECT doc_id, 16 AS dim, 1.0 AS unit_norm FROM documents ORDER BY doc_id
+    """,
+)
+def mm_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed_text operator (reference ai/embed_text): per-doc embedding;
+    invariant checked = dimension and unit norm."""
+    from daft_spark.multimodal.llm import embed_text
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = embed_text(d, "text")
+    norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return e.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(norm), 6).alias("unit_norm"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mm_llm_generate",
+    """
+    SELECT count(*) AS n_docs, count(*) AS n_generated FROM documents
+    """,
+)
+def mm_llm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_generate operator (reference llm.py:11): batched generation
+    with per-executor model singleton; invariant = 1:1 output with the
+    provider's prefix."""
+    from daft_spark.multimodal.llm import llm_generate
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = llm_generate(d, "text")
+    return g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("generation").startswith("echo:"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_generated"),
+    )
+
+
+@register("mm_classify_text", None)
+def mm_classify_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classify_text operator (reference ai/classify_text): label
+    distribution (deterministic hash provider; rows-only)."""
+    from daft_spark.multimodal.llm import classify_text
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = classify_text(d, "text", ["sports", "tech", "news"])
+    return c.groupBy("label").agg(F.count(F.lit(1)).alias("n")).orderBy("label")
+
+
+@register("mm_image_decode", None)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode -> attribute pipeline over binary payloads
+    (deterministic fake codec; rows-only). Exercises the struct image
+    schema + mapInPandas plumbing end-to-end."""
+    from daft_spark.multimodal.image import decode_image, image_attribute
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    b = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    img = decode_image(b, "payload", deterministic_fake=True)
+    return img.select(
+        "doc_id",
+        image_attribute("image", "height").alias("h"),
+        image_attribute("image", "width").alias("w"),
+    ).orderBy("doc_id")
+
+
+@register("mm_video_frames", None)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (deterministic fake codec;
+    rows-only): frames per video."""
+    from daft_spark.multimodal.av import video_frames
+
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    b = d.select(
+        F.concat(F.lit("video_"), F.col("doc_id")).alias("path"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    fr = video_frames(b, "path", "payload", sample_every=10, deterministic_fake=True)
+    return fr.groupBy("path").agg(F.count(F.lit(1)).alias("n_frames")).orderBy("path")
