@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 DEFAULT_TOKEN_PATTERN = "[a-z0-9]+"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism before CPU-bound
+    expression work. Small parquet inputs arrive as ONE split (a single
+    task would do all the hashing); real 100 TB inputs arrive as many
+    splits, where this is a cheap no-op-sized rebalance."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for near-dup detection: lowercase, strip
     non-alphanumerics, collapse whitespace."""
@@ -87,6 +96,29 @@ def _perm_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return consts
 
 
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(id, shingle-hash) rows: posexplode tokens, shingle hash =
+    xxhash64 of k consecutive tokens via lead() — linear, no string
+    building (the array-of-shingle-strings construction is ~10x slower
+    at equal output). Trailing positions pad with '' so short docs
+    (< k tokens) still shingle. Folded to 32 bits (headroom for the
+    affine MinHash permutations under ANSI overflow checks)."""
+    from pyspark.sql import Window
+
+    tk = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens_of(F.col(text_col))).alias("__p", "__t"),
+    )
+    w = Window.partitionBy("__id").orderBy("__p")
+    lead_cols = [F.coalesce(F.lead("__t", j).over(w), F.lit("")) for j in range(1, shingle_k)]
+    return tk.select(
+        "__id",
+        F.xxhash64(F.col("__t"), *lead_cols).bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -96,14 +128,20 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signatures as a DataFrame (id, __m0..__m{n-1}) via the
-    scale formulation: explode shingles ONCE, hash each shingle once
-    (xxhash64 -> 32-bit), then num_hashes affine permutations as plain
-    min() aggregates — map-side partial aggregation halves the shuffle,
-    codegen stays small. This is how it must run at 100 TB."""
-    ex = (
-        df.select(F.col(id_col).alias("__id"), F.explode(shingles_of(F.col(text_col), shingle_k)).alias("__s"))
-        .select("__id", F.xxhash64("__s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h"))
-    )
+    scale formulation:
+
+    1. posexplode tokens (one row per token — never build shingle
+       strings or arrays; the array-of-strings construction is ~10x
+       slower at equal output);
+    2. shingle hash = xxhash64(token, lead(token,1), lead(token,2))
+       over a (doc, position) window — linear, one shuffle on doc id;
+    3. num_hashes affine permutations of the 32-bit folded hash as
+       plain min() aggregates — map-side partial aggregation.
+
+    MinHash is duplicate-invariant, so shingle de-duplication is
+    deliberately skipped. Trailing positions shingle with '' padding so
+    short documents (< k tokens) still produce a signature."""
+    ex = shingle_hashes(df, text_col, id_col, shingle_k)
     aggs = [
         F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
@@ -138,7 +176,8 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     hash once, 64 conditional sums (plain aggregates, partial-agg
     friendly), then assemble the bits. Returns (__id, __sim)."""
     ex = (
-        df.select(F.col(id_col).alias("__id"), F.explode(tokens_of(F.col(text_col))).alias("__t"))
+        _spread(df)
+        .select(F.col(id_col).alias("__id"), F.explode(tokens_of(F.col(text_col))).alias("__t"))
         .select("__id", F.xxhash64("__t").alias("__h"))
     )
     votes = [
@@ -221,7 +260,7 @@ def jaccard_pairs(
     by ``block_cols`` to bound the quadratic) — the brute-force oracle
     companion to MinHash LSH. Returns (id_a, id_b, jaccard >= threshold).
     """
-    base = df.select(
+    base = _spread(df).select(
         *(block_cols or []),
         F.col(id_col).alias("__id"),
         shingles_of(F.col(text_col), shingle_k).alias("__sh"),
@@ -260,9 +299,17 @@ def verify_candidates_jaccard(
     threshold: float,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact-Jaccard verification of LSH candidate pairs (the standard
-    LSH false-positive filter)."""
-    sh = df.select(F.col(id_col).alias("__vid"), shingles_of(F.col(text_col), shingle_k).alias("__vsh"))
+    """Jaccard verification of LSH candidate pairs (the standard LSH
+    false-positive filter), computed over hashed shingle SETS — reuses
+    the signature pipeline's linear shingle hasher instead of
+    re-building string arrays (~10x cheaper); hash collisions perturb
+    the similarity by a negligible ~2^-32 per shingle."""
+    sh = (
+        shingle_hashes(df, text_col, id_col, shingle_k)
+        .groupBy("__id")
+        .agg(F.collect_set("__h").alias("__vsh"))
+        .withColumnRenamed("__id", "__vid")
+    )
     out = (
         candidates.join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vsh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__vsh", "sh_b"), "id_b")
