@@ -1,0 +1,137 @@
+"""Physical-plan audits: the scale-critical properties must be visible
+in explain() output — filters reaching the parquet scan, column pruning,
+broadcast joins for small dims, sort+limit fusion, partial aggregation.
+
+These are the Spark counterparts of the reference's optimizer rules
+(SURVEY §4.1): PushDownFilter -> PushedFilters, PushDownProjection ->
+ReadSchema, broadcast threshold -> BroadcastHashJoin, TopN fusion ->
+TakeOrderedAndProject, partial/final agg -> HashAggregate x2.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from daft_spark.io.readers import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    q = l.filter(F.col("l_quantity") < 24).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity,24" in plan.replace(" ", ""), plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    from daft_spark.io.readers import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    q = l.select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    # ReadSchema must contain only the projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    from daft_spark.queries import all_queries
+
+    q5 = all_queries()["tpch_q5"].spark_fn(spark, SF_DIR)
+    plan = plan_of(q5)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topn_fuses_to_take_ordered(spark):
+    from daft_spark.io.readers import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    q = e.orderBy(F.col("value").desc_nulls_last()).limit(10)
+    plan = plan_of(q)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_present(spark):
+    from daft_spark.io.readers import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    q = l.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = plan_of(q)
+    # partial + final hash aggregate = two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_limit_only_no_full_scan_shuffle(spark):
+    from daft_spark.io.readers import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    plan = plan_of(l.limit(5))
+    assert "Exchange" not in plan or "CollectLimit" in plan
+
+
+def test_asof_join_single_shuffle_per_window(spark):
+    """The as-of union+window plan must shuffle on the by-key, not
+    cross-join: no BroadcastNestedLoopJoin / CartesianProduct."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.asof_join import join_asof
+
+    e = load_table(spark, SF_DIR, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    plan = plan_of(join_asof(clicks, buys, on="ts", by="user_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_minhash_no_python_udf_in_plan(spark):
+    """The dedup pipeline must stay JVM-side: no Python eval nodes."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.dedup import minhash_lsh_candidates
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(minhash_lsh_candidates(d, "text", "doc_id"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.similarity import topk_cosine_bruteforce
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(topk_cosine_bruteforce(queries, emb, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-style partition pruning (reference partition_filters pushdown,
+    src/daft-scan/src/pushdowns.rs:19; tests/io/test_hive_style_partitions.py)."""
+    from daft_spark.io.readers import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem").limit(2000)
+    out = str(tmp_path / "part_tbl")
+    l.write.partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "A")
+    plan = plan_of(back)
+    # pruned partition filter appears as PartitionFilters, not a post-scan Filter
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
