@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         functions_q,
         multimodal_q,
+        sql_q,
     )
 
     return REGISTRY

@@ -1,0 +1,132 @@
+"""SQL-surface queries — the ``daft.sql`` parity path (reference:
+``daft/sql/sql.py:77``, planner ``src/daft-sql/``; statement coverage
+``src/daft-sql/src/statement.rs:13-107``: CTEs, joins, subqueries,
+EXISTS/IN, HAVING, positional ORDER BY).
+
+Each query here is ONE dialect-shared ANSI string executed through
+``spark.sql`` (after temp-view registration) AND used verbatim as the
+DuckDB oracle — the strongest possible SQL-frontend parity check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from daft_spark.io.readers import register_views
+from daft_spark.queries import register
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+def _shared(name: str, query: str):
+    @register(name, query)
+    def runner(spark: SparkSession, sf_dir: str, _q=query) -> DataFrame:
+        return _sql(spark, sf_dir, _q)
+
+    runner.__doc__ = f"Shared-dialect SQL: {name}"
+    return runner
+
+
+_shared(
+    "sql_cte_join",
+    """
+    WITH big_orders AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_totalprice > 200000
+    ),
+    cust AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+    )
+    SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS total
+    FROM big_orders JOIN cust ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+
+_shared(
+    "sql_exists_subquery",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey AND l_quantity > 49
+    )
+    ORDER BY s_suppkey
+    """,
+)
+
+_shared(
+    "sql_in_subquery",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    ORDER BY c_custkey
+    """,
+)
+
+_shared(
+    "sql_scalar_subquery",
+    """
+    SELECT n_name,
+           (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_customers
+    FROM nation
+    ORDER BY n_name
+    """,
+)
+
+_shared(
+    "sql_window_in_sql",
+    """
+    SELECT l_orderkey, l_linenumber,
+           sum(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_price,
+           rank() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS price_rank
+    FROM lineitem
+    WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+
+_shared(
+    "sql_having_positional",
+    """
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    HAVING count(*) > 10
+    ORDER BY 2 DESC, 1
+    """,
+)
+
+_shared(
+    "sql_case_cast_union",
+    """
+    SELECT kind, CAST(sum(v) AS DOUBLE) AS total FROM (
+      SELECT CASE WHEN o_totalprice > 250000 THEN 'large' ELSE 'small' END AS kind,
+             o_totalprice AS v
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem' AS kind, l_extendedprice AS v
+      FROM lineitem WHERE l_orderkey < 100
+    ) u
+    GROUP BY kind
+    ORDER BY kind
+    """,
+)
+
+_shared(
+    "sql_not_in_anti",
+    """
+    SELECT count(*) AS n_without_orders
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
