@@ -1,0 +1,104 @@
+"""Lakehouse / external-catalog readers.
+
+Parity targets (reference ``daft/io/__init__.py:21-43``): read_iceberg
+(``daft/io/iceberg/_iceberg.py:130``), read_deltalake
+(``delta_lake/_deltalake.py:22``), read_hudi (``hudi/_hudi.py:18``),
+read_paimon, read_lance (``lance/_lance.py:25``), read_huggingface
+(``huggingface/__init__.py:38``), read_mcap (``mcap/_mcap.py:97``).
+
+On Spark these are format plumbing: each maps to a DataSource (V2)
+connector selected by ``spark.read.format(...)``. The connector JARs are
+not bundled in this container, so each reader probes the format and
+raises a single clear error naming the required package — the call
+signature, option mapping, and return contract are the real product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from daft_spark.context import configure, get_or_create
+
+
+def _session(spark: SparkSession | None) -> SparkSession:
+    return configure(spark) if spark is not None else get_or_create()
+
+
+def _format_read(spark: SparkSession, fmt: str, path_or_table: str, package_hint: str,
+                 options: dict | None = None, is_table: bool = False) -> DataFrame:
+    try:
+        if is_table:
+            return spark.table(path_or_table)
+        reader = spark.read.format(fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        return reader.load(path_or_table)
+    except Exception as e:  # ClassNotFound / data source not found
+        msg = str(e)
+        if "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg or "ClassNotFound" in msg:
+            raise ImportError(
+                f"the '{fmt}' Spark connector is not on the classpath; add "
+                f"--packages {package_hint} (or the equivalent spark.jars.packages conf)"
+            ) from e
+        raise
+
+
+def read_deltalake(path: str, spark: SparkSession | None = None, **options) -> DataFrame:
+    """reference read_deltalake -> spark.read.format('delta')."""
+    return _format_read(_session(spark), "delta", path, "io.delta:delta-spark_2.13", options)
+
+
+def read_iceberg(table: str, spark: SparkSession | None = None, snapshot_id: int | None = None) -> DataFrame:
+    """reference read_iceberg -> Iceberg catalog table read; time travel
+    via snapshot_id (VERSION AS OF)."""
+    spark = _session(spark)
+    try:
+        if snapshot_id is not None:
+            return spark.read.option("snapshot-id", snapshot_id).table(table)
+        return spark.table(table)
+    except Exception as e:
+        raise ImportError(
+            "Iceberg requires org.apache.iceberg:iceberg-spark-runtime and a "
+            "configured catalog (spark.sql.catalog.<name>)"
+        ) from e
+
+
+def read_hudi(path: str, spark: SparkSession | None = None, **options) -> DataFrame:
+    return _format_read(_session(spark), "hudi", path, "org.apache.hudi:hudi-spark-bundle_2.13", options)
+
+
+def read_paimon(path: str, spark: SparkSession | None = None, **options) -> DataFrame:
+    return _format_read(_session(spark), "paimon", path, "org.apache.paimon:paimon-spark", options)
+
+
+def read_lance(path: str, spark: SparkSession | None = None, **options) -> DataFrame:
+    return _format_read(_session(spark), "lance", path, "com.lancedb:lance-spark-bundle_2.13", options)
+
+
+def read_huggingface(repo: str, spark: SparkSession | None = None, **options) -> DataFrame:
+    """reference read_huggingface: 'hf://datasets/<org>/<name>' -> the
+    dataset's auto-converted parquet endpoint. Network-dependent; maps
+    the repo id to the public parquet URL layout and delegates to the
+    parquet reader."""
+    spark = _session(spark)
+    if repo.startswith("hf://"):
+        repo = repo[len("hf://") :]
+    if repo.startswith("datasets/"):
+        repo = repo[len("datasets/") :]
+    url = f"https://huggingface.co/api/datasets/{repo}/parquet"
+    raise NotImplementedError(
+        f"read_huggingface needs outbound network access: resolve {url} to the "
+        "dataset's parquet shard URLs, then spark.read.parquet(urls). This "
+        "container has no network; on a cluster, pair with an hf:// Hadoop FS "
+        "or pre-resolve the URLs."
+    )
+
+
+def read_mcap(path: str, spark: SparkSession | None = None) -> DataFrame:
+    """reference read_mcap (robotics log format): binaryFile + per-file
+    python parser, the same shape as io/warc.py. The mcap package is not
+    in this container."""
+    raise NotImplementedError(
+        "read_mcap requires the 'mcap' python package; implement as "
+        "binaryFile + mapInPandas parser exactly like daft_spark.io.warc"
+    )

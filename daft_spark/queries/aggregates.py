@@ -224,6 +224,29 @@ def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_sketch",
+    "SELECT true AS merged_ok",
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch build + merge + estimate (reference:
+    AggExpr::ApproxSketch/MergeSketch mod.rs:415-418, HLL impl
+    src/hyperloglog/ -> Spark 3.5+ hll_sketch_agg/hll_union_agg).
+    Bound-check: merged per-type sketches estimate the global distinct
+    within 5%."""
+    e = _events(spark, sf_dir)
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("cd"))
+    return merged.crossJoin(exact).select(
+        (F.abs(F.col("est") - F.col("cd")) <= 0.05 * F.col("cd")).alias("merged_ok")
+    )
+
+
+@register(
     "agg_rollup",
     """
     SELECT coalesce(l_returnflag, 'ALL') AS rf,
