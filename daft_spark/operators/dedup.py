@@ -230,7 +230,11 @@ def minhash_lsh_candidates(
         ).alias(f"__band{b}")
         for b in range(bands)
     ]
-    banded = sig.select("__id", *band_cols)
+    # Persist the banded signatures: the bucket self-join reads this
+    # frame twice and Spark does not reuse the exchange across the two
+    # aliases. Signatures are ~bands*8 bytes/doc — at 100 TB of text
+    # this is the table you would checkpoint to storage anyway.
+    banded = sig.select("__id", *band_cols).persist()
     stacked = banded.selectExpr(
         "__id",
         "stack({n}, {args}) as (band_id, band_hash)".format(
@@ -304,11 +308,14 @@ def verify_candidates_jaccard(
     the signature pipeline's linear shingle hasher instead of
     re-building string arrays (~10x cheaper); hash collisions perturb
     the similarity by a negligible ~2^-32 per shingle."""
+    # Persisted: joined twice (once per pair side); hashed shingle sets
+    # are a few KB/doc vs the raw text they replace.
     sh = (
         shingle_hashes(df, text_col, id_col, shingle_k)
         .groupBy("__id")
         .agg(F.collect_set("__h").alias("__vsh"))
         .withColumnRenamed("__id", "__vid")
+        .persist()
     )
     out = (
         candidates.join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vsh", "sh_a"), "id_a")
