@@ -1,0 +1,141 @@
+"""Operator-level tests not covered by the oracle registry: IVF
+assignment, SRP-LSH top-k, deterministic hyperplanes, shard strategies,
+minhash signature properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_ivf_assign(spark):
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.similarity import cosine_similarity, ivf_assign
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # centroids = per-label element-wise means
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "x"))
+    cent = (
+        ex.groupBy("label", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.transform("pairs", lambda p: p.getField("cx")).alias("centroid"),
+        )
+    )
+    assigned = ivf_assign(emb, cent, corpus_id="vec_id")
+    assert assigned.count() == emb.count()
+    assert "centroid_id" in assigned.columns
+    # correctness: assignment equals an independently computed argmax
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        cosine_similarity(F.col("embedding"), F.col("centroid")).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("centroid_id"))
+    expected = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("exp_cid"))
+    )
+    mism = assigned.join(expected, "vec_id").filter(
+        F.col("centroid_id") != F.col("exp_cid")
+    ).count()
+    assert mism == 0
+    # sanity: assignments beat chance w.r.t. the label structure
+    agree = assigned.filter(F.col("centroid_id") == F.col("label")).count()
+    assert agree / assigned.count() > 0.2
+
+
+def test_srp_hyperplanes_deterministic(spark):
+    from daft_spark.operators.similarity import _hyperplanes
+
+    a = _hyperplanes(8, 64, seed=42)
+    b = _hyperplanes(8, 64, seed=42)
+    c = _hyperplanes(8, 64, seed=7)
+    assert a == b and a != c
+    assert all(-1.0 <= x <= 1.0 for row in a for x in row)
+
+
+def test_topk_lsh_subset_of_bucket(spark):
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.similarity import topk_cosine_lsh
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = topk_cosine_lsh(queries, emb, k=5, dim=64, num_planes=4)
+    rows = out.collect()
+    # each query returns at most k, ranks are 1..k, self is rank 1 (sim=1)
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        best = min(rs, key=lambda x: x["rank"])
+        assert best["vec_id"] == qid and best["sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_shard_strategies_partition_data(spark):
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.shard import shard
+
+    e = load_table(spark, SF_DIR, "events")
+    total = e.count()
+    # hash strategy: shards are disjoint and complete
+    counts = [shard(e, 4, r, key="event_id").count() for r in range(4)]
+    assert sum(counts) == total
+    assert all(c > 0 for c in counts)
+    # same rank twice -> same rows (deterministic)
+    ids1 = sorted(r["event_id"] for r in shard(e, 4, 2, key="event_id").select("event_id").collect())
+    ids2 = sorted(r["event_id"] for r in shard(e, 4, 2, key="event_id").select("event_id").collect())
+    assert ids1 == ids2
+    with pytest.raises(ValueError):
+        shard(e, 4, 4, key="event_id")
+    with pytest.raises(ValueError):
+        shard(e, 4, 0, key="event_id", strategy="bogus")
+
+
+def test_minhash_signature_similarity_property(spark):
+    """Signature agreement rate ≈ Jaccard: near-identical docs agree on
+    most hash slots, unrelated docs on almost none."""
+    from daft_spark.operators.dedup import minhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words about spark parquet shuffle exchange aggregate plans"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    sig = {r["__id"]: [r[f"__m{i}"] for i in range(64)] for r in minhash_signatures(df, "text", "doc_id").collect()}
+    agree_12 = sum(a == b for a, b in zip(sig[1], sig[2])) / 64
+    agree_13 = sum(a == b for a, b in zip(sig[1], sig[3])) / 64
+    assert agree_12 > 0.5
+    assert agree_13 < 0.1
+
+
+def test_string_agg_and_product(spark):
+    from daft_spark.functions.aggs import collect_set_sorted, product, string_agg
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "b"), (1, -3.0, "a"), (1, 4.0, "b"), (2, 0.0, "z"), (3, None, "q")],
+        "g long, v double, s string",
+    )
+    out = {r["g"]: r for r in df.groupBy("g").agg(
+        product("v").alias("p"),
+        string_agg("s", "|").alias("sa"),
+        collect_set_sorted("s").alias("ss"),
+    ).collect()}
+    assert out[1]["p"] == pytest.approx(-24.0)
+    assert out[1]["sa"] == "a|b|b"
+    assert out[1]["ss"] == ["a", "b"]
+    assert out[2]["p"] == 0.0
+    assert out[3]["p"] is None  # all-null group
