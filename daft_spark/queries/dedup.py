@@ -67,13 +67,9 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = """
     WITH sh AS (
-      SELECT doc_id, source, list_distinct([
-               array_to_string(toks[i:i+2], ' ')
-               for i in range(1, greatest(len(toks) - 2, 1) + 1)
-             ]) AS shingles
-      FROM (SELECT doc_id, source,
-                   string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS toks
-            FROM documents WHERE doc_id < {limit})
+      SELECT doc_id, source, list_distinct(
+        string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS shingles
+      FROM documents WHERE doc_id < {limit}
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -81,19 +77,22 @@ _JACCARD_ORACLE = """
     FROM sh a JOIN sh b
       ON a.doc_id < b.doc_id AND a.source = b.source
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6
     ORDER BY id_a, id_b
 """
 
 
 @register("dedup_ngram_jaccard", _JACCARD_ORACLE.format(limit=300))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (blocked by source). The
-    brute-force baseline the LSH path approximates; oracle recomputes
-    identical shingling in DuckDB list comprehensions."""
+    """Exact token-set (1-gram) Jaccard near-dup pairs, blocked by
+    source — the brute-force baseline the LSH path approximates; oracle
+    recomputes identical tokenization in DuckDB. (The synthetic corpus
+    shares vocabulary but not word ORDER, so 3-gram jaccard is ~0 by
+    construction — unigram overlap is the discriminative metric here;
+    jaccard_pairs takes shingle_k for real corpora.)"""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
     return jaccard_pairs(
-        d, "text", "doc_id", threshold=0.3, shingle_k=3, block_cols=["source"]
+        d, "text", "doc_id", threshold=0.6, shingle_k=1, block_cols=["source"]
     ).orderBy("id_a", "id_b")
 
 

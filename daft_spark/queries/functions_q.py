@@ -130,7 +130,7 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt(abs(value)) AS sq,
            pow(value, 2) AS p2,
            CASE WHEN value > 0 THEN ln(value) END AS lnv,
-           sign(value - 100) AS sg,
+           CAST(sign(value - 100) AS DOUBLE) AS sg,
            CAST(CAST(event_id AS BIGINT) % 7 AS BIGINT) AS m7,
            greatest(value, 50.0) AS gr,
            least(value, 50.0) AS le

@@ -32,22 +32,28 @@ def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Halves carry a rounded-value bucket so EXCEPT/INTERSECT are
+# non-vacuous: (user_id, event_type) alone appears in both halves at
+# sf>=0.01, which would make rel_except trivially empty.
 _HALVES = """
-    WITH a AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 0),
-         b AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 1)
+    WITH a AS (SELECT user_id, event_type, CAST(round(value) AS BIGINT) AS vb
+               FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+         b AS (SELECT user_id, event_type, CAST(round(value) AS BIGINT) AS vb
+               FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL)
 """
 
 
 def _halves(spark, sf_dir):
-    e = _events(spark, sf_dir)
-    a = e.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type")
-    b = e.filter(F.col("event_id") % 2 == 1).select("user_id", "event_type")
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    vb = F.round(F.col("value")).cast("long").alias("vb")
+    a = e.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type", vb)
+    b = e.filter(F.col("event_id") % 2 == 1).select("user_id", "event_type", vb)
     return a, b
 
 
 @register(
     "rel_union_all",
-    _HALVES + "SELECT user_id, event_type FROM (SELECT * FROM a UNION ALL SELECT * FROM b)",
+    _HALVES + "SELECT user_id, event_type, vb FROM (SELECT * FROM a UNION ALL SELECT * FROM b)",
 )
 def rel_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL (reference: ops/concat.rs:15 — Concat)."""
@@ -57,7 +63,7 @@ def rel_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_union_distinct",
-    _HALVES + "SELECT user_id, event_type FROM (SELECT * FROM a UNION SELECT * FROM b)",
+    _HALVES + "SELECT user_id, event_type, vb FROM (SELECT * FROM a UNION SELECT * FROM b)",
 )
 def rel_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION DISTINCT (reference: ops/set_operations.rs:264)."""

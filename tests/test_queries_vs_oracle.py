@@ -16,8 +16,9 @@ def test_query_matches_oracle(name, spark, ducks):
     spec = QUERIES[name]
     df = spec.spark_fn(spark, SF_DIR)
     if spec.oracle is None:
-        # rows-only check (same as the driver's weaker path)
-        n = df.count()
-        assert n >= 0
+        # rows-only check (same as the driver's weaker path) — must be
+        # non-vacuous: a 0-row result proves nothing
+        assert df.count() > 0, f"{name} returned 0 rows (vacuous check)"
         return
+    assert df.limit(1).count() > 0, f"{name} returned 0 rows (vacuous oracle match)"
     assert_frames_match(df, ducks, spec.oracle)
