@@ -223,8 +223,9 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        AND n1.n_name <> n2.n_name
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -246,8 +247,9 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+            & (F.col("supp_nation") != F.col("cust_nation"))
         )
     )
     return (
@@ -651,7 +653,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey
-                          AND o_orderdate >= TIMESTAMP '1998-01-01')
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
     ) custsale
     GROUP BY nation_grp
     ORDER BY nation_grp
@@ -665,7 +667,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
     rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
-    recent = o.filter(F.col("o_orderdate") >= _ts("1998-01-01"))
+    recent = o.filter(F.col("o_orderdate") >= _ts("2000-01-01"))
     no_orders = rich.join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
     return (
         no_orders.select(
