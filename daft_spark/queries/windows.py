@@ -259,6 +259,55 @@ def w_order_only_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps)
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — lag-gap boundary detection + running session
+    counter (30-min inactivity gap). The standard batch formulation of
+    session windows; a core training-data pipeline shape."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    new_session = F.when(prev.isNull() | ((ts_us - prev) > 1_800_000_000), 1).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session).over(run).alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
     "w_spark_extras",
     """
     SELECT event_id,
