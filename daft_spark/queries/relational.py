@@ -307,6 +307,31 @@ def rel_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_generator_source",
+    """
+    SELECT CAST(p.range AS INT) AS part, CAST(j.range AS INT) AS row_idx,
+           CAST(p.range * 100 + j.range AS BIGINT) AS val
+    FROM range(4) p, range(25) j
+    ORDER BY part, row_idx
+    """,
+)
+def rel_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (reference ScanOperator / read_generator
+    — daft/io/_generator.py:22): a deterministic generator source whose
+    output the oracle reproduces with range()."""
+    from daft_spark.io.custom_source import read_generator
+
+    def gen(partition: int):
+        for j in range(25):
+            yield (partition, j, partition * 100 + j)
+
+    df = read_generator(
+        gen, "part int, row_idx int, val long", num_partitions=4, spark=spark
+    )
+    return df.orderBy("part", "row_idx")
+
+
+@register(
     "rel_shard",
     """
     SELECT CAST(user_id % 4 AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n

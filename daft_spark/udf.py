@@ -86,6 +86,19 @@ def generator_udf(schema: str):
     return deco
 
 
+def udtf(return_schema: str):
+    """Table function decorator (reference: generator @daft.func used as
+    a UDTF — udf_v2.py:55; Spark 4 native @udtf): the class's eval()
+    yields output rows. Registerable for SQL lateral use via
+    spark.udtf.register."""
+    from pyspark.sql.functions import udtf as spark_udtf
+
+    def deco(user_cls):
+        return spark_udtf(user_cls, returnType=return_schema)
+
+    return deco
+
+
 class cls:  # noqa: N801 — reference spells it @daft.cls
     """Stateful class UDF (reference @daft.cls/@daft.method): expensive
     __init__ runs ONCE per executor process (lazy module-level
