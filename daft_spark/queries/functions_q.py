@@ -259,6 +259,93 @@ def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_binary",
+    """
+    SELECT doc_id,
+           to_base64(encode(source)) AS b64,
+           CAST(decode(from_base64(to_base64(encode(source)))) AS VARCHAR) AS roundtrip,
+           lower(hex(encode(source))) AS hx,
+           octet_length(encode(text)) AS nbytes
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary family (reference daft/functions/binary.py:14-172):
+    base64/hex encode-decode roundtrips + byte length."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    enc = F.encode("source", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.base64(enc).alias("b64"),
+        F.unbase64(F.base64(enc)).cast("string").alias("roundtrip"),
+        F.lower(F.hex(enc)).alias("hx"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("nbytes"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "fn_bitwise",
+    """
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT) AS b_and,
+           CAST(event_id | 15 AS BIGINT) AS b_or,
+           CAST(xor(event_id, 255) AS BIGINT) AS b_xor,
+           CAST(event_id << 2 AS BIGINT) AS b_shl,
+           CAST(event_id >> 1 AS BIGINT) AS b_shr,
+           CAST(bit_count(event_id) AS INT) AS b_cnt
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (reference daft/functions/bitwise.py:8-41)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    c = F.col("event_id")
+    return e.select(
+        "event_id",
+        c.bitwiseAND(F.lit(255)).alias("b_and"),
+        c.bitwiseOR(F.lit(15)).alias("b_or"),
+        c.bitwiseXOR(F.lit(255)).alias("b_xor"),
+        F.shiftleft(c, 2).alias("b_shl"),
+        F.shiftright(c, 1).alias("b_shr"),
+        F.bit_count(c).alias("b_cnt"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_url_parse",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/docs/', CAST(doc_id AS VARCHAR),
+                    '?lang=', lang) AS url
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^/]+)/', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query
+    FROM u ORDER BY doc_id
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (reference daft/functions/url.py:149 parse_url).
+    Spark's parse_url extracts the parts natively; the oracle recomputes
+    them with regexes (DuckDB has no parse_url)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    ).orderBy("doc_id")
+
+
+@register(
     "fn_hash_invariant",
     """
     SELECT count(*) AS n, count(*) AS n_hashes
