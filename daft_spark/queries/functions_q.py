@@ -121,6 +121,33 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_datetime_arith",
+    """
+    SELECT o_orderkey,
+           CAST(make_date(2020, CAST(month(o_orderdate) AS INT), 15) AS DATE) AS md,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+           CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS mstart,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS unix_s
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime arithmetic family: make_date, add_months, datediff,
+    date_trunc, unix epoch (reference datetime.py:13-1815)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.make_date(F.lit(2020), F.month(d), F.lit(15)).alias("md"),
+        F.add_months(d.cast("date"), 3).alias("plus3mo"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_trunc("month", d).cast("date").alias("mstart"),
+        F.unix_timestamp(d.cast("timestamp")).alias("unix_s"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "fn_numeric",
     """
     SELECT event_id,

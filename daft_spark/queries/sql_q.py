@@ -123,6 +123,18 @@ _shared(
 )
 
 _shared(
+    "sql_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           sum(l_quantity) AS q, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+    ORDER BY rf, ls
+    """,
+)
+
+_shared(
     "sql_not_in_anti",
     """
     SELECT count(*) AS n_without_orders
