@@ -88,6 +88,25 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("mm_url_download", None)
+def mm_url_download(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url.download over the testdata's own parquet files (file:// paths
+    — executor-side IO, no driver materialization; reference
+    url.py:44). Output: per-file byte counts, deterministic."""
+    from daft_spark.multimodal.url import download
+
+    files = spark.createDataFrame(
+        [(f"{sf_dir}/{t}.parquet",) for t in ("region", "nation", "supplier")],
+        "path string",
+    )
+    return (
+        files.select("path", download(F.col("path")).alias("content"))
+        .select("path", F.octet_length("content").alias("n_bytes"))
+        .filter(F.col("n_bytes") > 0)
+        .orderBy("path")
+    )
+
+
 @register("mm_video_frames", None)
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out (deterministic fake codec;
