@@ -125,7 +125,7 @@ def map_values(col):
 
 # --- binary -----------------------------------------------------------------
 def encode(col, charset: str = "utf-8"):
-    return F.encode(_c(col), charset.upper().replace("UTF-8", "UTF-8"))
+    return F.encode(_c(col), charset.upper())
 
 
 def decode(col, charset: str = "utf-8"):
