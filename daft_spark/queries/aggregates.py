@@ -224,6 +224,34 @@ def agg_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_null_group_keys",
+    """
+    SELECT vbucket, count(*) AS n, sum(value) AS s
+    FROM (SELECT CASE WHEN value IS NULL THEN NULL
+                      ELSE CAST(floor(value / 50) AS BIGINT) END AS vbucket,
+                 value
+          FROM events)
+    GROUP BY vbucket
+    ORDER BY vbucket NULLS FIRST
+    """,
+)
+def agg_null_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL as a group key: both engines must keep the null group as one
+    group (SQL semantics; some engines drop it) — the reference's
+    hash-agg groups nulls too."""
+    e = _events(spark, sf_dir)
+    vb = F.when(
+        F.col("value").isNull(), F.lit(None).cast("long")
+    ).otherwise(F.floor(F.col("value") / 50).cast("long"))
+    return (
+        e.select(vb.alias("vbucket"), "value")
+        .groupBy("vbucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .orderBy(F.col("vbucket").asc_nulls_first())
+    )
+
+
+@register(
     "agg_hll_sketch",
     "SELECT true AS merged_ok",
 )

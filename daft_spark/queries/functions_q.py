@@ -206,6 +206,29 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_struct,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+           json_extract_string('{"a": {"b": [1, 2, 3]}}', '$.a.b[1]') AS nested
+    FROM events WHERE event_id < 300 ORDER BY event_id
+    """,
+)
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json -> typed struct extraction + validity + nested paths
+    (reference deserialize/try_deserialize, str.py:13-175)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_struct"),
+        F.from_json("props", "k INT").isNotNull().alias("is_valid"),
+        F.get_json_object(F.lit('{"a": {"b": [1, 2, 3]}}'), "$.a.b[1]").alias("nested"),
+    ).orderBy("event_id")
+
+
+@register(
     "fn_list",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
