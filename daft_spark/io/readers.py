@@ -9,6 +9,7 @@ Spark lacks (parquet TIMESTAMP(NANOS) handling, glob-path listings).
 
 from __future__ import annotations
 
+import functools
 import glob as _glob
 import os
 
@@ -38,7 +39,9 @@ def _session(spark: SparkSession | None) -> SparkSession:
     return configure(spark)
 
 
-def _ns_timestamp_columns(path: str) -> list[str]:
+@functools.lru_cache(maxsize=1024)  # footer reads are driver-side IO on
+# every load_table call; schemas of a given path are treated as stable
+def _ns_timestamp_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized
     reader rejects them (PARQUET_TYPE_ILLEGAL), so we read them as int64
     via ``spark.sql.legacy.parquet.nanosAsLong`` and convert to
@@ -49,22 +52,22 @@ def _ns_timestamp_columns(path: str) -> list[str]:
         import pyarrow.parquet as pq
         import pyarrow as pa
     except Exception:
-        return []
+        return ()
     candidates: list[str] = []
     first = path
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if not files:
-            return []
+            return ()
         first = files[0]
     try:
         schema = pq.read_schema(first)
     except Exception:
-        return []
+        return ()
     for field in schema:
         if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
             candidates.append(field.name)
-    return candidates
+    return tuple(candidates)
 
 
 def read_parquet(
