@@ -21,4 +21,5 @@ from daft_spark.functions import (  # noqa: F401
     partitioning,
     strings,
     text,
+    window_fns,
 )
