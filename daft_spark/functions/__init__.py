@@ -15,6 +15,7 @@ from daft_spark.functions import (  # noqa: F401
     columnar,
     dt,
     embedding,
+    files,
     lists,
     misc,
     numeric,

@@ -9,6 +9,7 @@ accessors (``daft/functions/struct.py``, ``misc.py:658-814``) + binary
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,6 +31,40 @@ def uuid4():
 
 def random_int(seed: int | None = None):
     return (F.rand(seed) * F.lit(2**31)).cast("long")
+
+
+def uuid7():
+    """Time-ordered v7 UUID per row (reference misc.py:53 uuid v7):
+    48-bit unix-ms timestamp + random tail — generated in a pandas UDF
+    (non-deterministic by design, like the reference)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _u7(s: pd.Series) -> pd.Series:
+        import os
+        import time
+
+        out = []
+        for _ in range(len(s)):
+            ms = int(time.time() * 1000)
+            rnd = os.urandom(10)
+            b = ms.to_bytes(6, "big") + rnd
+            b = bytearray(b)
+            b[6] = (b[6] & 0x0F) | 0x70  # version 7
+            b[8] = (b[8] & 0x3F) | 0x80  # variant
+            h = bytes(b).hex()
+            out.append(f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}")
+        return pd.Series(out)
+
+    return _u7(F.lit(1))
+
+
+def uuid7_timestamp(col):
+    """Extract the embedded ms timestamp from a v7 UUID (reference
+    partitioning.py uuid7 extractors) — pure JVM expression."""
+    c = _c(col)
+    ms_hex = F.concat(F.substring(c, 1, 8), F.substring(c, 10, 4))
+    return F.timestamp_millis(F.conv(ms_hex, 16, 10).cast("long"))
 
 
 # --- comparisons / null handling -------------------------------------------

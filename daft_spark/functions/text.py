@@ -110,6 +110,34 @@ def lang_id(col: Column) -> Column:
     return best_code
 
 
+def tokenize_encode(col: Column, tokenizer: str = "ws"):
+    """Token-id encoding (reference: tokenize_encode, str.py — tiktoken
+    BPE). tokenizer='ws' is the dependency-free deterministic mode:
+    ids = xxhash64 of each word token folded to 32 bits (stable vocab-
+    free ids, suitable for counting/dedup). BPE tokenizers require the
+    tiktoken package — gated with a clear error."""
+    if tokenizer == "ws":
+        return F.transform(words(col), lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)))
+    try:
+        import tiktoken  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            f"tokenizer {tokenizer!r} needs the tiktoken package; "
+            "use tokenizer='ws' for the dependency-free mode"
+        ) from e
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    @pandas_udf("array<long>")
+    def _enc(s: pd.Series) -> pd.Series:
+        import tiktoken
+
+        enc = tiktoken.get_encoding(tokenizer)
+        return pd.Series([enc.encode(x or "") for x in s])
+
+    return _enc(col)
+
+
 def fingerprint(col: Column) -> Column:
     """64-bit content fingerprint of the normalized text (rolling-hash
     stand-in; xxhash64 is seeded + deterministic across partitionings)."""
