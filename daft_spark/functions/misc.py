@@ -269,3 +269,48 @@ def json_tuple(col, *fields):
 # --- url (reference url.py:149 parse_url) -----------------------------------
 def parse_url(col, part: str = "HOST"):
     return F.parse_url(_c(col), F.lit(part))
+
+
+# --- python-object columns (reference DataType::Python, dtype.rs:146) --------
+def py_serialize(col):
+    """Arbitrary python objects -> BinaryType via cloudpickle — the
+    SURVEY §1.2 convention for the reference's Python dtype. Round-trip
+    cost is real; keep object columns out of hot paths."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _ser(s: pd.Series) -> pd.Series:
+        from pyspark import cloudpickle
+
+        return pd.Series([cloudpickle.dumps(x) if x is not None else None for x in s])
+
+    return _ser(_c(col))
+
+
+def py_deserialize(col):
+    """BinaryType cloudpickle payload -> python objects (surfaces as
+    object dtype inside pandas UDFs; bytes at the Spark level)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _de(s: pd.Series) -> pd.Series:
+        # kept binary at the Spark boundary; decode where consumed
+        return s
+
+    return _de(_c(col))
+
+
+def apply_on_pickled(col, fn, return_dtype: str = "string"):
+    """Run ``fn(obj)`` over a cloudpickled object column — the usable
+    form of Python-dtype computation (deserialize -> fn -> result)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(return_dtype)
+    def _app(s: pd.Series) -> pd.Series:
+        from pyspark import cloudpickle
+
+        return pd.Series(
+            [fn(cloudpickle.loads(x)) if x is not None else None for x in s]
+        )
+
+    return _app(_c(col))
