@@ -89,4 +89,38 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``daft_spark`` importable inside Python workers regardless of
+    the driver's cwd: zip the package and addPyFile it (the same
+    mechanism a real cluster uses to ship the wheel). Without this,
+    pandas-UDF closures that reference daft_spark symbols fail with
+    ModuleNotFoundError whenever the driver runs outside the repo."""
+    sc = spark.sparkContext
+    if getattr(sc, "_daft_spark_shipped", False):
+        return
+    try:
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(
+            "/tmp", f"daft_spark_pkg_{os.getpid()}_{abs(hash(pkg_dir)) % 10**8}.zip"
+        )
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    if "__pycache__" in root:
+                        continue
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            zf.write(full, rel)
+        sc.addPyFile(zip_path)
+        sc._daft_spark_shipped = True
+    except Exception:
+        # non-fatal: in-repo drivers (cwd importable) still work
+        pass
