@@ -38,6 +38,8 @@ class DataFrame:
         return DataFrame(self._sdf.drop(*names))
 
     def where(self, predicate) -> "DataFrame":
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
         return DataFrame(self._sdf.filter(predicate))
 
     filter = where
