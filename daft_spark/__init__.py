@@ -82,10 +82,14 @@ def from_glob_path(pattern, **kw) -> DataFrame:
     return _wrap(_fg(pattern, **kw))
 
 
-def range(end, start: int = 0, step: int = 1, partitions=None) -> DataFrame:  # noqa: A001
+def range(start, end=None, step: int = 1, partitions=None) -> DataFrame:  # noqa: A001
+    """Python-range semantics (reference daft/io/_range.py):
+    ``range(5)`` -> 0..4, ``range(2, 10)`` -> 2..9."""
     from daft_spark.io.readers import range_
 
-    return _wrap(range_(end, start, step, partitions))
+    if end is None:
+        start, end = 0, start
+    return _wrap(range_(start, end, step, partitions))
 
 
 __all__ = [

@@ -126,10 +126,42 @@ class DataFrame:
         prefix: str | None = None,
         suffix: str | None = None,
     ) -> "DataFrame":
-        """reference dataframe.py:3869-3892 join surface; ``strategy``
-        maps to Spark join hints (SURVEY §2.4)."""
+        """reference dataframe.py:3869-3894 join surface; ``strategy``
+        maps to Spark join hints (SURVEY §2.4).
+
+        Column deconfliction matches the reference: duplicate non-join-key
+        right columns are renamed with ``prefix``/``suffix`` (default
+        prefix ``"right."`` when neither is given)."""
         right = _unwrap(other)
         how = {"outer": "full", "anti": "left_anti", "semi": "left_semi"}.get(how, how)
+
+        # Resolve right-side join-key names (those merge/are comparable and
+        # are never renamed; reference renames only non-join-key collisions).
+        if left_on is not None:
+            rkeys = right_on if isinstance(right_on, (list, tuple)) else [right_on]
+            right_key_names = {k for k in rkeys if isinstance(k, str)}
+        elif isinstance(on, str):
+            right_key_names = {on}
+        elif isinstance(on, (list, tuple)) and all(isinstance(c, str) for c in on):
+            right_key_names = set(on)
+        else:
+            right_key_names = None  # Column condition — can't rename safely
+        if how not in ("left_semi", "left_anti"):
+            overlap = [] if right_key_names is None else sorted(
+                (set(self._sdf.columns) & set(right.columns)) - right_key_names
+            )
+            if right_key_names is None and (prefix is not None or suffix is not None):
+                raise NotImplementedError(
+                    "prefix/suffix deconfliction requires string join keys "
+                    "(on=/left_on=/right_on= as column names), not a Column condition"
+                )
+            if overlap:
+                if prefix is None and suffix is None:
+                    prefix = "right."
+                right = right.withColumnsRenamed(
+                    {c: f"{prefix or ''}{c}{suffix or ''}" for c in overlap}
+                )
+
         if strategy:
             hint = {"broadcast": "broadcast", "sort_merge": "merge", "hash": "shuffle_hash"}[strategy]
             right = right.hint(hint)
@@ -179,12 +211,44 @@ class DataFrame:
     def except_all(self, other) -> "DataFrame":
         return DataFrame(self._sdf.exceptAll(_unwrap(other)))
 
-    def explode(self, *cols) -> "DataFrame":
+    def explode(self, *cols, index_column: str | None = None,
+                ignore_empty_and_null: bool = False) -> "DataFrame":
+        """Explode list column(s), reference dataframe.py:4239-4256
+        semantics: multiple columns explode in LOCKSTEP (each row must
+        contain the same number of items in every listed column — ragged
+        rows raise), null/empty lists yield one null row by default and
+        are dropped with ``ignore_empty_and_null=True``, and
+        ``index_column`` appends the element's position in its list.
+
+        Spark-first: ``posexplode[_outer](arrays_zip(cols...))`` then
+        struct unpack — one generator node, no per-column cross product.
+        """
         sdf = self._sdf
-        for c in cols:
-            name = c if isinstance(c, str) else sdf.select(c).columns[0]
-            sdf = sdf.withColumn(name, F.explode_outer(F.col(name) if isinstance(c, str) else c))
-        return DataFrame(sdf)
+        names = [c if isinstance(c, str) else sdf.select(c).columns[0] for c in cols]
+        if len(names) == 1:
+            zipped = F.col(names[0])
+        else:
+            sizes = [F.coalesce(F.size(F.col(n)), F.lit(0)) for n in names]
+            all_eq = None
+            for s in sizes[1:]:
+                eq = s == sizes[0]
+                all_eq = eq if all_eq is None else (all_eq & eq)
+            zipped = F.when(all_eq, F.arrays_zip(*[F.col(n) for n in names])).otherwise(
+                F.raise_error(F.lit(
+                    "DataFrame.explode: columns must contain the same number "
+                    f"of items in each row: {names}"))
+            )
+        gen = F.posexplode(zipped) if ignore_empty_and_null else F.posexplode_outer(zipped)
+        other = [c for c in sdf.columns if c not in names]
+        ex = sdf.select(*other, gen.alias("_pos", "_elem"))
+        if len(names) == 1:
+            unpacked = {names[0]: F.col("_elem")}
+        else:
+            unpacked = {n: F.col("_elem").getField(n) for n in names}
+        out_cols = [unpacked[c].alias(c) if c in unpacked else F.col(c) for c in sdf.columns]
+        if index_column is not None:
+            out_cols.append(F.col("_pos").alias(index_column))
+        return DataFrame(ex.select(*out_cols))
 
     def unpivot(self, ids, values, variable_name="variable", value_name="value") -> "DataFrame":
         return DataFrame(self._sdf.unpivot(ids, values, variable_name, value_name))
@@ -271,9 +335,9 @@ class DataFrame:
         return self._sdf.toPandas()
 
     def to_arrow(self):
-        import pyarrow as pa
-
-        return pa.Table.from_pandas(self._sdf.toPandas())
+        """Spark 4 native Arrow export — exact for nested/decimal/
+        timestamp types (no pandas round-trip)."""
+        return self._sdf.toArrow()
 
     def iter_rows(self) -> Iterable[dict[str, Any]]:
         for r in self._sdf.toLocalIterator():

@@ -184,11 +184,14 @@ def from_arrow(table, spark: SparkSession | None = None) -> DataFrame:
         return spark.createDataFrame(table.to_pandas())
 
 
-def range_(end: int, start: int = 0, step: int = 1, partitions: int | None = None,
+def range_(start: int, end: int | None = None, step: int = 1, partitions: int | None = None,
            spark: SparkSession | None = None) -> DataFrame:
-    """Parity: ``daft.range`` (reference: ``daft/io/_range.py``)."""
+    """Parity: ``daft.range`` (reference: ``daft/io/_range.py``) —
+    Python-range semantics: ``range_(5)`` -> 0..4, ``range_(2, 10)`` -> 2..9."""
     spark = _session(spark)
-    return spark.range(start, end, step, numPartitions=partitions).withColumnRenamed("id", "id")
+    if end is None:
+        start, end = 0, start
+    return spark.range(start, end, step, numPartitions=partitions)
 
 
 def read_sql(query_or_table: str, url: str, spark: SparkSession | None = None,

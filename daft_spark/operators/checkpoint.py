@@ -24,13 +24,23 @@ def skip_existing(
 ) -> DataFrame:
     """Drop rows whose key already exists in output_path. Missing/empty
     output -> pass-through (first run)."""
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     try:
         existing = (
             spark.read.format(output_format).load(output_path).select(*key_cols).distinct()
         )
-    except Exception:
-        return df
+    except AnalysisException as e:
+        # ONLY a missing/empty output means "first run". Any other error
+        # (permissions, corrupt footer, flaky FS) must re-raise — silently
+        # passing rows through would re-append duplicates and defeat the
+        # idempotency guarantee this operator exists to provide.
+        msg = str(e)
+        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg):
+            return df
+        raise
     return df.join(existing, on=key_cols, how="left_anti")
 
 

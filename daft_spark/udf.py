@@ -153,4 +153,11 @@ class cls:  # noqa: N801 — reference spells it @daft.cls
         return _run, schema
 
 
-method = staticmethod  # @daft.method parity: plain methods on a @cls class
+def method(fn):
+    """@daft.method parity: marker decorator on @cls class methods.
+
+    Identity (NOT staticmethod — that would strip the ``self`` binding
+    and silently shift arguments); instance binding is preserved so
+    ``instance.method(x)`` receives (self, x) as the reference does."""
+    fn.__daft_method__ = True
+    return fn

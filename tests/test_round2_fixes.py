@@ -1,0 +1,163 @@
+"""Round-2 fixes: explode lockstep semantics, join deconfliction,
+range() Python semantics, @method binding, to_arrow exactness,
+checkpoint error narrowing (VERDICT.md "What's wrong" + ADVICE.md)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import daft_spark
+from daft_spark.dataframe import DataFrame
+
+
+def _df(spark, data, schema):
+    return DataFrame(spark.createDataFrame(data, schema))
+
+
+# --- explode (reference daft/dataframe/dataframe.py:4239-4256) -------------
+
+def test_explode_multi_lockstep(spark):
+    d = _df(spark, [([1], ["a"]), ([2, 3], ["b", "c"])], "x: array<int>, y: array<string>")
+    rows = d.explode("x", "y").to_pylist()
+    assert rows == [
+        {"x": 1, "y": "a"},
+        {"x": 2, "y": "b"},
+        {"x": 3, "y": "c"},
+    ]
+
+
+def test_explode_multi_ragged_raises(spark):
+    d = _df(spark, [([1, 2], ["a"])], "x: array<int>, y: array<string>")
+    with pytest.raises(Exception, match="same number"):
+        d.explode("x", "y").to_pylist()
+
+
+def test_explode_null_and_empty_default_single_null_row(spark):
+    d = _df(spark, [(1, [10, 20]), (2, []), (3, None)], "id: int, xs: array<int>")
+    rows = sorted(d.explode("xs").to_pylist(), key=lambda r: (r["id"], r["xs"] or -1))
+    assert rows == [
+        {"id": 1, "xs": 10},
+        {"id": 1, "xs": 20},
+        {"id": 2, "xs": None},
+        {"id": 3, "xs": None},
+    ]
+
+
+def test_explode_ignore_empty_and_null(spark):
+    d = _df(spark, [(1, [10, 20]), (2, []), (3, None)], "id: int, xs: array<int>")
+    rows = d.explode("xs", ignore_empty_and_null=True).to_pylist()
+    assert sorted(r["xs"] for r in rows) == [10, 20]
+
+
+def test_explode_index_column(spark):
+    d = _df(spark, [(1, ["a", "b", "c"])], "id: int, xs: array<string>")
+    rows = d.explode("xs", index_column="pos").to_pylist()
+    assert [(r["xs"], r["pos"]) for r in rows] == [("a", 0), ("b", 1), ("c", 2)]
+
+
+def test_explode_multi_null_lockstep(spark):
+    # null + null lists agree on length 0 -> one null row (default)
+    d = _df(spark, [(1, None, None)], "id: int, x: array<int>, y: array<string>")
+    rows = d.explode("x", "y").to_pylist()
+    assert rows == [{"id": 1, "x": None, "y": None}]
+
+
+# --- join prefix/suffix deconfliction (reference dataframe.py:3882-3894) ---
+
+def test_join_default_right_prefix(spark):
+    a = _df(spark, [(1, "l")], "k: int, v: string")
+    b = _df(spark, [(1, "r")], "k: int, v: string")
+    j = a.join(b, on="k")
+    assert set(j.column_names) == {"k", "v", "right.v"}
+    row = j.to_pylist()[0]
+    assert row["v"] == "l" and row["right.v"] == "r"
+
+
+def test_join_suffix_override(spark):
+    a = _df(spark, [(1, "l")], "k: int, v: string")
+    b = _df(spark, [(1, "r")], "k: int, v: string")
+    j = a.join(b, on="k", suffix="_r")
+    assert set(j.column_names) == {"k", "v", "v_r"}
+
+
+def test_join_left_on_right_on_deconflicts_nonkey(spark):
+    a = _df(spark, [(1, "l")], "ak: int, v: string")
+    b = _df(spark, [(1, "r")], "bk: int, v: string")
+    j = a.join(b, left_on="ak", right_on="bk", prefix="b_")
+    assert set(j.column_names) == {"ak", "v", "bk", "b_v"}
+
+
+def test_join_column_condition_with_prefix_raises(spark):
+    a = _df(spark, [(1, "l")], "k: int, v: string")
+    b = _df(spark, [(1, "r")], "k: int, v: string")
+    with pytest.raises(NotImplementedError):
+        a.join(b, on=a["k"] == b["k"], prefix="x_")
+
+
+# --- range() Python semantics (ADVICE: daft_spark/__init__.py) -------------
+
+def test_range_python_semantics(spark):
+    assert [r["id"] for r in daft_spark.range(5).to_pylist()] == [0, 1, 2, 3, 4]
+    assert [r["id"] for r in daft_spark.range(2, 10, 3).to_pylist()] == [2, 5, 8]
+
+
+# --- @method binding (ADVICE: udf.py) --------------------------------------
+
+def test_method_preserves_instance_binding():
+    from daft_spark.udf import method
+
+    class M:
+        def __init__(self):
+            self.base = 10
+
+        @method
+        def add(self, x):
+            return self.base + x
+
+    m = M()
+    assert m.add(5) == 15  # staticmethod would have bound 5 to `self`
+    assert getattr(M.add, "__daft_method__", False)
+
+
+# --- to_arrow exactness ----------------------------------------------------
+
+def test_to_arrow_nested_roundtrip(spark):
+    import pyarrow as pa
+
+    d = _df(spark, [([1, 2], {"a": 1}, "x")],
+            "xs: array<int>, s: struct<a:int>, t: string")
+    tbl = d.to_arrow()
+    assert isinstance(tbl, pa.Table)
+    assert tbl.num_rows == 1
+    assert pa.types.is_list(tbl.schema.field("xs").type)
+    assert pa.types.is_struct(tbl.schema.field("s").type)
+    assert tbl.column("xs").to_pylist() == [[1, 2]]
+
+
+# --- checkpoint error narrowing (ADVICE: operators/checkpoint.py) ----------
+
+def test_skip_existing_missing_path_passthrough(spark):
+    from daft_spark.operators.checkpoint import skip_existing
+
+    df = spark.createDataFrame([(1,), (2,)], "k: int")
+    with tempfile.TemporaryDirectory() as tmp:
+        out = skip_existing(df, os.path.join(tmp, "never_written"), ["k"])
+        assert out.count() == 2
+
+
+def test_skip_existing_reraises_non_missing_errors(spark):
+    from daft_spark.operators.checkpoint import skip_existing
+
+    df = spark.createDataFrame([(1,)], "k: int")
+    with tempfile.TemporaryDirectory() as tmp:
+        # Existing output with a DIFFERENT schema (no `k` column): the
+        # select(k) fails with a real AnalysisException that must NOT be
+        # swallowed as "first run".
+        spark.createDataFrame([("x",)], "other: string").write.parquet(
+            os.path.join(tmp, "out"))
+        with pytest.raises(Exception, match="k"):
+            skip_existing(df, os.path.join(tmp, "out"), ["k"]).count()
