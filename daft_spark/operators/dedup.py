@@ -205,6 +205,39 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str, keep: str = "min") 
     return keeper.join(df, on=cols + [id_col], how="inner")
 
 
+def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
+                         max_bucket_size: int) -> DataFrame:
+    """Candidate pairs from (bucket..., __id) rows with a bucket-size cap.
+
+    Standard LSH practice: a degenerate bucket (millions of identical
+    boilerplate docs) would otherwise explode quadratically inside the
+    self-join. Buckets <= max_bucket_size self-join all-pairs; larger
+    buckets fall back to STAR LINKING — every member pairs with the
+    bucket's min id only (linear, m-1 pairs instead of m(m-1)/2).
+    Downstream Jaccard/Hamming verification still confirms each pair, and
+    duplicate clusters remain connected through the representative, so an
+    all-identical corpus is still fully detected — nothing is silently
+    dropped, the quadratic is just bounded.
+    """
+    stats = stacked.groupBy(*bucket_keys).agg(
+        F.count("*").alias("__bc"), F.min("__id").alias("__rep")
+    )
+    tagged = stacked.join(stats, bucket_keys)  # same keys as the groupBy — co-partitioned
+    small = tagged.filter(F.col("__bc") <= max_bucket_size).select(*bucket_keys, "__id")
+    left = small.select(*bucket_keys, F.col("__id").alias("id_a"))
+    right = small.select(*bucket_keys, F.col("__id").alias("id_b"))
+    small_pairs = (
+        left.join(right, bucket_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    star_pairs = (
+        tagged.filter((F.col("__bc") > max_bucket_size) & (F.col("__id") != F.col("__rep")))
+        .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
+    )
+    return small_pairs.unionAll(star_pairs).distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -212,12 +245,16 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
 
     rows_per_band = num_hashes // bands; docs sharing any band bucket
     become candidates. Probability a pair with true Jaccard j is
     produced: 1 - (1 - j^r)^b (tune bands/rows for the threshold).
+    Buckets larger than ``max_bucket_size`` switch from all-pairs to
+    star linking (see ``_capped_bucket_pairs``) so degenerate buckets
+    can't go quadratic.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -241,15 +278,7 @@ def minhash_lsh_candidates(
             n=bands, args=", ".join(f"{b}, __band{b}" for b in range(bands))
         ),
     )
-    left = stacked.select("band_id", "band_hash", F.col("__id").alias("id_a"))
-    right = stacked.select("band_id", "band_hash", F.col("__id").alias("id_b"))
-    pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return pairs
+    return _capped_bucket_pairs(stacked, ["band_id", "band_hash"], max_bucket_size)
 
 
 def jaccard_pairs(
@@ -335,16 +364,19 @@ def simhash_near_dups(
     id_col: str,
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
     the block-permutation trick: split the 64-bit hash into ``blocks``
     chunks; any pair within distance d < blocks must agree on >= 1
     chunk, so a chunk-equality join bounds candidates, then bit_count
-    verifies. Returns (id_a, id_b, hamming)."""
+    verifies. Chunk buckets above ``max_bucket_size`` use star linking
+    (``_capped_bucket_pairs``) to bound the quadratic.
+    Returns (id_a, id_b, hamming)."""
     width = 64 // blocks
     sh = simhash_signatures(df, text_col, id_col).select(
         F.col("__id"), F.col("__sim")
-    )
+    ).persist()  # read by both the bucket stack and the verify join
     chunk_cols = [
         (
             F.shiftright(F.col("__sim"), i * width)
@@ -353,21 +385,17 @@ def simhash_near_dups(
         )
         for i in range(blocks)
     ]
-    chunked = sh.select("__id", "__sim", *chunk_cols)
+    chunked = sh.select("__id", *chunk_cols)
     stacked = chunked.selectExpr(
         "__id",
-        "__sim",
         "stack({n}, {args}) as (chunk_id, chunk_val)".format(
             n=blocks, args=", ".join(f"{i}, __c{i}" for i in range(blocks))
         ),
     )
-    left = stacked.select("chunk_id", "chunk_val", F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"))
-    right = stacked.select("chunk_id", "chunk_val", F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"))
+    cand = _capped_bucket_pairs(stacked, ["chunk_id", "chunk_val"], max_bucket_size)
     cand = (
-        left.join(right, ["chunk_id", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b")), "id_b")
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (

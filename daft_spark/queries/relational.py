@@ -151,6 +151,37 @@ def rel_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_explode_multi",
+    """
+    SELECT doc_id,
+           t.words[i + 1] AS word,
+           CAST(t.lens[i + 1] AS INT) AS wlen,
+           CAST(i AS INT) AS pos
+    FROM (SELECT doc_id,
+                 string_split(text, ' ') AS words,
+                 [length(w) FOR w IN string_split(text, ' ')] AS lens
+          FROM documents WHERE doc_id < 100) t,
+         LATERAL (SELECT unnest(range(len(t.words))) AS i) u
+    ORDER BY doc_id, pos
+    """,
+)
+def rel_explode_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lockstep multi-column explode + index_column (reference
+    dataframe.py:4239-4256: equal-length lists zip, position tracked).
+    Exercises the posexplode(arrays_zip) path fixed this round."""
+    from daft_spark.dataframe import DataFrame as DSDataFrame
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = d.select(
+        "doc_id",
+        F.split("text", " ").alias("word"),
+        F.transform(F.split("text", " "), lambda w: F.length(w)).alias("wlen"),
+    )
+    out = DSDataFrame(d).explode("word", "wlen", index_column="pos")
+    return out.to_spark().orderBy("doc_id", "pos")
+
+
+@register(
     "rel_pivot",
     """
     SELECT user_id,
@@ -295,14 +326,40 @@ def rel_monotonic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rel_sample_seeded", None)
+@register(
+    "rel_sample_seeded",
+    """
+    SELECT TRUE AS count_in_bounds, TRUE AS deterministic_same,
+           TRUE AS same_size, TRUE AS subset_ok
+    """,
+)
 def rel_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (reference: ops/sample.rs:15,
-    streaming_sink/sample.rs — fraction, seed). Engine-specific RNG ->
-    rows-only check."""
-    e = _events(spark, sf_dir)
-    return e.sample(withReplacement=False, fraction=0.1, seed=42).select(
-        "event_id", "user_id"
+    streaming_sink/sample.rs — fraction, seed). The RNG is
+    engine-specific, so the oracle checks INVARIANTS as booleans:
+    sampled rows are a subset of the source, the sample size is within
+    ±6σ binomial bounds of fraction·N, and the same seed reproduces the
+    identical multiset (determinism)."""
+    e = _events(spark, sf_dir).select("event_id")
+    frac = 0.1
+    s1 = e.sample(withReplacement=False, fraction=frac, seed=42)
+    s2 = e.sample(withReplacement=False, fraction=frac, seed=42)
+    viol = s1.join(e, "event_id", "left_anti").agg(F.count("*").alias("v"))
+    n1 = s1.agg(F.count("*").alias("n1"))
+    n2 = s2.agg(F.count("*").alias("n2"))
+    diff = s1.exceptAll(s2).agg(F.count("*").alias("d"))
+    ntot = e.agg(F.count("*").alias("n"))
+    mu = F.col("n") * F.lit(frac)
+    sigma = F.sqrt(F.col("n") * F.lit(frac * (1.0 - frac)))
+    return (
+        viol.crossJoin(n1).crossJoin(n2).crossJoin(diff).crossJoin(ntot)
+        .select(
+            ((F.col("n1") >= mu - 6 * sigma) & (F.col("n1") <= mu + 6 * sigma))
+            .alias("count_in_bounds"),
+            (F.col("d") == 0).alias("deterministic_same"),
+            (F.col("n1") == F.col("n2")).alias("same_size"),
+            (F.col("v") == 0).alias("subset_ok"),
+        )
     )
 
 

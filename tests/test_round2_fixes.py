@@ -161,3 +161,54 @@ def test_skip_existing_reraises_non_missing_errors(spark):
             os.path.join(tmp, "out"))
         with pytest.raises(Exception, match="k"):
             skip_existing(df, os.path.join(tmp, "out"), ["k"]).count()
+
+
+# --- LSH bucket-size cap (VERDICT "weak-at-scale": degenerate buckets) -----
+
+def test_lsh_degenerate_bucket_no_blowup(spark):
+    """500 identical docs, cap 50: candidates must be LINEAR (star-linked
+    to the bucket representative), not the 124,750 all-pairs quadratic —
+    and the duplicate cluster stays fully connected for dedup."""
+    from daft_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        verify_candidates_jaccard,
+    )
+
+    n = 500
+    d = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated verbatim in every document row") for i in range(n)],
+        "doc_id: long, text: string",
+    )
+    cand = minhash_lsh_candidates(d, "text", "doc_id", max_bucket_size=50)
+    rows = cand.collect()
+    assert len(rows) == n - 1  # star: every doc linked to min id
+    assert all(r["id_a"] == 0 for r in rows)
+    verified = verify_candidates_jaccard(cand, d, "text", "doc_id", threshold=0.8)
+    assert verified.count() == n - 1  # identical docs all verify
+
+
+def test_lsh_small_buckets_unchanged_by_cap(spark):
+    from daft_spark.operators.dedup import minhash_lsh_candidates
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "completely different words entirely here now")],
+        "doc_id: long, text: string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(d, "text", "doc_id").collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_degenerate_bucket_no_blowup(spark):
+    from daft_spark.operators.dedup import simhash_near_dups
+
+    n = 300
+    d = spark.createDataFrame(
+        [(i, "identical content for the simhash degenerate bucket case") for i in range(n)],
+        "doc_id: long, text: string",
+    )
+    out = simhash_near_dups(d, "text", "doc_id", max_bucket_size=40)
+    rows = out.collect()
+    assert len(rows) == n - 1
+    assert all(r["hamming"] == 0 and r["id_a"] == 0 for r in rows)
