@@ -19,9 +19,16 @@ window composition —
 Cost model at scale: exactly ONE shuffle on the ``by`` keys (the window
 partition), no join explosion, no driver materialization — each
 partition is then a linear merge, the same asymptotics as the
-reference's sorted-merge as-of kernel. Without ``by`` keys the window
-is global (single partition) — correct but serial; prefer passing
-``by`` at scale, or pre-bucket time ranges.
+reference's sorted-merge as-of kernel.
+
+Without ``by`` keys the naive plan would be a single-partition global
+window (a serial scale-killer). This module instead RANGE-BUCKETS the
+time axis: rows land in ``num_buckets`` equal-width time buckets, the
+window runs partitioned by bucket (parallel), and each bucket's match is
+stitched with a "carry" — the latest right payload from all earlier
+buckets, computed from a tiny per-bucket summary (<= num_buckets rows)
+and broadcast back. Net: two key-only shuffles, no single-partition
+stage, identical results to the global window.
 """
 
 from __future__ import annotations
@@ -51,14 +58,58 @@ def _directional(
     sign: int,
     payload: str,
     out: str,
+    num_buckets: int | None = None,
 ) -> DataFrame:
-    """Attach the backward (sign=+1) or forward (sign=-1) match struct."""
+    """Attach the backward (sign=+1) or forward (sign=-1) match struct.
+
+    With ``by`` keys: one window partitioned on them. Without ``by``
+    keys and with ``num_buckets``: the range-bucketed global path (see
+    module docstring) — never a single-partition window."""
     order = [(F.col("__asof_t") * sign).asc(), F.col("__asof_tag").asc()]
-    w = (
-        Window.partitionBy(*by).orderBy(*order)
+    if by or not num_buckets or num_buckets <= 1:
+        w = (
+            Window.partitionBy(*by).orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return union_df.withColumn(out, F.last(payload, ignorenulls=True).over(w))
+
+    u = union_df
+    t = F.col("__asof_t") * sign  # direction-normalized axis (asc = match order)
+    bounds = u.agg(F.min(t).alias("__lo"), F.max(t).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(num_buckets)
+    bkt = (
+        F.when(F.col("__hi") <= F.col("__lo"), F.lit(1))
+        .otherwise(F.least(F.lit(num_buckets),
+                           (F.floor((t - F.col("__lo")) / width) + 1).cast("int")))
+        .cast("int")
+    )
+    u = u.crossJoin(F.broadcast(bounds)).withColumn("__bkt", bkt).drop("__lo", "__hi")
+    w_in = (
+        Window.partitionBy("__bkt").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return union_df.withColumn(out, F.last(payload, ignorenulls=True).over(w))
+    u = u.withColumn("__in", F.last(payload, ignorenulls=True).over(w_in))
+    # Carry: per-bucket latest right payload (tiny: <= num_buckets rows),
+    # then running-last over the bucket spine so empty buckets inherit.
+    per_bucket = (
+        u.filter(F.col("__asof_tag") == 0)
+        .groupBy("__bkt")
+        .agg(F.max_by(F.col(payload), t).alias("__blast"))
+    )
+    spine = u.sparkSession.range(1, num_buckets + 1).select(
+        F.col("id").cast("int").alias("__bkt")
+    )
+    w_carry = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        spine.join(per_bucket, "__bkt", "left")
+        .withColumn("__carry", F.last("__blast", ignorenulls=True).over(w_carry))
+        .select("__bkt", "__carry")
+    )
+    return (
+        u.join(F.broadcast(carry), "__bkt", "left")
+        .withColumn(out, F.coalesce(F.col("__in"), F.col("__carry")))
+        .drop("__in", "__carry", "__bkt")
+    )
 
 
 def join_asof(
@@ -69,6 +120,7 @@ def join_asof(
     strategy: str = "backward",
     right_on: str | None = None,
     suffix: str = "_right",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Left as-of join: for each left row, the single best right match.
 
@@ -76,11 +128,18 @@ def join_asof(
     forward:  earliest right with ``r.on >= l.on``;
     nearest:  min ``|r.on - l.on|``, ties prefer the forward match.
     Right rows with a null key never match; left rows always survive.
+
+    Without ``by`` keys the global ordering is range-bucketed into
+    ``num_buckets`` (default 2x parallelism) parallel window partitions
+    with boundary stitching — pass ``num_buckets=1`` to force the serial
+    single-window plan.
     """
     if strategy not in _STRATEGIES:
         raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
     by = [by] if isinstance(by, str) else list(by or [])
     right_on = right_on or on
+    if not by and num_buckets is None:
+        num_buckets = max(2, left.sparkSession.sparkContext.defaultParallelism * 2)
 
     left_cols = left.columns
     # Right payload: everything except by/on keys, deconflicted names.
@@ -104,11 +163,11 @@ def join_asof(
 
     if strategy in ("backward", "forward"):
         sign = 1 if strategy == "backward" else -1
-        u = _directional(u, by, sign, "__asof_payload", "__match")
+        u = _directional(u, by, sign, "__asof_payload", "__match", num_buckets)
         matched = u.filter(F.col("__asof_tag") == 1)
     else:  # nearest: take both directions, pick the closer (tie -> forward)
-        u = _directional(u, by, 1, "__asof_payload", "__bwd")
-        u = _directional(u, by, -1, "__asof_payload", "__fwd")
+        u = _directional(u, by, 1, "__asof_payload", "__bwd", num_buckets)
+        u = _directional(u, by, -1, "__asof_payload", "__fwd", num_buckets)
         matched = u.filter(F.col("__asof_tag") == 1)
         bwd_d = F.col("__asof_t") - F.col("__bwd.__asof_rt")
         fwd_d = F.col("__fwd.__asof_rt") - F.col("__asof_t")

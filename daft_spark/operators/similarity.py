@@ -99,6 +99,22 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _probe_buckets(bucket: Column, num_planes: int, multiprobe: int) -> Column:
+    """Array of bucket ids within Hamming distance <= multiprobe of
+    ``bucket`` (standard multi-probe LSH: the nearest-miss buckets differ
+    in one or two sign bits)."""
+    probes = [bucket]
+    if multiprobe >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(num_planes)]
+    if multiprobe >= 2:
+        probes += [
+            bucket.bitwiseXOR(F.lit((1 << p) | (1 << q)).cast("long"))
+            for p in range(num_planes)
+            for q in range(p + 1, num_planes)
+        ]
+    return F.array(*probes)
+
+
 def topk_cosine_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -110,19 +126,30 @@ def topk_cosine_lsh(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket both sides, compare only within the
-    query's bucket. At scale this turns the full cross product into a
-    per-bucket join (expected corpus/2^planes candidates per query).
-    Recall < 1.0 by construction; raise num_planes for precision,
-    multi-probe for recall."""
+    query's probed buckets. At scale this turns the full cross product
+    into a per-bucket join (expected corpus * probes / 2^planes
+    candidates per query).
+
+    ``multiprobe`` = Hamming probe radius (0 = exact bucket only;
+    1 adds the num_planes single-bit-flip buckets; 2 adds the two-bit
+    flips). Probing explodes only the tiny broadcast QUERY side — each
+    corpus vector still has exactly one bucket, so no candidate is
+    scored twice. Raise num_planes for precision, multiprobe for recall.
+    """
     planes = _hyperplanes(num_planes, dim, seed)
     cb = corpus.withColumn("__bucket", lsh_bucket(F.col(corpus_vec), planes))
-    qb = F.broadcast(
-        queries.select(F.col(query_id), F.col(query_vec)).withColumn(
-            "__bucket", lsh_bucket(F.col(query_vec), planes)
-        )
+    qb = queries.select(F.col(query_id), F.col(query_vec)).withColumn(
+        "__bucket", lsh_bucket(F.col(query_vec), planes)
     )
+    if multiprobe:
+        qb = qb.withColumn(
+            "__bucket",
+            F.explode(_probe_buckets(F.col("__bucket"), num_planes, multiprobe)),
+        )
+    qb = F.broadcast(qb)
     scored = cb.join(qb, "__bucket").select(
         F.col(query_id),
         F.col(corpus_id),
@@ -152,6 +179,89 @@ def ivf_assign(
         F.max_by(F.col(centroid_id), F.col("__csim")).alias(centroid_id)
     )
     return corpus.join(best, corpus_id)
+
+
+def ivf_train(
+    corpus: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse-quantizer training: k-means (Lloyd) expressed as
+    DataFrame aggregations — no vectors ever reach the driver.
+
+    init: hash-sample k corpus vectors (smallest xxhash64(id, seed) —
+    deterministic, one TakeOrdered pass). Each iteration: broadcast
+    centroids, argmax-assign (``ivf_assign``), recompute element-wise
+    means via posexplode + two hash aggs, reassemble with
+    sort_array(collect_list(struct(i, x))). Returns
+    (centroid_id int, centroid array<double>).
+    """
+    init = (
+        corpus.select(
+            F.col(corpus_vec).alias("centroid"),
+            F.xxhash64(F.col(corpus_id).cast("string"), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(k)
+    )
+    cents = init.select(
+        (F.row_number().over(Window.orderBy("__h")) - 1).alias("centroid_id"),
+        F.transform("centroid", lambda x: x.cast("double")).alias("centroid"),
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
+        ex = assigned.select(
+            "centroid_id", F.posexplode(corpus_vec).alias("__i", "__xf")
+        ).withColumn("__x", F.col("__xf").cast("double"))
+        comp = ex.groupBy("centroid_id", "__i").agg(F.avg("__x").alias("__cx"))
+        cents = comp.groupBy("centroid_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__i", "__cx"))),
+                lambda s: s.getField("__cx"),
+            ).alias("centroid")
+        )
+    return cents
+
+
+def topk_cosine_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """IVF ANN search: train k-means centroids, assign the corpus once,
+    then score each query only against its ``nprobe`` nearest centroid
+    partitions (rank centroids per query on the tiny broadcast centroid
+    table). The 100 TB shape: corpus persisted partitioned by
+    centroid_id -> partition-pruned probes."""
+    cents = ivf_train(corpus, num_centroids, corpus_id, corpus_vec, iters=iters).persist()
+    assigned = ivf_assign(corpus, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__qcsim", cosine_similarity(F.col(query_vec), F.col("centroid"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("__qcsim").desc(), F.col("centroid_id"))
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(F.col(query_id), F.col(query_vec), "centroid_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def pairs_above_threshold(

@@ -1,6 +1,9 @@
-"""Scalar-function battery — cross-engine checks for the §2.6 function
-modules (strings/regex/datetime/numeric/json/list/conditional), one
-wide query per family over the testdata.
+"""Scalar-function batteries — SURVEY §2.6 (reference
+``daft/functions/{str,datetime,numeric,list,struct,binary,bitwise,url,
+misc}.py``). Each battery is one query whose DuckDB oracle recomputes
+every column, so a single driver slot hash-verifies a whole function
+family. Batteries over the same table/filter are merged (round 2) so
+the full §2.6 surface fits the driver's correctness window.
 """
 
 from __future__ import annotations
@@ -13,7 +16,7 @@ from daft_spark.queries import register
 
 
 @register(
-    "fn_strings",
+    "fn_strings_regex",
     """
     SELECT doc_id,
            upper(source) AS up,
@@ -26,13 +29,20 @@ from daft_spark.queries import register
            right(text, 5) AS r5,
            concat_ws('|', lang, source) AS tagged,
            replace(source, 'src', 'S') AS repl,
-           levenshtein(lang, 'en') AS lev
+           levenshtein(lang, 'en') AS lev,
+           regexp_extract(substring(text, 1, 60), '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(substring(text, 1, 60), 'scan')) AS INT) AS n_scan,
+           regexp_replace(substring(text, 1, 60), '[aeiou]', '_', 'g') AS devowel_prefix,
+           regexp_matches(substring(text, 1, 60), 'join.*scan') AS has_join_scan
     FROM documents WHERE doc_id < 200 ORDER BY doc_id
     """,
 )
-def fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String family (reference daft/functions/str.py:369-1965)."""
+def fn_strings_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + regex families (reference daft/functions/str.py:369-1965:
+    upper/lower/length/substr/reverse/pad/left/right/concat_ws/replace/
+    levenshtein/regexp_extract/count/replace/rlike)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.substring("text", 1, 60)
     return d.select(
         "doc_id",
         F.upper("source").alias("up"),
@@ -46,27 +56,6 @@ def fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "lang", "source").alias("tagged"),
         F.replace("source", F.lit("src"), F.lit("S")).alias("repl"),
         F.levenshtein("lang", F.lit("en")).alias("lev"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "fn_regex",
-    """
-    SELECT doc_id,
-           regexp_extract(text, '([a-z]+)', 1) AS first_word,
-           CAST(len(regexp_extract_all(text, 'scan')) AS INT) AS n_scan,
-           regexp_replace(text, '[aeiou]', '_', 'g') AS devowel_prefix,
-           regexp_matches(text, 'join.*scan') AS has_join_scan
-    FROM (SELECT doc_id, substring(text, 1, 60) AS text FROM documents WHERE doc_id < 200)
-    ORDER BY doc_id
-    """,
-)
-def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex family — regexp_extract/count/replace/rlike."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    t = F.substring("text", 1, 60)
-    return d.select(
-        "doc_id",
         F.regexp_extract(t, "([a-z]+)", 1).alias("first_word"),
         F.regexp_count(t, F.lit("scan")).alias("n_scan"),
         F.regexp_replace(t, "[aeiou]", "_").alias("devowel_prefix"),
@@ -75,7 +64,7 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_datetime",
+    "fn_datetime_numeric",
     """
     SELECT event_id,
            CAST(year(ts) AS INT) AS y,
@@ -91,16 +80,28 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts_hour,
            CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS plus7,
            CAST(last_day(CAST(ts AS DATE)) AS DATE) AS eom,
-           epoch_us(CAST(ts AS TIMESTAMP)) AS us
-    FROM events WHERE event_id < 500 ORDER BY event_id
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           round(value, 1) AS r1,
+           floor(value) AS fl,
+           ceil(value) AS ce,
+           sqrt(abs(value)) AS sq,
+           pow(value, 2) AS p2,
+           CASE WHEN value > 0 THEN ln(value) END AS lnv,
+           CAST(sign(value - 100) AS DOUBLE) AS sg,
+           CAST(CAST(event_id AS BIGINT) % 7 AS BIGINT) AS m7,
+           greatest(value, 50.0) AS gr,
+           least(value, 50.0) AS le
+    FROM events WHERE value IS NOT NULL AND event_id < 500 ORDER BY event_id
     """,
 )
-def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datetime family (reference daft/functions/datetime.py). iso_dow
-    uses the Monday=1..Sunday=7 convention — Spark's dayofweek
-    (Sunday=1) is remapped, the same adjustment our dt.day_of_week does."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    ts = F.col("ts")
+def fn_datetime_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime + numeric families (reference daft/functions/datetime.py,
+    numeric.py:10-422). iso_dow remaps Spark's Sunday=1 dayofweek to the
+    ISO Monday=1..Sunday=7 convention."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("event_id") < 500)
+    )
+    ts, v = F.col("ts"), F.col("value")
     return e.select(
         "event_id",
         F.year(ts).alias("y"),
@@ -117,6 +118,16 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(ts.cast("date"), 7).alias("plus7"),
         F.last_day(ts.cast("date")).alias("eom"),
         F.unix_micros(ts.cast("timestamp")).alias("us"),
+        F.round(v, 1).alias("r1"),
+        F.floor(v).cast("double").alias("fl"),
+        F.ceil(v).cast("double").alias("ce"),
+        F.sqrt(F.abs(v)).alias("sq"),
+        F.pow(v, 2).alias("p2"),
+        F.when(v > 0, F.log(v)).alias("lnv"),
+        F.signum(v - 100).alias("sg"),
+        F.pmod(F.col("event_id"), F.lit(7)).alias("m7"),
+        F.greatest(v, F.lit(50.0)).alias("gr"),
+        F.least(v, F.lit(50.0)).alias("le"),
     ).orderBy("event_id")
 
 
@@ -148,210 +159,37 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_numeric",
-    """
-    SELECT event_id,
-           round(value, 1) AS r1,
-           floor(value) AS fl,
-           ceil(value) AS ce,
-           sqrt(abs(value)) AS sq,
-           pow(value, 2) AS p2,
-           CASE WHEN value > 0 THEN ln(value) END AS lnv,
-           CAST(sign(value - 100) AS DOUBLE) AS sg,
-           CAST(CAST(event_id AS BIGINT) % 7 AS BIGINT) AS m7,
-           greatest(value, 50.0) AS gr,
-           least(value, 50.0) AS le
-    FROM events WHERE value IS NOT NULL AND event_id < 500 ORDER BY event_id
-    """,
-)
-def fn_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric family (reference daft/functions/numeric.py:10-422)."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & (F.col("event_id") < 500)
-    )
-    v = F.col("value")
-    return e.select(
-        "event_id",
-        F.round(v, 1).alias("r1"),
-        F.floor(v).cast("double").alias("fl"),
-        F.ceil(v).cast("double").alias("ce"),
-        F.sqrt(F.abs(v)).alias("sq"),
-        F.pow(v, 2).alias("p2"),
-        F.when(v > 0, F.log(v)).alias("lnv"),
-        F.signum(v - 100).alias("sg"),
-        F.pmod(F.col("event_id"), F.lit(7)).alias("m7"),
-        F.greatest(v, F.lit(50.0)).alias("gr"),
-        F.least(v, F.lit(50.0)).alias("le"),
-    ).orderBy("event_id")
-
-
-@register(
-    "fn_json",
+    "fn_json_bitwise",
     """
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
-           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str
-    FROM events WHERE event_id < 500 ORDER BY event_id
-    """,
-)
-def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON family (reference str.py:13-175 serialize/deserialize/jq;
-    get_json_object covers the jq subset)."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    return e.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
-        F.get_json_object("props", "$.k").alias("k_str"),
-    ).orderBy("event_id")
-
-
-@register(
-    "fn_json_struct",
-    """
-    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
            CAST(json_extract(props, '$.k') AS INTEGER) AS k_struct,
            CAST(json_valid(props) AS BOOLEAN) AS is_valid,
-           json_extract_string('{"a": {"b": [1, 2, 3]}}', '$.a.b[1]') AS nested
-    FROM events WHERE event_id < 300 ORDER BY event_id
-    """,
-)
-def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json -> typed struct extraction + validity + nested paths
-    (reference deserialize/try_deserialize, str.py:13-175)."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
-    parsed = F.from_json("props", "k INT")
-    return e.select(
-        "event_id",
-        parsed.getField("k").alias("k_struct"),
-        F.from_json("props", "k INT").isNotNull().alias("is_valid"),
-        F.get_json_object(F.lit('{"a": {"b": [1, 2, 3]}}'), "$.a.b[1]").alias("nested"),
-    ).orderBy("event_id")
-
-
-@register(
-    "fn_list",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-               FROM documents WHERE doc_id < 200)
-    SELECT doc_id,
-           CAST(len(toks) AS INT) AS n_toks,
-           CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
-           array_to_string(toks[1:3], '-') AS first3,
-           list_contains(toks, 'scan') AS has_scan,
-           toks[2] AS second_tok,
-           list_sort(list_distinct(toks[1:3]))[1] AS min_tok
-    FROM t ORDER BY doc_id
-    """,
-)
-def fn_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """List family (reference daft/functions/list.py:11-586)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = F.split("text", " ")
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_toks"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
-        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
-        F.array_contains(toks, "scan").alias("has_scan"),
-        F.get(toks, 1).alias("second_tok"),
-        F.element_at(F.array_sort(F.array_distinct(F.slice(toks, 1, 3))), 1).alias("min_tok"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "fn_conditional",
-    """
-    SELECT event_id,
-           CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'mid'
-                ELSE 'low' END AS bucket,
-           coalesce(value, -1.0) AS v_filled,
-           nullif(event_type, 'error') AS et_nn,
-           CASE WHEN value IS NULL THEN 0.0 ELSE value END AS v_zero
-    FROM events WHERE event_id < 1000 ORDER BY event_id
-    """,
-)
-def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """when/otherwise, coalesce, nullif, fill_null (reference
-    misc.py:242-339, :905 WhenExpr)."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
-    v = F.col("value")
-    return e.select(
-        "event_id",
-        F.when(v >= 100, "high").when(v >= 50, "mid").otherwise("low").alias("bucket"),
-        F.coalesce(v, F.lit(-1.0)).alias("v_filled"),
-        F.nullif("event_type", F.lit("error")).alias("et_nn"),
-        F.when(v.isNull(), 0.0).otherwise(v).alias("v_zero"),
-    ).orderBy("event_id")
-
-
-@register(
-    "fn_struct_map",
-    """
-    SELECT event_id,
-           struct_extract({u: user_id, t: event_type}, 'u') AS u_back,
-           struct_extract({u: user_id, t: event_type}, 't') AS t_back,
-           map(['a','b'], [value, value * 2])['b'][1] AS map_b
-    FROM events WHERE event_id < 200 ORDER BY event_id
-    """,
-)
-def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Struct/map construction + access (reference struct.py:8-38,
-    misc.py:658-814)."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
-    st = F.struct(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
-    m = F.create_map(F.lit("a"), F.col("value"), F.lit("b"), F.col("value") * 2)
-    return e.select(
-        "event_id",
-        st.getField("u").alias("u_back"),
-        st.getField("t").alias("t_back"),
-        F.element_at(m, "b").alias("map_b"),
-    ).orderBy("event_id")
-
-
-@register(
-    "fn_binary",
-    """
-    SELECT doc_id,
-           to_base64(encode(source)) AS b64,
-           CAST(decode(from_base64(to_base64(encode(source)))) AS VARCHAR) AS roundtrip,
-           lower(hex(encode(source))) AS hx,
-           octet_length(encode(text)) AS nbytes
-    FROM documents WHERE doc_id < 200 ORDER BY doc_id
-    """,
-)
-def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary family (reference daft/functions/binary.py:14-172):
-    base64/hex encode-decode roundtrips + byte length."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    enc = F.encode("source", "UTF-8")
-    return d.select(
-        "doc_id",
-        F.base64(enc).alias("b64"),
-        F.unbase64(F.base64(enc)).cast("string").alias("roundtrip"),
-        F.lower(F.hex(enc)).alias("hx"),
-        F.octet_length(F.encode("text", "UTF-8")).alias("nbytes"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "fn_bitwise",
-    """
-    SELECT event_id,
+           json_extract_string('{"a": {"b": [1, 2, 3]}}', '$.a.b[1]') AS nested,
            CAST(event_id & 255 AS BIGINT) AS b_and,
            CAST(event_id | 15 AS BIGINT) AS b_or,
            CAST(xor(event_id, 255) AS BIGINT) AS b_xor,
            CAST(event_id << 2 AS BIGINT) AS b_shl,
            CAST(event_id >> 1 AS BIGINT) AS b_shr,
            CAST(bit_count(event_id) AS INT) AS b_cnt
-    FROM events WHERE event_id < 500 ORDER BY event_id
+    FROM events WHERE event_id < 300 ORDER BY event_id
     """,
 )
-def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise family (reference daft/functions/bitwise.py:8-41)."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+def fn_json_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON (get_json_object + from_json typed struct; reference
+    str.py:13-175 serialize/deserialize/jq) + bitwise families
+    (reference daft/functions/bitwise.py:8-41)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    parsed = F.from_json("props", "k INT")
     c = F.col("event_id")
     return e.select(
         "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_struct"),
+        F.from_json("props", "k INT").isNotNull().alias("is_valid"),
+        F.get_json_object(F.lit('{"a": {"b": [1, 2, 3]}}'), "$.a.b[1]").alias("nested"),
         c.bitwiseAND(F.lit(255)).alias("b_and"),
         c.bitwiseOR(F.lit(15)).alias("b_or"),
         c.bitwiseXOR(F.lit(255)).alias("b_xor"),
@@ -362,37 +200,94 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_url_parse",
+    "fn_list_binary_url",
     """
-    WITH u AS (
-      SELECT doc_id,
-             concat('https://', source, '.example.com/docs/', CAST(doc_id AS VARCHAR),
-                    '?lang=', lang) AS url
-      FROM documents WHERE doc_id < 200)
+    WITH t AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS toks,
+                      concat('https://', source, '.example.com/docs/',
+                             CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
+               FROM documents WHERE doc_id < 200)
     SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+           array_to_string(toks[1:3], '-') AS first3,
+           list_contains(toks, 'scan') AS has_scan,
+           toks[2] AS second_tok,
+           list_sort(list_distinct(toks[1:3]))[1] AS min_tok,
+           to_base64(encode(source)) AS b64,
+           CAST(decode(from_base64(to_base64(encode(source)))) AS VARCHAR) AS roundtrip,
+           lower(hex(encode(source))) AS hx,
+           octet_length(encode(text)) AS nbytes,
            regexp_extract(url, '^([a-z]+)://', 1) AS proto,
            regexp_extract(url, '://([^/]+)/', 1) AS host,
            regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
            regexp_extract(url, '\\?(.*)$', 1) AS query
-    FROM u ORDER BY doc_id
+    FROM t ORDER BY doc_id
     """,
 )
-def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL parsing (reference daft/functions/url.py:149 parse_url).
-    Spark's parse_url extracts the parts natively; the oracle recomputes
-    them with regexes (DuckDB has no parse_url)."""
+def fn_list_binary_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List (reference daft/functions/list.py:11-586), binary
+    (binary.py:14-172) and URL-parsing (url.py:149 parse_url — the
+    oracle recomputes the parts with regexes, DuckDB has no parse_url)
+    families."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split("text", " ")
+    enc = F.encode("source", "UTF-8")
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
     )
     return d.select(
         "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        F.array_contains(toks, "scan").alias("has_scan"),
+        F.get(toks, 1).alias("second_tok"),
+        F.element_at(F.array_sort(F.array_distinct(F.slice(toks, 1, 3))), 1).alias("min_tok"),
+        F.base64(enc).alias("b64"),
+        F.unbase64(F.base64(enc)).cast("string").alias("roundtrip"),
+        F.lower(F.hex(enc)).alias("hx"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("nbytes"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
         F.parse_url(url, F.lit("HOST")).alias("host"),
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY")).alias("query"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_conditional_struct",
+    """
+    SELECT event_id,
+           CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           coalesce(value, -1.0) AS v_filled,
+           nullif(event_type, 'error') AS et_nn,
+           CASE WHEN value IS NULL THEN 0.0 ELSE value END AS v_zero,
+           struct_extract({u: user_id, t: event_type}, 'u') AS u_back,
+           struct_extract({u: user_id, t: event_type}, 't') AS t_back,
+           map(['a','b'], [value, value * 2])['b'][1] AS map_b
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+)
+def fn_conditional_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise, coalesce, nullif, fill_null (reference
+    misc.py:242-339, :905 WhenExpr) + struct/map construction and access
+    (struct.py:8-38, misc.py:658-814)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = F.col("value")
+    st = F.struct(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
+    m = F.create_map(F.lit("a"), F.col("value"), F.lit("b"), F.col("value") * 2)
+    return e.select(
+        "event_id",
+        F.when(v >= 100, "high").when(v >= 50, "mid").otherwise("low").alias("bucket"),
+        F.coalesce(v, F.lit(-1.0)).alias("v_filled"),
+        F.nullif("event_type", F.lit("error")).alias("et_nn"),
+        F.when(v.isNull(), 0.0).otherwise(v).alias("v_zero"),
+        st.getField("u").alias("u_back"),
+        st.getField("t").alias("t_back"),
+        F.element_at(m, "b").alias("map_b"),
+    ).orderBy("event_id")
 
 
 @register(

@@ -60,25 +60,49 @@ def mm_llm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_classify_text", None)
+@register(
+    "mm_classify_text",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS labels_valid FROM documents",
+)
 def mm_classify_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """classify_text operator (reference ai/classify_text): label
-    distribution (deterministic hash provider; rows-only)."""
+    """classify_text operator (reference ai/classify_text): every doc
+    gets exactly one label from the allowed set (invariant oracle — the
+    hash provider's per-doc choice is engine-specific)."""
     from daft_spark.multimodal.llm import classify_text
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     c = classify_text(d, "text", ["sports", "tech", "news"])
-    return c.groupBy("label").agg(F.count(F.lit(1)).alias("n")).orderBy("label")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bool_and(F.col("label").isin("sports", "tech", "news")).alias("labels_valid"),
+    )
 
 
-@register("mm_image_decode", None)
+def _sha_byte_sql(i: int) -> str:
+    """DuckDB expr for byte i (0-based) of sha256(text) as an integer —
+    replays the fake codec's payload-hash key (multimodal/image.py:61)."""
+    hi = f"strpos('0123456789abcdef', substr(sha256(text), {2 * i + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr(sha256(text), {2 * i + 2}, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+@register(
+    "mm_image_decode",
+    f"""
+    SELECT doc_id,
+           CAST(16 + {_sha_byte_sql(0)} % 16 AS INT) AS h,
+           CAST(16 + {_sha_byte_sql(1)} % 16 AS INT) AS w
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode -> attribute pipeline over binary payloads
-    (deterministic fake codec; rows-only). Exercises the struct image
-    schema + mapInPandas plumbing end-to-end."""
+    """Image decode -> attribute pipeline over binary payloads.
+    The deterministic fake codec keys height/width on sha256 of the
+    payload (multimodal/image.py:56-65), which the oracle replays in
+    DuckDB — full value check of the mapInPandas plumbing."""
     from daft_spark.multimodal.image import decode_image, image_attribute
 
-    d = load_table(spark, sf_dir, "documents").limit(200)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     b = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     img = decode_image(b, "payload", deterministic_fake=True)
     return img.select(
@@ -88,11 +112,14 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("mm_url_download", None)
+@register(
+    "mm_url_download",
+    "SELECT 3 AS n_files, TRUE AS all_nonempty",
+)
 def mm_url_download(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url.download over the testdata's own parquet files (file:// paths
-    — executor-side IO, no driver materialization; reference
-    url.py:44). Output: per-file byte counts, deterministic."""
+    — executor-side IO, no driver materialization; reference url.py:44).
+    Invariant oracle: all three files download non-empty."""
     from daft_spark.multimodal.url import download
 
     files = spark.createDataFrame(
@@ -101,19 +128,29 @@ def mm_url_download(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         files.select("path", download(F.col("path")).alias("content"))
-        .select("path", F.octet_length("content").alias("n_bytes"))
-        .filter(F.col("n_bytes") > 0)
-        .orderBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.bool_and(F.octet_length("content") > 0).alias("all_nonempty"),
+        )
     )
 
 
-@register("mm_video_frames", None)
+@register(
+    "mm_video_frames",
+    f"""
+    SELECT concat('video_', CAST(doc_id AS VARCHAR)) AS path,
+           CAST(ceil((48 + {_sha_byte_sql(3)} % 96) / 10.0) AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id < 100 ORDER BY path
+    """,
+)
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling fan-out (deterministic fake codec;
-    rows-only): frames per video."""
+    """Video frame-sampling fan-out: frames-per-video counts. The fake
+    codec's frame count is sha256-keyed (multimodal/av.py:37-41:
+    n_frames = 48 + byte3 % 96, sampled every 10), replayed exactly by
+    the DuckDB oracle."""
     from daft_spark.multimodal.av import video_frames
 
-    d = load_table(spark, sf_dir, "documents").limit(100)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     b = d.select(
         F.concat(F.lit("video_"), F.col("doc_id")).alias("path"),
         F.encode("text", "UTF-8").alias("payload"),

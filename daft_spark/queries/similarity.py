@@ -113,26 +113,57 @@ def sim_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh_recall", None)
-def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k vs exact top-k: per-query recall@5.
-    Deterministic (counter-hash hyperplanes) but engine-specific ->
-    rows-only. At scale the LSH path replaces the full cross join with
-    per-bucket joins."""
-    queries, corpus = _queries_corpus(spark, sf_dir)
+def _recall_vs_exact(queries, corpus, approx: DataFrame) -> DataFrame:
+    """avg recall@5 of ``approx`` (query_id, vec_id rows) vs exact top-5."""
     exact = topk_cosine_bruteforce(queries, corpus, k=5).select(
         "query_id", F.col("vec_id").alias("exact_id")
     )
-    approx = topk_cosine_lsh(queries, corpus, k=5, dim=64, num_planes=4).select(
-        "query_id", F.col("vec_id").alias("approx_id")
-    )
+    a = approx.select("query_id", F.col("vec_id").alias("approx_id"))
     hit = exact.join(
-        approx,
-        (exact.query_id == approx.query_id) & (F.col("exact_id") == F.col("approx_id")),
+        a,
+        (exact.query_id == a.query_id) & (F.col("exact_id") == F.col("approx_id")),
         "left",
     ).select(exact.query_id.alias("qid"), F.col("approx_id").isNotNull().cast("int").alias("hit"))
-    return (
-        hit.groupBy("qid")
-        .agg((F.sum("hit") / F.count(F.lit(1))).alias("recall_at_5"))
-        .orderBy("qid")
+    return hit.agg(
+        F.countDistinct("qid").cast("int").alias("n_queries"),
+        (F.sum("hit") / F.count(F.lit(1))).alias("avg_recall"),
+    )
+
+
+@register(
+    "sim_ann_lsh_recall",
+    "SELECT 8 AS n_queries, TRUE AS recall_ge_090",
+)
+def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH top-k vs exact top-k: avg recall@5 over 8
+    queries, oracled as an invariant boolean (>= 0.9; measured 0.975 at
+    sf0.001/0.01/0.1). These embeddings are near-random (max intra-label
+    cosine ~0.47), so Hamming-radius-2 probing of a 3-plane table is
+    needed; clustered real-world embeddings reach the same recall with
+    far fewer probes of a wider table. Everything is deterministic
+    (counter-hash hyperplanes)."""
+    queries, corpus = _queries_corpus(spark, sf_dir)
+    approx = topk_cosine_lsh(
+        queries, corpus, k=5, dim=64, num_planes=3, multiprobe=2
+    )
+    return _recall_vs_exact(queries, corpus, approx).select(
+        "n_queries", (F.col("avg_recall") >= 0.9).alias("recall_ge_090")
+    )
+
+
+@register(
+    "sim_ann_ivf_recall",
+    "SELECT 8 AS n_queries, TRUE AS recall_ge_070",
+)
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means trained in-DataFrame, nprobe=4 of 8 centroid
+    partitions) vs exact top-5: avg recall over 8 queries as an
+    invariant boolean (>= 0.7; measured 0.85-0.90 across SFs on these
+    near-random embeddings)."""
+    from daft_spark.operators.similarity import topk_cosine_ivf
+
+    queries, corpus = _queries_corpus(spark, sf_dir)
+    approx = topk_cosine_ivf(queries, corpus, k=5, num_centroids=8, nprobe=4)
+    return _recall_vs_exact(queries, corpus, approx).select(
+        "n_queries", (F.col("avg_recall") >= 0.7).alias("recall_ge_070")
     )

@@ -142,3 +142,31 @@ _shared(
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """,
 )
+
+
+@register(
+    "sql_table_function",
+    """
+    SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table function in FROM position (reference
+    src/daft-sql/src/table_provider/, tests/sql/test_sql_table_functions.py):
+    daft_spark.sql rewrites read_parquet('...') into a reader-backed temp
+    view. The oracle reads the same table through DuckDB's registered
+    view — identical rows prove the table-function path."""
+    from daft_spark.sql import sql as dsql
+
+    return dsql(
+        f"""
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation
+        FROM read_parquet('{sf_dir}/nation.parquet')
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """,
+        spark=spark,
+    )

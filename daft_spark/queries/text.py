@@ -74,25 +74,79 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter((F.col("n_tok") >= 5) & (F.col("punct_r") <= 0.2)).orderBy("doc_id")
 
 
+# The fixed STOPWORDS_EN / LANG_MARKERS lexicons (functions/text.py:20-28)
+# restated as DuckDB list literals so the oracle recomputes the identical
+# heuristics — these queries were rows-only in round 1; the lexicons are
+# compile-time constants, so full value oracles are possible.
+_SW_SQL = "['the','and','of','to','in','is','that','with','a','an','it','for','on','as','are','was']"
+_MARKERS_SQL = {
+    "en": "['the','and','of','to','in','is','that','with']",
+    "de": "['der','die','und','das','ist','nicht','mit','ein']",
+    "fr": "['le','la','et','les','des','est','pas','une']",
+    "es": "['el','de','la','que','los','una','por','con']",
+    "zh": "['的','是','在','了','我','有','他','这']",
+}
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-za-z0-9]+')"
+
+
 @register(
     "text_quality_score_dist",
-    None,
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_TOKS_SQL}) AS n_tok,
+             CAST(coalesce(list_sum([length(t) FOR t IN {_TOKS_SQL}]), 0) AS DOUBLE)
+               / greatest(len({_TOKS_SQL}), 1) AS mwl,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pr,
+             CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+               / greatest(len({_TOKS_SQL}), 1) AS swr
+      FROM documents)
+    SELECT (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN swr >= 0.01 THEN 0.25 ELSE 0.0 END) AS q,
+           CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY q ORDER BY q
+    """,
 )
 def text_quality_score_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution of the composite quality score (deterministic;
-    rows-only — the composite mirrors functions/text.py exactly)."""
+    """Distribution of the composite C4/Gopher-style quality score; the
+    oracle recomputes the full composite (length band, mean word length,
+    punctuation ratio, stopword ratio) in DuckDB."""
     d = _docs(spark, sf_dir).withColumn("q", quality_score(F.col("text")))
     return d.groupBy("q").agg(F.count(F.lit(1)).alias("n")).orderBy("q")
 
 
+def _lang_scores_sql() -> str:
+    cols = ", ".join(
+        f"len(list_filter({_TOKS_SQL}, t -> list_contains({m}, t))) AS s_{c}"
+        for c, m in _MARKERS_SQL.items()
+    )
+    return f"SELECT lang, {cols} FROM documents"
+
+
 @register(
     "text_langid_agreement",
-    None,
+    f"""
+    WITH s AS ({_lang_scores_sql()}),
+    p AS (
+      SELECT lang,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                  ELSE 'zh' END AS pred
+      FROM s)
+    SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY lang, pred ORDER BY lang, pred
+    """,
 )
 def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID vs the dataset's lang label — confusion
-    counts (deterministic marker-lexicon scoring; rows-only since the
-    lexicon lives in Python)."""
+    counts. The oracle replays the same marker-lexicon argmax (earliest
+    lexicon-order language wins ties, 'und' when no hits)."""
     d = _docs(spark, sf_dir).withColumn("pred", lang_id(F.col("text")))
     return (
         d.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n")).orderBy("lang", "pred")
@@ -151,11 +205,18 @@ def text_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_stopword_filter",
-    None,
+    f"""
+    WITH m AS (
+      SELECT round(CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+                   / greatest(len({_TOKS_SQL}), 1), 2) AS sw_bucket
+      FROM documents)
+    SELECT sw_bucket, CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY sw_bucket ORDER BY sw_bucket
+    """,
 )
 def text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio distribution buckets (rows-only: lexicon in Python,
-    fully deterministic)."""
+    """Stopword-ratio distribution buckets; oracle recomputes the ratio
+    with the same fixed lexicon in DuckDB."""
     d = _docs(spark, sf_dir).withColumn(
         "sw_bucket", F.round(stopword_ratio(F.col("text")), 2)
     )

@@ -244,18 +244,20 @@ def w_partition_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w_order_only_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-only global running window (reference
-    sinks/window_order_by_only.rs). Single-partition by construction —
-    use only for bounded outputs at scale."""
+    sinks/window_order_by_only.rs) — computed with the range-bucketed
+    two-pass plan (operators/window_ext.py:global_running): parallel
+    per-bucket windows + tiny broadcast offsets, never a
+    single-partition window."""
+    from daft_spark.operators.window_ext import global_running
+
     e = _events(spark, sf_dir)
-    w = (
-        Window.orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = global_running(
+        e,
+        axis=F.unix_micros(F.col("ts").cast("timestamp")),
+        order_cols=["ts", "event_id"],
+        value_col="value",
     )
-    return e.select(
-        "event_id",
-        F.sum("value").over(w).alias("global_run_sum"),
-        F.row_number().over(Window.orderBy("ts", "event_id")).alias("global_rn"),
-    ).orderBy("event_id")
+    return out.select("event_id", "global_run_sum", "global_rn").orderBy("event_id")
 
 
 @register(

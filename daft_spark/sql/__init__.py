@@ -9,22 +9,57 @@ so this is a thin veneer: register DataFrames as temp views, delegate to
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from daft_spark.context import get_or_create
 
+# SQL table functions (reference: src/daft-sql/src/table_provider/,
+# tests/sql/test_sql_table_functions.py): FROM read_parquet('...') etc.
+# Spark SQL has no Python-extensible table functions over files, so the
+# veneer rewrites each call into an auto-registered temp view backed by
+# daft_spark's readers (which also apply the TIMESTAMP(NANOS) repair and
+# handle globs/lists natively).
+_TABLE_FN = re.compile(
+    r"\bread_(parquet|csv|json|text)\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE
+)
+
+
+def _expand_table_functions(query: str, spark: SparkSession) -> str:
+    from daft_spark.io import readers
+
+    fns = {
+        "parquet": readers.read_parquet,
+        "csv": readers.read_csv,
+        "json": readers.read_json,
+        "text": readers.read_text,
+    }
+
+    def repl(m: re.Match) -> str:
+        fmt, path = m.group(1).lower(), m.group(2)
+        digest = hashlib.md5(f"{fmt}|{path}".encode()).hexdigest()[:12]
+        view = f"__daft_tf_{fmt}_{digest}"
+        fns[fmt](path, spark=spark).createOrReplaceTempView(view)
+        return view
+
+    return _TABLE_FN.sub(repl, query)
+
 
 def sql(query: str, spark: SparkSession | None = None, **frames) -> DataFrame:
     """Run SQL. Keyword args register DataFrames as temp views first:
-    ``sql("SELECT * FROM t WHERE x > 1", t=my_df)``."""
+    ``sql("SELECT * FROM t WHERE x > 1", t=my_df)``. Table functions
+    ``read_parquet/read_csv/read_json/read_text('<path-or-glob>')`` are
+    supported in FROM position (reference daft.sql table providers)."""
     spark = spark or get_or_create()
     from daft_spark.dataframe import DataFrame as WrappedDF
 
     for name, df in frames.items():
         sdf = df.to_spark() if isinstance(df, WrappedDF) else df
         sdf.createOrReplaceTempView(name)
-    return spark.sql(query)
+    return spark.sql(_expand_table_functions(query, spark))
 
 
 def sql_expr(expression: str) -> Column:
@@ -58,7 +93,7 @@ class Session:
         return self.spark.table(name)
 
     def sql(self, query: str) -> DataFrame:
-        return self.spark.sql(query)
+        return self.spark.sql(_expand_table_functions(query, self.spark))
 
     def attach_function(self, fn, name: str, return_dtype: str = "string") -> None:
         """Register a Python function for SQL use (reference

@@ -212,3 +212,117 @@ def test_simhash_degenerate_bucket_no_blowup(spark):
     rows = out.collect()
     assert len(rows) == n - 1
     assert all(r["hamming"] == 0 and r["id_a"] == 0 for r in rows)
+
+
+# --- SQL table functions (VERDICT missing #2) -------------------------------
+
+def test_sql_table_function_parquet_and_glob(spark):
+    from daft_spark.sql import sql as dsql
+
+    out = dsql(
+        "SELECT count(*) AS n FROM read_parquet('/root/testdata/sf0.001/region.parquet')",
+        spark=spark,
+    )
+    assert out.collect()[0]["n"] == 5
+    # glob + join of two table functions in one statement
+    out2 = dsql(
+        """
+        SELECT r.r_name, count(*) AS n
+        FROM read_parquet('/root/testdata/sf0.001/nation.parquet') n
+        JOIN read_parquet('/root/testdata/sf0.001/region*.parquet') r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """,
+        spark=spark,
+    )
+    assert out2.count() == 5
+
+
+def test_sql_table_function_csv(spark, tmp_path):
+    import os
+    from daft_spark.sql import sql as dsql
+
+    p = os.path.join(str(tmp_path), "t.csv")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k: int, v: string") \
+        .coalesce(1).write.option("header", True).csv(p)
+    out = dsql(f"SELECT sum(k) AS s FROM read_csv('{p}')", spark=spark)
+    assert out.collect()[0]["s"] == 3
+
+
+# --- bucketed global as-of / order-only window (VERDICT next-round #7) ------
+
+def _asof_frames(spark):
+    import random
+
+    rnd = random.Random(7)
+    lts = sorted(rnd.sample(range(0, 100000), 400))
+    rts = sorted(rnd.sample(range(-50, 99950), 150))
+    left = spark.createDataFrame([(i, t) for i, t in enumerate(lts)], "lid: long, t: long")
+    right = spark.createDataFrame([(t, float(t) / 7.0) for t in rts], "t: long, rv: double")
+    return left, right
+
+
+def test_asof_global_bucketed_equals_serial(spark):
+    from daft_spark.operators.asof_join import join_asof
+
+    left, right = _asof_frames(spark)
+    for strategy in ("backward", "forward", "nearest"):
+        bucketed = join_asof(left, right, on="t", strategy=strategy, num_buckets=16)
+        serial = join_asof(left, right, on="t", strategy=strategy, num_buckets=1)
+        b = sorted(map(tuple, bucketed.collect()))
+        s = sorted(map(tuple, serial.collect()))
+        assert b == s, f"strategy={strategy}"
+
+
+def _window_nodes(plan: str):
+    import re
+
+    return re.findall(r"Window \[[^\n]*", plan)
+
+
+def test_asof_global_bucketed_parallel_window(spark):
+    """No serial Window over the main data: every order-only Window in the
+    plan must be the tiny carry-spine one (<= num_buckets rows)."""
+    from daft_spark.operators.asof_join import join_asof
+
+    left, right = _asof_frames(spark)
+    j = join_asof(left, right, on="t", strategy="backward")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    nodes = _window_nodes(plan)
+    assert any("__bkt" in n for n in nodes)  # bucketed window present
+    serial_big = [n for n in nodes if "__bkt" not in n and "__carry" not in n]
+    assert not serial_big, serial_big
+
+
+def test_global_running_bucketed_parallel_window(spark):
+    from daft_spark.operators.window_ext import global_running
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    out = global_running(df, axis=F.col("k"), order_cols=["k"], value_col="v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    nodes = _window_nodes(plan)
+    assert any("__bkt" in n for n in nodes)
+    serial_big = [n for n in nodes if "__bkt" not in n and "__off_" not in n]
+    assert not serial_big, serial_big
+    # correctness vs the serial formulation
+    from pyspark.sql import Window
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = df.select("k", F.sum("v").over(w).alias("rs"),
+                         F.row_number().over(Window.orderBy("k")).alias("rn"))
+    got = {r["k"]: (r["global_run_sum"], r["global_rn"]) for r in out.collect()}
+    for r in expected.collect():
+        assert abs(got[r["k"]][0] - r["rs"]) < 1e-9 and got[r["k"]][1] == r["rn"]
+
+
+def test_global_running_null_values(spark):
+    from daft_spark.operators.window_ext import global_running
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, 5.0), (3, None), (4, 2.0)], "k: int, v: double"
+    )
+    out = {r["k"]: r["global_run_sum"]
+           for r in global_running(df, axis=F.col("k"), order_cols=["k"],
+                                   value_col="v", num_buckets=3).collect()}
+    assert out == {0: None, 1: None, 2: 5.0, 3: 5.0, 4: 7.0}
