@@ -219,10 +219,20 @@ def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
     all-identical corpus is still fully detected — nothing is silently
     dropped, the quadratic is just bounded.
     """
-    stats = stacked.groupBy(*bucket_keys).agg(
-        F.count("*").alias("__bc"), F.min("__id").alias("__rep")
+    from pyspark.sql import Window
+
+    # Bucket size + representative via an unordered window over the
+    # bucket keys — ONE shuffle, and the output stays hash-partitioned on
+    # the same keys so the self-join below reuses the partitioning (no
+    # groupBy + join-back round trip).
+    w = Window.partitionBy(*bucket_keys)
+    # Persisted: the self-join (both sides) and the star branch all read
+    # this frame — keys-only rows, the same table you would checkpoint.
+    tagged = (
+        stacked.withColumn("__bc", F.count(F.lit(1)).over(w))
+        .withColumn("__rep", F.min("__id").over(w))
+        .persist()
     )
-    tagged = stacked.join(stats, bucket_keys)  # same keys as the groupBy — co-partitioned
     small = tagged.filter(F.col("__bc") <= max_bucket_size).select(*bucket_keys, "__id")
     left = small.select(*bucket_keys, F.col("__id").alias("id_a"))
     right = small.select(*bucket_keys, F.col("__id").alias("id_b"))
@@ -267,11 +277,10 @@ def minhash_lsh_candidates(
         ).alias(f"__band{b}")
         for b in range(bands)
     ]
-    # Persist the banded signatures: the bucket self-join reads this
-    # frame twice and Spark does not reuse the exchange across the two
-    # aliases. Signatures are ~bands*8 bytes/doc — at 100 TB of text
-    # this is the table you would checkpoint to storage anyway.
-    banded = sig.select("__id", *band_cols).persist()
+    # (The stacked+windowed bucket frame is persisted inside
+    # _capped_bucket_pairs — that cache covers every downstream read, so
+    # the banded frame itself needs no second persist.)
+    banded = sig.select("__id", *band_cols)
     stacked = banded.selectExpr(
         "__id",
         "stack({n}, {args}) as (band_id, band_hash)".format(
