@@ -12,9 +12,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def with_min_periods(agg_col: Column, count_col: Column, window, n: int) -> Column:
-    """Null out a windowed aggregate until >= n non-null rows in frame."""
-    return F.when(F.count(count_col).over(window) >= n, agg_col.over(window))
+def with_min_periods(
+    agg_col: Column, count_col: Column, window, n: int, *, windowed: bool = False
+) -> Column:
+    """Null out a windowed aggregate until >= n non-null rows in frame.
+
+    ``windowed=True`` means ``agg_col`` is already a fully-built windowed
+    expression (e.g. a rounded quotient of windowed aggs) and must not
+    get another ``.over``.
+    """
+    expr = agg_col if windowed else agg_col.over(window)
+    return F.when(F.count(count_col).over(window) >= n, expr)
 
 
 def global_running(

@@ -34,9 +34,11 @@ def _queries_corpus(spark, sf_dir):
     "sim_topk_cosine",
     """
     SELECT q.vec_id AS query_id, c.vec_id,
-           list_cosine_similarity(q.embedding, c.embedding) AS sim,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS sim,
            CAST(row_number() OVER (PARTITION BY q.vec_id
-                ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rank
+                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INT) AS rank
     FROM embeddings q CROSS JOIN embeddings c
     WHERE q.vec_id < 8
     QUALIFY rank <= 5
@@ -47,8 +49,10 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 8 query vectors — brute force,
     query side broadcast, corpus scanned once (no vector shuffle)."""
     queries, corpus = _queries_corpus(spark, sf_dir)
+    # Ranking stays on the raw sim (tie-breaks must not shift); only the
+    # OUTPUT is rounded — Spark vs DuckDB float fold order differs at ULP.
     return topk_cosine_bruteforce(queries, corpus, k=5).select(
-        "query_id", "vec_id", "sim", "rank"
+        "query_id", "vec_id", F.round("sim", 6).alias("sim"), "rank"
     ).orderBy("query_id", "rank")
 
 
@@ -56,10 +60,12 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pairs_threshold",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.embedding, b.embedding) AS sim
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
     FROM embeddings a JOIN embeddings b
       ON a.vec_id < b.vec_id AND a.label = b.label
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
     ORDER BY id_a, id_b
     """,
 )
@@ -67,8 +73,12 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup mining: pairs with cosine >= 0.3, blocked by
     the label column (IVF-style blocking bounds the quadratic)."""
     emb = _emb(spark, sf_dir)
-    return pairs_above_threshold(
+    pairs = pairs_above_threshold(
         emb, threshold=0.3, id_col="vec_id", vec_col="embedding", block_col="label"
+    )
+    # Threshold filter runs on the raw sim; only the output is rounded.
+    return pairs.select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim")
     ).orderBy("id_a", "id_b")
 
 

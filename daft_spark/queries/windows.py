@@ -84,8 +84,9 @@ def w_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_running_agg",
     """
     SELECT event_id,
-           sum(value) OVER w AS run_sum,
-           avg(value) OVER w AS run_avg,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum,
+           ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(value) OVER w, 6) AS run_avg,
            count(value) OVER w AS run_cnt,
            min(value) OVER w AS run_min,
            max(value) OVER w AS run_max
@@ -103,10 +104,15 @@ def w_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Exact decimal accumulation: Spark's and DuckDB's double window-sum
+    # algorithms differ (sequential vs segment-tree), so raw doubles land
+    # on opposite sides of decimal rounding ties. value has 2 decimals →
+    # DECIMAL(18,2) sums are exact; the double casts are then identical.
+    sum_dec = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
     return e.select(
         "event_id",
-        F.sum("value").over(w).alias("run_sum"),
-        F.avg("value").over(w).alias("run_avg"),
+        sum_dec.alias("run_sum"),
+        F.round(sum_dec / F.count("value").over(w), 6).alias("run_avg"),
         F.count("value").over(w).alias("run_cnt"),
         F.min("value").over(w).alias("run_min"),
         F.max("value").over(w).alias("run_max"),
@@ -185,7 +191,9 @@ def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_min_periods",
     """
     SELECT event_id,
-           CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS avg_5p
+           CASE WHEN count(value) OVER w >= 5
+                THEN ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                           / count(value) OVER w, 6) END AS avg_5p
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -203,9 +211,15 @@ def w_min_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Exact decimal sum / count instead of avg: see w_running_agg note.
+    avg_expr = F.round(
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count("value").over(w),
+        6,
+    )
     return e.select(
         "event_id",
-        with_min_periods(F.avg("value"), F.col("value"), w, 5).alias("avg_5p"),
+        with_min_periods(avg_expr, F.col("value"), w, 5, windowed=True).alias("avg_5p"),
     ).orderBy("event_id")
 
 
