@@ -33,7 +33,7 @@ HEADLINE = [
     "w_running_agg",
     "asof_backward_by",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_pipeline",
     "text_quality",
     "sim_topk_cosine",
 ]

@@ -81,10 +81,18 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+_MERSENNE_P = 4294967311  # smallest prime > 2^32 — universal-hash modulus
+
+
 def _perm_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) affine constants for universal-hash MinHash
-    permutations. Kept < 2^30 so a*h32 + b never overflows a signed
-    64-bit long (Spark 4 ANSI mode raises on overflow)."""
+    permutations ``(a*h + b) mod p``. Kept < 2^30 so a*h32 + b never
+    overflows a signed 64-bit long (Spark 4 ANSI mode raises on
+    overflow). The mod-p step is essential: without it min(a*h+b) is
+    monotonic in h, every coordinate collapses to a function of min(h),
+    and the 64 "permutations" are perfectly correlated (one-permutation
+    MinHash by accident — near-dup pairs then share either all bands or
+    none)."""
     consts = []
     x = seed & 0xFFFFFFFFFFFFFFFF
     for _ in range(num_hashes):
@@ -143,7 +151,7 @@ def minhash_signatures(
     short documents (< k tokens) still produce a signature."""
     ex = shingle_hashes(df, text_col, id_col, shingle_k)
     aggs = [
-        F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"__m{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
     ]
     return ex.groupBy("__id").agg(*aggs)
@@ -333,6 +341,44 @@ def jaccard_pairs(
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(__vid, __vsh) rows: per-doc SET of 32-bit shingle hashes —
+    the linear shingle hasher aggregated with collect_set. Jaccard over
+    these sets equals Jaccard over the shingle strings up to a
+    negligible ~2^-32 per-shingle collision probability."""
+    return (
+        shingle_hashes(df, text_col, id_col, shingle_k)
+        .groupBy("__id")
+        .agg(F.collect_set("__h").alias("__vsh"))
+        .withColumnRenamed("__id", "__vid")
+    )
+
+
+def jaccard_pairs_hashed(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_k: int = 3
+) -> DataFrame:
+    """Exact all-pairs Jaccard over hashed shingle sets (id_a < id_b,
+    jaccard >= threshold) — the brute-force ground truth the LSH path
+    approximates, using the SAME shingle sets the LSH verifier uses.
+
+    O(n^2) by construction: this is the verification harness for
+    corpus-bounded invariant checks (driver runs it on a 500-doc
+    fixture), NOT the scale path — at 100 TB use minhash_lsh_candidates
+    + verify_candidates_jaccard."""
+    sh = hashed_shingle_sets(df, text_col, id_col, shingle_k)
+    a = sh.select(F.col("__vid").alias("id_a"), F.col("__vsh").alias("sh_a"))
+    b = sh.select(F.col("__vid").alias("id_b"), F.col("__vsh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def verify_candidates_jaccard(
     candidates: DataFrame,
     df: DataFrame,
@@ -348,13 +394,7 @@ def verify_candidates_jaccard(
     the similarity by a negligible ~2^-32 per shingle."""
     # Persisted: joined twice (once per pair side); hashed shingle sets
     # are a few KB/doc vs the raw text they replace.
-    sh = (
-        shingle_hashes(df, text_col, id_col, shingle_k)
-        .groupBy("__id")
-        .agg(F.collect_set("__h").alias("__vsh"))
-        .withColumnRenamed("__id", "__vid")
-        .persist()
-    )
+    sh = hashed_shingle_sets(df, text_col, id_col, shingle_k).persist()
     out = (
         candidates.join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vsh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__vsh", "sh_b"), "id_b")

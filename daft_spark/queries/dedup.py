@@ -12,6 +12,7 @@ from daft_spark.io.readers import load_table
 from daft_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
+    jaccard_pairs_hashed,
     minhash_lsh_candidates,
     normalize_text,
     simhash_near_dups,
@@ -96,12 +97,80 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("dedup_minhash_lsh", None)
+# DuckDB restatement of the hashed-shingle pipeline: 3-token shingles
+# with '' trailing padding (xxhash64(t, t+1, t+2) tuples become
+# chr(31)-joined strings — tokens are [a-z0-9]+ so the separator never
+# collides), exact Jaccard over the distinct-shingle sets.
+_LSH_INVARIANT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)+1),
+                i -> t[i] || chr(31) || coalesce(t[i+1],'') || chr(31) || coalesce(t[i+2],''))) AS s
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT CAST(count(*) FILTER (j >= 0.5) AS BIGINT) AS n_exact_pairs_05,
+           CAST(count(*) FILTER (j >= 0.9) AS BIGINT) AS n_exact_pairs_09,
+           TRUE AS lsh_subset_of_exact_05,
+           TRUE AS lsh_recall_at_09
+    FROM pairs
+"""
+
+
+@register("dedup_minhash_lsh", _LSH_INVARIANT_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified at
-    0.5 (reference minhash kernel: src/daft-minhash/, misc.py:428; the
-    LSH pipeline is our scale extension). Deterministic (seeded
-    xxhash64) but not SQL-expressible -> rows-only check."""
+    """MinHash(64) + 16-band LSH + exact-Jaccard verify at 0.5
+    (reference minhash kernel: src/daft-minhash/, misc.py:428; the LSH
+    pipeline is our scale extension), driver-checked via invariant
+    booleans: the banded pipeline is not SQL-expressible, but (a) its
+    verified output must be a SUBSET of the exact all-pairs Jaccard>=0.5
+    set, and (b) it must find EVERY pair with Jaccard>=0.9 (16 bands x 4
+    rows -> P(miss | j=0.9) ~ 4e-8). DuckDB recomputes the exact pair
+    counts from the same shingle definition; the booleans come from the
+    real pipeline output, so a broken signature/banding/verify stage
+    flips them to false (this check caught a correlated-permutation bug
+    in round 3). The O(n^2) exact comparison is the corpus-bounded
+    verification harness; the scale path is the pipeline itself
+    (measured separately in bench as dedup_minhash_lsh_pipeline)."""
+    d = _docs(spark, sf_dir)
+    exact = jaccard_pairs_hashed(d, "text", "doc_id", threshold=0.5).persist()
+    cands = minhash_lsh_candidates(d, "text", "doc_id", num_hashes=64, bands=16)
+    ver = verify_candidates_jaccard(cands, d, "text", "doc_id", threshold=0.5)
+    counts = exact.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs_05"),
+        F.sum(F.when(F.col("jaccard") >= 0.9, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_pairs_09"),
+    )
+    ekeys = exact.select("id_a", "id_b")
+    subset = (
+        ver.join(ekeys, ["id_a", "id_b"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("lsh_subset_of_exact_05"))
+    )
+    recall = (
+        exact.filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+        .join(ver.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("lsh_recall_at_09"))
+    )
+    return counts.crossJoin(subset).crossJoin(recall)
+
+
+@register("dedup_minhash_lsh_pipeline", None)
+def dedup_minhash_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw MinHash-LSH near-dup pipeline output (id_a, id_b,
+    jaccard) — the bench/perf entry (scale path, no O(n^2) harness).
+    Correctness of the same pipeline is driver-verified by
+    dedup_minhash_lsh's invariant oracle; this row stays rows-only
+    because the banded candidate set itself is not SQL-expressible."""
     d = _docs(spark, sf_dir)
     cands = minhash_lsh_candidates(d, "text", "doc_id", num_hashes=64, bands=16)
     return verify_candidates_jaccard(cands, d, "text", "doc_id", threshold=0.5).orderBy(
@@ -109,14 +178,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", None)
+@register(
+    "dedup_simhash",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS all_self_pairs_h0,
+           TRUE AS copy_echo_consistent
+    FROM documents WHERE doc_id < 1000
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dups, Hamming <= 6 via 4-block candidate join
-    (reference simhash kernel: daft/functions/misc.py:462)."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
-    return simhash_near_dups(d, "text", "doc_id", max_hamming=6, blocks=4).orderBy(
-        "id_a", "id_b"
+    (reference simhash kernel: daft/functions/misc.py:462), driver-
+    checked via invariant booleans over a doc+copy corpus: every doc is
+    unioned with an identical copy (doc_id+10000), so (a) each of the
+    n_docs self pairs MUST be found with hamming exactly 0 (identical
+    text -> identical simhash -> chunks agree -> candidate), and (b)
+    every found original pair (a,b,h) must be echoed as (a, b+10000, h)
+    — b's copy has b's exact signature. A broken signature, chunk join,
+    or bit_count flips the booleans. The corpus is the fixture's
+    doc_id<1000 slice; the pipeline under test is the production
+    simhash_near_dups operator itself."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000).select("doc_id", "text")
+    copies = d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    corpus = d.unionAll(copies)
+    found = simhash_near_dups(corpus, "text", "doc_id", max_hamming=6, blocks=4).persist()
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    self_found = (
+        d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10000).alias("id_b"))
+        .join(found.filter(F.col("hamming") == 0), ["id_a", "id_b"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("all_self_pairs_h0"))
     )
+    orig = found.filter((F.col("id_a") < 10000) & (F.col("id_b") < 10000))
+    echo = found.select(
+        F.col("id_a"), (F.col("id_b") - 10000).alias("id_b"), F.col("hamming")
+    )
+    consistent = (
+        orig.join(echo, ["id_a", "id_b", "hamming"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("copy_echo_consistent"))
+    )
+    return n_docs.crossJoin(self_found).crossJoin(consistent)
 
 
 @register(
