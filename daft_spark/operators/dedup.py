@@ -26,11 +26,15 @@ DEFAULT_TOKEN_PATTERN = "[a-z0-9]+"
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the cluster's parallelism before CPU-bound
-    expression work. Small parquet inputs arrive as ONE split (a single
-    task would do all the hashing); real 100 TB inputs arrive as many
-    splits, where this is a cheap no-op-sized rebalance."""
+    """Spread a NARROW input across the cluster before CPU-bound
+    expression work — but only when it actually arrives narrow. Small
+    parquet fixtures come in as ONE split (a single task would do all
+    the hashing); a real 100 TB input already has tens of thousands of
+    splits, and `repartition()` there would round-robin-shuffle the
+    entire document payload for nothing, so it is skipped."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 
@@ -149,7 +153,14 @@ def minhash_signatures(
     MinHash is duplicate-invariant, so shingle de-duplication is
     deliberately skipped. Trailing positions shingle with '' padding so
     short documents (< k tokens) still produce a signature."""
-    ex = shingle_hashes(df, text_col, id_col, shingle_k)
+    return _signatures_from_hashes(
+        shingle_hashes(df, text_col, id_col, shingle_k), num_hashes, seed
+    )
+
+
+def _signatures_from_hashes(ex: DataFrame, num_hashes: int, seed: int = 42) -> DataFrame:
+    """min-aggregate the universal-hash permutations of (__id, __h)
+    shingle-hash rows into (__id, __m0..__m{n-1})."""
     aggs = [
         F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"__m{i}")
         for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
@@ -222,26 +233,37 @@ def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
     self-join. Buckets <= max_bucket_size self-join all-pairs; larger
     buckets fall back to STAR LINKING — every member pairs with the
     bucket's min id only (linear, m-1 pairs instead of m(m-1)/2).
-    Downstream Jaccard/Hamming verification still confirms each pair, and
-    duplicate clusters remain connected through the representative, so an
-    all-identical corpus is still fully detected — nothing is silently
-    dropped, the quadratic is just bounded.
-    """
-    from pyspark.sql import Window
+    Downstream Jaccard/Hamming verification still confirms each pair.
 
-    # Bucket size + representative via an unordered window over the
-    # bucket keys — ONE shuffle, and the output stays hash-partitioned on
-    # the same keys so the self-join below reuses the partitioning (no
-    # groupBy + join-back round trip).
-    w = Window.partitionBy(*bucket_keys)
-    # Persisted: the self-join (both sides) and the star branch all read
-    # this frame — keys-only rows, the same table you would checkpoint.
-    tagged = (
-        stacked.withColumn("__bc", F.count(F.lit(1)).over(w))
-        .withColumn("__rep", F.min("__id").over(w))
-        .persist()
+    Recall caveat: star linking is exact only for buckets of IDENTICAL
+    documents (every member verifies against the representative, and the
+    duplicate cluster stays connected through it). In an oversized
+    bucket of merely-similar documents, two members similar to each
+    other but not to the representative produce only (rep, member)
+    edges that verification then rejects — bounded recall loss, the
+    price of bounding the quadratic. Pairs in such buckets usually also
+    share OTHER band buckets (any of the b bands can produce the pair),
+    which is what keeps the loss small in practice; raise
+    max_bucket_size or pre-dedup exact duplicates if oversized buckets
+    of non-identical docs are expected.
+    """
+    # Oversized buckets found with a map-side-combining groupBy (cheap
+    # keys-only pre-check, almost always empty) and broadcast back —
+    # unlike the previous unordered-window formulation, well-behaved
+    # inputs pay one partial-aggregated count, not a full-row window
+    # sort per stacked row.
+    # Persisted: the all-pairs self-join reads ``stacked`` twice and the
+    # pre-check a third time; Spark does not reuse exchanges across
+    # self-join aliases. Keys-only rows, MEMORY_AND_DISK, evictable —
+    # callers that keep the session alive can spark.catalog.clearCache().
+    stacked = stacked.persist()
+    oversized = (
+        stacked.groupBy(*bucket_keys)
+        .agg(F.count(F.lit(1)).alias("__bc"), F.min("__id").alias("__rep"))
+        .filter(F.col("__bc") > max_bucket_size)
     )
-    small = tagged.filter(F.col("__bc") <= max_bucket_size).select(*bucket_keys, "__id")
+    tagged = stacked.join(F.broadcast(oversized), bucket_keys, "left")
+    small = tagged.filter(F.col("__bc").isNull()).select(*bucket_keys, "__id")
     left = small.select(*bucket_keys, F.col("__id").alias("id_a"))
     right = small.select(*bucket_keys, F.col("__id").alias("id_b"))
     small_pairs = (
@@ -250,7 +272,7 @@ def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
         .select("id_a", "id_b")
     )
     star_pairs = (
-        tagged.filter((F.col("__bc") > max_bucket_size) & (F.col("__id") != F.col("__rep")))
+        tagged.filter(F.col("__bc").isNotNull() & (F.col("__id") != F.col("__rep")))
         .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
     )
     return small_pairs.unionAll(star_pairs).distinct()
@@ -276,8 +298,16 @@ def minhash_lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    return _band_candidates(sig, num_hashes, bands, max_bucket_size)
+
+
+def _band_candidates(
+    sig: DataFrame, num_hashes: int, bands: int, max_bucket_size: int
+) -> DataFrame:
+    """Band/bucket/self-join a (__id, __m*) signature frame into
+    candidate pairs."""
+    r = num_hashes // bands
     band_cols = [
         F.xxhash64(
             F.concat_ws("|", *[F.col(f"__m{b * r + j}") for j in range(r)]),
@@ -395,6 +425,12 @@ def verify_candidates_jaccard(
     # Persisted: joined twice (once per pair side); hashed shingle sets
     # are a few KB/doc vs the raw text they replace.
     sh = hashed_shingle_sets(df, text_col, id_col, shingle_k).persist()
+    return _verify_with_sets(candidates, sh, threshold)
+
+
+def _verify_with_sets(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard filter of candidate pairs against a (__vid, __vsh)
+    hashed-shingle-set frame."""
     out = (
         candidates.join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vsh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__vsh", "sh_b"), "id_b")
@@ -405,6 +441,31 @@ def verify_candidates_jaccard(
         out.select("id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup mining: shingle -> signature ->
+    band -> capped bucket join -> exact-Jaccard verify, sharing ONE
+    exploded (__id, __h) shingle frame between the signature and verify
+    stages (the two most expensive scans of the corpus), so the raw
+    text is tokenized and hashed exactly once."""
+    ex = shingle_hashes(df, text_col, id_col, shingle_k).persist()
+    sig = _signatures_from_hashes(ex, num_hashes, seed)
+    cands = _band_candidates(sig, num_hashes, bands, max_bucket_size)
+    sets = ex.groupBy("__id").agg(F.collect_set("__h").alias("__vsh")).withColumnRenamed(
+        "__id", "__vid"
+    )
+    return _verify_with_sets(cands, sets, threshold)
 
 
 def simhash_near_dups(

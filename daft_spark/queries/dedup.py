@@ -13,10 +13,9 @@ from daft_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     jaccard_pairs_hashed,
-    minhash_lsh_candidates,
+    minhash_near_dups,
     normalize_text,
     simhash_near_dups,
-    verify_candidates_jaccard,
 )
 from daft_spark.queries import register
 
@@ -142,8 +141,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured separately in bench as dedup_minhash_lsh_pipeline)."""
     d = _docs(spark, sf_dir)
     exact = jaccard_pairs_hashed(d, "text", "doc_id", threshold=0.5).persist()
-    cands = minhash_lsh_candidates(d, "text", "doc_id", num_hashes=64, bands=16)
-    ver = verify_candidates_jaccard(cands, d, "text", "doc_id", threshold=0.5)
+    ver = minhash_near_dups(d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5)
     counts = exact.agg(
         F.count(F.lit(1)).alias("n_exact_pairs_05"),
         F.sum(F.when(F.col("jaccard") >= 0.9, 1).otherwise(0))
@@ -172,8 +170,7 @@ def dedup_minhash_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh's invariant oracle; this row stays rows-only
     because the banded candidate set itself is not SQL-expressible."""
     d = _docs(spark, sf_dir)
-    cands = minhash_lsh_candidates(d, "text", "doc_id", num_hashes=64, bands=16)
-    return verify_candidates_jaccard(cands, d, "text", "doc_id", threshold=0.5).orderBy(
+    return minhash_near_dups(d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5).orderBy(
         "id_a", "id_b"
     )
 

@@ -135,3 +135,41 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     plan = plan_of(back)
     # pruned partition filter appears as PartitionFilters, not a post-scan Filter
     assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_spread_no_shuffle_when_well_partitioned(spark):
+    """_spread must NOT round-robin-shuffle an input that already has
+    >= defaultParallelism partitions (at 100 TB that would shuffle the
+    whole corpus before any hashing)."""
+    from daft_spark.operators.dedup import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, numPartitions=par * 2).withColumn(
+        "text", F.concat(F.lit("doc "), F.col("id"))
+    )
+    out = _spread(wide)
+    assert "RoundRobinPartitioning" not in plan_of(out)
+    narrow = spark.range(0, 100, 1, numPartitions=1)
+    assert "RoundRobinPartitioning" in plan_of(_spread(narrow))
+
+
+def test_q5_region_pruning_before_fact_join(spark):
+    """Dimension-first Q5: the ASIA restriction must reach customer and
+    supplier BEFORE the big fact joins — visible as the region filter
+    sitting under broadcast joins against customer/supplier, not after
+    the c x o x l join."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(all_queries()["tpch_q5"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the region filter appears in the scan-side subtree (pushed into
+    # the dimension pipeline), and customer is joined against the
+    # broadcast nation/region slice rather than raw orders first
+    assert "ASIA" in plan
+    lines = plan.splitlines()
+    bcast_first = min(i for i, ln in enumerate(lines) if "BroadcastHashJoin" in ln)
+    smj_lines = [i for i, ln in enumerate(lines) if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+    # at sf0.001 AQE may broadcast everything; when shuffle joins exist,
+    # at least one broadcast (dimension) join must sit below them
+    if smj_lines:
+        assert bcast_first < max(smj_lines)
