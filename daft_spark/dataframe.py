@@ -139,7 +139,13 @@ class DataFrame:
         # are never renamed; reference renames only non-join-key collisions).
         if left_on is not None:
             rkeys = right_on if isinstance(right_on, (list, tuple)) else [right_on]
-            right_key_names = {k for k in rkeys if isinstance(k, str)}
+            if all(isinstance(k, str) for k in rkeys):
+                right_key_names = set(rkeys)
+            else:
+                # Column-valued join keys are bound to the pre-rename
+                # plan — renaming the right side would unbind them, so
+                # treat this like the Column-condition case.
+                right_key_names = None
         elif isinstance(on, str):
             right_key_names = {on}
         elif isinstance(on, (list, tuple)) and all(isinstance(c, str) for c in on):

@@ -15,6 +15,14 @@ Scale design (100 TB posture):
 - Exact verification joins payloads ONLY for candidate pairs.
 - All hashing is xxhash64 with fixed integer seeds — deterministic
   across runs/partitionings.
+
+Cache lifecycle: operators persist() small intermediate frames that
+their returned plan reads more than once (Spark does not reuse
+exchanges across self-join aliases). The cache must outlive the
+returned (lazy) DataFrame, so these functions cannot unpersist it
+themselves — blocks are MEMORY_AND_DISK and LRU-evictable, and callers
+running many pipelines in one long-lived session can reclaim
+explicitly with ``spark.catalog.clearCache()``.
 """
 
 from __future__ import annotations

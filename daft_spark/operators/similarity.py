@@ -243,6 +243,9 @@ def topk_cosine_ivf(
     partitions (rank centroids per query on the tiny broadcast centroid
     table). The 100 TB shape: corpus persisted partitioned by
     centroid_id -> partition-pruned probes."""
+    # Persisted because the returned plan reads centroids twice; caches
+    # are LRU-evictable — long-lived sessions reclaim with
+    # spark.catalog.clearCache() (see dedup module docstring).
     cents = ivf_train(corpus, num_centroids, corpus_id, corpus_vec, iters=iters).persist()
     assigned = ivf_assign(corpus, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
     q = queries.select(F.col(query_id), F.col(query_vec))

@@ -52,8 +52,12 @@ def global_running(
     d = df.withColumn("__gx", axis.cast("double"))
     bounds = d.agg(F.min("__gx").alias("__lo"), F.max("__gx").alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(num_buckets)
+    # Null axis rows get explicit bucket 0: they sort FIRST under
+    # Spark's asc-nulls-first default, and an explicit id keeps them out
+    # of the real buckets' offsets and safe from null-key join drops.
     bkt = (
-        F.when(F.col("__hi") <= F.col("__lo"), F.lit(1))
+        F.when(F.col("__gx").isNull(), F.lit(0))
+        .when(F.col("__hi") <= F.col("__lo"), F.lit(1))
         .otherwise(F.least(F.lit(num_buckets),
                            (F.floor((F.col("__gx") - F.col("__lo")) / width) + 1).cast("int")))
         .cast("int")

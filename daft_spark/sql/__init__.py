@@ -28,6 +28,50 @@ _TABLE_FN = re.compile(
 )
 
 
+def _sql_segments(query: str):
+    """Split SQL into (text, is_code) segments: string literals
+    ('' escaping), double-quoted identifiers ("" escaping), -- line
+    comments and /* */ block comments are non-code and never rewritten."""
+    out, i, n, start = [], 0, len(query), 0
+
+    def flush_code(end):
+        if end > start:
+            out.append((query[start:end], True))
+
+    while i < n:
+        two = query[i : i + 2]
+        if query[i] in ("'", '"'):
+            q = query[i]
+            flush_code(i)
+            j = i + 1
+            while j < n:
+                if query[j] == q:
+                    if j + 1 < n and query[j + 1] == q:  # doubled-quote escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j + 1, n)
+            out.append((query[i:j], False))
+            i = start = j
+        elif two == "--":
+            flush_code(i)
+            j = query.find("\n", i)
+            j = n if j == -1 else j + 1
+            out.append((query[i:j], False))
+            i = start = j
+        elif two == "/*":
+            flush_code(i)
+            j = query.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            out.append((query[i:j], False))
+            i = start = j
+        else:
+            i += 1
+    flush_code(n)
+    return out
+
+
 def _expand_table_functions(query: str, spark: SparkSession) -> str:
     from daft_spark.io import readers
 
@@ -38,14 +82,50 @@ def _expand_table_functions(query: str, spark: SparkSession) -> str:
         "text": readers.read_text,
     }
 
+    # Two passes so a query that will not rewrite cleanly registers no
+    # views: collect (fmt, path) first, create views only when the whole
+    # scan succeeded.
+    pending: list[tuple[str, str]] = []
+
     def repl(m: re.Match) -> str:
         fmt, path = m.group(1).lower(), m.group(2)
+        pending.append((fmt, path))
         digest = hashlib.md5(f"{fmt}|{path}".encode()).hexdigest()[:12]
-        view = f"__daft_tf_{fmt}_{digest}"
-        fns[fmt](path, spark=spark).createOrReplaceTempView(view)
-        return view
+        return f"__daft_tf_{fmt}_{digest}"
 
-    return _TABLE_FN.sub(repl, query)
+    # A read_xxx('...') call site spans the quote boundary (its path is a
+    # string literal), so rewrite on code+literal PAIRS: only match where
+    # the segment walker says the "read_parquet(" prefix is real code —
+    # matches living entirely inside literals/comments are skipped.
+    pieces = []
+    segs = _sql_segments(query)
+    k = 0
+    while k < len(segs):
+        text, is_code = segs[k]
+        if not is_code:
+            pieces.append(text)
+            k += 1
+            continue
+        # merge this code segment with an immediately following string
+        # literal (+closing code) so the regex can see the full call
+        merged = text
+        consumed = 0
+        while (
+            k + consumed + 1 < len(segs)
+            and segs[k + consumed + 1][0].startswith("'")
+            and re.search(r"\bread_(parquet|csv|json|text)\s*\(\s*$", merged, re.IGNORECASE)
+        ):
+            merged += segs[k + consumed + 1][0]
+            consumed += 1
+            if k + consumed + 1 < len(segs) and segs[k + consumed + 1][1]:
+                merged += segs[k + consumed + 1][0]
+                consumed += 1
+        pieces.append(_TABLE_FN.sub(repl, merged))
+        k += consumed + 1
+    for fmt, path in pending:
+        digest = hashlib.md5(f"{fmt}|{path}".encode()).hexdigest()[:12]
+        fns[fmt](path, spark=spark).createOrReplaceTempView(f"__daft_tf_{fmt}_{digest}")
+    return "".join(pieces)
 
 
 def sql(query: str, spark: SparkSession | None = None, **frames) -> DataFrame:
