@@ -61,16 +61,35 @@ class HashEmbedProvider:
         return out
 
 
+def _resolve_factory(provider, method: str, fallback: Callable[[], object]):
+    """Map a ``provider=`` argument (registry name, Provider instance, or
+    None) to an executor-side model factory; ``provider_factory`` wins
+    for back-compat when given explicitly."""
+    if provider is None:
+        return fallback
+    from daft_spark.multimodal.provider import Provider, load_provider
+
+    if isinstance(provider, str):
+        provider = load_provider(provider)
+    if not isinstance(provider, Provider):
+        raise TypeError(f"provider must be a registry name or Provider, got {type(provider)}")
+    return getattr(provider, method)()
+
+
 def llm_generate(
     df: DataFrame,
     prompt_col: str,
     out_col: str = "generation",
     provider_factory: Callable[[], object] = EchoProvider,
     batch_size: int | None = None,
+    provider: "str | object | None" = None,
 ) -> DataFrame:
     """Batched text generation (reference llm_generate, llm.py:11).
     One model instance per executor; prompts flow through in Arrow
-    batches; output cardinality 1:1."""
+    batches; output cardinality 1:1. ``provider`` accepts a registry
+    name ('deterministic', 'openai', 'lm_studio', 'transformers',
+    'vllm') or a Provider instance (multimodal/provider.py)."""
+    provider_factory = _resolve_factory(provider, "get_prompter", provider_factory)
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{fields}, `{out_col}` string"
     key = f"llm:{provider_factory.__module__}.{provider_factory.__qualname__}"
@@ -96,9 +115,12 @@ def embed_text(
     text_col: str,
     out_col: str = "embedding",
     provider_factory: Callable[[], object] = HashEmbedProvider,
+    provider: "str | object | None" = None,
 ) -> DataFrame:
     """Batched text embedding (reference embed_text, ai/:72). Output is
-    array<float> — the Embedding dtype convention (SURVEY §1.2)."""
+    array<float> — the Embedding dtype convention (SURVEY §1.2).
+    ``provider`` as in llm_generate."""
+    provider_factory = _resolve_factory(provider, "get_text_embedder", provider_factory)
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{fields}, `{out_col}` array<float>"
     key = f"embed:{provider_factory.__module__}.{provider_factory.__qualname__}"
@@ -118,10 +140,13 @@ def classify_text(
     labels: list[str],
     out_col: str = "label",
     provider_factory: Callable[[], object] | None = None,
+    provider: "str | object | None" = None,
 ) -> DataFrame:
     """Batched zero-shot-style classification (reference classify_text,
     ai/:250). Default deterministic provider: argmax over hash-embedding
-    dot products with label embeddings."""
+    dot products with label embeddings. ``provider`` as in llm_generate."""
+    if provider is not None:
+        provider_factory = _resolve_factory(provider, "get_text_classifier", provider_factory)
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{fields}, `{out_col}` string"
     factory = provider_factory or HashEmbedProvider

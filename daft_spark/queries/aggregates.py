@@ -367,27 +367,48 @@ def agg_map_groups_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_udaf_weighted_mean",
     """
     SELECT user_id,
-           sum(value * (event_id % 10 + 1)) / sum(event_id % 10 + 1) AS wmean
+           CAST(sum(CAST(round(value * 100) AS BIGINT) * (event_id % 10 + 1)) AS DOUBLE)
+             / (100.0 * sum(event_id % 10 + 1)) AS wmean
     FROM events WHERE value IS NOT NULL
     GROUP BY user_id ORDER BY user_id
     """,
 )
 def agg_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom UDAF via pandas_udf GROUPED_AGG (reference: daft.udf.udaf,
-    daft/udf/udaf.py:16) — weighted mean with deterministic weights."""
-    from pyspark.sql.functions import pandas_udf
+    """Custom UDAF with MAP-SIDE PARTIAL AGGREGATION via two_stage_udaf
+    (reference AggFnMap/Combine/Reduce contract,
+    src/daft-dsl/src/expr/mod.rs:474-501; daft.udf.udaf surface,
+    daft/udf/udaf.py:16) — weighted mean with deterministic weights.
+    Each Arrow batch pre-aggregates to one (user, sum_vw, sum_w) state
+    row before the shuffle; the reducer merges states. States are exact
+    int64 (value has 2 decimals -> value*100 is integral), so the final
+    double division is bit-identical to DuckDB's regardless of
+    accumulation order."""
+    from daft_spark.udf import two_stage_udaf
 
-    @pandas_udf("double")
-    def wmean_udaf(v: pd.Series, w: pd.Series) -> float:
-        return float((v * w).sum() / w.sum())
+    def map_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        iv = (pdf["value"] * 100).round().astype("int64")
+        w = (pdf["event_id"] % 10 + 1).astype("int64")
+        g = pd.DataFrame({"user_id": pdf["user_id"], "vw": iv * w, "w": w}).groupby(
+            "user_id", as_index=False
+        )
+        return g.sum()
 
-    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
-    weights = (F.col("event_id") % 10 + 1).cast("double")
-    return (
-        e.groupBy("user_id")
-        .agg(wmean_udaf(F.col("value"), weights).alias("wmean"))
-        .orderBy("user_id")
+    def reduce_final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": [key[0]], "wmean": [float(pdf["vw"].sum()) / (100.0 * pdf["w"].sum())]}
+        )
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "user_id", "event_id", "value"
     )
+    agg = two_stage_udaf(
+        keys=["user_id"],
+        partial_schema="user_id bigint, vw bigint, w bigint",
+        output_schema="user_id bigint, wmean double",
+        map_partial=map_partial,
+        reduce_final=reduce_final,
+    )
+    return agg(e).orderBy("user_id")
 
 
 @register(

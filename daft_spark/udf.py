@@ -56,15 +56,51 @@ func.batch = batch_func
 def udaf(return_dtype: str = "double"):
     """Custom aggregation (reference daft.udf.udaf): the function
     receives pandas Series per group and returns one scalar.
-    NOTE: GROUPED_AGG pandas UDFs have no partial aggregation — shuffle
-    is whole-rows. For reduce-style UDAFs that CAN be split, prefer
-    expressing map/combine/reduce as built-in aggs (see
+    NOTE: GROUPED_AGG pandas UDFs have no partial aggregation — the
+    shuffle moves whole rows. For reduce-style UDAFs that CAN be split,
+    use ``two_stage_udaf`` below (map-side pre-agg, states-only
+    shuffle), or express map/combine/reduce as built-in aggs (see
     functions/aggs.py product for the pattern)."""
 
     def deco(fn: Callable):
         return pandas_udf(fn, returnType=return_dtype)
 
     return deco
+
+
+def two_stage_udaf(
+    keys: list[str],
+    partial_schema: str,
+    output_schema: str,
+    map_partial: Callable,
+    reduce_final: Callable,
+):
+    """Distributed custom aggregation with MAP-SIDE PARTIAL AGGREGATION —
+    the Spark re-expression of the reference's AggFnMap/Combine/Reduce
+    contract (reference: ``src/daft-dsl/src/expr/mod.rs:474-501``).
+
+    ``map_partial(pdf) -> pdf`` pre-aggregates each Arrow batch down to
+    one state row per key (runs inside the scan stage, before any
+    shuffle); ``reduce_final(key, pdf_of_states) -> pdf`` merges the
+    per-batch states after the key shuffle and finishes the result.
+
+    Scale contrast with ``udaf``/GROUPED_AGG pandas UDFs: those shuffle
+    EVERY input row to the reducer; this shuffles at most
+    (batches x distinct-keys-per-batch) state rows — the same reason
+    built-in aggs run partial+final HashAggregate. Use it whenever the
+    aggregation state is mergeable.
+
+    Returns a callable ``apply(df) -> DataFrame``.
+    """
+
+    def apply(df):
+        sdf = df if not hasattr(df, "_sdf") else df._sdf
+        partial = sdf.mapInPandas(
+            lambda it: (map_partial(pdf) for pdf in it), partial_schema
+        )
+        return partial.groupBy(*keys).applyInPandas(reduce_final, output_schema)
+
+    return apply
 
 
 def generator_udf(schema: str):

@@ -109,3 +109,89 @@ def test_minhash_permutations_independent(spark):
             if 0 < eq < 16:
                 partials += 1
     assert partials > 0
+
+
+def test_two_stage_udaf_shuffles_states_not_rows(spark):
+    """The two-stage UDAF plan must pre-aggregate INSIDE the scan stage:
+    MapInPandas sits below the Exchange, FlatMapGroupsInPandas above it
+    — the shuffle moves per-batch states, not input rows."""
+    import pandas as pd
+
+    from daft_spark.udf import two_stage_udaf
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("v")
+    )
+
+    def map_partial(pdf):
+        g = pdf.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+        return g
+
+    def reduce_final(key, pdf):
+        return pd.DataFrame({"k": [key[0]], "mean_v": [pdf["s"].sum() / pdf["n"].sum()]})
+
+    agg = two_stage_udaf(["k"], "k bigint, s double, n bigint",
+                         "k bigint, mean_v double", map_partial, reduce_final)
+    out = agg(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    i_map = min(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    i_ex = min(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    i_red = min(i for i, ln in enumerate(lines) if "FlatMapGroupsInPandas" in ln)
+    assert i_red < i_ex < i_map, plan  # top-down: reducer above exchange above map
+    rows = {r["k"]: r["mean_v"] for r in out.collect()}
+    import math
+    for k in range(7):
+        vals = [v for v in range(10_000) if v % 7 == k]
+        assert math.isclose(rows[k], sum(vals) / len(vals))
+
+
+class TestProviderRegistry:
+    """API parity with the reference provider protocol
+    (daft/ai/provider.py): registry names, Provider ABC surface, clean
+    import gates for absent runtimes."""
+
+    def test_load_provider_surface(self):
+        import inspect
+
+        from daft_spark.multimodal.provider import Provider, load_provider
+
+        sig = inspect.signature(load_provider)
+        assert list(sig.parameters) == ["provider", "name", "options"]
+        for m in ("get_text_embedder", "get_text_classifier", "get_prompter"):
+            assert hasattr(Provider, m)
+        p = load_provider("deterministic")
+        assert p.name == "deterministic"
+        with pytest.raises(ValueError):
+            load_provider("nope")
+
+    def test_absent_runtimes_raise_cleanly(self):
+        from daft_spark.multimodal.provider import ProviderImportError, load_provider
+
+        for name in ("openai", "lm_studio", "transformers", "vllm"):
+            with pytest.raises(ProviderImportError):
+                load_provider(name)
+
+    def test_unimplemented_protocol_raises(self):
+        from daft_spark.multimodal.provider import DeterministicProvider
+
+        class Thin(DeterministicProvider):
+            def get_prompter(self, model=None, **options):
+                raise NotImplementedError(
+                    f"llm_generate is not currently implemented for the '{self.name}' provider"
+                )
+
+        with pytest.raises(NotImplementedError):
+            Thin().get_prompter()
+
+    def test_provider_kwarg_wires_through(self, spark):
+        from daft_spark.multimodal.llm import classify_text, embed_text, llm_generate
+
+        df = spark.createDataFrame([("hello world",), ("spark graft",)], "text: string")
+        out = llm_generate(df, "text", provider="deterministic").collect()
+        assert all(r["generation"].startswith("echo:") for r in out)
+        emb = embed_text(df, "text", provider="deterministic").collect()
+        assert all(len(r["embedding"]) == 16 for r in emb)
+        lab = classify_text(df, "text", labels=["greeting", "tech"],
+                            provider="deterministic").collect()
+        assert all(r["label"] in ("greeting", "tech") for r in lab)
