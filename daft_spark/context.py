@@ -18,6 +18,11 @@ from pyspark.sql import SparkSession
 
 # Confs that must be set before the JVM session exists.
 BUILD_CONFS: dict[str, str] = {
+    # local[N] runs driver+executors in ONE JVM; the 1g default heap
+    # dies at sf>=1 (on a real cluster this is spark.executor.memory
+    # per node instead). Overridable via SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    "spark.driver.maxResultSize": "4g",
     # Runtime re-planning: partition coalescing, skew-join splitting,
     # shuffle-join -> broadcast demotion. The reference picks join
     # strategy from size stats (src/common/daft-config/src/lib.rs:173);
