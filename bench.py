@@ -40,7 +40,7 @@ HEADLINE = [
 
 
 def main() -> None:
-    from daft_spark.context import get_or_create
+    from daft_spark.context import get_or_create, release_caches
     from daft_spark.queries import all_queries
 
     spark = get_or_create(app_name="daft_spark_bench", master=f"local[{CPUS}]")
@@ -52,16 +52,27 @@ def main() -> None:
     # cold_total); timed pass measures steady-state throughput — the
     # same warm-run discipline as the reference's pytest-benchmark
     # harness (tests/benchmarks/test_local_tpch.py).
+    #
+    # Both engines materialize results as Arrow (Spark toArrow, DuckDB
+    # .arrow()): the query's full result must land in driver memory in
+    # columnar form. Per-row Python object construction (collect /
+    # fetchall) measures the client binding, not the engine — at 1M+
+    # result rows it dominated Spark timings while DuckDB's C-level
+    # tuples hid the same cost.
     cold_total = 0.0
     failed: set[str] = set()
     for name in names:
         t0 = time.perf_counter()
         try:
-            registry[name].spark_fn(spark, SF_DIR).collect()
+            _materialize(registry[name].spark_fn(spark, SF_DIR))
             cold_total += time.perf_counter() - t0
         except Exception as e:
             print(f"# bench {name} FAILED (cold): {e}", file=sys.stderr)
             failed.add(name)
+        # Caches persisted inside one query's plan must not leak into the
+        # next query's executor storage (they distort its timing via
+        # eviction churn and GC); every timing below is self-contained.
+        release_caches(spark)
 
     total = 0.0
     for name in names:
@@ -71,7 +82,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = registry[name].spark_fn(spark, SF_DIR)
-            df.collect()
+            _materialize(df)
             dt = time.perf_counter() - t0
         except Exception as e:  # record failures as -1, keep going
             print(f"# bench {name} FAILED: {e}", file=sys.stderr)
@@ -79,6 +90,7 @@ def main() -> None:
         timings[name] = round(dt, 3)
         if dt > 0:
             total += dt
+        release_caches(spark)
 
     # Like-for-like local reference: DuckDB (the correctness oracle) runs
     # the SAME queries on the SAME parquet at the SAME scale factor and
@@ -105,6 +117,15 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _materialize(df) -> None:
+    """Pull the full result into the driver as Arrow (columnar), falling
+    back to collect() for result types Arrow can't convey."""
+    try:
+        df.toArrow()
+    except Exception:
+        df.collect()
 
 
 def _with_ratio(vs_ref: dict, timings: dict) -> dict:
@@ -139,9 +160,9 @@ def _duckdb_reference(registry, names, failed) -> dict:
         if oracle is None or name in failed:
             continue  # non-SQL-expressible (e.g. dedup_minhash_lsh) — excluded
         try:
-            con.execute(oracle).fetchall()  # warm (buffers + plan cache)
+            con.execute(oracle).arrow()  # warm (buffers + plan cache)
             t0 = time.perf_counter()
-            con.execute(oracle).fetchall()
+            con.execute(oracle).arrow()
             dtimes[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:
             print(f"# bench duckdb {name} FAILED: {e}", file=sys.stderr)

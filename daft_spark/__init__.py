@@ -58,6 +58,48 @@ def read_kafka(bootstrap_servers, topic, **kw) -> DataFrame:
     return _wrap(_rk(bootstrap_servers, topic, **kw))
 
 
+def read_warc(path, **kw) -> DataFrame:
+    from daft_spark.io.warc import read_warc as _rw
+
+    return _wrap(_rw(path, **kw))
+
+
+def read_deltalake(path, **kw) -> DataFrame:
+    from daft_spark.io.lakehouse import read_deltalake as _rd
+
+    return _wrap(_rd(path, **kw))
+
+
+def read_iceberg(table, **kw) -> DataFrame:
+    from daft_spark.io.lakehouse import read_iceberg as _ri
+
+    return _wrap(_ri(table, **kw))
+
+
+def read_hudi(path, **kw) -> DataFrame:
+    from daft_spark.io.lakehouse import read_hudi as _rh
+
+    return _wrap(_rh(path, **kw))
+
+
+def read_lance(path, **kw) -> DataFrame:
+    from daft_spark.io.lakehouse import read_lance as _rl
+
+    return _wrap(_rl(path, **kw))
+
+
+def read_huggingface(repo, **kw) -> DataFrame:
+    from daft_spark.io.lakehouse import read_huggingface as _rhf
+
+    return _wrap(_rhf(repo, **kw))
+
+
+def read_mcap(path, **kw) -> DataFrame:
+    from daft_spark.io.mcap import read_mcap as _rm
+
+    return _wrap(_rm(path, **kw))
+
+
 def from_pydict(data, **kw) -> DataFrame:
     from daft_spark.io.readers import from_pydict as _fp
 
@@ -107,11 +149,18 @@ __all__ = [
     "lit",
     "range",
     "read_csv",
+    "read_deltalake",
+    "read_hudi",
+    "read_huggingface",
+    "read_iceberg",
     "read_json",
     "read_kafka",
+    "read_lance",
+    "read_mcap",
     "read_parquet",
     "read_sql",
     "read_text",
+    "read_warc",
     "sql",
     "sql_expr",
 ]

@@ -98,6 +98,23 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def release_caches(spark: SparkSession) -> None:
+    """Drop every cached/persisted DataFrame in the session.
+
+    Operators like :func:`daft_spark.operators.dedup.minhash_lsh_candidates`
+    persist small intermediate frames that their returned (lazy) plan
+    reads more than once; the cache must outlive the returned DataFrame,
+    so the operator cannot unpersist it itself. Callers that run many
+    pipelines in one long-lived session own the cache lifecycle — call
+    this between pipelines to reclaim executor storage deterministically
+    instead of waiting for LRU eviction.
+    """
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make ``daft_spark`` importable inside Python workers regardless of
     the driver's cwd: zip the package and addPyFile it (the same

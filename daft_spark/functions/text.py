@@ -37,8 +37,11 @@ def words(col: Column) -> Column:
 def token_count(col: Column) -> Column:
     """Whitespace/regex token count (reference: tokenize_* surface in
     daft/functions/str.py; BPE-ish regex tokenization approximated by
-    the word regex)."""
-    return F.size(words(col))
+    the word regex). regexp_count == size(regexp_extract_all(...)) but
+    never materializes the token array — one regex scan, zero per-token
+    allocations (the oracle keeps the extract_all formulation; the
+    count is identical by definition)."""
+    return F.regexp_count(F.lower(col), F.lit(WORD_RE))
 
 
 def char_count(col: Column) -> Column:
@@ -46,9 +49,12 @@ def char_count(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of non-alphanumeric, non-space characters."""
-    stripped = F.regexp_replace(col, "[A-Za-z0-9 ]", "")
-    return F.length(stripped).cast("double") / F.greatest(
+    """Fraction of non-alphanumeric, non-space characters. Counted as
+    length - regexp_count(one-char alnum/space class) — equivalent to
+    stripping those chars and measuring, without building the stripped
+    copy of every document."""
+    kept = F.regexp_count(col, F.lit("[A-Za-z0-9 ]"))
+    return (F.length(col) - kept).cast("double") / F.greatest(
         F.length(col).cast("double"), F.lit(1.0)
     )
 

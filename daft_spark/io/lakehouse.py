@@ -43,9 +43,28 @@ def _format_read(spark: SparkSession, fmt: str, path_or_table: str, package_hint
         raise
 
 
-def read_deltalake(path: str, spark: SparkSession | None = None, **options) -> DataFrame:
-    """reference read_deltalake -> spark.read.format('delta')."""
-    return _format_read(_session(spark), "delta", path, "io.delta:delta-spark_2.13", options)
+def read_deltalake(
+    path: str, spark: SparkSession | None = None, version: int | None = None, **options
+) -> DataFrame:
+    """reference read_deltalake (daft/io/delta_lake/_deltalake.py:22) ->
+    spark.read.format('delta') when the connector is on the classpath,
+    else the pure-Python log replay (daft_spark.io.delta) for local
+    non-partitioned tables — mirroring the reference, which also reads
+    Delta without a Spark connector (via delta-rs). ``version`` time
+    travels."""
+    spark = _session(spark)
+    try:
+        if version is not None:
+            options = {**options, "versionAsOf": str(version)}
+        return _format_read(spark, "delta", path, "io.delta:delta-spark_2.13", options)
+    except ImportError:
+        import os
+
+        from daft_spark.io.delta import read_deltalake_py
+
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            return read_deltalake_py(path, spark, version=version)
+        raise
 
 
 def read_iceberg(table: str, spark: SparkSession | None = None, snapshot_id: int | None = None) -> DataFrame:
@@ -76,29 +95,49 @@ def read_lance(path: str, spark: SparkSession | None = None, **options) -> DataF
 
 
 def read_huggingface(repo: str, spark: SparkSession | None = None, **options) -> DataFrame:
-    """reference read_huggingface: 'hf://datasets/<org>/<name>' -> the
-    dataset's auto-converted parquet endpoint. Network-dependent; maps
-    the repo id to the public parquet URL layout and delegates to the
-    parquet reader."""
+    """reference read_huggingface (daft/io/huggingface/__init__.py:38):
+    'hf://datasets/<org>/<name>' -> the dataset's auto-converted parquet
+    shards, read as ordinary multi-file parquet (pushdowns apply).
+
+    Resolution order:
+    1. A local mirror: $DAFT_SPARK_HF_MIRROR/<org>/<name>/**.parquet —
+       the layout `huggingface_hub.snapshot_download` produces. This is
+       the offline path (air-gapped clusters pre-stage datasets the
+       same way).
+    2. The public endpoint https://huggingface.co/api/datasets/<repo>/
+       parquet — requires outbound network, absent in this container,
+       so it raises with the exact URL a networked deployment would
+       resolve.
+    """
+    import glob as _glob
+    import os
+
     spark = _session(spark)
     if repo.startswith("hf://"):
         repo = repo[len("hf://") :]
     if repo.startswith("datasets/"):
         repo = repo[len("datasets/") :]
+    mirror = os.environ.get("DAFT_SPARK_HF_MIRROR")
+    if mirror:
+        root = os.path.join(mirror, *repo.split("/"))
+        shards = sorted(_glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+        if not shards:
+            raise FileNotFoundError(
+                f"DAFT_SPARK_HF_MIRROR is set but no parquet shards under {root}"
+            )
+        return spark.read.parquet(*shards)
     url = f"https://huggingface.co/api/datasets/{repo}/parquet"
     raise NotImplementedError(
         f"read_huggingface needs outbound network access: resolve {url} to the "
-        "dataset's parquet shard URLs, then spark.read.parquet(urls). This "
-        "container has no network; on a cluster, pair with an hf:// Hadoop FS "
-        "or pre-resolve the URLs."
+        "dataset's parquet shard URLs, then spark.read.parquet(urls). Offline: "
+        "set DAFT_SPARK_HF_MIRROR to a snapshot_download-style local root."
     )
 
 
 def read_mcap(path: str, spark: SparkSession | None = None) -> DataFrame:
-    """reference read_mcap (robotics log format): binaryFile + per-file
-    python parser, the same shape as io/warc.py. The mcap package is not
-    in this container."""
-    raise NotImplementedError(
-        "read_mcap requires the 'mcap' python package; implement as "
-        "binaryFile + mapInPandas parser exactly like daft_spark.io.warc"
-    )
+    """reference read_mcap (daft/io/mcap/_mcap.py:97, robotics log
+    format): binaryFile + per-file pure-Python MCAP record parser
+    (daft_spark.io.mcap), the same distributed shape as io/warc.py."""
+    from daft_spark.io.mcap import read_mcap as _read_mcap
+
+    return _read_mcap(path, spark)

@@ -67,9 +67,20 @@ def write_sql(df: DataFrame, table: str, url: str, write_mode: str = "append", *
 
 
 def write_deltalake(df: DataFrame, path: str, write_mode: str = "append") -> None:
-    """reference write_deltalake (dataframe.py:1767). Requires the
-    delta-spark package on the classpath."""
-    df.write.format("delta").mode(write_mode).save(path)
+    """reference write_deltalake (dataframe.py:1767). Uses the
+    delta-spark connector when it is on the classpath; otherwise falls
+    back to the pure-Python Delta transaction writer
+    (daft_spark.io.delta — full log semantics for non-partitioned
+    local tables)."""
+    try:
+        df.write.format("delta").mode(write_mode).save(path)
+    except Exception as e:
+        msg = str(e)
+        if not ("Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg or "ClassNotFound" in msg):
+            raise
+        from daft_spark.io.delta import write_deltalake_py
+
+        write_deltalake_py(df, path, mode=write_mode)
 
 
 def write_iceberg(df: DataFrame, table: str, write_mode: str = "append") -> None:

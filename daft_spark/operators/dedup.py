@@ -22,7 +22,8 @@ exchanges across self-join aliases). The cache must outlive the
 returned (lazy) DataFrame, so these functions cannot unpersist it
 themselves — blocks are MEMORY_AND_DISK and LRU-evictable, and callers
 running many pipelines in one long-lived session can reclaim
-explicitly with ``spark.catalog.clearCache()``.
+explicitly with ``daft_spark.context.release_caches(spark)`` (or
+``spark.catalog.clearCache()``).
 """
 
 from __future__ import annotations
@@ -119,23 +120,28 @@ def _perm_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 def shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
 ) -> DataFrame:
-    """(id, shingle-hash) rows: posexplode tokens, shingle hash =
-    xxhash64 of k consecutive tokens via lead() — linear, no string
-    building (the array-of-shingle-strings construction is ~10x slower
-    at equal output). Trailing positions pad with '' so short docs
-    (< k tokens) still shingle. Folded to 32 bits (headroom for the
-    affine MinHash permutations under ANSI overflow checks)."""
-    from pyspark.sql import Window
-
-    tk = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(tokens_of(F.col(text_col))).alias("__p", "__t"),
+    """(id, shingle-hash) rows: posexplode the token array while KEEPING
+    the array column in scope, so each shingle hash = xxhash64(token,
+    tokens[p+1], ..., tokens[p+k-1]) reads its neighbors with F.get —
+    an ordinary codegen expression. No window, no shuffle, no string
+    building: the generate + projection fuse into one WholeStageCodegen
+    span, so a 100 TB corpus shingles at scan speed (the historical
+    lead()-over-window formulation shuffled and sorted every token row;
+    a transform()-lambda variant evaluates interpreted, ~10x slower).
+    Trailing positions pad with '' (F.get is NULL out of bounds even
+    under ANSI) so short docs (< k tokens) still shingle. Folded to 32
+    bits (headroom for the affine MinHash permutations under ANSI
+    overflow checks)."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("__id"), tokens_of(F.col(text_col)).alias("__ts")
     )
-    w = Window.partitionBy("__id").orderBy("__p")
-    lead_cols = [F.coalesce(F.lead("__t", j).over(w), F.lit("")) for j in range(1, shingle_k)]
-    return tk.select(
+    ex = toks.select("__id", "__ts", F.posexplode("__ts").alias("__p", "__t"))
+    neigh = [
+        F.coalesce(F.get("__ts", F.col("__p") + j), F.lit("")) for j in range(1, shingle_k)
+    ]
+    return ex.select(
         "__id",
-        F.xxhash64(F.col("__t"), *lead_cols).bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h"),
+        F.xxhash64(F.col("__t"), *neigh).bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h"),
     )
 
 
@@ -150,13 +156,14 @@ def minhash_signatures(
     """MinHash signatures as a DataFrame (id, __m0..__m{n-1}) via the
     scale formulation:
 
-    1. posexplode tokens (one row per token — never build shingle
-       strings or arrays; the array-of-strings construction is ~10x
-       slower at equal output);
-    2. shingle hash = xxhash64(token, lead(token,1), lead(token,2))
-       over a (doc, position) window — linear, one shuffle on doc id;
-    3. num_hashes affine permutations of the 32-bit folded hash as
-       plain min() aggregates — map-side partial aggregation.
+    1. posexplode tokens with the array in scope — shingle hash =
+       xxhash64(token, neighbors via F.get), pure codegen, NO window
+       and NO shuffle of token rows;
+    2. num_hashes affine permutations of the 32-bit folded hash as
+       plain min() aggregates — and because every token row of a doc is
+       generated inside one task, map-side partial aggregation collapses
+       them before the exchange: the only shuffle moves one
+       already-reduced signature row per document per partition.
 
     MinHash is duplicate-invariant, so shingle de-duplication is
     deliberately skipped. Trailing positions shingle with '' padding so
@@ -382,10 +389,12 @@ def jaccard_pairs(
 def hashed_shingle_sets(
     df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
 ) -> DataFrame:
-    """(__vid, __vsh) rows: per-doc SET of 32-bit shingle hashes —
-    the linear shingle hasher aggregated with collect_set. Jaccard over
-    these sets equals Jaccard over the shingle strings up to a
-    negligible ~2^-32 per-shingle collision probability."""
+    """(__vid, __vsh) rows: per-doc SET of 32-bit shingle hashes — the
+    shuffle-free shingle hasher aggregated with collect_set (partial-agg
+    collapses per-doc rows map-side, so the exchange moves ~one set per
+    doc). Jaccard over these sets equals Jaccard over the shingle
+    strings up to a negligible ~2^-32 per-shingle collision
+    probability."""
     return (
         shingle_hashes(df, text_col, id_col, shingle_k)
         .groupBy("__id")
@@ -464,9 +473,16 @@ def minhash_near_dups(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup mining: shingle -> signature ->
     band -> capped bucket join -> exact-Jaccard verify, sharing ONE
-    exploded (__id, __h) shingle frame between the signature and verify
-    stages (the two most expensive scans of the corpus), so the raw
-    text is tokenized and hashed exactly once."""
+    (__id, __h) shingle frame between the signature and verify stages
+    (the two most expensive scans of the corpus), so the raw text is
+    tokenized and hashed exactly once. The shingle hasher is
+    shuffle-free (posexplode + F.get neighbors, pure codegen) and both
+    per-doc reductions are partial-agg friendly — each exchange moves
+    ~one reduced row per document, never token rows. The signature mins
+    and the collect_set shingle sets are aggregated SEPARATELY: mixing
+    a typed-imperative agg (collect_set) into the 64-min groupBy would
+    push the whole aggregation onto the interpreted
+    ObjectHashAggregate path and forfeit codegen."""
     ex = shingle_hashes(df, text_col, id_col, shingle_k).persist()
     sig = _signatures_from_hashes(ex, num_hashes, seed)
     cands = _band_candidates(sig, num_hashes, bands, max_bucket_size)

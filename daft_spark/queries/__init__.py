@@ -53,6 +53,8 @@ DRIVER_PRIORITY: list[str] = [
     "sql_scalar_subquery", "sql_window_in_sql", "sql_having_positional",
     "sql_case_cast_union", "sql_grouping_sets", "sql_not_in_anti",
     "agg_udaf_weighted_mean", "agg_summarize",
+    # new round 3: pure-python Delta log roundtrip
+    "lake_delta_roundtrip",
     # changed round 3 (9)
     "w_running_agg", "w_min_periods", "sim_topk_cosine", "sim_pairs_threshold",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_minhash_lsh_pipeline",
@@ -82,6 +84,7 @@ def all_queries() -> dict[str, QuerySpec]:
         functions_q,
         multimodal_q,
         sql_q,
+        lakehouse_q,
     )
 
     ordered = {n: REGISTRY[n] for n in DRIVER_PRIORITY if n in REGISTRY}

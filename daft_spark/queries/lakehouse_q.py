@@ -1,0 +1,63 @@
+"""Lakehouse roundtrip queries — exercise the pure-Python Delta
+transaction log (daft_spark/io/delta.py) end-to-end under the driver's
+correctness gate.
+
+The oracle never sees the Delta table: it recomputes the expected
+aggregate straight from the source parquet, so a broken log replay
+(lost add, unapplied remove, schema drift) shows up as a row/hash
+mismatch rather than a self-consistent wrong answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daft_spark.io.readers import load_table
+from daft_spark.queries import register
+
+
+@register(
+    "lake_delta_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id < 20000
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events slice A as a new Delta table (overwrite), APPEND
+    slice B as a second commit, then read the table back through the
+    log replay and aggregate — two commits' add actions (plus remove
+    actions for every file of the previous run's table, since the
+    overwrite starts by retiring them) must reassemble exactly the
+    source rows. Reference: daft/io/delta_lake/_deltalake.py:22 (read),
+    dataframe.py:1767 (write_deltalake)."""
+    from daft_spark.io.delta import write_deltalake_py
+    from daft_spark.io.lakehouse import read_deltalake
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = os.path.join(
+        "/tmp/daft_spark_delta", f"events_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_deltalake_py(e.filter(F.col("event_id") < 10000), path, mode="overwrite")
+    write_deltalake_py(
+        e.filter((F.col("event_id") >= 10000) & (F.col("event_id") < 20000)),
+        path,
+        mode="append",
+    )
+    t = read_deltalake(path, spark)
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

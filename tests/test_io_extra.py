@@ -54,8 +54,10 @@ def test_lakehouse_gates(spark, tmp_path):
         read_deltalake(str(tmp_path / "nope"), spark=spark)
     with pytest.raises((ImportError, Exception)):
         read_hudi(str(tmp_path / "nope"), spark=spark)
-    with pytest.raises(NotImplementedError):
-        read_mcap("x.mcap", spark=spark)
+    # read_mcap is a real reader now (io/mcap.py) — a missing path is an
+    # ordinary analysis error, not a capability gate.
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        read_mcap(str(tmp_path / "x.mcap"), spark=spark).collect()
 
 
 def test_partitioning_transforms(spark):
