@@ -40,10 +40,39 @@ def _spread(df: DataFrame) -> DataFrame:
     parquet fixtures come in as ONE split (a single task would do all
     the hashing); a real 100 TB input already has tens of thousands of
     splits, and `repartition()` there would round-robin-shuffle the
-    entire document payload for nothing, so it is skipped."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    entire document payload for nothing, so it is skipped.
+
+    The width probe uses ``inputFiles()`` + file sizes against
+    ``spark.sql.files.maxPartitionBytes`` for file-backed frames (an
+    ``.rdd`` probe builds a Python-deserialization plan per call, so it
+    is kept only as the fallback for in-memory frames, where it is the
+    only honest partition count)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df if df.rdd.getNumPartitions() >= target else df.repartition(target)
+    if len(files) >= target:
         return df
+    if files:
+        import os
+
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        digits = "".join(ch for ch in raw if ch.isdigit()) or "134217728"
+        max_pb = max(int(digits), 1)
+        splits = 0
+        for f in files:
+            path = f[7:] if f.startswith("file://") else f
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                size = 0  # remote/unstatable — count as one split
+            splits += max(1, -(-size // max_pb))
+            if splits >= target:
+                return df
     return df.repartition(target)
 
 
@@ -233,10 +262,26 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str, keep: str = "min") -> DataFrame:
     """Exact dedup keeping a deterministic representative per key group
     (min/max of id_col) — unlike dropDuplicates, which keeps an
-    arbitrary row. One hash-agg shuffle; map-side partial agg applies."""
+    arbitrary row.
+
+    Scale: the group-by runs over ``xxhash64(cols)`` so the keeper
+    aggregation projects to (8-byte key, id) before its exchange — the
+    dedup columns (often full document text) never ride a shuffle as
+    group-by keys, and the representative join keys on ``id_col`` alone
+    (``id_col`` must identify rows, which keep-min/max representative
+    semantics already presumes). A 64-bit hash collision between two
+    key groups can only merge them (dropping one representative), never
+    emit a wrong row; the payload moves in exactly one exchange (the
+    join's), which any dedup returning whole rows needs."""
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    keeper = df.groupBy(*cols).agg(agg.alias(id_col))
-    return keeper.join(df, on=cols + [id_col], how="inner")
+    hkey = F.xxhash64(*[F.col(c) for c in cols]).alias("__dk")
+    keeper = (
+        df.select(hkey, F.col(id_col))
+        .groupBy("__dk")
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )
+    return keeper.join(df, on=id_col, how="inner")
 
 
 def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
@@ -490,6 +535,53 @@ def minhash_near_dups(
         "__id", "__vid"
     )
     return _verify_with_sets(cands, sets, threshold)
+
+
+def minhash_lsh_stage_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+    seed: int = 42,
+) -> dict:
+    """Per-stage row counts + wall times for the MinHash-LSH pipeline —
+    the instrumentation companion of ``minhash_near_dups`` (same stages,
+    same sharing of the shingle frame), so the bench's most expensive
+    entry is explainable stage by stage: docs -> shingle hashes ->
+    signatures -> banded rows -> candidate pairs -> verified pairs.
+    Counts are exact (each stage is counted once, then reused persisted
+    where the production pipeline persists)."""
+    import time as _time
+
+    stats: dict = {"params": {"num_hashes": num_hashes, "bands": bands,
+                              "shingle_k": shingle_k, "threshold": threshold,
+                              "max_bucket_size": max_bucket_size}}
+
+    def _stage(name, frame):
+        t0 = _time.perf_counter()
+        n = frame.count()
+        stats[name] = {"rows": n, "sec": round(_time.perf_counter() - t0, 3)}
+        return frame
+
+    _stage("docs", df.select(id_col))
+    ex = shingle_hashes(df, text_col, id_col, shingle_k).persist()
+    _stage("shingle_hashes", ex)
+    sig = _signatures_from_hashes(ex, num_hashes, seed)
+    _stage("signatures", sig)
+    cands = _band_candidates(sig, num_hashes, bands, max_bucket_size).persist()
+    _stage("candidate_pairs", cands)
+    sets = ex.groupBy("__id").agg(F.collect_set("__h").alias("__vsh")).withColumnRenamed(
+        "__id", "__vid"
+    )
+    verified = _verify_with_sets(cands, sets, threshold)
+    _stage("verified_pairs", verified)
+    cands.unpersist()
+    ex.unpersist()
+    return stats
 
 
 def simhash_near_dups(

@@ -34,10 +34,18 @@ def _docs(spark, sf_dir):
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the smallest doc_id per identical text
     (deterministic representative — reference Distinct is arbitrary-row;
-    ops/distinct.rs)."""
-    d = _docs(spark, sf_dir)
+    ops/distinct.rs). Groups by (xxhash64(text), length(text)) so the
+    exchange moves 16-byte keys, never the document payload — at 100 TB
+    grouping by the raw text column would shuffle the whole corpus.
+    Equivalent to GROUP BY text absent a 64-bit-hash+length collision;
+    the oracle states the text-group-by semantics directly."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.xxhash64("text").alias("__h"),
+        F.length("text").alias("__len"),
+    )
     return (
-        d.groupBy("text")
+        d.groupBy("__h", "__len")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("doc_id", "n_copies")
         .orderBy("doc_id")

@@ -527,10 +527,10 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top supplier — CTE + scalar subquery (max). Implemented with a
-    window max to avoid a second scan of the aggregate."""
-    from pyspark.sql import Window
-
+    """Top supplier — CTE + scalar subquery (max). The scalar max is a
+    partial-aggregated one-row frame broadcast against the revenue CTE
+    (same shape as q22's scalar subquery) — NOT a global window, which
+    would funnel every supplier-revenue row through one task at scale."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
@@ -538,9 +538,11 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("max_rev")
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    top = (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .drop("__max_rev")
     )
     return (
         s.join(top, F.col("s_suppkey") == F.col("supplier_no"))

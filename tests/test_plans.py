@@ -153,6 +153,44 @@ def test_spread_no_shuffle_when_well_partitioned(spark):
     assert "RoundRobinPartitioning" in plan_of(_spread(narrow))
 
 
+def test_dedup_exact_no_payload_in_exchange(spark):
+    """dedup_exact must shuffle 16-byte (hash, length) keys, never the
+    document text: no Exchange whose hashpartitioning mentions text."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(all_queries()["dedup_exact"].spark_fn(spark, SF_DIR))
+    for i, ln in enumerate(plan.splitlines()):
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln, ln
+    # and the scan must prune to the 2 needed columns + text-for-hash
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema
+
+
+def test_exact_dedup_operator_hash_keyed(spark):
+    """exact_dedup's keeper aggregation groups on xxhash64, not the raw
+    dedup columns — no Exchange keyed on the payload column."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.dedup import exact_dedup
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    plan = plan_of(exact_dedup(d, ["text"], "doc_id"))
+    assert "xxhash64" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+
+
+def test_q15_no_global_window(spark):
+    """tpch_q15's scalar max must be an aggregate + broadcast, not a
+    Window over an empty partition spec (single-task funnel at scale)."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(all_queries()["tpch_q15"].spark_fn(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_q5_region_pruning_before_fact_join(spark):
     """Dimension-first Q5: the ASIA restriction must reach customer and
     supplier BEFORE the big fact joins — visible as the region filter
