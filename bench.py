@@ -3,6 +3,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+Measurement discipline (round-5 rework): one cold pass (JVM warm-up +
+codegen + parquet footers, reported separately), then ``N`` warm passes
+per query with ``release_caches`` between every pass; the per-query
+number is the MEDIAN of the warm passes and every raw pass is emitted
+(``passes``) so run-to-run variance is visible — a single contended
+warm pass is not a measurement (round-4 measured identical code 4.6x
+slower than round 3 on a contended sandbox).
+
 Counterpart of the reference's local benchmark harness
 (reference: tests/benchmarks/test_local_tpch.py, conftest.py SCALE_FACTOR=0.2).
 """
@@ -11,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -18,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WARM_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+# Precomputed large-scale results (tools/run_sf1_bench.py writes this);
+# embedded verbatim so the per-round artifact carries the sf1 ratio.
+SF1_RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SF1_RESULTS.json")
 
 # Headline set: relational core + windows + custom operators. Kept in
 # rough cost order so failures surface early.
@@ -47,18 +60,15 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    timings: dict[str, float] = {}
     # Cold pass: JVM warm-up + codegen + parquet footers (recorded as
-    # cold_total); timed pass measures steady-state throughput — the
-    # same warm-run discipline as the reference's pytest-benchmark
-    # harness (tests/benchmarks/test_local_tpch.py).
+    # cold_total). Caches persisted inside one query's plan must not
+    # leak into the next query's executor storage (eviction churn +
+    # GC distort timings), so release_caches runs between every pass.
     #
     # Both engines materialize results as Arrow (Spark toArrow, DuckDB
     # .arrow()): the query's full result must land in driver memory in
     # columnar form. Per-row Python object construction (collect /
-    # fetchall) measures the client binding, not the engine — at 1M+
-    # result rows it dominated Spark timings while DuckDB's C-level
-    # tuples hid the same cost.
+    # fetchall) measures the client binding, not the engine.
     cold_total = 0.0
     failed: set[str] = set()
     for name in names:
@@ -69,54 +79,91 @@ def main() -> None:
         except Exception as e:
             print(f"# bench {name} FAILED (cold): {e}", file=sys.stderr)
             failed.add(name)
-        # Caches persisted inside one query's plan must not leak into the
-        # next query's executor storage (they distort its timing via
-        # eviction churn and GC); every timing below is self-contained.
         release_caches(spark)
 
+    # Warm passes: interleave full sweeps (pass 1 of every query, then
+    # pass 2, ...) rather than back-to-back repeats of one query, so a
+    # transient contention spike hits one pass of many queries instead
+    # of all passes of one — the median then rejects it.
+    passes: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(WARM_PASSES):
+        for name in names:
+            if name in failed:
+                continue
+            t0 = time.perf_counter()
+            try:
+                _materialize(registry[name].spark_fn(spark, SF_DIR))
+                passes[name].append(round(time.perf_counter() - t0, 3))
+            except Exception as e:
+                print(f"# bench {name} FAILED: {e}", file=sys.stderr)
+                failed.add(name)
+            release_caches(spark)
+
+    timings: dict[str, float] = {}
     total = 0.0
     for name in names:
-        if name in failed:
+        if name in failed or not passes[name]:
             timings[name] = -1.0
             continue
-        t0 = time.perf_counter()
-        try:
-            df = registry[name].spark_fn(spark, SF_DIR)
-            _materialize(df)
-            dt = time.perf_counter() - t0
-        except Exception as e:  # record failures as -1, keep going
-            print(f"# bench {name} FAILED: {e}", file=sys.stderr)
-            dt = -1.0
-        timings[name] = round(dt, 3)
-        if dt > 0:
-            total += dt
-        release_caches(spark)
+        med = statistics.median(passes[name])
+        timings[name] = round(med, 3)
+        total += med
 
     # Like-for-like local reference: DuckDB (the correctness oracle) runs
     # the SAME queries on the SAME parquet at the SAME scale factor and
-    # thread count. The reference's own published numbers are cluster
-    # SF100/SF1000 (BASELINE.md) — not comparable at this SF — and its
-    # wheel is not installable in this container, so DuckDB, a
-    # state-of-the-art single-node vectorized engine, is the honest local
-    # stand-in. ratio = ours / duckdb over the oracled headline queries
-    # (warm pass for both engines).
+    # thread count, with the same median-of-N discipline. The reference's
+    # own published numbers are cluster SF100/SF1000 (BASELINE.md) — not
+    # comparable at this SF — and its wheel is not installable in this
+    # container, so DuckDB, a state-of-the-art single-node vectorized
+    # engine, is the honest local stand-in. ratio = ours / duckdb over
+    # the oracled headline queries.
     vs_ref = _duckdb_reference(registry, names, failed)
 
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_total_sec": round(cold_total, 3),
-                "vs_local_reference": _with_ratio(vs_ref, timings),
-            }
+    # Per-stage accounting for the suite's most expensive entry (the
+    # LSH pipeline): rows + seconds for docs -> shingle hashes ->
+    # signatures -> candidate pairs -> verified pairs, so its bench
+    # number is explainable rather than a single opaque total.
+    lsh_stages = None
+    try:
+        from daft_spark.io.readers import load_table
+        from daft_spark.operators.dedup import minhash_lsh_stage_counts
+
+        lsh_stages = minhash_lsh_stage_counts(
+            load_table(spark, SF_DIR, "documents"), "text", "doc_id",
+            num_hashes=64, bands=16, threshold=0.5,
         )
-    )
+        release_caches(spark)
+    except Exception as e:
+        print(f"# bench lsh_stages FAILED: {e}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "warm_passes": WARM_PASSES,
+        "passes": passes,
+        "cold_total_sec": round(cold_total, 3),
+        "vs_local_reference": _with_ratio(vs_ref, timings),
+    }
+    if lsh_stages is not None:
+        out["lsh_stages"] = lsh_stages
+    sf1 = _load_sf1()
+    if sf1 is not None:
+        out["sf1"] = sf1
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_sf1():
+    """Embed the precomputed sf1 run (tools/run_sf1_bench.py) if present."""
+    try:
+        with open(SF1_RESULTS) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 def _materialize(df) -> None:
@@ -154,23 +201,28 @@ def _duckdb_reference(registry, names, failed) -> dict:
         path = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    dtimes: dict[str, float] = {}
+    dpasses: dict[str, list[float]] = {}
     for name in names:
         oracle = registry[name].oracle
         if oracle is None or name in failed:
             continue  # non-SQL-expressible (e.g. dedup_minhash_lsh) — excluded
         try:
-            con.execute(oracle).arrow()  # warm (buffers + plan cache)
-            t0 = time.perf_counter()
-            con.execute(oracle).arrow()
-            dtimes[name] = round(time.perf_counter() - t0, 3)
+            con.execute(oracle).arrow()  # cold (buffers + plan cache)
+            runs = []
+            for _ in range(WARM_PASSES):
+                t0 = time.perf_counter()
+                con.execute(oracle).arrow()
+                runs.append(round(time.perf_counter() - t0, 3))
+            dpasses[name] = runs
         except Exception as e:
             print(f"# bench duckdb {name} FAILED: {e}", file=sys.stderr)
+    dtimes = {n: round(statistics.median(r), 3) for n, r in dpasses.items()}
     dtotal = sum(dtimes.values())
     return {
         "engine": f"duckdb[{CPUS} threads]",
         "duckdb_total_sec": round(dtotal, 3),
         "queries": dtimes,
+        "passes": dpasses,
     }
 
 
