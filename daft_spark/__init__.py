@@ -13,7 +13,7 @@ from pyspark.sql.functions import col, lit
 
 from daft_spark.context import configure, get_or_create
 from daft_spark.dataframe import DataFrame, GroupedDataFrame
-from daft_spark.sql import Session, sql, sql_expr
+from daft_spark.sql import Catalog, Identifier, Session, Table, session, sql, sql_expr
 
 __version__ = "0.1.0"
 
@@ -135,10 +135,14 @@ def range(start, end=None, step: int = 1, partitions=None) -> DataFrame:  # noqa
 
 
 __all__ = [
+    "Catalog",
     "Column",
     "DataFrame",
     "GroupedDataFrame",
+    "Identifier",
     "Session",
+    "Table",
+    "session",
     "col",
     "configure",
     "from_arrow",

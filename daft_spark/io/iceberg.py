@@ -1,0 +1,497 @@
+"""Pure-Python Apache Iceberg v2 table support — no connector JAR or
+pyiceberg required.
+
+Parity target: the reference reads Iceberg via pyiceberg (reference
+``daft/io/iceberg/_iceberg.py:130`` read_iceberg, ``iceberg_write.py``
+for the write path). This container has neither the Spark runtime JAR
+nor pyiceberg, but Iceberg is an open spec
+(https://iceberg.apache.org/spec/): a table is
+
+    <table>/metadata/v<N>.metadata.json   (+ version-hint.text)
+    <table>/metadata/snap-*.avro          manifest lists
+    <table>/metadata/*-m*.avro            manifests
+    <table>/data/*.parquet                data files
+
+This module implements the bounded subset a batch engine needs, using
+the sibling pure-Python Avro codec (``daft_spark.io.avro``):
+
+- ``write_iceberg_py(df, path, mode)``: append / overwrite / error /
+  ignore on unpartitioned v2 tables. Data files are written with
+  Spark's parquet writer; each commit publishes one manifest, a new
+  manifest list (append re-references the previous snapshot's
+  manifests untouched), a new metadata.json, and finally rotates
+  ``version-hint.text`` via atomic rename — the same single-writer
+  file:// atomicity the Delta writer (io/delta.py) relies on.
+- ``read_iceberg_py(path, spark, snapshot_id=None)``: resolve current
+  (or time-travel) snapshot from metadata.json, walk manifest-list ->
+  manifests -> live data files, and hand the file list to Spark's
+  parquet reader with the schema pinned from the Iceberg schema — so
+  filter/column pushdown, split planning, and AQE apply exactly as for
+  raw parquet.
+
+Out of scope (raise cleanly): partitioned specs, delete files /
+row-level deletes (content != 0), format v3, schema evolution beyond
+latest-schema reads, and non-local filesystems.
+
+At 100 TB the metadata walk is driver-side KB/MB work (exactly how
+pyiceberg plans scans); the data plane stays a multi-file parquet scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from daft_spark.io.avro import read_ocf, write_ocf
+
+# ---------------------------------------------------------------------------
+# schema conversion (Spark StructType <-> Iceberg schema JSON)
+
+_PRIMITIVES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+}
+_TO_ICEBERG = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.DateType: "date",
+    T.TimestampNTZType: "timestamp",
+    T.TimestampType: "timestamptz",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+}
+
+
+class _IdGen:
+    def __init__(self, start: int = 0):
+        self.n = start
+
+    def next(self) -> int:
+        self.n += 1
+        return self.n
+
+
+def _spark_type_to_iceberg(dt: T.DataType, ids: _IdGen):
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": ids.next(),
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _spark_type_to_iceberg(f.dataType, ids),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": ids.next(),
+            "element": _spark_type_to_iceberg(dt.elementType, ids),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": ids.next(),
+            "key": _spark_type_to_iceberg(dt.keyType, ids),
+            "value-id": ids.next(),
+            "value": _spark_type_to_iceberg(dt.valueType, ids),
+            "value-required": not dt.valueContainsNull,
+        }
+    for cls, name in _TO_ICEBERG.items():
+        if isinstance(dt, cls):
+            return name
+    raise NotImplementedError(f"no Iceberg mapping for Spark type {dt}")
+
+
+def _iceberg_type_to_spark(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed"):
+            return T.BinaryType()
+        if t == "uuid":
+            return T.StringType()
+        raise NotImplementedError(f"Iceberg type {t!r}")
+    if t["type"] == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _iceberg_type_to_spark(f["type"]), not f["required"]
+                )
+                for f in t["fields"]
+            ]
+        )
+    if t["type"] == "list":
+        return T.ArrayType(_iceberg_type_to_spark(t["element"]), not t["element-required"])
+    if t["type"] == "map":
+        return T.MapType(
+            _iceberg_type_to_spark(t["key"]),
+            _iceberg_type_to_spark(t["value"]),
+            not t["value-required"],
+        )
+    raise NotImplementedError(f"Iceberg type {t!r}")
+
+
+def schema_to_iceberg(schema: T.StructType) -> dict:
+    ids = _IdGen()
+    fields = [
+        {
+            "id": ids.next(),
+            "name": f.name,
+            "required": not f.nullable,
+            "type": _spark_type_to_iceberg(f.dataType, ids),
+        }
+        for f in schema.fields
+    ]
+    return {"type": "struct", "schema-id": 0, "fields": fields, "last-column-id": ids.n}
+
+
+# ---------------------------------------------------------------------------
+# manifest / manifest-list Avro schemas (Iceberg spec field ids)
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _read_version_hint(path: str) -> int | None:
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    try:
+        with open(hint) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _latest_metadata(path: str) -> dict:
+    md = _meta_dir(path)
+    v = _read_version_hint(path)
+    if v is not None:
+        fp = os.path.join(md, f"v{v}.metadata.json")
+        if os.path.exists(fp):
+            with open(fp) as f:
+                return json.load(f)
+    if not os.path.isdir(md):
+        raise FileNotFoundError(f"not an Iceberg table (no metadata/ under {path})")
+    versions = sorted(
+        int(f[1 : -len(".metadata.json")])
+        for f in os.listdir(md)
+        if f.startswith("v") and f.endswith(".metadata.json")
+        and f[1 : -len(".metadata.json")].isdigit()
+    )
+    if not versions:
+        raise FileNotFoundError(f"no v*.metadata.json under {md}")
+    with open(os.path.join(md, f"v{versions[-1]}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _to_local(p: str, table_path: str) -> str:
+    """Manifest paths are absolute URIs in the spec; resolve file:// and
+    re-root paths written by another copy of the table directory."""
+    if p.startswith("file://"):
+        p = p[7:]
+    if os.path.exists(p):
+        return p
+    # re-root: find the /metadata/ or /data/ suffix under table_path
+    for marker in ("/metadata/", "/data/"):
+        if marker in p:
+            cand = os.path.join(table_path, marker.strip("/"), p.split(marker, 1)[1])
+            if os.path.exists(cand):
+                return cand
+    return p
+
+
+def current_snapshot(meta: dict, snapshot_id: int | None = None) -> dict | None:
+    snaps = meta.get("snapshots", [])
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        return None
+    for s in snaps:
+        if s["snapshot-id"] == cur:
+            return s
+    return None
+
+
+def _live_data_files(meta: dict, table_path: str, snapshot_id: int | None = None) -> list[str]:
+    snap = current_snapshot(meta, snapshot_id)
+    if snap is None:
+        return []
+    _, _, manifests = read_ocf(_to_local(snap["manifest-list"], table_path))
+    files: list[str] = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            raise NotImplementedError(
+                "Iceberg delete manifests (row-level deletes) are not supported "
+                "by this pure-Python reader; use the Spark Iceberg runtime"
+            )
+        _, _, entries = read_ocf(_to_local(m["manifest_path"], table_path))
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            dfile = e["data_file"]
+            if dfile.get("content", 0) != 0:
+                raise NotImplementedError("delete files not supported")
+            if dfile["file_format"].lower() != "parquet":
+                raise NotImplementedError(f"file format {dfile['file_format']}")
+            files.append(_to_local(dfile["file_path"], table_path))
+    return sorted(files)
+
+
+def _current_schema(meta: dict) -> T.StructType:
+    sid = meta.get("current-schema-id", 0)
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == sid:
+            return _iceberg_type_to_spark(s)
+    if "schema" in meta:  # v1 layout
+        return _iceberg_type_to_spark(meta["schema"])
+    raise ValueError("Iceberg metadata has no resolvable schema")
+
+
+def read_iceberg_py(
+    path: str, spark: SparkSession, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read an (unpartitioned) Iceberg v1/v2 table by walking its
+    metadata tree; ``snapshot_id`` time-travels. The result is a plain
+    multi-file parquet scan with the Iceberg schema pinned."""
+    meta = _latest_metadata(path)
+    if meta.get("format-version", 1) > 2:
+        raise NotImplementedError("Iceberg format v3+ not supported")
+    if any(s.get("fields") for s in meta.get("partition-specs", [])):
+        raise NotImplementedError(
+            "partitioned Iceberg tables are not supported by this pure-Python "
+            "reader; use the Spark Iceberg runtime"
+        )
+    schema = _current_schema(meta)
+    files = _live_data_files(meta, path, snapshot_id)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def write_iceberg_py(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Write ``df`` as one Iceberg v2 commit: parquet data files, one
+    manifest, a manifest list, metadata.json v(N+1), then rotate
+    version-hint.text (atomic rename = publish)."""
+    if mode not in ("append", "overwrite", "error", "ignore"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    md = _meta_dir(path)
+    try:
+        prior = _latest_metadata(path)
+    except FileNotFoundError:
+        prior = None
+    if prior is not None and mode == "error":
+        raise FileExistsError(f"Iceberg table already exists at {path}")
+    if prior is not None and mode == "ignore":
+        return
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    seq = (prior.get("last-sequence-number", 0) if prior else 0) + 1
+
+    # stage data files via Spark's parquet writer, move under data/
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(md, exist_ok=True)
+    entries = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(data_dir, name)
+        shutil.move(os.path.join(staging, f), dst)
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited from the manifest
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": _parquet_rows(dst),
+                    "file_size_in_bytes": os.path.getsize(dst),
+                },
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
+    ice_schema = schema_to_iceberg(df.schema)
+    write_ocf(
+        manifest_path,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        metadata={
+            "schema": json.dumps(ice_schema),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    added_rows = sum(e["data_file"]["record_count"] for e in entries)
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": added_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = [new_manifest]
+    if mode == "append" and prior is not None:
+        prior_snap = current_snapshot(prior)
+        if prior_snap is not None:
+            _, _, prev = read_ocf(_to_local(prior_snap["manifest-list"], path))
+            manifests.extend(prev)  # untouched prior manifests carry over
+
+    mlist_path = os.path.join(md, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
+    write_ocf(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        manifests,
+        metadata={"format-version": "2"},
+    )
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "overwrite" if mode == "overwrite" else "append"},
+        "schema-id": 0,
+    }
+    version = (_read_version_hint(path) or 0) + 1
+    meta = {
+        "format-version": 2,
+        "table-uuid": prior["table-uuid"] if prior else str(uuid.uuid4()),
+        "location": path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": ice_schema["last-column-id"],
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": snapshot_id,
+        "snapshots": ((prior.get("snapshots", []) if prior else []) + [snapshot]),
+        "snapshot-log": (
+            (prior.get("snapshot-log", []) if prior else [])
+            + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}]
+        ),
+        "metadata-log": [],
+    }
+    meta_file = os.path.join(md, f"v{version}.metadata.json")
+    tmp = meta_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    if os.path.exists(meta_file):
+        os.remove(tmp)
+        raise RuntimeError(f"concurrent Iceberg commit detected at v{version} ({path})")
+    os.rename(tmp, meta_file)
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows

@@ -68,9 +68,19 @@ def read_deltalake(
 
 
 def read_iceberg(table: str, spark: SparkSession | None = None, snapshot_id: int | None = None) -> DataFrame:
-    """reference read_iceberg -> Iceberg catalog table read; time travel
-    via snapshot_id (VERSION AS OF)."""
+    """reference read_iceberg (daft/io/iceberg/_iceberg.py:130) ->
+    Iceberg catalog table read when a catalog is configured; for a
+    filesystem table path (a directory with metadata/), the pure-Python
+    metadata walk (daft_spark.io.iceberg) — mirroring the reference,
+    which also reads Iceberg without a Spark connector (via pyiceberg).
+    Time travel via snapshot_id."""
+    import os
+
     spark = _session(spark)
+    if os.path.isdir(os.path.join(table, "metadata")):
+        from daft_spark.io.iceberg import read_iceberg_py
+
+        return read_iceberg_py(table, spark, snapshot_id=snapshot_id)
     try:
         if snapshot_id is not None:
             return spark.read.option("snapshot-id", snapshot_id).table(table)
@@ -78,7 +88,8 @@ def read_iceberg(table: str, spark: SparkSession | None = None, snapshot_id: int
     except Exception as e:
         raise ImportError(
             "Iceberg requires org.apache.iceberg:iceberg-spark-runtime and a "
-            "configured catalog (spark.sql.catalog.<name>)"
+            "configured catalog (spark.sql.catalog.<name>), or a filesystem "
+            "table path containing metadata/ for the pure-Python reader"
         ) from e
 
 

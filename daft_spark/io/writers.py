@@ -84,8 +84,17 @@ def write_deltalake(df: DataFrame, path: str, write_mode: str = "append") -> Non
 
 
 def write_iceberg(df: DataFrame, table: str, write_mode: str = "append") -> None:
-    """reference write_iceberg (dataframe.py:1330). Requires an Iceberg
-    catalog configured on the session."""
+    """reference write_iceberg (dataframe.py:1330). A catalog table name
+    goes through the session's Iceberg catalog (writeTo); a filesystem
+    path (absolute, or an existing metadata/ dir) goes through the
+    pure-Python v2 commit writer (daft_spark.io.iceberg)."""
+    import os
+
+    if os.path.isabs(table) or os.path.isdir(os.path.join(table, "metadata")):
+        from daft_spark.io.iceberg import write_iceberg_py
+
+        write_iceberg_py(df, table, mode=write_mode)
+        return
     if write_mode == "append":
         df.writeTo(table).append()
     else:

@@ -39,34 +39,51 @@ def register(name: str, oracle: str | None):
 
 # The external driver records correctness rows for the FIRST 50 queries
 # in registration order. Round 1 verified tpch/relational/aggregates;
-# round 2 verified windows/asof/dedup/text/similarity/multimodal/fn.
-# Round-3 rotation: the 11 never-verified queries (9 sql_* dialect,
-# UDAF, summarize), every query changed this round (float-rounding
-# fixes, LSH/SimHash invariant oracles, tpch_q5 join reorder,
-# w_order_only_global null-axis fix), then re-verification of the
-# r1-era tpch/relational/aggregates whose code paths the round-3 join
-# and operator changes touch. Names not listed keep registration order
-# after these.
+# round 2 verified windows/asof/dedup/text/similarity/multimodal/fn;
+# rounds 3-4 verified the sql_* dialect set, UDAF/summarize, Delta, and
+# re-verified the r3-changed windows/dedup/tpch paths (CORRECTNESS_r04:
+# 49/50 green, the 50th rows-only by design).
+# Round-5 rotation: queries whose code changed THIS round first
+# (exact-dedup hash-key rework, q15 de-windowing, _spread rework feeds
+# the dedup pipelines, new Iceberg roundtrip), then the stale set last
+# driver-verified in r1/r2. 16 names don't fit the 50-row window and
+# lead the round-6 rotation: sim_ann_lsh_recall, sim_ann_ivf_recall,
+# the 7 fn_*, sql_table_function, and the 6 mm_*. Names not listed
+# keep registration order after these.
 DRIVER_PRIORITY: list[str] = [
-    # never driver-verified (11)
-    "sql_cte_join", "sql_exists_subquery", "sql_in_subquery",
-    "sql_scalar_subquery", "sql_window_in_sql", "sql_having_positional",
-    "sql_case_cast_union", "sql_grouping_sets", "sql_not_in_anti",
-    "agg_udaf_weighted_mean", "agg_summarize",
-    # new round 3: pure-python Delta log roundtrip
-    "lake_delta_roundtrip",
-    # changed round 3 (9)
-    "w_running_agg", "w_min_periods", "sim_topk_cosine", "sim_pairs_threshold",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_minhash_lsh_pipeline",
-    "w_order_only_global", "tpch_q5",
-    # r1-era re-verification (30)
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
-    "rel_distinct", "rel_union_by_name", "rel_explode", "rel_explode_outer",
-    "rel_pivot", "rel_unpivot", "rel_topn", "rel_limit_offset",
-    "rel_cross_join", "rel_join_null_safe",
-    "agg_count_modes", "agg_percentiles", "agg_hll_sketch", "agg_rollup",
+    # changed round 5 (7)
+    "dedup_exact", "dedup_exact_keepmin", "tpch_q15",
+    "lake_iceberg_roundtrip",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    # fell just outside the r3/r4 windows (green r1)
+    "agg_rollup",
+    # r1-era stale (20)
+    "rel_union_all", "rel_union_distinct", "rel_intersect",
+    "rel_intersect_all", "rel_except", "rel_except_all",
+    "rel_explode_multi", "rel_monotonic_id", "rel_sample_seeded",
+    "rel_generator_source", "rel_shard",
+    "agg_stats", "agg_skew", "agg_product_bool", "agg_any_value",
+    "agg_string_collect", "agg_approx_bounds", "agg_null_group_keys",
+    "agg_cube", "agg_map_groups_zscore",
+    # r2-era stale (22)
+    "w_row_number", "w_rank_dense", "w_lag_lead", "w_sliding_rows",
+    "w_range_frame", "w_first_last", "w_partition_only", "w_sessionize",
+    "w_spark_extras",
+    "asof_backward_by", "asof_forward_by", "asof_nearest_by",
+    "asof_backward_global",
+    "dedup_normalized",
+    "text_token_count", "text_quality", "text_quality_score_dist",
+    "text_langid_agreement", "text_fingerprint", "text_stats_by_source",
+    "text_stopword_filter",
+    "sim_centroid_cosine",
+    # --- 50-row window boundary ---
+    "sim_ann_lsh_recall", "sim_ann_ivf_recall",
+    "fn_strings_regex", "fn_datetime_numeric", "fn_datetime_arith",
+    "fn_json_bitwise", "fn_list_binary_url", "fn_conditional_struct",
+    "fn_hash_invariant",
+    "sql_table_function",
+    "mm_embed_text", "mm_llm_generate", "mm_classify_text",
+    "mm_image_decode", "mm_url_download", "mm_video_frames",
 ]
 
 

@@ -61,3 +61,53 @@ def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+@register(
+    "lake_iceberg_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey < 20000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an orders slice as a new Iceberg v2 table (overwrite), then
+    APPEND a second slice as a second snapshot (its manifest list must
+    re-reference the first snapshot's manifest), then read the table
+    back through the pure-Python metadata walk (version-hint ->
+    metadata.json -> manifest-list avro -> manifest avro -> parquet) and
+    aggregate. The oracle recomputes the expected aggregate straight
+    from the source parquet, so a broken avro encoding, lost manifest,
+    or schema mis-mapping shows up as a hash mismatch. Reference:
+    daft/io/iceberg/_iceberg.py:130 (read), iceberg_write.py (write)."""
+    import shutil
+
+    from daft_spark.io.iceberg import write_iceberg_py
+    from daft_spark.io.lakehouse import read_iceberg
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg", f"orders_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 10000), path, mode="overwrite")
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 10000) & (F.col("o_orderkey") < 20000)),
+        path,
+        mode="append",
+    )
+    t = read_iceberg(path, spark)
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,586 @@
+"""Session / catalog surface — parity with the reference's
+``daft.session.Session`` (reference ``daft/session.py:86``, attach
+surface ``:176-404``) and ``daft.catalog.Catalog`` (reference
+``daft/catalog/__init__.py:80``), re-expressed on Spark's catalog
+plumbing:
+
+- temp tables/views -> Spark temp views (session-scoped, exactly the
+  reference's create_temp_table lifetime contract)
+- namespaces -> Spark databases (CREATE/DROP DATABASE)
+- persistent tables -> saveAsTable / spark.catalog.createTable
+- attached catalogs -> either a Spark-side catalog name (the
+  spark_catalog / any configured V2 catalog — Glue, Unity, Iceberg REST
+  etc. arrive HERE via spark.sql.catalog.<name> confs, which is the
+  Spark-idiomatic analogue of the reference's from_glue/from_unity
+  constructors) or an in-memory pydict catalog (Catalog.from_pydict).
+- attached functions -> spark.udf.register
+
+Identifiers follow the reference's dotted convention
+``[catalog.][namespace.]table``; unqualified names resolve against the
+current catalog + namespace, as in the reference's ``Session.use``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from daft_spark.context import get_or_create
+
+
+class NotFoundError(Exception):
+    """Raised when a catalog/table/namespace is not found (reference
+    daft/catalog/__init__.py:76)."""
+
+
+class Identifier(Sequence[str]):
+    """Dotted identifier (reference daft/catalog/__init__.py:685)."""
+
+    def __init__(self, *parts: str):
+        if not parts:
+            raise ValueError("Identifier requires at least one part")
+        self._parts = tuple(str(p) for p in parts)
+
+    @staticmethod
+    def from_str(s: str) -> "Identifier":
+        return Identifier(*s.split("."))
+
+    def __getitem__(self, i):  # type: ignore[override]
+        return self._parts[i]
+
+    def __len__(self) -> int:
+        return len(self._parts)
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, Identifier):
+            return self._parts == other._parts
+        return NotImplemented
+
+    def __hash__(self) -> int:
+        return hash(self._parts)
+
+    def __repr__(self) -> str:
+        return ".".join(self._parts)
+
+
+def _ident(x: Identifier | str) -> Identifier:
+    return x if isinstance(x, Identifier) else Identifier.from_str(x)
+
+
+class Table:
+    """Handle to a readable/writable table (reference
+    daft/catalog/__init__.py Table). ``read()`` returns the DataFrame;
+    ``write(df, mode)`` appends/overwrites where the backing supports
+    writes."""
+
+    def __init__(self, name: str, read_fn: Callable[[], DataFrame],
+                 write_fn: Callable[[DataFrame, str], None] | None = None):
+        self.name = name
+        self._read = read_fn
+        self._write = write_fn
+
+    @staticmethod
+    def from_df(name: str, df: DataFrame) -> "Table":
+        return Table(name, lambda: df)
+
+    def read(self) -> DataFrame:
+        return self._read()
+
+    def to_df(self) -> DataFrame:
+        return self._read()
+
+    def write(self, df: DataFrame, mode: str = "append") -> None:
+        if self._write is None:
+            raise NotImplementedError(f"table {self.name!r} is read-only")
+        self._write(df, mode)
+
+    def __repr__(self) -> str:
+        return f"Table({self.name})"
+
+
+class Catalog:
+    """Abstract catalog (reference daft/catalog/__init__.py:80).
+
+    Concrete backings: ``Catalog.from_pydict`` (in-memory),
+    ``SparkCatalog`` (a Spark-side catalog by name). The reference's
+    from_glue/from_unity/from_s3tables/from_postgres map on Spark to a
+    configured V2 catalog (spark.sql.catalog.<name> confs) and arrive
+    here through ``SparkCatalog``; the constructors below raise with
+    that exact pointer rather than half-working."""
+
+    name: str
+
+    @staticmethod
+    def from_pydict(tables: dict, name: str = "default") -> "Catalog":
+        cat = MemoryCatalog(name)
+        for ident, obj in tables.items():
+            cat.create_table(str(ident), obj)
+        return cat
+
+    @staticmethod
+    def from_spark(name: str = "spark_catalog", spark: SparkSession | None = None) -> "Catalog":
+        return SparkCatalog(name, spark)
+
+    @staticmethod
+    def _unsupported(kind: str, conf_hint: str):
+        raise ImportError(
+            f"{kind} catalogs attach to Spark via catalog confs: set "
+            f"spark.sql.catalog.<name>={conf_hint} (plus its options) and use "
+            "Catalog.from_spark('<name>')"
+        )
+
+    @staticmethod
+    def from_glue(*_a, **_k):
+        Catalog._unsupported("Glue", "org.apache.iceberg.spark.SparkCatalog + glue")
+
+    @staticmethod
+    def from_unity(*_a, **_k):
+        Catalog._unsupported("Unity", "io.unitycatalog.spark.UCSingleCatalog")
+
+    @staticmethod
+    def from_s3tables(*_a, **_k):
+        Catalog._unsupported("S3Tables", "software.amazon.s3tables.iceberg.S3TablesCatalog")
+
+    @staticmethod
+    def from_postgres(*_a, **_k):
+        raise ImportError(
+            "Postgres attaches via JDBC: spark.read.format('jdbc') (see "
+            "daft_spark.io.readers.read_sql)"
+        )
+
+    # -- interface ---------------------------------------------------------
+    def create_namespace(self, identifier) -> None:
+        raise NotImplementedError
+
+    def create_table(self, identifier, source, **properties) -> Table:
+        raise NotImplementedError
+
+    def drop_namespace(self, identifier) -> None:
+        raise NotImplementedError
+
+    def drop_table(self, identifier) -> None:
+        raise NotImplementedError
+
+    def get_table(self, identifier) -> Table:
+        raise NotImplementedError
+
+    def has_namespace(self, identifier) -> bool:
+        raise NotImplementedError
+
+    def has_table(self, identifier) -> bool:
+        raise NotImplementedError
+
+    def list_namespaces(self, pattern: str | None = None) -> list[Identifier]:
+        raise NotImplementedError
+
+    def list_tables(self, pattern: str | None = None) -> list[str]:
+        raise NotImplementedError
+
+    def read_table(self, identifier) -> DataFrame:
+        return self.get_table(identifier).read()
+
+    def create_namespace_if_not_exists(self, identifier) -> None:
+        if not self.has_namespace(identifier):
+            self.create_namespace(identifier)
+
+    def create_table_if_not_exists(self, identifier, source, **properties) -> Table:
+        if self.has_table(identifier):
+            return self.get_table(identifier)
+        return self.create_table(identifier, source, **properties)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.name})"
+
+
+class MemoryCatalog(Catalog):
+    """In-memory catalog of named DataFrames/Tables (reference
+    Catalog.from_pydict, daft/catalog/__init__.py:168)."""
+
+    def __init__(self, name: str = "default"):
+        self.name = name
+        self._tables: dict[str, Table] = {}
+        self._namespaces: set[str] = set()
+
+    def create_namespace(self, identifier) -> None:
+        self._namespaces.add(str(_ident(identifier)))
+
+    def create_table(self, identifier, source, **properties) -> Table:
+        key = str(_ident(identifier))
+        if isinstance(source, Table):
+            t = source
+        elif isinstance(source, DataFrame):
+            t = Table.from_df(key, source)
+        else:
+            from daft_spark.dataframe import DataFrame as WrappedDF
+
+            if isinstance(source, WrappedDF):
+                t = Table.from_df(key, source.to_spark())
+            else:
+                raise TypeError(f"cannot create table from {type(source)}")
+        self._tables[key] = t
+        if len(_ident(identifier)) > 1:
+            self._namespaces.add(".".join(_ident(identifier)[:-1]))
+        return t
+
+    def drop_namespace(self, identifier) -> None:
+        self._namespaces.discard(str(_ident(identifier)))
+
+    def drop_table(self, identifier) -> None:
+        if self._tables.pop(str(_ident(identifier)), None) is None:
+            raise NotFoundError(f"table {identifier} not found in {self.name}")
+
+    def get_table(self, identifier) -> Table:
+        t = self._tables.get(str(_ident(identifier)))
+        if t is None:
+            raise NotFoundError(f"table {identifier} not found in {self.name}")
+        return t
+
+    def has_namespace(self, identifier) -> bool:
+        return str(_ident(identifier)) in self._namespaces
+
+    def has_table(self, identifier) -> bool:
+        return str(_ident(identifier)) in self._tables
+
+    def list_namespaces(self, pattern: str | None = None) -> list[Identifier]:
+        out = sorted(self._namespaces)
+        if pattern:
+            out = [n for n in out if pattern in n]
+        return [Identifier.from_str(n) for n in out]
+
+    def list_tables(self, pattern: str | None = None) -> list[str]:
+        out = sorted(self._tables)
+        if pattern:
+            out = [n for n in out if pattern in n]
+        return out
+
+
+class SparkCatalog(Catalog):
+    """A Spark-side catalog by name — the session catalog
+    (``spark_catalog``) or any V2 catalog configured via
+    ``spark.sql.catalog.<name>`` confs. Namespaces are databases."""
+
+    def __init__(self, name: str = "spark_catalog", spark: SparkSession | None = None):
+        self.name = name
+        self.spark = spark or get_or_create()
+
+    def _q(self, identifier) -> str:
+        parts = _ident(identifier)
+        return ".".join([self.name, *parts])
+
+    def create_namespace(self, identifier) -> None:
+        self.spark.sql(f"CREATE NAMESPACE {self._q(identifier)}")
+
+    def create_table(self, identifier, source, **properties) -> Table:
+        from pyspark.sql.types import StructType
+
+        name = self._q(identifier)
+        if isinstance(source, StructType):
+            self.spark.catalog.createTable(name, schema=source, **properties)
+        else:
+            from daft_spark.dataframe import DataFrame as WrappedDF
+
+            sdf = source.to_spark() if isinstance(source, WrappedDF) else source
+            sdf.write.saveAsTable(name, **properties)
+        return self.get_table(identifier)
+
+    def drop_namespace(self, identifier) -> None:
+        self.spark.sql(f"DROP NAMESPACE {self._q(identifier)}")
+
+    def drop_table(self, identifier) -> None:
+        self.spark.sql(f"DROP TABLE {self._q(identifier)}")
+
+    def get_table(self, identifier) -> Table:
+        if not self.has_table(identifier):
+            raise NotFoundError(f"table {identifier} not found in {self.name}")
+        name = self._q(identifier)
+        return Table(
+            str(_ident(identifier)),
+            lambda: self.spark.table(name),
+            lambda df, mode: df.write.mode(mode).saveAsTable(name),
+        )
+
+    def has_namespace(self, identifier) -> bool:
+        try:
+            return self.spark.catalog.databaseExists(str(_ident(identifier)))
+        except Exception:
+            return False
+
+    def has_table(self, identifier) -> bool:
+        try:
+            return self.spark.catalog.tableExists(self._q(identifier))
+        except Exception:
+            return False
+
+    def list_namespaces(self, pattern: str | None = None) -> list[Identifier]:
+        dbs = [d.name for d in self.spark.catalog.listDatabases(pattern)]
+        return [Identifier.from_str(d) for d in dbs]
+
+    def list_tables(self, pattern: str | None = None) -> list[str]:
+        ts = self.spark.catalog.listTables()
+        out = [t.name for t in ts]
+        if pattern:
+            out = [n for n in out if pattern in n]
+        return sorted(out)
+
+
+class Session:
+    """The session: attached catalogs + temp tables + functions
+    (reference daft/session.py:86; attach surface :176-404).
+
+    Temp tables are Spark temp views — session-scoped, dropped with the
+    SparkSession, exactly the reference's lifetime contract."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_or_create()
+        self._catalogs: dict[str, Catalog] = {}
+        self._functions: dict[str, Callable] = {}
+        self._current_catalog: str | None = None
+        self._current_namespace: Identifier | None = None
+
+    # -- attach / detach ---------------------------------------------------
+    def attach(self, obj, alias: str | None = None):
+        """Dispatch on type: Catalog, Table, callable (UDF), DataFrame
+        (reference session.py:176)."""
+        if isinstance(obj, Catalog):
+            return self.attach_catalog(obj, alias)
+        if isinstance(obj, Table):
+            return self.attach_table(obj, alias)
+        if isinstance(obj, DataFrame) or _is_wrapped_df(obj):
+            if alias is None:
+                raise ValueError("Cannot attach a DataFrame without an alias.")
+            return self.attach_view(obj, alias)
+        if callable(obj):
+            return self.attach_function(obj, alias)
+        raise ValueError(f"Cannot attach object with type {type(obj)}")
+
+    def attach_catalog(self, catalog: Catalog, alias: str | None = None) -> Catalog:
+        if not isinstance(catalog, Catalog):
+            raise TypeError(f"expected Catalog, got {type(catalog)}")
+        a = alias or catalog.name
+        if a in self._catalogs:
+            raise ValueError(f"catalog {a!r} is already attached")
+        self._catalogs[a] = catalog
+        if self._current_catalog is None:
+            self._current_catalog = a
+        return catalog
+
+    def attach_table(self, table, alias: str | None = None) -> Table:
+        """Attach a Table (or DataFrame, for convenience) as a
+        session-scoped name."""
+        if isinstance(table, Table):
+            t = table
+            a = alias or t.name
+            t.read().createOrReplaceTempView(a)
+            return t
+        # DataFrame convenience (kept from the round-2 veneer)
+        sdf = table.to_spark() if _is_wrapped_df(table) else table
+        if alias is None:
+            raise ValueError("attach_table(DataFrame) requires an alias")
+        sdf.createOrReplaceTempView(alias)
+        return Table.from_df(alias, sdf)
+
+    def attach_view(self, view, alias: str) -> Table:
+        sdf = view.to_spark() if _is_wrapped_df(view) else view
+        sdf.createOrReplaceTempView(alias)
+        return Table.from_df(alias, sdf)
+
+    def attach_function(self, function: Callable, alias: str | None = None,
+                        return_dtype: str = "string") -> None:
+        """Register a Python function for SQL (reference
+        attach_function). ``@daft_spark.udf.func``-decorated callables
+        carry their return type; plain callables take return_dtype."""
+        name = alias or getattr(function, "__name__", None)
+        if not name:
+            raise ValueError("attach_function requires an alias for unnamed callables")
+        if hasattr(function, "__daft_spark_udf__") or hasattr(function, "returnType"):
+            # already a (pandas_)udf-wrapped function — register as-is
+            self.spark.udf.register(name, function)
+        else:
+            self.spark.udf.register(name, function, return_dtype)
+        self._functions[name] = function
+
+    def detach_catalog(self, alias: str) -> None:
+        if alias not in self._catalogs:
+            raise NotFoundError(f"catalog {alias!r} is not attached")
+        del self._catalogs[alias]
+        if self._current_catalog == alias:
+            self._current_catalog = next(iter(self._catalogs), None)
+
+    def detach_table(self, alias: str) -> None:
+        if not self.spark.catalog.dropTempView(alias):
+            raise NotFoundError(f"temp table {alias!r} not found")
+
+    def detach_function(self, alias: str) -> None:
+        if self._functions.pop(alias, None) is None:
+            raise NotFoundError(f"function {alias!r} is not attached")
+        self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {alias}")
+
+    # -- create / drop -----------------------------------------------------
+    def create_namespace(self, identifier) -> None:
+        self._require_catalog().create_namespace(identifier)
+
+    def create_namespace_if_not_exists(self, identifier) -> None:
+        self._require_catalog().create_namespace_if_not_exists(identifier)
+
+    def create_table(self, identifier, source, **properties) -> Table:
+        cat, ident = self._resolve(identifier)
+        return cat.create_table(ident, source, **properties)
+
+    def create_table_if_not_exists(self, identifier, source, **properties) -> Table:
+        cat, ident = self._resolve(identifier)
+        return cat.create_table_if_not_exists(ident, source, **properties)
+
+    def create_temp_table(self, identifier: str, source) -> Table:
+        """Session-scoped table (reference session.py:404). A Schema
+        source creates an empty table; a DataFrame source snapshots the
+        frame under the name."""
+        from pyspark.sql.types import StructType
+
+        if isinstance(source, StructType):
+            sdf = self.spark.createDataFrame([], source)
+        else:
+            sdf = source.to_spark() if _is_wrapped_df(source) else source
+        sdf.createOrReplaceTempView(identifier)
+        return Table.from_df(identifier, sdf)
+
+    def create_temp_view(self, identifier: str, view) -> Table:
+        return self.attach_view(view, identifier)
+
+    def drop_namespace(self, identifier) -> None:
+        self._require_catalog().drop_namespace(identifier)
+
+    def drop_table(self, identifier) -> None:
+        cat, ident = self._resolve(identifier)
+        cat.drop_table(ident)
+
+    # -- lookup ------------------------------------------------------------
+    def get_catalog(self, alias: str) -> Catalog:
+        if alias not in self._catalogs:
+            raise NotFoundError(f"catalog {alias!r} is not attached")
+        return self._catalogs[alias]
+
+    def get_table(self, identifier) -> Table:
+        ident = _ident(identifier)
+        # temp view shadows catalogs, as in Spark name resolution
+        if len(ident) == 1 and self._is_temp_view(ident[0]):
+            name = ident[0]
+            return Table(name, lambda: self.spark.table(name))
+        cat, rest = self._resolve(identifier)
+        return cat.get_table(rest)
+
+    def has_catalog(self, alias: str) -> bool:
+        return alias in self._catalogs
+
+    def has_namespace(self, identifier) -> bool:
+        cat = self._maybe_catalog()
+        return bool(cat and cat.has_namespace(identifier))
+
+    def has_table(self, identifier) -> bool:
+        ident = _ident(identifier)
+        if len(ident) == 1 and self._is_temp_view(ident[0]):
+            return True
+        try:
+            cat, rest = self._resolve(identifier)
+        except NotFoundError:
+            return False
+        return cat.has_table(rest)
+
+    def list_catalogs(self, pattern: str | None = None) -> list[str]:
+        out = sorted(self._catalogs)
+        if pattern:
+            out = [n for n in out if pattern in n]
+        return out
+
+    def list_namespaces(self, pattern: str | None = None) -> list[Identifier]:
+        cat = self._maybe_catalog()
+        return cat.list_namespaces(pattern) if cat else []
+
+    def list_tables(self, pattern: str | None = None) -> list[str]:
+        out = [t.name for t in self.spark.catalog.listTables()]
+        cat = self._maybe_catalog()
+        if cat is not None:
+            out.extend(cat.list_tables())
+        if pattern:
+            out = [n for n in out if pattern in n]
+        return sorted(set(out))
+
+    def read_table(self, identifier, **options) -> DataFrame:
+        return self.get_table(identifier).read()
+
+    # -- current state -----------------------------------------------------
+    def use(self, identifier=None) -> None:
+        """``use('cat')`` or ``use('cat.ns')`` (reference
+        session.py:495)."""
+        if identifier is None:
+            self._current_catalog = None
+            self._current_namespace = None
+            return
+        ident = _ident(identifier)
+        self.set_catalog(ident[0])
+        self._current_namespace = Identifier(*ident[1:]) if len(ident) > 1 else None
+
+    def set_catalog(self, alias: str | None) -> None:
+        if alias is not None and alias not in self._catalogs:
+            raise NotFoundError(f"catalog {alias!r} is not attached")
+        self._current_catalog = alias
+
+    def set_namespace(self, identifier) -> None:
+        self._current_namespace = _ident(identifier) if identifier is not None else None
+
+    def current_catalog(self) -> Catalog | None:
+        return self._catalogs.get(self._current_catalog) if self._current_catalog else None
+
+    def current_namespace(self) -> Identifier | None:
+        return self._current_namespace
+
+    # -- sql ---------------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        from daft_spark.sql import _expand_table_functions
+
+        return self.spark.sql(_expand_table_functions(query, self.spark))
+
+    # -- internals ---------------------------------------------------------
+    def _is_temp_view(self, name: str) -> bool:
+        try:
+            t = self.spark.catalog.getTable(name)
+            return t.isTemporary
+        except Exception:
+            return False
+
+    def _require_catalog(self) -> Catalog:
+        cat = self.current_catalog()
+        if cat is None:
+            raise NotFoundError("no catalog attached (use attach_catalog)")
+        return cat
+
+    def _maybe_catalog(self) -> Catalog | None:
+        return self.current_catalog()
+
+    def _resolve(self, identifier) -> tuple[Catalog, Identifier]:
+        """catalog-qualified -> that catalog + remainder; otherwise the
+        current catalog + (current namespace +) identifier."""
+        ident = _ident(identifier)
+        if len(ident) > 1 and ident[0] in self._catalogs:
+            return self._catalogs[ident[0]], Identifier(*ident[1:])
+        cat = self._require_catalog()
+        if self._current_namespace and len(ident) == 1:
+            ident = Identifier(*self._current_namespace, *ident)
+        return cat, ident
+
+
+def _is_wrapped_df(obj) -> bool:
+    from daft_spark.dataframe import DataFrame as WrappedDF
+
+    return isinstance(obj, WrappedDF)
+
+
+_DEFAULT_SESSION: Session | None = None
+
+
+def session() -> Session:
+    """Process-global session (reference daft/session.py:74)."""
+    global _DEFAULT_SESSION
+    if _DEFAULT_SESSION is None:
+        _DEFAULT_SESSION = Session()
+    return _DEFAULT_SESSION

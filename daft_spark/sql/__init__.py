@@ -147,35 +147,25 @@ def sql_expr(expression: str) -> Column:
     return F.expr(expression)
 
 
-class Session:
-    """Catalog/session surface (reference daft/session.py:86:
-    attach_table/create_temp_table/list_tables...). Backed by
-    spark.catalog."""
+# The full Session/Catalog surface lives in daft_spark.session
+# (reference daft/session.py:86); re-exported here because the SQL
+# veneer and the session surface ship together in the reference too.
+from daft_spark.session import (  # noqa: E402
+    Catalog,
+    Identifier,
+    NotFoundError,
+    Session,
+    Table,
+    session,
+)
 
-    def __init__(self, spark: SparkSession | None = None):
-        self.spark = spark or get_or_create()
-
-    def attach_table(self, df, alias: str) -> None:
-        from daft_spark.dataframe import DataFrame as WrappedDF
-
-        sdf = df.to_spark() if isinstance(df, WrappedDF) else df
-        sdf.createOrReplaceTempView(alias)
-
-    create_temp_table = attach_table
-
-    def detach_table(self, alias: str) -> None:
-        self.spark.catalog.dropTempView(alias)
-
-    def list_tables(self) -> list[str]:
-        return [t.name for t in self.spark.catalog.listTables()]
-
-    def read_table(self, name: str) -> DataFrame:
-        return self.spark.table(name)
-
-    def sql(self, query: str) -> DataFrame:
-        return self.spark.sql(_expand_table_functions(query, self.spark))
-
-    def attach_function(self, fn, name: str, return_dtype: str = "string") -> None:
-        """Register a Python function for SQL use (reference
-        attach_function, session.py:176-404)."""
-        self.spark.udf.register(name, fn, return_dtype)
+__all__ = [
+    "Catalog",
+    "Identifier",
+    "NotFoundError",
+    "Session",
+    "Table",
+    "session",
+    "sql",
+    "sql_expr",
+]
