@@ -199,8 +199,11 @@ def _duckdb_reference(registry, names, failed) -> dict:
     tables = "region nation customer supplier part orders lineitem events documents embeddings"
     for t in tables.split():
         path = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):  # sharded table (tools/gen_sf.py layout)
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     dpasses: dict[str, list[float]] = {}
     for name in names:
         oracle = registry[name].oracle

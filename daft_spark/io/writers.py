@@ -115,3 +115,217 @@ def write_sink(df: DataFrame, sink_fn, batch_size: int | None = None) -> None:
     per partition on executors — the foreachPartition contract. Used for
     turbopuffer/clickhouse/bigtable-style push sinks."""
     df.foreachPartition(sink_fn)
+
+# ---------------------------------------------------------------------------
+# specialty push sinks (reference dataframe.py:2499 write_turbopuffer,
+# :2548 write_clickhouse, :2630 write_bigtable). Each is the
+# foreachPartition pattern: executors open their own client (never the
+# driver's), stream the partition in bounded batches, and close. The
+# client libraries are not in this container, so the import is probed
+# on the DRIVER first (clean ImportError naming the package) and the
+# executor-side code takes a picklable sink factory — which is also the
+# test seam (a file-backed fake exercises the batching/rename plumbing).
+
+
+def _batched_push(df: DataFrame, make_sink, transform_row, batch_size: int) -> None:
+    """Executor loop shared by the push sinks: one sink per partition,
+    rows transformed then flushed in ``batch_size`` batches."""
+
+    def run(rows) -> None:
+        sink = make_sink()
+        batch = []
+        try:
+            for row in rows:
+                batch.append(transform_row(row))
+                if len(batch) >= batch_size:
+                    sink.write_batch(batch)
+                    batch = []
+            if batch:
+                sink.write_batch(batch)
+        finally:
+            close = getattr(sink, "close", None)
+            if close is not None:
+                close()
+
+    df.foreachPartition(run)
+
+
+def write_turbopuffer(
+    df: DataFrame,
+    namespace: str,
+    api_key: str | None = None,
+    region: str | None = None,
+    distance_metric: str | None = None,
+    schema: dict | None = None,
+    id_column: str | None = None,
+    vector_column: str | None = None,
+    client_kwargs: dict | None = None,
+    write_kwargs: dict | None = None,
+    batch_size: int = 1000,
+    sink_factory=None,
+) -> None:
+    """reference write_turbopuffer (dataframe.py:2499): each row becomes
+    a document; ``id_column``/``vector_column`` are renamed to the
+    required ``id``/``vector`` fields, every other column is an
+    attribute. ``sink_factory`` overrides the client (tests/custom)."""
+    if sink_factory is None:
+        try:
+            import turbopuffer  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "write_turbopuffer requires the 'turbopuffer' package"
+            ) from e
+
+        def sink_factory():  # pragma: no cover - needs the real service
+            import turbopuffer
+
+            tpuf = turbopuffer.Turbopuffer(
+                api_key=api_key, region=region, **(client_kwargs or {})
+            )
+            ns = tpuf.namespace(namespace)
+            kw = dict(write_kwargs or {})
+            if distance_metric:
+                kw["distance_metric"] = distance_metric
+            if schema:
+                kw["schema"] = schema
+
+            class _S:
+                def write_batch(self, docs):
+                    ns.write(upsert_rows=docs, **kw)
+
+            return _S()
+
+    def to_doc(row):
+        d = row.asDict(recursive=True)
+        if id_column and id_column != "id":
+            d["id"] = d.pop(id_column)
+        if "id" not in d:
+            raise ValueError("write_turbopuffer requires an 'id' column (or id_column)")
+        if vector_column and vector_column != "vector":
+            d["vector"] = d.pop(vector_column)
+        return d
+
+    _batched_push(df, sink_factory, to_doc, batch_size)
+
+
+def write_clickhouse(
+    df: DataFrame,
+    table: str,
+    *,
+    host: str = "localhost",
+    port: int | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    database: str | None = None,
+    client_kwargs: dict | None = None,
+    write_kwargs: dict | None = None,
+    batch_size: int = 10000,
+    sink_factory=None,
+) -> None:
+    """reference write_clickhouse (dataframe.py:2548): batched INSERTs
+    through clickhouse-connect, one client per partition. (A JDBC path
+    also exists: write_sql with a ClickHouse JDBC URL.)"""
+    columns = df.columns
+    if sink_factory is None:
+        try:
+            import clickhouse_connect  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "write_clickhouse requires the 'clickhouse-connect' package "
+                "(or use write_sql with a ClickHouse JDBC driver)"
+            ) from e
+
+        def sink_factory():  # pragma: no cover - needs the real service
+            import clickhouse_connect
+
+            client = clickhouse_connect.get_client(
+                host=host, port=port, username=user, password=password,
+                database=database, **(client_kwargs or {})
+            )
+
+            class _S:
+                def write_batch(self, rows):
+                    client.insert(
+                        table, rows, column_names=columns, **(write_kwargs or {})
+                    )
+
+                def close(self):
+                    client.close()
+
+            return _S()
+
+    _batched_push(df, sink_factory, lambda row: list(row), batch_size)
+
+
+def write_bigtable(
+    df: DataFrame,
+    project_id: str,
+    instance_id: str,
+    table_id: str,
+    row_key_column: str,
+    column_family_mappings: dict[str, str],
+    client_kwargs: dict | None = None,
+    write_kwargs: dict | None = None,
+    serialize_incompatible_types: bool = True,
+    batch_size: int = 1000,
+    sink_factory=None,
+) -> None:
+    """reference write_bigtable (dataframe.py:2630): each row becomes a
+    Bigtable mutation keyed by ``row_key_column``; every other column
+    must map to a column family. Non-bytes values are JSON-serialized
+    when ``serialize_incompatible_types`` (the reference default)."""
+    missing = [
+        c for c in df.columns if c != row_key_column and c not in column_family_mappings
+    ]
+    if missing:
+        raise ValueError(
+            f"columns {missing} have no column_family_mappings entry"
+        )
+    if sink_factory is None:
+        try:
+            from google.cloud import bigtable  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "write_bigtable requires the 'google-cloud-bigtable' package"
+            ) from e
+
+        def sink_factory():  # pragma: no cover - needs the real service
+            from google.cloud import bigtable
+
+            client = bigtable.Client(project=project_id, admin=False, **(client_kwargs or {}))
+            tbl = client.instance(instance_id).table(table_id)
+
+            class _S:
+                def write_batch(self, muts):
+                    rows = []
+                    for key, cells in muts:
+                        r = tbl.direct_row(key)
+                        for (fam, col), val in cells.items():
+                            r.set_cell(fam, col, val)
+                        rows.append(r)
+                    tbl.mutate_rows(rows, **(write_kwargs or {}))
+
+                def close(self):
+                    client.close()
+
+            return _S()
+
+    def to_mutation(row):
+        import json as _json
+
+        d = row.asDict(recursive=True)
+        key = d.pop(row_key_column)
+        key = key if isinstance(key, (bytes, str)) else str(key)
+        cells = {}
+        for col, val in d.items():
+            if not isinstance(val, (bytes, str)):
+                if not serialize_incompatible_types:
+                    raise TypeError(
+                        f"column {col!r} value {type(val).__name__} is not "
+                        "bytes/str and serialize_incompatible_types=False"
+                    )
+                val = _json.dumps(val, default=str)
+            cells[(column_family_mappings[col], col)] = val
+        return (key, cells)
+
+    _batched_push(df, sink_factory, to_mutation, batch_size)

@@ -61,8 +61,12 @@ def topk_cosine_bruteforce(
     broadcast (queries << corpus is the normal shape), so the corpus is
     scanned once with NO shuffle of the vectors; only (query_id,
     corpus_id, sim) rows reach the top-k window."""
+    from daft_spark.operators.spread import spread
+
     q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
-    scored = corpus.crossJoin(q).select(
+    # spread(): the dot products are CPU-bound map work gated on the
+    # corpus scan's split count; no-op on real multi-file corpora
+    scored = spread(corpus).crossJoin(q).select(
         F.col(query_id),
         F.col(corpus_id),
         cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("sim"),

@@ -22,7 +22,12 @@ from daft_spark.queries import register
 
 
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    # spread(): regex scoring is CPU-bound and only as parallel as the
+    # scan's split count — a single-file fixture serializes it onto one
+    # task; no-op on real multi-file inputs (operators/spread.py)
+    from daft_spark.operators.spread import spread
+
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -191,6 +191,72 @@ def test_q15_no_global_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_aqe_skew_join_splits_hot_key(spark):
+    """The 'skewed key at 100x' story must be backed by the runtime:
+    with AQE skew-join enabled, a shuffle join whose left side is
+    dominated by one hot key gets its oversized partition SPLIT
+    (skew=true in the executed adaptive plan) instead of one straggler
+    task processing the whole key."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    sc = spark.sparkContext
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # left: 300k rows, 2/3 of them on hot key 0, with an
+        # incompressible payload (shuffle block sizes are measured
+        # compressed) wide enough to trip the 64KB skew threshold;
+        # right: unique keys
+        left = (
+            spark.range(0, 300_000)
+            .withColumn(
+                "k", F.when(F.col("id") % 3 != 0, F.lit(0)).otherwise(F.col("id"))
+            )
+            .withColumn("pad", F.sha2(F.col("id").cast("string"), 512))
+        )
+        right = spark.range(0, 300_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # keep the pad in the join output: projecting it away would let
+        # column pruning drop it from the shuffle, deflating the hot
+        # partition below the skew threshold
+        out = left.join(right, "k")
+        # AQE applies OptimizeSkewedJoin when the join stage is created
+        # below a sink/exchange (a collect()'s result stage is not
+        # re-optimized in this Spark version), so drive a noop write
+        # and assert at the RUNTIME level: the join stage must run MORE
+        # tasks than shuffle partitions — the hot partition was split.
+        sc.setJobGroup("skewtest", "aqe skew join validation")
+        out.write.format("noop").mode("overwrite").save()
+        st = sc.statusTracker()
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        task_counts = []
+        for jid in st.getJobIdsForGroup("skewtest"):
+            info = st.getJobInfo(jid)
+            for sid in info.stageIds:
+                sinfo = st.getStageInfo(sid)
+                if sinfo is not None:
+                    task_counts.append(sinfo.numTasks)
+        assert any(n > n_parts for n in task_counts), (
+            f"no stage exceeded {n_parts} tasks (no skew split): {task_counts}"
+        )
+    finally:
+        sc.setJobGroup(None, None)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_q5_region_pruning_before_fact_join(spark):
     """Dimension-first Q5: the ASIA restriction must reach customer and
     supplier BEFORE the big fact joins — visible as the region filter

@@ -48,15 +48,18 @@ def test_attach_pydict_catalog_and_resolve(spark, sess):
     from daft_spark.session import Catalog, NotFoundError
 
     e = _events(spark)
-    cat = Catalog.from_pydict({"ev": e, "ns.small": e.limit(10)}, name="mem")
+    # NB: the table name must not collide with temp views other tests
+    # leave on the shared session — temp views shadow catalog tables
+    # (Spark name resolution; asserted in test_attach_detach_view...)
+    cat = Catalog.from_pydict({"mem_ev": e, "ns.small": e.limit(10)}, name="mem")
     sess.attach_catalog(cat)
     assert sess.list_catalogs() == ["mem"]
     assert sess.has_catalog("mem")
     # unqualified resolves via current catalog
-    assert sess.read_table("ev").count() == 100
+    assert sess.read_table("mem_ev").count() == 100
     # catalog-qualified
     assert sess.read_table("mem.ns.small").count() == 10
-    assert sess.has_table("ev") and not sess.has_table("nope")
+    assert sess.has_table("mem_ev") and not sess.has_table("nope")
     with pytest.raises(NotFoundError):
         sess.get_table("nope")
     sess.detach_catalog("mem")

@@ -69,15 +69,27 @@ def main(src: str, dst: str, k: int) -> None:
         if not os.path.exists(p):
             continue
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{p}')").fetchall()]
-        sel = ", ".join(
-            f"{c} + i.range * {space[keycols[c]]} AS {c}" if c in keycols else c for c in cols
-        )
-        con.execute(
-            f"COPY (SELECT {sel} FROM read_parquet('{p}') CROSS JOIN range({k}) i) "
-            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
-        )
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
-        print(f"{t}: {n} rows")
+        # One output FILE per shard, under a directory named <t>.parquet:
+        # a scaled table must also scale its file count — Spark's scan
+        # parallelism is split-gated, and a single K*size file caps
+        # CPU-bound stages at 1-2 tasks (real large tables are always
+        # multi-file). Spark reads the directory natively; DuckDB reads
+        # the glob '<t>.parquet/*.parquet'.
+        out_dir = os.path.join(dst, f"{t}.parquet")
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(k):
+            sel = ", ".join(
+                f"{c} + {i} * {space[keycols[c]]} AS {c}" if c in keycols else c
+                for c in cols
+            )
+            con.execute(
+                f"COPY (SELECT {sel} FROM read_parquet('{p}')) "
+                f"TO '{out_dir}/part-{i:04d}.parquet' (FORMAT PARQUET)"
+            )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out_dir}/*.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows in {k} files")
 
 
 if __name__ == "__main__":
