@@ -150,15 +150,22 @@ def main() -> None:
     }
     if lsh_stages is not None:
         out["lsh_stages"] = lsh_stages
-    sf1 = _load_sf1()
-    if sf1 is not None:
-        out["sf1"] = sf1
+    scale = _load_scale_runs()
+    if scale is not None:
+        for key in ("sf1", "sf10"):
+            if key in scale:
+                out[key] = scale[key]
+        if "note" in scale:
+            out["scale_note"] = scale["note"]
+        if "variance_note" in scale:
+            out["scale_variance_note"] = scale["variance_note"]
     print(json.dumps(out))
     spark.stop()
 
 
-def _load_sf1():
-    """Embed the precomputed sf1 run (tools/run_sf1_bench.py) if present."""
+def _load_scale_runs():
+    """Embed the precomputed large-scale runs (SF1_RESULTS.json, written
+    from bench.py runs at sf1/sf10 on gen_sf.py fixtures) if present."""
     try:
         with open(SF1_RESULTS) as f:
             return json.load(f)
