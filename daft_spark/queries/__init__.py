@@ -45,15 +45,16 @@ def register(name: str, oracle: str | None):
 # 49/50 green, the 50th rows-only by design).
 # Round-5 rotation: queries whose code changed THIS round first
 # (exact-dedup hash-key rework, q15 de-windowing, _spread rework feeds
-# the dedup pipelines, new Iceberg roundtrip), then the stale set last
-# driver-verified in r1/r2. 16 names don't fit the 50-row window and
-# lead the round-6 rotation: sim_ann_lsh_recall, sim_ann_ivf_recall,
-# the 7 fn_*, sql_table_function, and the 6 mm_*. Names not listed
-# keep registration order after these.
+# the dedup pipelines, new Iceberg + duplicate-cluster queries), then
+# the stale set last driver-verified in r1/r2. 17 names don't fit the
+# 50-row window and lead the round-6 rotation: sim_centroid_cosine,
+# sim_ann_lsh_recall, sim_ann_ivf_recall, the 7 fn_*,
+# sql_table_function, and the 6 mm_*. Names not listed keep
+# registration order after these.
 DRIVER_PRIORITY: list[str] = [
-    # changed round 5 (7)
+    # changed/new round 5 (8)
     "dedup_exact", "dedup_exact_keepmin", "tpch_q15",
-    "lake_iceberg_roundtrip",
+    "lake_iceberg_roundtrip", "dedup_clusters",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     # fell just outside the r3/r4 windows (green r1)
     "agg_rollup",

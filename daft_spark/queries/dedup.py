@@ -241,3 +241,46 @@ def dedup_exact_keepmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, ["lang", "source"], "doc_id").select(
         "doc_id", "lang", "source"
     ).orderBy("doc_id")
+
+@register(
+    "dedup_clusters",
+    """
+    WITH d AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id < 300
+    ),
+    islands AS (
+      SELECT doc_id, lang,
+             doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+      FROM d
+    )
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY lang, grp) AS cluster_id,
+           doc_id = min(doc_id) OVER (PARTITION BY lang, grp) AS is_representative
+    FROM islands
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment via iterative connected components
+    (operators/cluster.py) — the transitive-closure step after pair
+    mining. The edge set here is chosen to be independently SQL-checkable
+    WITH nontrivial transitivity: doc i ~ doc i+1 whenever both share a
+    lang, so components are maximal runs of consecutive same-lang docs
+    (chains, diameter up to the run length — the label propagation must
+    actually iterate). The oracle restates the same components with
+    gaps-and-islands instead of recursion, so a wrong fixpoint, lost
+    edge, or premature convergence mismatches."""
+    from daft_spark.operators.cluster import duplicate_clusters
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300).select("doc_id", "lang")
+    nxt = d.select((F.col("doc_id")).alias("id_a"), F.col("lang").alias("l_a"))
+    cur = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("l_b"))
+    pairs = nxt.join(
+        cur,
+        (F.col("id_b") == F.col("id_a") + 1) & (F.col("l_a") == F.col("l_b")),
+    ).select("id_a", "id_b")
+    return (
+        duplicate_clusters(d, pairs, "doc_id")
+        .select("doc_id", "cluster_id", "is_representative")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,69 @@
+"""Connected components / duplicate clustering (operators/cluster.py):
+chain transitivity (must actually iterate), star shapes, multiple
+components, singletons, empty edge sets, and the non-convergence gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["id_a", "id_b"])
+
+
+def _components(spark, edges):
+    from daft_spark.operators.cluster import connected_components
+
+    out = connected_components(_pairs(spark, edges)).collect()
+    return {r["node"]: r["component"] for r in out}
+
+
+def test_chain_transitivity(spark):
+    # 1-2-3-4-5: a path forces multiple propagation rounds
+    comp = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_star_and_separate_components(spark):
+    comp = _components(spark, [(10, 11), (10, 12), (10, 13), (20, 21), (30, 31)])
+    assert comp == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_bridged_clusters_merge(spark):
+    # two cliques joined by one bridge edge collapse to one component
+    comp = _components(spark, [(1, 2), (2, 3), (7, 8), (8, 9), (3, 7)])
+    assert set(comp.values()) == {1}
+
+
+def test_duplicate_clusters_singletons_and_representatives(spark):
+    from daft_spark.operators.cluster import duplicate_clusters
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 8)], ["doc_id", "t"])
+    out = duplicate_clusters(docs, _pairs(spark, [(2, 3), (3, 4), (6, 7)]), "doc_id")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_representative"]) for r in out.collect()}
+    assert rows == {
+        1: (1, True), 2: (2, True), 3: (2, False), 4: (2, False),
+        5: (5, True), 6: (6, True), 7: (6, False),
+    }
+    # exactly one representative per cluster
+    reps = out.filter("is_representative").count()
+    assert reps == out.select("cluster_id").distinct().count()
+
+
+def test_empty_pairs_all_singletons(spark):
+    from daft_spark.operators.cluster import duplicate_clusters
+
+    docs = spark.createDataFrame([(i, "x") for i in range(5)], ["doc_id", "t"])
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = duplicate_clusters(docs, empty, "doc_id")
+    assert out.filter(F.col("cluster_id") != F.col("doc_id")).count() == 0
+    assert out.filter("is_representative").count() == 5
+
+
+def test_nonconvergence_raises(spark):
+    from daft_spark.operators.cluster import connected_components
+
+    long_chain = [(i, i + 1) for i in range(40)]
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(_pairs(spark, long_chain), max_iterations=2)
