@@ -338,11 +338,21 @@ def read_iceberg_py(
     meta = _latest_metadata(path)
     if meta.get("format-version", 1) > 2:
         raise NotImplementedError("Iceberg format v3+ not supported")
-    if any(s.get("fields") for s in meta.get("partition-specs", [])):
-        raise NotImplementedError(
-            "partitioned Iceberg tables are not supported by this pure-Python "
-            "reader; use the Spark Iceberg runtime"
-        )
+    # Identity-partitioned tables are readable: native Iceberg writers
+    # store the partition source columns IN the data files, so a plain
+    # parquet read reconstructs full rows (partition pruning is lost —
+    # filters still apply post-scan). Transform partitions
+    # (bucket/truncate/days/...) are rejected: their derived values
+    # exist only in metadata, and hidden-partitioning guarantees can't
+    # be honored without them.
+    for spec in meta.get("partition-specs", []):
+        for f in spec.get("fields", []):
+            if f.get("transform", "identity") not in ("identity", "void"):
+                raise NotImplementedError(
+                    f"Iceberg transform partitioning ({f.get('transform')!r}) "
+                    "is not supported by this pure-Python reader; use the "
+                    "Spark Iceberg runtime"
+                )
     schema = _current_schema(meta)
     files = _live_data_files(meta, path, snapshot_id)
     if not files:

@@ -242,3 +242,37 @@ def test_lakehouse_wrappers_route_to_pure_python(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_iceberg(o, path, write_mode="append")
     assert read_iceberg(path, spark).count() == 20
+
+
+def test_iceberg_identity_partition_readable_transform_rejected(spark, tmp_path):
+    """Identity-partitioned tables read fine (data files carry the
+    partition source columns); transform partitions are gated."""
+    from daft_spark.io.iceberg import read_iceberg_py, write_iceberg_py
+
+    o = _orders(spark).limit(50)
+    path = str(tmp_path / "tbl")
+    write_iceberg_py(o, path)
+    md = os.path.join(path, "metadata")
+    with open(os.path.join(md, "version-hint.text")) as f:
+        v = int(f.read())
+    with open(os.path.join(md, f"v{v}.metadata.json")) as f:
+        meta = json.load(f)
+
+    def _republish(spec_fields, new_v):
+        meta["partition-specs"] = [{"spec-id": 0, "fields": spec_fields}]
+        with open(os.path.join(md, f"v{new_v}.metadata.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(md, "version-hint.text"), "w") as f:
+            f.write(str(new_v))
+
+    _republish(
+        [{"name": "o_orderstatus", "transform": "identity",
+          "source-id": 2, "field-id": 1000}], v + 1,
+    )
+    assert read_iceberg_py(path, spark).count() == 50
+    _republish(
+        [{"name": "o_orderkey_bucket", "transform": "bucket[16]",
+          "source-id": 1, "field-id": 1001}], v + 2,
+    )
+    with pytest.raises(NotImplementedError, match="transform"):
+        read_iceberg_py(path, spark)
