@@ -1,0 +1,175 @@
+"""Pure-Python Apache Hudi copy-on-write table support — no connector
+JAR required.
+
+Parity target: the reference reads Hudi through its own pure-Python
+metadata walk too (reference ``daft/io/hudi/_hudi.py:18`` read_hudi,
+``daft/io/hudi/hudi_scan.py`` — timeline + latest-file-slice
+resolution). Hudi CoW is an open layout
+(https://hudi.apache.org/docs/concepts/): parquet base files named
+``<fileId>_<writeToken>_<instantTs>.parquet`` plus a timeline under
+``.hoodie/`` — one ``<instantTs>.commit`` JSON per completed write
+(``partitionToWriteStats``), ``<instantTs>.replacecommit`` when file
+groups are replaced (insert_overwrite), and ``hoodie.properties``.
+
+Bounded subset implemented (mirroring io/delta.py and io/iceberg.py):
+
+- ``write_hudi_py(df, path, mode)``: append (new file groups per
+  commit) / overwrite (a replacecommit retiring every prior file
+  group) / error / ignore, unpartitioned tables, data written with
+  Spark's parquet writer and renamed to Hudi base-file names; the
+  commit JSON is staged and os.rename()'d — single-writer file://
+  atomicity.
+- ``read_hudi_py(path, spark)``: replay the COMPLETED timeline in
+  instant order (latest base file per file group wins; replacecommits
+  drop their listed groups), then hand the live files to Spark's
+  parquet reader — pushdowns, split planning and AQE as usual.
+
+Out of scope (raise cleanly): merge-on-read tables (log files),
+partitioned tables, clustering/compaction/cleaning instants, metadata
+table. At 100 TB the timeline replay is driver-side KB work; the data
+plane is an ordinary multi-file parquet scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_HOODIE = ".hoodie"
+
+
+def _timeline_dir(path: str) -> str:
+    return os.path.join(path, _HOODIE)
+
+
+def _instants(path: str) -> list[tuple[str, str]]:
+    """Completed instants as (ts, action) sorted by ts; action is
+    'commit' or 'replacecommit'."""
+    td = _timeline_dir(path)
+    if not os.path.isdir(td):
+        return []
+    out = []
+    for f in os.listdir(td):
+        for action in ("commit", "replacecommit"):
+            suffix = f".{action}"
+            if f.endswith(suffix):
+                ts = f[: -len(suffix)]
+                if ts.isdigit():
+                    out.append((ts, action))
+    for f in os.listdir(td):
+        if f.endswith(".deltacommit"):
+            raise NotImplementedError(
+                "Hudi merge-on-read tables (deltacommits/log files) are not "
+                "supported by this pure-Python reader; use the Hudi Spark bundle"
+            )
+    return sorted(out)
+
+
+def _live_files(path: str) -> list[str]:
+    """Latest base file per file group after replaying the timeline."""
+    groups: dict[str, tuple[str, str]] = {}  # fileId -> (instant, relpath)
+    for ts, action in _instants(path):
+        with open(os.path.join(_timeline_dir(path), f"{ts}.{action}")) as f:
+            commit = json.load(f)
+        for file_ids in commit.get("partitionToReplaceFileIds", {}).values():
+            for fid in file_ids:
+                groups.pop(fid, None)
+        for part, stats in commit.get("partitionToWriteStats", {}).items():
+            if part not in ("", None):
+                raise NotImplementedError(
+                    "partitioned Hudi tables are not supported by this "
+                    "pure-Python reader; use the Hudi Spark bundle"
+                )
+            for st in stats:
+                fid = st["fileId"]
+                if fid not in groups or groups[fid][0] < ts:
+                    groups[fid] = (ts, st["path"])
+    return sorted(os.path.join(path, rel) for _, rel in groups.values())
+
+
+def read_hudi_py(path: str, spark: SparkSession) -> DataFrame:
+    """Read an (unpartitioned, copy-on-write) Hudi table by replaying
+    its timeline. The result is a plain multi-file parquet scan."""
+    if not os.path.isdir(_timeline_dir(path)):
+        raise FileNotFoundError(f"not a Hudi table (no {_HOODIE}/ under {path})")
+    files = _live_files(path)
+    if not files:
+        raise ValueError(f"Hudi table at {path} has no completed commits")
+    return spark.read.parquet(*files)
+
+
+def write_hudi_py(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Write ``df`` as one Hudi CoW commit: parquet base files with
+    Hudi naming + one atomic timeline entry. Modes: append, overwrite,
+    error, ignore."""
+    if mode not in ("append", "overwrite", "error", "ignore"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    exists = bool(_instants(path))
+    if exists and mode == "error":
+        raise FileExistsError(f"Hudi table already exists at {path}")
+    if exists and mode == "ignore":
+        return
+
+    instant = time.strftime("%Y%m%d%H%M%S") + f"{int(time.time() * 1000) % 1000:03d}"
+    prior_instants = _instants(path)
+    if prior_instants and instant <= prior_instants[-1][0]:
+        # same-millisecond successive writes: instants must be strictly
+        # increasing for latest-file-slice resolution
+        instant = str(int(prior_instants[-1][0]) + 1)
+    td = _timeline_dir(path)
+    os.makedirs(td, exist_ok=True)
+    props = os.path.join(td, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as f:
+            f.write(
+                "hoodie.table.name={}\nhoodie.table.type=COPY_ON_WRITE\n"
+                "hoodie.table.version=6\nhoodie.timeline.layout.version=1\n".format(
+                    os.path.basename(path.rstrip("/")) or "table"
+                )
+            )
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    write_stats = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        file_id = uuid.uuid4().hex
+        name = f"{file_id}_0-0-0_{instant}.parquet"
+        dst = os.path.join(path, name)
+        shutil.move(os.path.join(staging, f), dst)
+        write_stats.append(
+            {
+                "fileId": file_id,
+                "path": name,
+                "fileSizeInBytes": os.path.getsize(dst),
+                "totalWriteBytes": os.path.getsize(dst),
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    action = "replacecommit" if (mode == "overwrite" and exists) else "commit"
+    commit: dict = {"partitionToWriteStats": {"": write_stats}}
+    if action == "replacecommit":
+        prior = _live_files(path)
+        prior_ids = [os.path.basename(p).split("_", 1)[0] for p in prior]
+        commit["partitionToReplaceFileIds"] = {"": prior_ids}
+
+    # Hudi's timeline transitions requested -> inflight -> completed;
+    # the completed file is what readers act on, published atomically.
+    for marker in (f"{instant}.{action}.requested", f"{instant}.{action}.inflight"):
+        with open(os.path.join(td, marker), "w"):
+            pass
+    tmp = os.path.join(td, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(commit, f)
+    final = os.path.join(td, f"{instant}.{action}")
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise RuntimeError(f"concurrent Hudi commit at instant {instant} ({path})")
+    os.rename(tmp, final)

@@ -94,7 +94,19 @@ def read_iceberg(table: str, spark: SparkSession | None = None, snapshot_id: int
 
 
 def read_hudi(path: str, spark: SparkSession | None = None, **options) -> DataFrame:
-    return _format_read(_session(spark), "hudi", path, "org.apache.hudi:hudi-spark-bundle_2.13", options)
+    """reference read_hudi (daft/io/hudi/_hudi.py:18) -> the Hudi Spark
+    connector when present; for a local copy-on-write table directory
+    (has .hoodie/), the pure-Python timeline replay
+    (daft_spark.io.hudi) — mirroring the reference, which also reads
+    Hudi without a connector."""
+    import os
+
+    spark = _session(spark)
+    if os.path.isdir(os.path.join(path, ".hoodie")):
+        from daft_spark.io.hudi import read_hudi_py
+
+        return read_hudi_py(path, spark)
+    return _format_read(spark, "hudi", path, "org.apache.hudi:hudi-spark-bundle_2.13", options)
 
 
 def read_paimon(path: str, spark: SparkSession | None = None, **options) -> DataFrame:

@@ -111,3 +111,56 @@ def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+@register(
+    "lake_hudi_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey >= 5000 AND o_orderkey < 15000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def lake_hudi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an orders slice as a Hudi CoW table, OVERWRITE it with a
+    different slice (a replacecommit must retire every first-commit
+    file group), append a third slice, then read back through the
+    timeline replay and aggregate. The oracle recomputes from the
+    source parquet, so a lost file group, unapplied replacecommit, or
+    stale-slice resolution mismatches. Reference:
+    daft/io/hudi/_hudi.py:18 (read), hudi_scan.py."""
+    import shutil
+
+    from daft_spark.io.hudi import write_hudi_py
+    from daft_spark.io.lakehouse import read_hudi
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_hudi", f"orders_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_hudi_py(o.filter(F.col("o_orderkey") < 5000), path, mode="overwrite")
+    write_hudi_py(
+        o.filter((F.col("o_orderkey") >= 5000) & (F.col("o_orderkey") < 10000)),
+        path,
+        mode="overwrite",
+    )
+    write_hudi_py(
+        o.filter((F.col("o_orderkey") >= 10000) & (F.col("o_orderkey") < 15000)),
+        path,
+        mode="append",
+    )
+    t = read_hudi(path, spark)
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1,0 +1,86 @@
+"""Pure-Python Hudi CoW support: timeline replay, append commits,
+overwrite via replacecommit, mode gates, and the MoR/partitioned gates.
+Reference surface: daft/io/hudi/_hudi.py:18 (read_hudi), hudi_scan.py
+(latest-file-slice resolution)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _orders(spark):
+    from daft_spark.io.readers import load_table
+
+    return load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_hudi_append_roundtrip(spark, tmp_path):
+    from daft_spark.io.hudi import read_hudi_py, write_hudi_py
+
+    o = _orders(spark)
+    path = str(tmp_path / "tbl")
+    write_hudi_py(o.filter(F.col("o_orderkey") < 1000), path, mode="error")
+    write_hudi_py(
+        o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)),
+        path,
+        mode="append",
+    )
+    back = read_hudi_py(path, spark)
+    expect = o.filter(F.col("o_orderkey") < 2000)
+    assert back.count() == expect.count()
+    assert (
+        back.join(expect, ["o_orderkey", "o_orderstatus", "o_totalprice"], "left_anti").count()
+        == 0
+    )
+    # hoodie table structure on disk
+    assert os.path.exists(os.path.join(path, ".hoodie", "hoodie.properties"))
+
+
+def test_hudi_overwrite_replaces_file_groups(spark, tmp_path):
+    from daft_spark.io.hudi import read_hudi_py, write_hudi_py
+
+    o = _orders(spark)
+    path = str(tmp_path / "tbl")
+    write_hudi_py(o.filter(F.col("o_orderkey") < 500), path)
+    write_hudi_py(o.filter(F.col("o_orderkey") >= 5000), path, mode="overwrite")
+    back = read_hudi_py(path, spark)
+    assert back.filter(F.col("o_orderkey") < 5000).count() == 0
+    assert back.count() == o.filter(F.col("o_orderkey") >= 5000).count()
+    # the replacecommit exists in the timeline
+    assert any(
+        f.endswith(".replacecommit") for f in os.listdir(os.path.join(path, ".hoodie"))
+    )
+
+
+def test_hudi_mode_gates_and_wrapper(spark, tmp_path):
+    from daft_spark.io.hudi import write_hudi_py
+    from daft_spark.io.lakehouse import read_hudi
+
+    o = _orders(spark).limit(10)
+    path = str(tmp_path / "tbl")
+    write_hudi_py(o, path)
+    with pytest.raises(FileExistsError):
+        write_hudi_py(o, path, mode="error")
+    write_hudi_py(o, path, mode="ignore")  # no-op
+    assert read_hudi(path, spark).count() == 10  # wrapper routes to pure-python
+    with pytest.raises(ValueError):
+        write_hudi_py(o, path, mode="bogus")
+
+
+def test_hudi_mor_gate(spark, tmp_path):
+    from daft_spark.io.hudi import read_hudi_py, write_hudi_py
+
+    o = _orders(spark).limit(5)
+    path = str(tmp_path / "tbl")
+    write_hudi_py(o, path)
+    with open(os.path.join(path, ".hoodie", "20990101000000000.deltacommit"), "w"):
+        pass
+    with pytest.raises(NotImplementedError, match="merge-on-read"):
+        read_hudi_py(path, spark)
