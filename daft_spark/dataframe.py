@@ -370,6 +370,37 @@ class DataFrame:
 
         write_json(self._sdf, path, write_mode=write_mode)
 
+    def write_deltalake(self, path: str, mode: str = "append") -> None:
+        """reference DataFrame.write_deltalake (dataframe.py:1767) —
+        delta-spark when on the classpath, else the pure-python
+        transaction-log writer (io/delta.py)."""
+        from daft_spark.io.writers import write_deltalake
+
+        write_deltalake(self._sdf, path, write_mode=mode)
+
+    def write_iceberg(self, table: str, mode: str = "append") -> None:
+        """reference DataFrame.write_iceberg (dataframe.py:1330) —
+        catalog tables via writeTo; filesystem paths via the
+        pure-python v2 commit writer (io/iceberg.py)."""
+        from daft_spark.io.writers import write_iceberg
+
+        write_iceberg(self._sdf, table, write_mode=mode)
+
+    def write_hudi(self, path: str, mode: str = "append") -> None:
+        """Hudi copy-on-write commit (io/hudi.py) — Spark-side analogue
+        of the reference's Hudi write support."""
+        from daft_spark.io.hudi import write_hudi_py
+
+        write_hudi_py(self._sdf, path, mode=mode)
+
+    def write_sink(self, sink_fn) -> None:
+        """reference DataFrame.write_sink (dataframe.py:2267) —
+        foreachPartition push-sink contract; see also io.writers.
+        write_turbopuffer/write_clickhouse/write_bigtable."""
+        from daft_spark.io.writers import write_sink
+
+        write_sink(self._sdf, sink_fn)
+
     # --- introspection ------------------------------------------------------
     @property
     def schema(self):

@@ -189,3 +189,22 @@ def test_shuffle_repartition(spark, dd):
     assert dd.repartition(4).to_spark().rdd.getNumPartitions() == 4
     assert dd.into_partitions(2).to_spark().rdd.getNumPartitions() <= 2
     assert dd.shuffle(seed=7).count_rows() == dd.count_rows()
+
+
+def test_dataframe_lakehouse_write_methods(spark, tmp_path):
+    """DataFrame-level write_deltalake/write_iceberg/write_hudi parity
+    (reference dataframe.py:1330-1767) through the pure-python paths."""
+    import daft_spark
+    from daft_spark.io.hudi import read_hudi_py
+    from daft_spark.io.iceberg import read_iceberg_py
+    from daft_spark.io.lakehouse import read_deltalake
+
+    e = daft_spark.read_parquet(f"{SF_DIR}/nation.parquet", spark=spark)
+    for fmt, reader in (
+        ("delta", lambda p: read_deltalake(p, spark)),
+        ("iceberg", lambda p: read_iceberg_py(p, spark)),
+        ("hudi", lambda p: read_hudi_py(p, spark)),
+    ):
+        path = str(tmp_path / fmt)
+        getattr(e, f"write_{'deltalake' if fmt == 'delta' else fmt}")(path)
+        assert reader(path).count() == 25
