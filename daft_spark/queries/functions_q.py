@@ -305,3 +305,105 @@ def fn_hash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.xxhash64("text")).alias("n_hashes"),
     )
+
+@register(
+    "fn_horizontal_partitioning",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity + l_discount + l_tax AS DOUBLE) AS row_sum,
+           CAST((l_quantity + l_discount + l_tax) / 3 AS DOUBLE) AS row_mean,
+           CAST(least(l_quantity, l_discount, l_tax) AS DOUBLE) AS row_min,
+           CAST(greatest(l_quantity, l_discount, l_tax) AS DOUBLE) AS row_max,
+           CAST(l_shipdate AS DATE) AS ship_day,
+           strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           l_orderkey - (l_orderkey % 100) AS okey_bucket100,
+           substring(l_returnflag, 1, 1) AS rf_trunc
+    FROM lineitem WHERE l_orderkey < 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_horizontal_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal (row-wise) reductions (reference daft/functions/
+    columnar.py: columns_sum/mean/min/max) + partitioning transforms
+    (reference daft/functions/partitioning.py:8-121: days/months/years,
+    iceberg_truncate) in one oracled frame. lineitem's measure columns
+    are non-null, so the null-skipping semantics reduce to the plain
+    arithmetic the oracle states; iceberg_bucket is excluded (Spark's
+    murmur3 seed is not reproducible in DuckDB — covered by pytest)."""
+    from daft_spark.functions.columnar import (
+        columns_max,
+        columns_mean,
+        columns_min,
+        columns_sum,
+    )
+    from daft_spark.functions.partitioning import (
+        days,
+        iceberg_truncate,
+        months,
+        years,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    m = ["l_quantity", "l_discount", "l_tax"]
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        columns_sum(*m).alias("row_sum"),
+        columns_mean(*m).alias("row_mean"),
+        columns_min(*m).cast("double").alias("row_min"),
+        columns_max(*m).cast("double").alias("row_max"),
+        days("l_shipdate").alias("ship_day"),
+        months("l_shipdate").alias("ship_month"),
+        years("l_shipdate").alias("ship_year"),
+        iceberg_truncate("l_orderkey", 100, dtype="long").alias("okey_bucket100"),
+        iceberg_truncate("l_returnflag", 1).alias("rf_trunc"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+@register(
+    "fn_files_tokenize",
+    """
+    SELECT doc_id,
+           '/data/' || source || '/' || CAST(doc_id AS VARCHAR) ||
+             (CASE WHEN lang = 'en' THEN '.txt' WHEN lang = 'de' THEN '.json'
+                   WHEN lang = 'fr' THEN '.csv' ELSE '.html' END) AS path,
+           (CASE WHEN lang = 'en' THEN 'text/plain'
+                 WHEN lang = 'de' THEN 'application/json'
+                 WHEN lang = 'fr' THEN 'text/csv' ELSE 'text/html' END) AS mime,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_tok,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS INT)
+             AS n_distinct_tok
+    FROM documents WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def fn_files_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE helpers (reference daft/functions/files.py: guess_mime_type
+    over a path column) + dependency-free token-id encoding (reference
+    tokenize_encode, daft/functions/str.py) in one oracled frame: the
+    mime guess is restated as the extension CASE, the token-id ARRAY is
+    checked through its length and distinct-cardinality (hashed ids are
+    not SQL-reproducible, but |ids| and |distinct ids| equal the word
+    counts up to a negligible 32-bit collision)."""
+    from daft_spark.functions.files import guess_mime_type
+    from daft_spark.functions.text import tokenize_encode
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ext = (
+        F.when(F.col("lang") == "en", ".txt")
+        .when(F.col("lang") == "de", ".json")
+        .when(F.col("lang") == "fr", ".csv")
+        .otherwise(".html")
+    )
+    path = F.concat(
+        F.lit("/data/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"), ext,
+    )
+    ids = tokenize_encode(F.col("text"), "ws")
+    return d.select(
+        "doc_id",
+        path.alias("path"),
+        guess_mime_type(path).alias("mime"),
+        F.size(ids).alias("n_tok"),
+        F.size(F.array_distinct(ids)).alias("n_distinct_tok"),
+    ).orderBy("doc_id")
