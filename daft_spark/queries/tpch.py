@@ -657,6 +657,73 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q21",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_19'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (adapted: "late" means
+    l_shipdate > o_orderdate + 90 days since l_commitdate/l_receiptdate
+    are absent — same adaptation as q4). The two correlated EXISTS /
+    NOT-EXISTS subqueries are decorrelated into ONE per-order aggregate
+    (distinct suppliers, distinct late suppliers) joined back on the
+    order key: a line waits iff it is late, the order has >=2 suppliers,
+    and exactly one supplier (necessarily this one) is late. One extra
+    co-partitioned shuffle on l_orderkey instead of two full
+    lineitem-vs-lineitem semi joins — the rewrite the reference's
+    UnnestPredicateSubquery performs
+    (src/daft-logical-plan/src/optimization/rules/unnest_subquery.rs)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    j = l.join(
+        o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
+    ).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    per_order = j.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_suppliers"),
+    )
+    waiters = (
+        j.filter(F.col("late"))
+        .join(
+            per_order.filter(
+                (F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1)
+            ),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+        )
+    )
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    return (
+        waiters.join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@register(
     "tpch_q22",
     """
     SELECT nation_grp, count(*) AS numcust, sum(c_acctbal) AS totacctbal
