@@ -43,18 +43,17 @@ def register(name: str, oracle: str | None):
 # rounds 3-4 verified the sql_* dialect set, UDAF/summarize, Delta, and
 # re-verified the r3-changed windows/dedup/tpch paths (CORRECTNESS_r04:
 # 49/50 green, the 50th rows-only by design).
-# Round-5 rotation: queries whose code changed THIS round first
-# (exact-dedup hash-key rework, q15 de-windowing, _spread rework feeds
-# the dedup pipelines, new Iceberg + duplicate-cluster queries), then
-# the stale set last driver-verified in r1/r2. 17 names don't fit the
-# 50-row window and lead the round-6 rotation: sim_centroid_cosine,
-# sim_ann_lsh_recall, sim_ann_ivf_recall, the 7 fn_*,
-# sql_table_function, and the 6 mm_*. Names not listed keep
-# registration order after these.
+# Round-5 rotation: queries whose code is NEW or CHANGED this round
+# first (exact-dedup hash-key rework, q15 de-windowing, _spread rework
+# feeds the dedup pipelines, new Iceberg/Hudi/cluster/Q21/fn queries),
+# then the stale set last driver-verified in r1/r2. Names past the
+# 50-row window boundary lead the round-6 rotation; names not listed
+# keep registration order after these.
 DRIVER_PRIORITY: list[str] = [
-    # changed/new round 5 (8)
-    "dedup_exact", "dedup_exact_keepmin", "tpch_q15",
-    "lake_iceberg_roundtrip", "dedup_clusters",
+    # changed/new round 5 (13)
+    "dedup_exact", "dedup_exact_keepmin", "tpch_q15", "tpch_q21",
+    "lake_iceberg_roundtrip", "lake_hudi_roundtrip", "dedup_clusters",
+    "fn_horizontal_partitioning", "fn_files_tokenize",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     # fell just outside the r3/r4 windows (green r1)
     "agg_rollup",
@@ -66,7 +65,7 @@ DRIVER_PRIORITY: list[str] = [
     "agg_stats", "agg_skew", "agg_product_bool", "agg_any_value",
     "agg_string_collect", "agg_approx_bounds", "agg_null_group_keys",
     "agg_cube", "agg_map_groups_zscore",
-    # r2-era stale (22)
+    # r2-era stale (17)
     "w_row_number", "w_rank_dense", "w_lag_lead", "w_sliding_rows",
     "w_range_frame", "w_first_last", "w_partition_only", "w_sessionize",
     "w_spark_extras",
@@ -74,11 +73,10 @@ DRIVER_PRIORITY: list[str] = [
     "asof_backward_global",
     "dedup_normalized",
     "text_token_count", "text_quality", "text_quality_score_dist",
+    # --- 50-row window boundary ---
     "text_langid_agreement", "text_fingerprint", "text_stats_by_source",
     "text_stopword_filter",
-    "sim_centroid_cosine",
-    # --- 50-row window boundary ---
-    "sim_ann_lsh_recall", "sim_ann_ivf_recall",
+    "sim_centroid_cosine", "sim_ann_lsh_recall", "sim_ann_ivf_recall",
     "fn_strings_regex", "fn_datetime_numeric", "fn_datetime_arith",
     "fn_json_bitwise", "fn_list_binary_url", "fn_conditional_struct",
     "fn_hash_invariant",
