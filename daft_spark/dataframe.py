@@ -393,6 +393,13 @@ class DataFrame:
 
         write_hudi_py(self._sdf, path, mode=mode)
 
+    def write_paimon(self, path: str, mode: str = "append") -> None:
+        """Paimon append-only table commit (io/paimon.py) — Spark-side
+        analogue of the reference's Paimon lakehouse support."""
+        from daft_spark.io.paimon import write_paimon_py
+
+        write_paimon_py(self._sdf, path, mode=mode)
+
     def write_sink(self, sink_fn) -> None:
         """reference DataFrame.write_sink (dataframe.py:2267) —
         foreachPartition push-sink contract; see also io.writers.

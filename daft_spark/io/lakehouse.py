@@ -109,7 +109,18 @@ def read_hudi(path: str, spark: SparkSession | None = None, **options) -> DataFr
     return _format_read(spark, "hudi", path, "org.apache.hudi:hudi-spark-bundle_2.13", options)
 
 
-def read_paimon(path: str, spark: SparkSession | None = None, **options) -> DataFrame:
+def read_paimon(path: str, spark: SparkSession | None = None, snapshot: int | None = None, **options) -> DataFrame:
+    """reference read_paimon (daft/io/__init__.py lakehouse set) -> the
+    Paimon Spark connector when present; for a local filesystem table
+    directory (has schema/), the pure-Python metadata walk
+    (daft_spark.io.paimon). ``snapshot`` time travels."""
+    import os
+
+    spark = _session(spark)
+    if os.path.isdir(os.path.join(path, "schema")):
+        from daft_spark.io.paimon import read_paimon_py
+
+        return read_paimon_py(path, spark, snapshot=snapshot)
     return _format_read(_session(spark), "paimon", path, "org.apache.paimon:paimon-spark", options)
 
 

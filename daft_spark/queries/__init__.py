@@ -50,9 +50,10 @@ def register(name: str, oracle: str | None):
 # 50-row window boundary lead the round-6 rotation; names not listed
 # keep registration order after these.
 DRIVER_PRIORITY: list[str] = [
-    # changed/new round 5 (13)
+    # changed/new round 5 (14)
     "dedup_exact", "dedup_exact_keepmin", "tpch_q15", "tpch_q21",
-    "lake_iceberg_roundtrip", "lake_hudi_roundtrip", "dedup_clusters",
+    "lake_iceberg_roundtrip", "lake_hudi_roundtrip",
+    "lake_paimon_roundtrip", "dedup_clusters",
     "fn_horizontal_partitioning", "fn_files_tokenize",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     # fell just outside the r3/r4 windows (green r1)
@@ -72,8 +73,9 @@ DRIVER_PRIORITY: list[str] = [
     "asof_backward_by", "asof_forward_by", "asof_nearest_by",
     "asof_backward_global",
     "dedup_normalized",
-    "text_token_count", "text_quality", "text_quality_score_dist",
+    "text_token_count", "text_quality",
     # --- 50-row window boundary ---
+    "text_quality_score_dist",
     "text_langid_agreement", "text_fingerprint", "text_stats_by_source",
     "text_stopword_filter",
     "sim_centroid_cosine", "sim_ann_lsh_recall", "sim_ann_ivf_recall",

@@ -113,6 +113,59 @@ def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "lake_paimon_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id >= 200 AND event_id < 1000
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def lake_paimon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an events slice as a Paimon append-only table, OVERWRITE it
+    with a different slice (the new snapshot's delta manifest must carry
+    DELETE entries for every first-commit file), append a third slice
+    (its base manifest list must carry forward the overwrite's metas),
+    then read back through the snapshot -> manifest-list -> manifest walk
+    and aggregate. The oracle recomputes from the source parquet, so a
+    lost manifest, unapplied DELETE, or broken avro encoding mismatches.
+    Reference: daft/io/__init__.py lakehouse reader set."""
+    import shutil
+
+    from daft_spark.io.lakehouse import read_paimon
+    from daft_spark.io.paimon import write_paimon_py
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = os.path.join(
+        "/tmp/daft_spark_paimon", f"events_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_paimon_py(e.filter(F.col("event_id") < 200), path, mode="overwrite")
+    write_paimon_py(
+        e.filter((F.col("event_id") >= 200) & (F.col("event_id") < 600)),
+        path,
+        mode="overwrite",
+    )
+    write_paimon_py(
+        e.filter((F.col("event_id") >= 600) & (F.col("event_id") < 1000)),
+        path,
+        mode="append",
+    )
+    t = read_paimon(path, spark)
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "lake_hudi_roundtrip",
     """
     SELECT o_orderstatus,

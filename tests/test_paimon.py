@@ -1,0 +1,117 @@
+"""Pure-Python Paimon support: snapshot/manifest walk, append and
+overwrite commits, time travel, mode gates, and the partitioned /
+primary-key gates. Reference surface: daft/io/__init__.py lakehouse
+reader set (read_paimon)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _orders(spark):
+    from daft_spark.io.readers import load_table
+
+    return load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_paimon_append_roundtrip(spark, tmp_path):
+    from daft_spark.io.paimon import read_paimon_py, write_paimon_py
+
+    o = _orders(spark)
+    path = str(tmp_path / "tbl")
+    write_paimon_py(o.filter(F.col("o_orderkey") < 1000), path, mode="error")
+    write_paimon_py(
+        o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)),
+        path,
+        mode="append",
+    )
+    back = read_paimon_py(path, spark)
+    expect = o.filter(F.col("o_orderkey") < 2000)
+    assert back.count() == expect.count()
+    assert (
+        back.join(expect, ["o_orderkey", "o_orderstatus", "o_totalprice"], "left_anti").count()
+        == 0
+    )
+    # paimon table structure on disk
+    assert os.path.exists(os.path.join(path, "schema", "schema-0"))
+    assert os.path.exists(os.path.join(path, "snapshot", "LATEST"))
+    assert os.path.exists(os.path.join(path, "snapshot", "snapshot-2"))
+    with open(os.path.join(path, "snapshot", "snapshot-2")) as f:
+        snap = json.load(f)
+    assert snap["commitKind"] == "APPEND"
+    assert snap["totalRecordCount"] == expect.count()
+
+
+def test_paimon_overwrite_retires_prior_files(spark, tmp_path):
+    from daft_spark.io.paimon import read_paimon_py, write_paimon_py
+
+    o = _orders(spark)
+    path = str(tmp_path / "tbl")
+    write_paimon_py(o.filter(F.col("o_orderkey") < 500), path)
+    write_paimon_py(o.filter(F.col("o_orderkey") >= 5000), path, mode="overwrite")
+    back = read_paimon_py(path, spark)
+    assert back.filter(F.col("o_orderkey") < 5000).count() == 0
+    assert back.count() == o.filter(F.col("o_orderkey") >= 5000).count()
+    with open(os.path.join(path, "snapshot", "snapshot-2")) as f:
+        assert json.load(f)["commitKind"] == "OVERWRITE"
+
+
+def test_paimon_time_travel(spark, tmp_path):
+    from daft_spark.io.paimon import read_paimon_py, write_paimon_py
+
+    o = _orders(spark)
+    path = str(tmp_path / "tbl")
+    write_paimon_py(o.filter(F.col("o_orderkey") < 300), path)
+    write_paimon_py(o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 600)), path)
+    assert read_paimon_py(path, spark, snapshot=1).count() == o.filter(
+        F.col("o_orderkey") < 300
+    ).count()
+    assert read_paimon_py(path, spark).count() == o.filter(F.col("o_orderkey") < 600).count()
+
+
+def test_paimon_mode_gates_and_wrapper(spark, tmp_path):
+    from daft_spark.io.lakehouse import read_paimon
+    from daft_spark.io.paimon import write_paimon_py
+
+    o = _orders(spark).limit(10)
+    path = str(tmp_path / "tbl")
+    write_paimon_py(o, path)
+    with pytest.raises(FileExistsError):
+        write_paimon_py(o, path, mode="error")
+    write_paimon_py(o, path, mode="ignore")  # no-op
+    assert read_paimon(path, spark).count() == 10  # wrapper routes to pure-python
+    with pytest.raises(ValueError):
+        write_paimon_py(o, path, mode="bogus")
+    with pytest.raises(ValueError):
+        write_paimon_py(
+            o.select(F.col("o_orderkey").alias("renamed")), path, mode="append"
+        )
+
+
+def test_paimon_unsupported_table_gates(spark, tmp_path):
+    from daft_spark.io.paimon import read_paimon_py, write_paimon_py
+
+    o = _orders(spark).limit(5)
+    path = str(tmp_path / "tbl")
+    write_paimon_py(o, path)
+    sp = os.path.join(path, "schema", "schema-0")
+    with open(sp) as f:
+        schema = json.load(f)
+    schema["primaryKeys"] = ["o_orderkey"]
+    with open(sp, "w") as f:
+        json.dump(schema, f)
+    with pytest.raises(NotImplementedError, match="primary-key"):
+        read_paimon_py(path, spark)
+    schema["primaryKeys"], schema["partitionKeys"] = [], ["o_orderstatus"]
+    with open(sp, "w") as f:
+        json.dump(schema, f)
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        read_paimon_py(path, spark)
