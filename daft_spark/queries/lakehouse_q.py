@@ -26,7 +26,7 @@ from daft_spark.queries import register
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
-    WHERE event_id < 20000
+    WHERE event_id < 1000
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -46,9 +46,9 @@ def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         "/tmp/daft_spark_delta", f"events_{os.path.basename(sf_dir.rstrip('/'))}"
     )
-    write_deltalake_py(e.filter(F.col("event_id") < 10000), path, mode="overwrite")
+    write_deltalake_py(e.filter(F.col("event_id") < 600), path, mode="overwrite")
     write_deltalake_py(
-        e.filter((F.col("event_id") >= 10000) & (F.col("event_id") < 20000)),
+        e.filter((F.col("event_id") >= 600) & (F.col("event_id") < 1000)),
         path,
         mode="append",
     )
@@ -69,7 +69,7 @@ def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
-    WHERE o_orderkey < 20000
+    WHERE o_orderkey < 1500
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
@@ -96,9 +96,9 @@ def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp/daft_spark_iceberg", f"orders_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     shutil.rmtree(path, ignore_errors=True)
-    write_iceberg_py(o.filter(F.col("o_orderkey") < 10000), path, mode="overwrite")
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 700), path, mode="overwrite")
     write_iceberg_py(
-        o.filter((F.col("o_orderkey") >= 10000) & (F.col("o_orderkey") < 20000)),
+        o.filter((F.col("o_orderkey") >= 700) & (F.col("o_orderkey") < 1500)),
         path,
         mode="append",
     )
@@ -172,7 +172,7 @@ def lake_paimon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
-    WHERE o_orderkey >= 5000 AND o_orderkey < 15000
+    WHERE o_orderkey >= 300 AND o_orderkey < 1500
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
@@ -197,14 +197,14 @@ def lake_hudi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/tmp/daft_spark_hudi", f"orders_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     shutil.rmtree(path, ignore_errors=True)
-    write_hudi_py(o.filter(F.col("o_orderkey") < 5000), path, mode="overwrite")
+    write_hudi_py(o.filter(F.col("o_orderkey") < 300), path, mode="overwrite")
     write_hudi_py(
-        o.filter((F.col("o_orderkey") >= 5000) & (F.col("o_orderkey") < 10000)),
+        o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 900)),
         path,
         mode="overwrite",
     )
     write_hudi_py(
-        o.filter((F.col("o_orderkey") >= 10000) & (F.col("o_orderkey") < 15000)),
+        o.filter((F.col("o_orderkey") >= 900) & (F.col("o_orderkey") < 1500)),
         path,
         mode="append",
     )

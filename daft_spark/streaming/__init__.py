@@ -13,6 +13,7 @@ pipelines can become continuous without rewrites.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from daft_spark.context import get_or_create
 
@@ -72,3 +73,159 @@ def write_stream_parquet(
     if trigger_seconds:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming operators — the continuous upgrades of the batch suite.
+# Each is a plain DataFrame->DataFrame transform, so it composes with
+# any readStream source and writeStream sink; watermarks bound state.
+
+
+def windowed_counts_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) event-time aggregation with late-data
+    handling: rows later than ``watermark`` behind the max seen event
+    time are dropped and their window state finalized — the streaming
+    upgrade of the batch groupBy-time-bucket aggregations."""
+    keys = [F.window(F.col(ts_col), window, slide or window)]
+    keys += [F.col(c) for c in (group_cols or [])]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time session windows (gap-based), the streaming counterpart
+    of the batch w_sessionize query (operators/window session logic) —
+    F.session_window keeps per-user open sessions as bounded state and
+    emits each session once its gap expires past the watermark."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by the watermark (a key older than the watermark can never
+    collide again, so its state is dropped) — the continuous upgrade of
+    operators/dedup.exact_dedup. Uses dropDuplicatesWithinWatermark so
+    two arrivals with DIFFERENT event times but the same key still
+    dedup, the semantics a training-data ingest pipeline wants."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_stats_stream(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running count/sum/min/max maintained across micro-batches in
+    explicit GroupState — the pattern for stateful logic that windowed
+    aggregation can't express. Emits the updated totals for each key
+    touched by a micro-batch (output mode: update)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("min_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("min_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                n += len(vals)
+                s += float(vals.sum())
+                mn = float(vals.min()) if mn is None else min(mn, float(vals.min()))
+                mx = float(vals.max()) if mx is None else max(mx, float(vals.max()))
+        state.update((n, s, mn, mx))
+        yield pd.DataFrame(
+            [{"key": key[0], "n": n, "sum_value": s, "min_value": mn, "max_value": mx}]
+        )
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str, timeout: int = 120) -> None:
+    """Drain everything currently available through the streaming plan
+    into an in-memory sink table, then stop — the deterministic
+    'process the backlog now' trigger used by tests and by batch-catchup
+    deployments of the continuous pipelines."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout):
+            raise TimeoutError(f"stream into {sink_table} did not drain in {timeout}s")
+    finally:
+        q.stop()

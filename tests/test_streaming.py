@@ -1,0 +1,202 @@
+"""Structured Streaming operators, proven offline: a file-source stream
+(maxFilesPerTrigger=1 forces multi-micro-batch state handoff) drained
+with trigger(availableNow) into a memory sink, compared against the
+equivalent batch computation on the same rows. The reference engine is
+bounded-only (SURVEY §2.8); these are the continuous upgrades."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """events rows split across 3 parquet files (3 micro-batches),
+    ordered by time so watermarks advance between batches."""
+    from daft_spark.io.readers import load_table
+
+    e = (
+        load_table(spark, SF_DIR, "events")
+        # watermarks require TIMESTAMP (tz-aware); session TZ is UTC so
+        # the cast from the repaired TIMESTAMP_NTZ is value-preserving
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value")
+        .orderBy("ts")
+    )
+    root = tmp_path_factory.mktemp("stream_src")
+    n = e.count()
+    rows = e.collect()
+    third = (n + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        if chunk:
+            spark.createDataFrame(chunk, e.schema).coalesce(1).write.parquet(
+                str(root / f"batch_{i}")
+            )
+    # one flat dir of files for the file source; the source orders
+    # micro-batches by file modification time, so stamp strictly
+    # increasing mtimes (copies land within the same clock tick and
+    # would otherwise tie -> nondeterministic batch order -> time-ordered
+    # chunks can arrive late and be watermark-dropped)
+    flat = tmp_path_factory.mktemp("stream_flat")
+    import glob
+    import os
+    import shutil
+    import time
+
+    base = time.time() - 3600
+    for i, f in enumerate(sorted(glob.glob(str(root / "batch_*" / "*.parquet")))):
+        dst = str(flat / f"part-{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    return str(flat), e.schema, e
+
+
+def _read_stream(spark, src):
+    path, schema, _ = src
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_windowed_counts_stream_matches_batch(spark, stream_src):
+    from daft_spark.streaming import run_available_now, windowed_counts_stream
+
+    stream = windowed_counts_stream(
+        _read_stream(spark, stream_src), window="6 hours", watermark="1 hour",
+        group_cols=["event_type"],
+    )
+    run_available_now(stream, "win_sink", "append")
+    got = spark.table("win_sink")
+    _, _, e = stream_src
+    expect = (
+        e.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    # append mode only emits windows finalized by the watermark; every
+    # emitted row must match the batch computation exactly
+    assert got.count() > 0
+    joined = got.join(
+        expect.withColumnRenamed("n", "n_b").withColumnRenamed("sum_value", "s_b"),
+        ["window_start", "window_end", "event_type"],
+    )
+    assert joined.count() == got.count()
+    bad = joined.filter(
+        (F.col("n") != F.col("n_b")) | (F.abs(F.col("sum_value") - F.col("s_b")) > 1e-6)
+    )
+    assert bad.count() == 0
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, stream_src):
+    from daft_spark.streaming import run_available_now, sessionize_stream
+
+    stream = sessionize_stream(
+        _read_stream(spark, stream_src), gap="30 minutes", watermark="1 hour"
+    )
+    run_available_now(stream, "sess_sink", "append")
+    got = spark.table("sess_sink")
+    assert got.count() > 0
+    # batch oracle: gaps-and-islands sessionization (same as w_sessionize)
+    from pyspark.sql import Window
+
+    _, _, e = stream_src
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull())
+            | ((F.col("ts").cast("double") - F.col("prev").cast("double")) > 1800),
+        )
+        .withColumn("sess_id", F.sum(F.col("new_sess").cast("long")).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+    )
+    joined = got.join(
+        batch.withColumnRenamed("n_events", "n_b"), ["user_id", "session_start"]
+    )
+    # every emitted (finalized) session matches a batch session exactly
+    assert joined.count() == got.count()
+    assert joined.filter(F.col("n_events") != F.col("n_b")).count() == 0
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, stream_src, tmp_path):
+    from daft_spark.streaming import dedup_stream, run_available_now
+
+    src_path, schema, e = stream_src
+    # private copy of the source dir: this test adds a duplicate file
+    # and must not pollute the module-scoped fixture for later tests
+    import glob as _glob
+    import shutil
+
+    path = str(tmp_path / "src")
+    shutil.copytree(src_path, path)
+    # duplicate a known slice into an extra file with SHIFTED event time:
+    # same keys, later arrival — must still dedup within the watermark
+    dup = (
+        e.limit(50)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    dupdir = tmp_path / "dup"
+    dup.coalesce(1).write.parquet(str(dupdir))
+    import os
+    import time
+
+    existing = sorted(_glob.glob(path + "/part-*.parquet"))
+    nfiles = len(existing)
+    # the duplicate file must be the LAST micro-batch (newest mtime)
+    for f in _glob.glob(str(dupdir / "*.parquet")):
+        dst = path + f"/part-{nfiles}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() + 60, time.time() + 60))
+
+    stream = dedup_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path),
+        keys=["event_id"],
+        watermark="2 hours",
+    )
+    run_available_now(stream, "dedup_sink", "append")
+    got = spark.table("dedup_sink")
+    assert got.count() == e.count()  # every duplicate dropped
+    assert got.select("event_id").distinct().count() == e.count()
+
+
+def test_running_stats_stream_state_across_batches(spark, stream_src):
+    from daft_spark.streaming import run_available_now, running_stats_stream
+
+    stream = running_stats_stream(_read_stream(spark, stream_src))
+    run_available_now(stream, "stats_sink", "update")
+    got = spark.table("stats_sink")
+    # update mode re-emits a key each batch it's touched; the running
+    # count only grows, so the row with the max n per key is the final
+    # state — compare against batch agg
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(F.col("n").desc())
+    final = got.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    _, _, e = stream_src
+    expect = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.count("value").alias("n_b"),
+        F.sum("value").alias("s_b"),
+        F.min("value").alias("mn_b"),
+        F.max("value").alias("mx_b"),
+    )
+    joined = final.join(expect, "key")
+    assert joined.count() == expect.count()
+    bad = joined.filter(
+        (F.col("n") != F.col("n_b"))
+        | (F.abs(F.col("sum_value") - F.col("s_b")) > 1e-6)
+        | (F.abs(F.col("min_value") - F.col("mn_b")) > 1e-9)
+        | (F.abs(F.col("max_value") - F.col("mx_b")) > 1e-9)
+    )
+    assert bad.count() == 0
