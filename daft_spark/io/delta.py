@@ -21,10 +21,21 @@ needs:
   parquet files with the session's parquet reader, pinning the schema
   from the latest ``metaData.schemaString`` (which IS a Spark
   StructType JSON — Delta inherited Spark's schema serialization).
+- Checkpoints: the writer emits a classic single-file parquet
+  checkpoint (``<v>.checkpoint.parquet`` + ``_last_checkpoint``) every
+  10 commits; the reader starts replay from the newest checkpoint at or
+  below the requested version, so tables whose early JSON commits were
+  vacuumed away (the normal state of any long-lived Delta table) still
+  read correctly.
+- Partitioned tables: hive-layout data files with
+  ``metaData.partitionColumns``; the reader restores partition columns
+  from each add action's ``partitionValues`` (one scan per live
+  partition value combination, unioned — driver-side plan cost is
+  O(live partitions), the same as delta-rs's file-pruning walk).
 
-Out of scope (raise cleanly): checkpoints (only needed past 10 commits
-— we read every .json), partitioned tables, deletion vectors, column
-mapping, reader/writer protocol versions above (1, 2).
+Out of scope (raise cleanly): deletion vectors, column mapping,
+reader/writer protocol versions above (1, 2), multi-part checkpoints,
+v2 checkpoints.
 
 At 100 TB the log replay is driver-side metadata work (KBs per commit);
 the data path is an ordinary multi-file parquet scan with the usual
@@ -65,23 +76,81 @@ def _list_versions(table_path: str) -> list[int]:
     return sorted(out)
 
 
+def _checkpoint_versions(table_path: str) -> list[int]:
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for f in os.listdir(log):
+        if f.endswith(".checkpoint.parquet") and f.split(".", 1)[0].isdigit():
+            out.append(int(f.split(".", 1)[0]))
+    return sorted(out)
+
+
+def _read_checkpoint(table_path: str, version: int):
+    """Load replay state (schema_json, partition_cols, active adds) from
+    a classic single-file parquet checkpoint."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_log_path(table_path), f"{version:020d}.checkpoint.parquet")
+    rows = pq.read_table(path).to_pylist()
+    schema_json: str | None = None
+    partition_cols: list[str] = []
+    active: dict[str, dict] = {}
+    for row in rows:
+        p = row.get("protocol")
+        if p:
+            if p.get("minReaderVersion", 1) > _MAX_SUPPORTED["minReaderVersion"]:
+                raise NotImplementedError(
+                    f"Delta minReaderVersion {p['minReaderVersion']} > 1 is not "
+                    "supported by this pure-Python reader; use delta-spark"
+                )
+        md = row.get("metaData")
+        if md:
+            schema_json = md["schemaString"]
+            partition_cols = list(md.get("partitionColumns") or [])
+        add = row.get("add")
+        if add:
+            pv = add.get("partitionValues") or {}
+            if not isinstance(pv, dict):  # arrow MAP columns read back as tuples
+                pv = dict(pv)
+            active[add["path"]] = {
+                "path": add["path"],
+                "partitionValues": pv,
+                "size": add.get("size") or 0,
+                "modificationTime": add.get("modificationTime") or 0,
+            }
+    return schema_json, partition_cols, active
+
+
 def _replay_log(table_path: str, version: int | None = None):
-    """Return (schema_json, active_file_relpaths) after replaying the
-    log up to and including ``version`` (default: latest)."""
+    """Return (schema_json, partition_cols, active add actions) after
+    replaying the log up to and including ``version`` (default:
+    latest). Replay starts from the newest checkpoint at or below the
+    target version when one exists (JSON commits older than the
+    checkpoint may have been vacuumed)."""
     versions = _list_versions(table_path)
-    if not versions:
+    ckpts = _checkpoint_versions(table_path)
+    if not versions and not ckpts:
         raise FileNotFoundError(
             f"not a Delta table (no {_LOG_DIR}/*.json under {table_path})"
         )
-    if version is not None:
-        versions = [v for v in versions if v <= version]
-        if not versions or versions[-1] != version:
-            raise ValueError(
-                f"version {version} not found in Delta log (have {versions})"
-            )
+    target = version if version is not None else max(versions + ckpts)
+    if version is not None and version not in set(versions) | set(ckpts):
+        raise ValueError(
+            f"version {version} not found in Delta log (have {sorted(set(versions) | set(ckpts))})"
+        )
     schema_json: str | None = None
+    partition_cols: list[str] = []
     active: dict[str, dict] = {}
+    start_after = -1
+    usable = [c for c in ckpts if c <= target]
+    if usable:
+        schema_json, partition_cols, active = _read_checkpoint(table_path, usable[-1])
+        start_after = usable[-1]
     for v in versions:
+        if v <= start_after or v > target:
+            continue
         with open(_commit_file(table_path, v)) as f:
             for line in f:
                 line = line.strip()
@@ -93,82 +162,136 @@ def _replay_log(table_path: str, version: int | None = None):
                     if p.get("minReaderVersion", 1) > _MAX_SUPPORTED["minReaderVersion"]:
                         raise NotImplementedError(
                             f"Delta minReaderVersion {p['minReaderVersion']} > 1 "
-                            "(checkpoints/deletion vectors/column mapping not supported "
+                            "(deletion vectors/column mapping not supported "
                             "by this pure-Python reader; use delta-spark)"
                         )
                 elif "metaData" in action:
                     schema_json = action["metaData"]["schemaString"]
-                    if action["metaData"].get("partitionColumns"):
-                        raise NotImplementedError(
-                            "partitioned Delta tables are not supported by this "
-                            "pure-Python reader; use delta-spark"
-                        )
+                    partition_cols = list(action["metaData"].get("partitionColumns") or [])
                 elif "add" in action:
                     active[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
     if schema_json is None:
         raise ValueError(f"Delta log under {table_path} has no metaData action")
-    return schema_json, sorted(active)
+    return schema_json, partition_cols, {k: active[k] for k in sorted(active)}
 
 
 def read_deltalake_py(
     path: str, spark: SparkSession, version: int | None = None
 ) -> DataFrame:
-    """Read a (non-partitioned) Delta table by replaying its JSON log.
+    """Read a Delta table by replaying its checkpoint + JSON log.
 
     The result is a plain multi-file parquet scan — filter/column
     pushdown, split planning, and AQE all apply exactly as for
     read_parquet. ``version`` time-travels (reference read_deltalake's
-    ``version`` kwarg)."""
-    schema_json, files = _replay_log(path, version)
+    ``version`` kwarg). For partitioned tables the partition columns
+    (absent from the data files, per the Delta spec) are restored from
+    each add action's partitionValues: one scan per live partition
+    combination, unioned."""
+    from pyspark.sql import functions as F
+
+    schema_json, partition_cols, adds = _replay_log(path, version)
     schema = StructType.fromJson(json.loads(schema_json))
-    if not files:
+    if not adds:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in files])
+    if not partition_cols:
+        return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in adds])
+
+    part_types = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
+    phys = StructType([f for f in schema.fields if f.name not in partition_cols])
+    groups: dict[tuple, list[str]] = {}
+    for rel, add in adds.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in partition_cols)
+        groups.setdefault(key, []).append(os.path.join(path, rel))
+    parts = []
+    for key, files in sorted(groups.items()):
+        df = spark.read.schema(phys).parquet(*files)
+        for c, raw in zip(partition_cols, key):
+            # Delta serializes partition values as strings (null -> absent)
+            df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def write_deltalake_py(
-    df: DataFrame, path: str, mode: str = "append"
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    checkpoint_interval: int = 10,
 ) -> None:
     """Write ``df`` as a Delta commit: parquet data files + one atomic
-    JSON log entry. Modes: append, overwrite, error, ignore."""
+    JSON log entry. Modes: append, overwrite, error, ignore.
+    ``partition_by`` writes hive-layout partitioned data files with
+    the partition columns recorded in partitionValues (and dropped from
+    the files, per the spec). Every ``checkpoint_interval`` commits a
+    classic single-file parquet checkpoint + _last_checkpoint is
+    emitted so the JSON prefix of the log becomes vacuumable."""
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unsupported mode {mode!r}")
     versions = _list_versions(path)
-    exists = bool(versions)
+    ckpts = _checkpoint_versions(path)
+    exists = bool(versions or ckpts)
     if exists and mode == "error":
         raise FileExistsError(f"Delta table already exists at {path}")
     if exists and mode == "ignore":
         return
-    version = (versions[-1] + 1) if exists else 0
+    version = (max(versions + ckpts) + 1) if exists else 0
+    partition_by = list(partition_by or [])
+    if exists:
+        _, prior_parts, _ = _replay_log(path)
+        if mode == "append" and prior_parts != partition_by:
+            raise ValueError(
+                f"partition columns {partition_by} do not match the table's "
+                f"existing partitioning {prior_parts}"
+            )
 
     # Stage data files with Spark's parquet writer, then move them into
     # the table root under unique names (Delta data files are immutable
     # and never share names across commits).
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     os.makedirs(_log_path(path), exist_ok=True)
     now_ms = int(time.time() * 1000)
     adds = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        name = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
-        src = os.path.join(staging, f)
-        dst = os.path.join(path, name)
-        shutil.move(src, dst)
-        adds.append(
-            {
-                "add": {
-                    "path": name,
-                    "partitionValues": {},
-                    "size": os.path.getsize(dst),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict[str, str] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    # hive layout URL-encodes; null partitions appear as
+                    # __HIVE_DEFAULT_PARTITION__
+                    from urllib.parse import unquote
+
+                    pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            name = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+            rel = os.path.join(rel_dir, name) if rel_dir != "." else name
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, f), dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
                 }
-            }
-        )
+            )
     shutil.rmtree(staging, ignore_errors=True)
 
     actions: list[dict] = []
@@ -181,14 +304,14 @@ def write_deltalake_py(
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": now_ms,
                 }
             }
         )
     if mode == "overwrite" and exists:
-        _, prior = _replay_log(path)
+        _, _, prior = _replay_log(path)
         for rel in prior:
             actions.append(
                 {
@@ -225,3 +348,90 @@ def write_deltalake_py(
             f"concurrent Delta commit detected at version {version} ({path})"
         )
     os.rename(tmp, final)
+    if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+        _write_checkpoint(path, version)
+
+
+def _write_checkpoint(table_path: str, version: int) -> None:
+    """Materialize the replayed state at ``version`` as a classic
+    single-file parquet checkpoint + _last_checkpoint pointer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema_json, partition_cols, adds = _replay_log(table_path, version)
+    rows: list[dict] = [
+        {"protocol": dict(_MAX_SUPPORTED), "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": partition_cols,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            },
+            "add": None,
+        },
+    ]
+    for rel, add in adds.items():
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": rel,
+                    "partitionValues": add.get("partitionValues") or {},
+                    "size": int(add.get("size", 0)),
+                    "modificationTime": int(add.get("modificationTime", 0)),
+                    "dataChange": True,
+                },
+            }
+        )
+    # dict-valued fields are MAP<string,string> in real Delta checkpoints
+    # (an empty plain struct is also unwritable to parquet)
+    map_ss = pa.map_(pa.string(), pa.string())
+    ck_schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string()), ("options", map_ss)])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", map_ss),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", map_ss),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    out = os.path.join(_log_path(table_path), f"{version:020d}.checkpoint.parquet")
+    tmp = out + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=ck_schema), tmp)
+    os.rename(tmp, out)
+    last = os.path.join(_log_path(table_path), "_last_checkpoint")
+    tmp = last + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    os.rename(tmp, last)

@@ -93,3 +93,64 @@ def test_writer_wrapper_falls_back(spark, tbl):
 
     write_deltalake(_df(spark, 0, 7), tbl, write_mode="overwrite")
     assert read_deltalake_py(tbl, spark).count() == 7
+
+
+def test_partitioned_roundtrip(spark, tbl):
+    write_deltalake_py(_df(spark, 0, 90), tbl, mode="overwrite", partition_by=["k"])
+    write_deltalake_py(_df(spark, 90, 120), tbl, mode="append", partition_by=["k"])
+    out = read_deltalake_py(tbl, spark)
+    assert out.count() == 120
+    assert sorted(out.columns) == ["id", "k", "v"]
+    # partition column values restored from partitionValues, correctly
+    # paired with their rows
+    bad = out.filter(F.col("k") != F.format_string("k%d", F.col("id") % 3))
+    assert bad.count() == 0
+    # data files live under hive dirs and do NOT contain the partition col
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(tbl, "k=k0", "*.parquet"))
+    assert files
+    assert "k" not in pq.ParquetFile(files[0]).schema_arrow.names
+    # appending with different partitioning is rejected
+    with pytest.raises(ValueError, match="partition columns"):
+        write_deltalake_py(_df(spark, 0, 5), tbl, mode="append")
+
+
+def test_checkpoint_written_and_used(spark, tbl):
+    # 11 commits -> checkpoint at version 10
+    write_deltalake_py(_df(spark, 0, 10), tbl, mode="overwrite")
+    for i in range(1, 11):
+        write_deltalake_py(_df(spark, i * 10, i * 10 + 10), tbl, mode="append")
+    log = os.path.join(tbl, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint")) as f:
+        assert json.load(f)["version"] == 10
+    # vacuum every JSON commit at or below the checkpoint: the table
+    # must still read (real long-lived Delta tables are in this state)
+    for v in range(11):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert read_deltalake_py(tbl, spark).count() == 110
+    # and later commits replay on top of the checkpoint
+    write_deltalake_py(_df(spark, 110, 130), tbl, mode="append")
+    assert read_deltalake_py(tbl, spark).count() == 130
+
+
+def test_checkpoint_with_partitioned_table(spark, tbl):
+    write_deltalake_py(
+        _df(spark, 0, 30), tbl, mode="overwrite", partition_by=["k"], checkpoint_interval=2
+    )
+    write_deltalake_py(
+        _df(spark, 30, 60), tbl, mode="append", partition_by=["k"], checkpoint_interval=2
+    )
+    write_deltalake_py(
+        _df(spark, 60, 90), tbl, mode="append", partition_by=["k"], checkpoint_interval=2
+    )
+    log = os.path.join(tbl, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    for v in range(3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    out = read_deltalake_py(tbl, spark)
+    assert out.count() == 90
+    assert out.filter(F.col("k") != F.format_string("k%d", F.col("id") % 3)).count() == 0
