@@ -50,10 +50,13 @@ def register(name: str, oracle: str | None):
 # 50-row window boundary lead the round-6 rotation; names not listed
 # keep registration order after these.
 DRIVER_PRIORITY: list[str] = [
-    # changed/new round 5 (14)
+    # changed/new round 5 (17)
     "dedup_exact", "dedup_exact_keepmin", "tpch_q15", "tpch_q21",
     "lake_iceberg_roundtrip", "lake_hudi_roundtrip",
-    "lake_paimon_roundtrip", "dedup_clusters",
+    "lake_paimon_roundtrip", "lake_delta_roundtrip",
+    "io_csv_roundtrip", "io_json_roundtrip", "io_warc_roundtrip",
+    "io_mcap_roundtrip",
+    "dedup_clusters",
     "fn_horizontal_partitioning", "fn_files_tokenize",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     # fell just outside the r3/r4 windows (green r1)
@@ -70,11 +73,11 @@ DRIVER_PRIORITY: list[str] = [
     "w_row_number", "w_rank_dense", "w_lag_lead", "w_sliding_rows",
     "w_range_frame", "w_first_last", "w_partition_only", "w_sessionize",
     "w_spark_extras",
-    "asof_backward_by", "asof_forward_by", "asof_nearest_by",
-    "asof_backward_global",
+    "asof_backward_by", "asof_forward_by",
+    # --- 50-row window boundary ---
+    "asof_nearest_by", "asof_backward_global",
     "dedup_normalized",
     "text_token_count", "text_quality",
-    # --- 50-row window boundary ---
     "text_quality_score_dist",
     "text_langid_agreement", "text_fingerprint", "text_stats_by_source",
     "text_stopword_filter",
@@ -103,6 +106,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_q,
         sql_q,
         lakehouse_q,
+        io_q,
     )
 
     ordered = {n: REGISTRY[n] for n in DRIVER_PRIORITY if n in REGISTRY}

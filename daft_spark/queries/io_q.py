@@ -1,0 +1,254 @@
+"""IO-format roundtrip queries — exercise the csv/json writers+readers
+and the pure-Python WARC and MCAP parsers end-to-end under the driver's
+correctness gate (same pattern as lakehouse_q.py: the oracle recomputes
+the expected aggregate straight from the source parquet, so a lossy
+encode, broken framing, or mis-parsed field shows up as a mismatch).
+
+WARC and MCAP fixtures are BUILT at query time from the source tables
+by independent serializer code (byte-level framing per the public
+specs), then parsed back by the distributed readers — driver-side
+fixture construction is bounded to a few hundred records.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from daft_spark.io.readers import load_table
+from daft_spark.queries import register
+
+
+def _tmp(kind: str, sf_dir: str) -> str:
+    return os.path.join(
+        f"/tmp/daft_spark_io_{kind}", os.path.basename(sf_dir.rstrip("/"))
+    )
+
+
+@register(
+    "io_csv_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id < 800
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events slice -> write_csv (header) -> read_csv with an explicit
+    schema -> aggregate. Validates quoting/typing through the full
+    writer+reader pair (reference daft/io/_csv.py read_csv,
+    dataframe write_csv)."""
+    from daft_spark.io.readers import read_csv
+
+    path = _tmp("csv", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.filter(F.col("event_id") < 800).write.option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = read_csv(path, spark, schema=schema)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "io_json_roundtrip",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE doc_id < 400
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def io_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents slice (free text incl. newline-hostile content) ->
+    line-delimited JSON -> read_json -> aggregate. Validates string
+    escaping through the writer+reader pair (reference
+    daft/io/_json.py)."""
+    from daft_spark.io.readers import read_json
+
+    path = _tmp("json", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    d.filter(F.col("doc_id") < 400).write.json(path)
+    back = read_json(path, spark)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _build_warc(rows, path: str) -> None:
+    """Serialize (doc_id, lang, text) rows as a WARC/1.0 file — framing
+    per the public ISO 28500 spec: header block, Content-Length octet
+    count, record body, CRLF CRLF separator."""
+    with open(path, "wb") as f:
+        for doc_id, lang, text in rows:
+            body = text.encode("utf-8")
+            headers = (
+                "WARC/1.0\r\n"
+                f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+                "WARC-Type: resource\r\n"
+                f"WARC-Target-URI: doc://{lang}/{doc_id}\r\n"
+                "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"Content-Type: text/plain; lang={lang}\r\n"
+                f"Content-Length: {len(body)}\r\n"
+                "\r\n"
+            )
+            f.write(headers.encode("ascii"))
+            f.write(body)
+            f.write(b"\r\n\r\n")
+
+
+@register(
+    "io_warc_roundtrip",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    WHERE doc_id < 300
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def io_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents slice -> WARC/1.0 file (independent serializer above)
+    -> distributed read_warc (binaryFile + mapInPandas parser) ->
+    per-language record counts and content byte totals. The oracle
+    recomputes byte lengths from the source text, so a framing bug that
+    truncates or merges records mismatches. Reference: daft/io/_warc.py
+    read_warc, src/daft-warc/."""
+    from daft_spark.io.warc import read_warc
+
+    root = _tmp("warc", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    rows = [(r["doc_id"], r["lang"], r["text"]) for r in d.filter(F.col("doc_id") < 300).collect()]
+    # two files so the scan has >1 task
+    half = len(rows) // 2
+    _build_warc(rows[:half], os.path.join(root, "a.warc"))
+    _build_warc(rows[half:], os.path.join(root, "b.warc"))
+    back = read_warc(os.path.join(root, "*.warc"), spark)
+    return (
+        back.withColumn("lang", F.regexp_extract("warc_target_uri", r"doc://([a-z]+)/", 1))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("content_length").cast("long").alias("total_bytes"),
+        )
+        .orderBy("lang")
+    )
+
+
+# MCAP record opcodes / framing per the public spec (mcap.dev)
+_MAGIC = b"\x89MCAP0\r\n"
+
+
+def _rec(op: int, content: bytes) -> bytes:
+    return bytes([op]) + struct.pack("<Q", len(content)) + content
+
+
+def _s(v: str) -> bytes:
+    b = v.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def _build_mcap(rows, path: str) -> None:
+    """Serialize (event_id, event_type, value) rows as an MCAP file:
+    header, one Schema, one Channel per event_type, Message records
+    (log_time = event_id), footer."""
+    out = bytearray()
+    out += _MAGIC
+    out += _rec(0x01, _s("") + _s(""))  # Header: profile, library
+    out += _rec(0x03, struct.pack("<H", 1) + _s("events") + _s("jsonschema") + struct.pack("<I", 0))
+    topics = sorted({t for _, t, _ in rows})
+    cid = {}
+    for i, t in enumerate(topics, start=1):
+        cid[t] = i
+        # Channel: id, schema_id, topic, message_encoding, metadata(map len 0)
+        out += _rec(
+            0x04,
+            struct.pack("<HH", i, 1) + _s(f"/{t}") + _s("json") + struct.pack("<I", 0),
+        )
+    for event_id, event_type, value in rows:
+        data = struct.pack("<d", value)
+        out += _rec(
+            0x05,
+            struct.pack("<HIQQ", cid[event_type], 0, event_id, event_id) + data,
+        )
+    out += _rec(0x0F, b"")  # DataEnd
+    out += _rec(0x02, struct.pack("<QQI", 0, 0, 0))  # Footer
+    out += _MAGIC
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+@register(
+    "io_mcap_roundtrip",
+    """
+    SELECT concat('/', event_type) AS topic,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_log_time
+    FROM events
+    WHERE event_id < 500
+    GROUP BY event_type
+    ORDER BY topic
+    """,
+)
+def io_mcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events slice -> MCAP file (independent serializer above, one
+    channel per event_type, log_time = event_id) -> distributed
+    read_mcap -> per-topic message counts and log_time sums. Reference:
+    daft/io/mcap/_mcap.py read_mcap."""
+    from daft_spark.io.mcap import read_mcap
+
+    root = _tmp("mcap", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    rows = [
+        (r["event_id"], r["event_type"], r["value"])
+        for r in e.filter(F.col("event_id") < 500).collect()
+    ]
+    half = len(rows) // 2
+    _build_mcap(rows[:half], os.path.join(root, "a.mcap"))
+    _build_mcap(rows[half:], os.path.join(root, "b.mcap"))
+    back = read_mcap(os.path.join(root, "*.mcap"), spark)
+    return (
+        back.groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("log_time").cast("long").alias("sum_log_time"),
+        )
+        .orderBy("topic")
+    )
