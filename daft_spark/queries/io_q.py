@@ -252,3 +252,32 @@ def io_mcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic")
     )
+
+
+@register(
+    "io_checkpoint_resume",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_remaining,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+    FROM orders
+    WHERE o_orderkey >= 400 AND o_orderkey < 800
+    """,
+)
+def io_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/skip_existing resume semantics (reference
+    skip_existing, daft/dataframe/dataframe.py:3233, ops/
+    stage_checkpoint_keys.rs:26): a first run writes keys < 400; the
+    resumed run over keys < 800 must process EXACTLY the 400-799 rows —
+    the anti-join against the checkpointed output. The oracle restates
+    the remaining set straight from the source table."""
+    from daft_spark.operators.checkpoint import skip_existing
+
+    path = _tmp("ckpt", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.filter(F.col("o_orderkey") < 400).write.parquet(path)
+    remaining = skip_existing(o.filter(F.col("o_orderkey") < 800), path, ["o_orderkey"])
+    return remaining.agg(
+        F.count(F.lit(1)).alias("n_remaining"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+    )

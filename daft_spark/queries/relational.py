@@ -407,3 +407,33 @@ def rel_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("user_id") % 4).cast("long").alias("shard"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "rel_repartition_colocate",
+    """
+    SELECT CAST(1 AS BIGINT) AS max_partitions_per_key,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_keys,
+           CAST(1 AS BIGINT) AS multi_partition
+    FROM customer
+    """,
+)
+def rel_repartition_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repartition/IntoPartitions invariant (reference repartition ops,
+    ops/repartition.rs): hash-repartitioning on a key must put every
+    occurrence of a key into exactly ONE partition (co-location — the
+    property bucketed joins rely on) while still spreading keys over
+    multiple partitions (parallelism retained). Verified through
+    spark_partition_id on the post-shuffle frame; the oracle restates
+    the invariants as constants plus the key count from the source."""
+    c = load_table(spark, sf_dir, "customer").repartition(16, F.col("c_nationkey"))
+    per_key = (
+        c.withColumn("pid", F.spark_partition_id())
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("pid").alias("np"), F.first("pid").alias("pid0"))
+    )
+    return per_key.agg(
+        F.max("np").cast("long").alias("max_partitions_per_key"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        (F.countDistinct("pid0") >= 2).cast("long").alias("multi_partition"),
+    )
