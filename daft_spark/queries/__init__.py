@@ -56,6 +56,7 @@ DRIVER_PRIORITY: list[str] = [
     "lake_paimon_roundtrip", "lake_delta_roundtrip",
     "io_csv_roundtrip", "io_json_roundtrip", "io_warc_roundtrip",
     "io_mcap_roundtrip", "io_checkpoint_resume", "rel_repartition_colocate",
+    "fn_udf_scalar_batch", "fn_udtf_lateral", "sql_expr_battery",
     "dedup_clusters",
     "fn_horizontal_partitioning", "fn_files_tokenize",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -71,9 +72,9 @@ DRIVER_PRIORITY: list[str] = [
     "agg_cube", "agg_map_groups_zscore",
     # r2-era stale (17)
     "w_row_number", "w_rank_dense", "w_lag_lead", "w_sliding_rows",
-    "w_range_frame", "w_first_last", "w_partition_only", "w_sessionize",
-    "w_spark_extras",
+    "w_range_frame", "w_first_last",
     # --- 50-row window boundary ---
+    "w_partition_only", "w_sessionize", "w_spark_extras",
     "asof_backward_by", "asof_forward_by",
     "asof_nearest_by", "asof_backward_global",
     "dedup_normalized",

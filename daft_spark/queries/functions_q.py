@@ -407,3 +407,66 @@ def fn_files_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ids).alias("n_tok"),
         F.size(F.array_distinct(ids)).alias("n_distinct_tok"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_udf_scalar_batch",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST((o_orderkey * 3 + 1) % 7 AS BIGINT) AS scalar_out,
+           CAST(round(o_totalprice * 2 + 1, 2) AS DOUBLE) AS batch_out
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def fn_udf_scalar_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@func (Arrow-optimized row-wise scalar UDF) and @func.batch
+    (pandas Series->Series) — SURVEY §2.9 (reference @daft.func,
+    daft/udf/udf_v2.py). The oracle restates both functions as plain
+    SQL arithmetic, so a type coercion or Arrow transfer bug in the
+    UDF plumbing mismatches."""
+    from daft_spark.udf import func
+
+    @func(return_dtype="long")
+    def scalar_fn(x: int) -> int:
+        return (x * 3 + 1) % 7
+
+    @func.batch(return_dtype="double")
+    def batch_fn(s):
+        return (s * 2 + 1).round(2)
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return (
+        o.select(
+            F.col("o_orderkey"),
+            scalar_fn(F.col("o_orderkey")).alias("scalar_out"),
+            batch_fn(F.col("o_totalprice")).alias("batch_out"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_udtf_lateral",
+    """
+    SELECT CAST(range AS BIGINT) AS i,
+           CAST(range * range AS BIGINT) AS sq
+    FROM range(0, 60)
+    ORDER BY i
+    """,
+)
+def fn_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 @udtf table function (SURVEY §2.9; the reference's
+    generator @daft.func used as a UDTF, udf_v2.py:55): eval() yields
+    one row per element of an integer range; the oracle recomputes the
+    table with DuckDB's range() table function."""
+    from daft_spark.udf import udtf
+
+    @udtf(return_schema="i bigint, sq bigint")
+    class SquareRange:
+        def eval(self, start: int, end: int):
+            for i in range(start, end):
+                yield (i, i * i)
+
+    return SquareRange(F.lit(0), F.lit(60)).orderBy("i")

@@ -170,3 +170,35 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         spark=spark,
     )
+
+
+@register(
+    "sql_expr_battery",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_totalprice * 0.9 AS DOUBLE) AS discounted,
+           CASE WHEN o_orderstatus = 'F' THEN 'final' ELSE 'open' END AS status_label,
+           CAST(year(o_orderdate) AS INT) AS yr
+    FROM orders
+    WHERE o_orderkey < 400
+    ORDER BY o_orderkey
+    """,
+)
+def sql_expr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sql_expr(): scalar SQL snippets parsed to Columns and mixed into
+    a DataFrame plan (reference daft.sql.sql_expr) — each expression is
+    restated in the oracle."""
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.readers import load_table
+    from daft_spark.sql import sql_expr
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        F.col("o_orderkey"),
+        sql_expr("CAST(o_totalprice * 0.9 AS DOUBLE)").alias("discounted"),
+        sql_expr("CASE WHEN o_orderstatus = 'F' THEN 'final' ELSE 'open' END").alias(
+            "status_label"
+        ),
+        sql_expr("CAST(year(o_orderdate) AS INT)").alias("yr"),
+    ).orderBy("o_orderkey")
