@@ -201,8 +201,18 @@ def read_sql(query_or_table: str, url: str, spark: SparkSession | None = None,
 
     The reference partitions by size (``daft/io/_sql.py``); Spark's JDBC
     source partitions by ``partitionColumn`` bounds — pass
-    ``partition_col``/``num_partitions`` for a parallel read."""
+    ``partition_col``/``num_partitions`` for a parallel read.
+    ``sqlite://`` URLs take the pure-Python bounds-partitioned path
+    (io/sqldb.py) — no JDBC driver needed."""
     spark = _session(spark)
+    from daft_spark.io.sqldb import db_path_from_url, read_sqlite
+
+    sqlite_path = db_path_from_url(url)
+    if sqlite_path is not None:
+        return read_sqlite(
+            query_or_table, sqlite_path, spark,
+            partition_col=partition_col, num_partitions=num_partitions,
+        )
     reader = spark.read.format("jdbc").option("url", url)
     q = query_or_table.strip()
     if q.lower().startswith("select"):

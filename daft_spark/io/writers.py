@@ -59,7 +59,14 @@ def write_json(df: DataFrame, path: str, write_mode: str = "append") -> None:
 
 
 def write_sql(df: DataFrame, table: str, url: str, write_mode: str = "append", **options) -> None:
-    """reference write_sql (dataframe.py:911) via JDBC."""
+    """reference write_sql (dataframe.py:911) via JDBC; ``sqlite://``
+    URLs take the pure-Python path (io/sqldb.py)."""
+    from daft_spark.io.sqldb import db_path_from_url, write_sqlite
+
+    sqlite_path = db_path_from_url(url)
+    if sqlite_path is not None:
+        write_sqlite(df, table, sqlite_path, mode=write_mode)
+        return
     w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(write_mode)
     for k, v in options.items():
         w = w.option(k, v)

@@ -57,6 +57,7 @@ DRIVER_PRIORITY: list[str] = [
     "io_csv_roundtrip", "io_json_roundtrip", "io_warc_roundtrip",
     "io_mcap_roundtrip", "io_checkpoint_resume", "rel_repartition_colocate",
     "fn_udf_scalar_batch", "fn_udtf_lateral", "sql_expr_battery",
+    "io_sql_roundtrip",
     "dedup_clusters",
     "fn_horizontal_partitioning", "fn_files_tokenize",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -72,8 +73,9 @@ DRIVER_PRIORITY: list[str] = [
     "agg_cube", "agg_map_groups_zscore",
     # r2-era stale (17)
     "w_row_number", "w_rank_dense", "w_lag_lead", "w_sliding_rows",
-    "w_range_frame", "w_first_last",
+    "w_range_frame",
     # --- 50-row window boundary ---
+    "w_first_last",
     "w_partition_only", "w_sessionize", "w_spark_extras",
     "asof_backward_by", "asof_forward_by",
     "asof_nearest_by", "asof_backward_global",

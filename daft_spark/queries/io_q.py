@@ -281,3 +281,41 @@ def io_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_remaining"),
         F.sum("o_orderkey").cast("long").alias("sum_keys"),
     )
+
+
+@register(
+    "io_sql_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+    FROM orders
+    WHERE o_orderkey < 900
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def io_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders slice -> write_sql into a real sqlite database ->
+    read_sql back as a bounds-partitioned parallel read (4 partitions
+    on o_orderkey, each executor task queries only its range) ->
+    aggregate. Validates the SQL source/sink plumbing end-to-end over
+    an actual database (reference daft/io/_sql.py read_sql,
+    dataframe.py:911 write_sql)."""
+    from daft_spark.io.readers import read_sql
+    from daft_spark.io.writers import write_sql
+
+    db = _tmp("sqldb", sf_dir) + ".db"
+    shutil.rmtree(os.path.dirname(db), ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    url = f"sqlite://{db}"
+    write_sql(o.filter(F.col("o_orderkey") < 900), "orders_slice", url, write_mode="overwrite")
+    back = read_sql("orders_slice", url, spark, partition_col="o_orderkey", num_partitions=4)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )
