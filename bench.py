@@ -43,6 +43,7 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q13",
     "tpch_q18",
+    "tpch_q21",
     "w_running_agg",
     "asof_backward_by",
     "dedup_exact",
