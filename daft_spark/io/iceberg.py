@@ -15,9 +15,14 @@ nor pyiceberg, but Iceberg is an open spec
 This module implements the bounded subset a batch engine needs, using
 the sibling pure-Python Avro codec (``daft_spark.io.avro``):
 
-- ``write_iceberg_py(df, path, mode)``: append / overwrite / error /
-  ignore on unpartitioned v2 tables. Data files are written with
-  Spark's parquet writer; each commit publishes one manifest, a new
+- ``write_iceberg_py(df, path, mode, partition_by=None)``: append /
+  overwrite / error / ignore on v2 tables, unpartitioned or
+  identity-partitioned. Data files are written with Spark's parquet
+  writer; identity partitioning stages through ``partitionBy`` on a
+  DUPLICATED column so the source columns stay IN the data files
+  (what native Iceberg writers produce — hive layout alone would drop
+  them) while the directory layout yields each file's partition tuple
+  for its manifest entry. Each commit publishes one manifest, a new
   manifest list (append re-references the previous snapshot's
   manifests untouched), a new metadata.json, and finally rotates
   ``version-hint.text`` via atomic rename — the same single-writer
@@ -29,9 +34,10 @@ the sibling pure-Python Avro codec (``daft_spark.io.avro``):
   filter/column pushdown, split planning, and AQE apply exactly as for
   raw parquet.
 
-Out of scope (raise cleanly): partitioned specs, delete files /
-row-level deletes (content != 0), format v3, schema evolution beyond
-latest-schema reads, and non-local filesystems.
+Out of scope (raise cleanly): transform partition specs
+(bucket/truncate/days/...), delete files / row-level deletes
+(content != 0), format v3, schema evolution beyond latest-schema
+reads, and non-local filesystems.
 
 At 100 TB the metadata walk is driver-side KB/MB work (exactly how
 pyiceberg plans scans); the data plane stays a multi-file parquet scan.
@@ -177,34 +183,65 @@ def schema_to_iceberg(schema: T.StructType) -> dict:
 # ---------------------------------------------------------------------------
 # manifest / manifest-list Avro schemas (Iceberg spec field ids)
 
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-    ],
+# identity partitions supported on these column types; the avro type
+# carries the partition value in the manifest's partition struct
+_PARTITIONABLE_AVRO = {
+    T.StringType: "string",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.BooleanType: "boolean",
 }
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+
+def _partition_record_schema(partition_fields: list[tuple[str, str]]) -> dict:
+    """r102 partition struct for the manifest avro — one (nullable)
+    field per identity partition column."""
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": name, "type": ["null", avro_t], "default": None, "field-id": 1000 + i}
+            for i, (name, avro_t) in enumerate(partition_fields)
+        ],
+    }
+
+
+def _data_file_schema(partition_fields: list[tuple[str, str]]) -> dict:
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": _partition_record_schema(partition_fields),
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+
+
+def _manifest_entry_schema(partition_fields: list[tuple[str, str]]) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {"name": "data_file", "type": _data_file_schema(partition_fields), "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema([])
 
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -360,10 +397,19 @@ def read_iceberg_py(
     return spark.read.schema(schema).parquet(*files)
 
 
-def write_iceberg_py(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_iceberg_py(
+    df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None
+) -> None:
     """Write ``df`` as one Iceberg v2 commit: parquet data files, one
     manifest, a manifest list, metadata.json v(N+1), then rotate
-    version-hint.text (atomic rename = publish)."""
+    version-hint.text (atomic rename = publish). ``partition_by``
+    declares an identity partition spec; data files keep the source
+    columns (staged through partitionBy on duplicated columns) and each
+    file's partition tuple is recorded in its manifest entry."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unsupported mode {mode!r}")
     md = _meta_dir(path)
@@ -376,50 +422,125 @@ def write_iceberg_py(df: DataFrame, path: str, mode: str = "append") -> None:
     if prior is not None and mode == "ignore":
         return
 
+    partition_by = list(partition_by or [])
+    field_types = {f.name: f.dataType for f in df.schema.fields}
+    part_fields: list[tuple[str, str]] = []
+    for c in partition_by:
+        dt = field_types.get(c)
+        avro_t = next(
+            (a for cls, a in _PARTITIONABLE_AVRO.items() if isinstance(dt, cls)), None
+        )
+        if avro_t is None:
+            raise NotImplementedError(
+                f"identity partitioning on column {c!r} of type {dt} is not "
+                "supported (string/int/long/boolean only)"
+            )
+        part_fields.append((c, avro_t))
+    if prior is not None and mode == "append":
+        prior_spec = next(
+            (
+                s
+                for s in prior.get("partition-specs", [])
+                if s["spec-id"] == prior.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        prior_cols = [f["name"] for f in prior_spec.get("fields", [])]
+        if prior_cols != partition_by:
+            raise ValueError(
+                f"partition columns {partition_by} do not match the table's "
+                f"existing spec {prior_cols}"
+            )
+
     now_ms = int(time.time() * 1000)
     snapshot_id = uuid.uuid4().int % (1 << 62)
     seq = (prior.get("last-sequence-number", 0) if prior else 0) + 1
 
-    # stage data files via Spark's parquet writer, move under data/
+    # Stage data files via Spark's parquet writer, move under data/.
+    # For identity partitions, partitionBy consumes DUPLICATED columns
+    # (_p_<c>) so the originals survive in the data files — exactly what
+    # native Iceberg writers produce — while the hive dirs tell us each
+    # file's partition tuple.
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    staged = df
+    for c in partition_by:
+        staged = staged.withColumn(f"_p_{c}", F.col(c))
+    writer = staged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*[f"_p_{c}" for c in partition_by])
+    writer.parquet(staging)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(md, exist_ok=True)
+
+    def _typed(raw: str | None, avro_t: str):
+        if raw is None:
+            return None
+        if avro_t == "int" or avro_t == "long":
+            return int(raw)
+        if avro_t == "boolean":
+            return raw.lower() == "true"
+        return raw
+
     entries = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        name = f"{uuid.uuid4().hex}.parquet"
-        dst = os.path.join(data_dir, name)
-        shutil.move(os.path.join(staging, f), dst)
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "sequence_number": None,  # inherited from the manifest
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": dst,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": _parquet_rows(dst),
-                    "file_size_in_bytes": os.path.getsize(dst),
-                },
-            }
-        )
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict[str, object] = {}
+            rel_out = ""
+            if rel_dir != ".":
+                segs = []
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    col = k[3:] if k.startswith("_p_") else k
+                    raw = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                    avro_t = dict(part_fields)[col]
+                    pvals[col] = _typed(raw, avro_t)
+                    segs.append(f"{col}={v}")
+                rel_out = os.path.join(*segs)
+            name = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(data_dir, rel_out, name) if rel_out else os.path.join(data_dir, name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, f), dst)
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherited from the manifest
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": {c: pvals.get(c) for c, _ in part_fields},
+                        "record_count": _parquet_rows(dst),
+                        "file_size_in_bytes": os.path.getsize(dst),
+                    },
+                }
+            )
     shutil.rmtree(staging, ignore_errors=True)
 
-    manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
     ice_schema = schema_to_iceberg(df.schema)
+    schema_field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": schema_field_ids[c],
+            "field-id": 1000 + i,
+        }
+        for i, (c, _) in enumerate(part_fields)
+    ]
+    manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
     write_ocf(
         manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(part_fields),
         entries,
         metadata={
             "schema": json.dumps(ice_schema),
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": "data",
@@ -475,8 +596,8 @@ def write_iceberg_py(df: DataFrame, path: str, mode: str = "append") -> None:
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snapshot_id,

@@ -276,3 +276,49 @@ def test_iceberg_identity_partition_readable_transform_rejected(spark, tmp_path)
     )
     with pytest.raises(NotImplementedError, match="transform"):
         read_iceberg_py(path, spark)
+
+
+def test_identity_partitioned_write_and_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.iceberg import read_iceberg_py, write_iceberg_py
+    from daft_spark.io.readers import load_table
+    from tests.conftest import SF_DIR
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "tbl")
+    write_iceberg_py(
+        o.filter(F.col("o_orderkey") < 700), path, mode="overwrite",
+        partition_by=["o_orderstatus"],
+    )
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 700) & (F.col("o_orderkey") < 1400)),
+        path, mode="append", partition_by=["o_orderstatus"],
+    )
+    back = read_iceberg_py(path, spark)
+    expect = o.filter(F.col("o_orderkey") < 1400)
+    assert back.count() == expect.count()
+    # partition columns survive IN the data files (native-writer layout)
+    assert sorted(back.columns) == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    assert (
+        back.join(expect, ["o_orderkey", "o_orderstatus", "o_totalprice"], "left_anti").count()
+        == 0
+    )
+    # hive-style data layout + identity spec in metadata
+    import json as _json
+    import os as _os
+
+    assert any(d.startswith("o_orderstatus=") for d in _os.listdir(path + "/data"))
+    import glob as _glob
+
+    meta = sorted(_glob.glob(path + "/metadata/v*.metadata.json"))[-1]
+    with open(meta) as f:
+        spec = _json.load(f)["partition-specs"][0]["fields"]
+    assert [(s["name"], s["transform"]) for s in spec] == [("o_orderstatus", "identity")]
+    # appending with a different spec is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition columns"):
+        write_iceberg_py(o.limit(5), path, mode="append")
