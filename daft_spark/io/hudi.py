@@ -13,21 +13,24 @@ groups are replaced (insert_overwrite), and ``hoodie.properties``.
 
 Bounded subset implemented (mirroring io/delta.py and io/iceberg.py):
 
-- ``write_hudi_py(df, path, mode)``: append (new file groups per
-  commit) / overwrite (a replacecommit retiring every prior file
-  group) / error / ignore, unpartitioned tables, data written with
-  Spark's parquet writer and renamed to Hudi base-file names; the
-  commit JSON is staged and os.rename()'d — single-writer file://
-  atomicity.
+- ``write_hudi_py(df, path, mode, partition_by=None)``: append (new
+  file groups per commit) / overwrite (a replacecommit retiring every
+  prior file group) / error / ignore; data written with Spark's
+  parquet writer and renamed to Hudi base-file names; the commit JSON
+  is staged and os.rename()'d — single-writer file:// atomicity.
+  Partitioned tables stage through ``partitionBy`` on DUPLICATED
+  columns (Hudi keeps the partition source columns IN the data files)
+  and land under ``<partition>/`` dirs with per-partition write stats
+  in the commit, the layout Hudi's partition pruning expects.
 - ``read_hudi_py(path, spark)``: replay the COMPLETED timeline in
   instant order (latest base file per file group wins; replacecommits
   drop their listed groups), then hand the live files to Spark's
   parquet reader — pushdowns, split planning and AQE as usual.
 
 Out of scope (raise cleanly): merge-on-read tables (log files),
-partitioned tables, clustering/compaction/cleaning instants, metadata
-table. At 100 TB the timeline replay is driver-side KB work; the data
-plane is an ordinary multi-file parquet scan.
+clustering/compaction/cleaning instants, metadata table. At 100 TB
+the timeline replay is driver-side KB work; the data plane is an
+ordinary multi-file parquet scan.
 """
 
 from __future__ import annotations
@@ -71,7 +74,9 @@ def _instants(path: str) -> list[tuple[str, str]]:
 
 
 def _live_files(path: str) -> list[str]:
-    """Latest base file per file group after replaying the timeline."""
+    """Latest base file per file group after replaying the timeline.
+    Partitioned tables record partition-relative paths in their write
+    stats, so replay is layout-agnostic."""
     groups: dict[str, tuple[str, str]] = {}  # fileId -> (instant, relpath)
     for ts, action in _instants(path):
         with open(os.path.join(_timeline_dir(path), f"{ts}.{action}")) as f:
@@ -79,12 +84,7 @@ def _live_files(path: str) -> list[str]:
         for file_ids in commit.get("partitionToReplaceFileIds", {}).values():
             for fid in file_ids:
                 groups.pop(fid, None)
-        for part, stats in commit.get("partitionToWriteStats", {}).items():
-            if part not in ("", None):
-                raise NotImplementedError(
-                    "partitioned Hudi tables are not supported by this "
-                    "pure-Python reader; use the Hudi Spark bundle"
-                )
+        for stats in commit.get("partitionToWriteStats", {}).values():
             for st in stats:
                 fid = st["fileId"]
                 if fid not in groups or groups[fid][0] < ts:
@@ -93,8 +93,9 @@ def _live_files(path: str) -> list[str]:
 
 
 def read_hudi_py(path: str, spark: SparkSession) -> DataFrame:
-    """Read an (unpartitioned, copy-on-write) Hudi table by replaying
-    its timeline. The result is a plain multi-file parquet scan."""
+    """Read a copy-on-write Hudi table (unpartitioned or partitioned)
+    by replaying its timeline. The result is a plain multi-file parquet
+    scan — partition columns live in the data files, per Hudi layout."""
     if not os.path.isdir(_timeline_dir(path)):
         raise FileNotFoundError(f"not a Hudi table (no {_HOODIE}/ under {path})")
     files = _live_files(path)
@@ -103,12 +104,18 @@ def read_hudi_py(path: str, spark: SparkSession) -> DataFrame:
     return spark.read.parquet(*files)
 
 
-def write_hudi_py(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_hudi_py(
+    df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None
+) -> None:
     """Write ``df`` as one Hudi CoW commit: parquet base files with
     Hudi naming + one atomic timeline entry. Modes: append, overwrite,
-    error, ignore."""
+    error, ignore. ``partition_by`` produces a hive-style partitioned
+    table with the partition columns kept in the data files."""
+    from pyspark.sql import functions as F
+
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unsupported mode {mode!r}")
+    partition_by = list(partition_by or [])
     exists = bool(_instants(path))
     if exists and mode == "error":
         raise FileExistsError(f"Hudi table already exists at {path}")
@@ -133,28 +140,48 @@ def write_hudi_py(df: DataFrame, path: str, mode: str = "append") -> None:
                 )
             )
 
+    # Partitioned staging duplicates the partition columns so the hive
+    # layout consumes the copies and the originals stay in the data
+    # files (Hudi keeps partition source columns in base files).
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    write_stats = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        file_id = uuid.uuid4().hex
-        name = f"{file_id}_0-0-0_{instant}.parquet"
-        dst = os.path.join(path, name)
-        shutil.move(os.path.join(staging, f), dst)
-        write_stats.append(
-            {
-                "fileId": file_id,
-                "path": name,
-                "fileSizeInBytes": os.path.getsize(dst),
-                "totalWriteBytes": os.path.getsize(dst),
-            }
-        )
+    staged = df
+    for c in partition_by:
+        staged = staged.withColumn(f"_p_{c}", F.col(c))
+    writer = staged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*[f"_p_{c}" for c in partition_by])
+    writer.parquet(staging)
+    stats_by_part: dict[str, list] = {}
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            part = ""
+            if rel_dir != ".":
+                part = "/".join(
+                    seg.replace("_p_", "", 1) if seg.startswith("_p_") else seg
+                    for seg in rel_dir.split(os.sep)
+                )
+            file_id = uuid.uuid4().hex
+            name = f"{file_id}_0-0-0_{instant}.parquet"
+            rel = os.path.join(part, name) if part else name
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, f), dst)
+            stats_by_part.setdefault(part, []).append(
+                {
+                    "fileId": file_id,
+                    "path": rel,
+                    "partitionPath": part,
+                    "fileSizeInBytes": os.path.getsize(dst),
+                    "totalWriteBytes": os.path.getsize(dst),
+                }
+            )
     shutil.rmtree(staging, ignore_errors=True)
 
     action = "replacecommit" if (mode == "overwrite" and exists) else "commit"
-    commit: dict = {"partitionToWriteStats": {"": write_stats}}
+    commit: dict = {"partitionToWriteStats": stats_by_part or {"": []}}
     if action == "replacecommit":
         prior = _live_files(path)
         prior_ids = [os.path.basename(p).split("_", 1)[0] for p in prior]

@@ -84,3 +84,34 @@ def test_hudi_mor_gate(spark, tmp_path):
         pass
     with pytest.raises(NotImplementedError, match="merge-on-read"):
         read_hudi_py(path, spark)
+
+
+def test_hudi_partitioned_roundtrip(spark, tmp_path):
+    from daft_spark.io.hudi import read_hudi_py, write_hudi_py
+
+    o = _orders(spark)
+    path = str(tmp_path / "tbl")
+    write_hudi_py(
+        o.filter(F.col("o_orderkey") < 600), path, partition_by=["o_orderstatus"]
+    )
+    write_hudi_py(
+        o.filter((F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 1200)),
+        path, mode="append", partition_by=["o_orderstatus"],
+    )
+    back = read_hudi_py(path, spark)
+    expect = o.filter(F.col("o_orderkey") < 1200)
+    assert back.count() == expect.count()
+    # partition columns survive in the data files
+    assert sorted(back.columns) == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    assert (
+        back.join(expect, ["o_orderkey", "o_orderstatus", "o_totalprice"], "left_anti").count()
+        == 0
+    )
+    # hive-style partition dirs at the table root
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
+    # overwrite retires ALL partitions' file groups
+    write_hudi_py(o.filter(F.col("o_orderkey") >= 1400), path, mode="overwrite",
+                  partition_by=["o_orderstatus"])
+    back2 = read_hudi_py(path, spark)
+    assert back2.count() == o.filter(F.col("o_orderkey") >= 1400).count()
+    assert back2.filter(F.col("o_orderkey") < 1400).count() == 0
