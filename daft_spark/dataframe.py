@@ -370,28 +370,31 @@ class DataFrame:
 
         write_json(self._sdf, path, write_mode=write_mode)
 
-    def write_deltalake(self, path: str, mode: str = "append") -> None:
+    def write_deltalake(self, path: str, mode: str = "append",
+                        partition_by: list[str] | None = None) -> None:
         """reference DataFrame.write_deltalake (dataframe.py:1767) —
         delta-spark when on the classpath, else the pure-python
         transaction-log writer (io/delta.py)."""
         from daft_spark.io.writers import write_deltalake
 
-        write_deltalake(self._sdf, path, write_mode=mode)
+        write_deltalake(self._sdf, path, write_mode=mode, partition_by=partition_by)
 
-    def write_iceberg(self, table: str, mode: str = "append") -> None:
+    def write_iceberg(self, table: str, mode: str = "append",
+                      partition_by: list[str] | None = None) -> None:
         """reference DataFrame.write_iceberg (dataframe.py:1330) —
         catalog tables via writeTo; filesystem paths via the
         pure-python v2 commit writer (io/iceberg.py)."""
         from daft_spark.io.writers import write_iceberg
 
-        write_iceberg(self._sdf, table, write_mode=mode)
+        write_iceberg(self._sdf, table, write_mode=mode, partition_by=partition_by)
 
-    def write_hudi(self, path: str, mode: str = "append") -> None:
+    def write_hudi(self, path: str, mode: str = "append",
+                   partition_by: list[str] | None = None) -> None:
         """Hudi copy-on-write commit (io/hudi.py) — Spark-side analogue
         of the reference's Hudi write support."""
         from daft_spark.io.hudi import write_hudi_py
 
-        write_hudi_py(self._sdf, path, mode=mode)
+        write_hudi_py(self._sdf, path, mode=mode, partition_by=partition_by)
 
     def write_paimon(self, path: str, mode: str = "append") -> None:
         """Paimon append-only table commit (io/paimon.py) — Spark-side

@@ -73,24 +73,29 @@ def write_sql(df: DataFrame, table: str, url: str, write_mode: str = "append", *
     w.save()
 
 
-def write_deltalake(df: DataFrame, path: str, write_mode: str = "append") -> None:
+def write_deltalake(df: DataFrame, path: str, write_mode: str = "append",
+                    partition_by: list[str] | None = None) -> None:
     """reference write_deltalake (dataframe.py:1767). Uses the
     delta-spark connector when it is on the classpath; otherwise falls
-    back to the pure-Python Delta transaction writer
-    (daft_spark.io.delta — full log semantics for non-partitioned
-    local tables)."""
+    back to the pure-Python Delta transaction writer (daft_spark.io.
+    delta — full log + checkpoint + hive-partition semantics for local
+    tables)."""
     try:
-        df.write.format("delta").mode(write_mode).save(path)
+        w = df.write.format("delta").mode(write_mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
     except Exception as e:
         msg = str(e)
         if not ("Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg or "ClassNotFound" in msg):
             raise
         from daft_spark.io.delta import write_deltalake_py
 
-        write_deltalake_py(df, path, mode=write_mode)
+        write_deltalake_py(df, path, mode=write_mode, partition_by=partition_by)
 
 
-def write_iceberg(df: DataFrame, table: str, write_mode: str = "append") -> None:
+def write_iceberg(df: DataFrame, table: str, write_mode: str = "append",
+                  partition_by: list[str] | None = None) -> None:
     """reference write_iceberg (dataframe.py:1330). A catalog table name
     goes through the session's Iceberg catalog (writeTo); a filesystem
     path (absolute, or an existing metadata/ dir) goes through the
@@ -100,7 +105,7 @@ def write_iceberg(df: DataFrame, table: str, write_mode: str = "append") -> None
     if os.path.isabs(table) or os.path.isdir(os.path.join(table, "metadata")):
         from daft_spark.io.iceberg import write_iceberg_py
 
-        write_iceberg_py(df, table, mode=write_mode)
+        write_iceberg_py(df, table, mode=write_mode, partition_by=partition_by)
         return
     if write_mode == "append":
         df.writeTo(table).append()
