@@ -104,8 +104,14 @@ def date_trunc(unit: str, col):
 
 
 def total_seconds(col):
-    """Duration column (DayTimeInterval) -> seconds."""
-    return _c(col).cast("double")
+    """Duration column (DayTimeInterval) -> seconds (exact to µs:
+    epoch + interval -> unix_micros recovers the interval's micros
+    without interval-to-numeric cast truncation)."""
+    return _total_micros(col) / 1_000_000.0
+
+
+def _total_micros(col):
+    return F.unix_micros(F.timestamp_seconds(F.lit(0)) + _c(col))
 
 
 def to_unix_epoch(col, unit: str = "s"):
@@ -177,3 +183,40 @@ def current_timestamp():
 
 def current_timezone():
     return F.current_timezone()
+
+
+def nanosecond(col):
+    """reference datetime.py nanosecond — Spark timestamps carry µs
+    precision, so this is microsecond*1000 (ns ingest is widened on
+    read, SURVEY §1.2)."""
+    return (F.unix_micros(_c(col)) % 1_000_000 * 1000).cast("long")
+
+
+def time(col):
+    """reference datetime.py time — the time-of-day component. Spark
+    has no TIME type; returns the 'HH:mm:ss.SSSSSS' string."""
+    return F.date_format(_c(col), "HH:mm:ss.SSSSSS")
+
+
+def total_days(col):
+    return (total_seconds(col) / 86400).cast("long")
+
+
+def total_hours(col):
+    return (total_seconds(col) / 3600).cast("long")
+
+
+def total_minutes(col):
+    return (total_seconds(col) / 60).cast("long")
+
+
+def total_milliseconds(col):
+    return (_total_micros(col) / 1000).cast("long")
+
+
+def total_microseconds(col):
+    return _total_micros(col)
+
+
+def total_nanoseconds(col):
+    return _total_micros(col) * 1000

@@ -48,3 +48,36 @@ def from_ml_vector(col: Column | str) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return vector_to_array(c)
+
+
+def _col(x):
+    return F.col(x) if isinstance(x, str) else x
+
+
+def hamming_distance(a, b):
+    """reference distance.py hamming_distance — element-wise mismatch
+    count of two equal-length vectors (codegen zip_with + aggregate)."""
+    pairs = F.zip_with(_col(a), _col(b), lambda x, y: (x != y).cast("int"))
+    return F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x)
+
+
+def great_circle_distance(lat1, lon1, lat2, lon2, radius_km: float = 6371.0088):
+    """reference spatial.py great_circle_distance — haversine over
+    degree coordinates, pure column exprs (km)."""
+    rlat1, rlat2 = F.radians(_col(lat1)), F.radians(_col(lat2))
+    dlat = F.radians(_col(lat2) - _col(lat1))
+    dlon = F.radians(_col(lon2) - _col(lon1))
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return F.lit(2 * radius_km) * F.asin(F.sqrt(h))
+
+
+def jaccard_similarity(a, b):
+    """reference distance.py jaccard_similarity — |A∩B| / |A∪B| of two
+    array columns, pure set exprs."""
+    ca, cb = _col(a), _col(b)
+    inter = F.size(F.array_intersect(ca, cb)).cast("double")
+    union = F.size(F.array_union(ca, cb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))

@@ -78,3 +78,39 @@ def file_exists(col) -> Column:
         )
 
     return _ex(_c(col))
+
+
+def file(col) -> Column:
+    """Typed file reference (reference file_.py file): struct(path,
+    size, mime) — composable with the download/decode stages."""
+    c = _c(col)
+    return F.struct(c.alias("path"), file_size(c).alias("size"),
+                    guess_mime_type(c).alias("mime"))
+
+
+def _typed_file(col, kind: str) -> Column:
+    c = _c(col)
+    return F.struct(c.alias("path"), file_size(c).alias("size"),
+                    guess_mime_type(c).alias("mime"), F.lit(kind).alias("kind"))
+
+
+def image_file(col) -> Column:
+    """reference image_file_.py image_file."""
+    return _typed_file(col, "image")
+
+
+def audio_file(col) -> Column:
+    """reference audio.py audio_file."""
+    return _typed_file(col, "audio")
+
+
+def video_file(col) -> Column:
+    """reference video.py video_file."""
+    return _typed_file(col, "video")
+
+
+def image_file_metadata(col) -> Column:
+    """reference image_file_.py image_file_metadata — the typed-file
+    struct's metadata fields (size + mime; pixel dims need a codec)."""
+    return F.struct(file_size(_c(col)).alias("size"),
+                    guess_mime_type(_c(col)).alias("mime"))

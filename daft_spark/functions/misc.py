@@ -314,3 +314,88 @@ def apply_on_pickled(col, fn, return_dtype: str = "string"):
         )
 
     return _app(_c(col))
+
+
+def jq(col, path: str):
+    """reference misc.py jq — JSONPath-style extraction; alias of
+    json_query (get_json_object)."""
+    return json_query(col, path)
+
+
+def try_encode(col, charset: str = "utf-8"):
+    """encode, null on failure (reference try_encode). Spark's encode
+    never throws for supported charsets; unknown charsets -> null."""
+    try:
+        return encode(col, charset)
+    except Exception:
+        return F.lit(None).cast("binary")
+
+
+def try_decode(col, charset: str = "utf-8"):
+    """decode, null on failure (reference try_decode). Spark's decode
+    substitutes U+FFFD for invalid bytes rather than throwing, so the
+    try-variant differs only for unknown charsets (-> null)."""
+    try:
+        return decode(col, charset)
+    except Exception:
+        return F.lit(None).cast("string")
+
+
+def try_compress(col, codec: str = "gzip"):
+    """compress, null on unknown codec (reference try_compress —
+    compress() itself defaults unknown codecs to zlib, so the codec
+    check must happen here)."""
+    if codec not in ("gzip", "zlib"):
+        return F.lit(None).cast("binary")
+    return compress(col, codec)
+
+
+def try_decompress(col, codec: str = "gzip"):
+    """decompress, null per-row on corrupt payload (reference
+    try_decompress)."""
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    if codec not in ("gzip", "zlib"):
+        return F.lit(None).cast("binary")
+
+    @pandas_udf("binary")
+    def _try_gunz(s: pd.Series) -> pd.Series:
+        import gzip as _g
+        import zlib as _z
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return _g.decompress(bytes(b)) if codec == "gzip" else _z.decompress(bytes(b))
+            except Exception:
+                return None
+
+        return pd.Series([one(b) for b in s])
+
+    return _try_gunz(_c(col))
+
+
+def try_deserialize(col, schema):
+    """from_json is already permissive (null on malformed input), so
+    this IS Spark's deserialize (reference try_deserialize)."""
+    return deserialize(col, schema)
+
+
+def extract_month_uuid7(col):
+    """reference misc.py extract_month_uuid7 — calendar field of the
+    uuid7 embedded timestamp."""
+    return F.month(uuid7_timestamp(col))
+
+
+def extract_day_uuid7(col):
+    return F.dayofmonth(uuid7_timestamp(col))
+
+
+def extract_hour_uuid7(col):
+    return F.hour(uuid7_timestamp(col))
+
+
+def extract_minute_uuid7(col):
+    return F.minute(uuid7_timestamp(col))

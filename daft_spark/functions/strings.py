@@ -275,3 +275,102 @@ def to_camel_case(col):
         F.array_join(F.transform(F.slice(parts, 2, 2147483646), F.initcap), ""),
     )
     return rebuilt
+
+
+def to_title_case(col):
+    """reference str.py to_title_case — capitalize each word."""
+    return F.initcap(_c(col))
+
+
+def to_upper_snake_case(col):
+    return F.upper(to_snake_case(col))
+
+
+def to_upper_kebab_case(col):
+    return F.upper(to_kebab_case(col))
+
+
+def to_upper_camel_case(col):
+    """UpperCamelCase (PascalCase) from snake/kebab/space-separated."""
+    return F.concat_ws(
+        "",
+        F.transform(F.split(to_snake_case(col), "_"), lambda w: F.initcap(w)),
+    )
+
+
+def jaro_similarity(a, b):
+    """reference str.py jaro_similarity — Jaro WITHOUT the Winkler
+    common-prefix boost. Python UDF fallback like jaro_winkler."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _j(sa, sb):
+        import pandas as pd
+
+        def jaro(x, y):
+            if x is None or y is None:
+                return None
+            if x == y:
+                return 1.0
+            lx, ly = len(x), len(y)
+            if not lx or not ly:
+                return 0.0
+            match_dist = max(lx, ly) // 2 - 1
+            xm = [False] * lx
+            ym = [False] * ly
+            matches = 0
+            for i, cx in enumerate(x):
+                lo, hi = max(0, i - match_dist), min(ly, i + match_dist + 1)
+                for j in range(lo, hi):
+                    if not ym[j] and y[j] == cx:
+                        xm[i] = ym[j] = True
+                        matches += 1
+                        break
+            if not matches:
+                return 0.0
+            t = 0
+            k = 0
+            for i in range(lx):
+                if xm[i]:
+                    while not ym[k]:
+                        k += 1
+                    if x[i] != y[k]:
+                        t += 1
+                    k += 1
+            return (matches / lx + matches / ly + (matches - t / 2) / matches) / 3
+
+        return pd.Series([jaro(x, y) for x, y in zip(sa, sb)])
+
+    return _j(_c(a), _c(b))
+
+
+def damerau_levenshtein_distance(a, b):
+    """reference str.py damerau_levenshtein_distance (optimal string
+    alignment: edits + adjacent transpositions). Python UDF fallback —
+    no vectorizable closed form; avoid in 100 TB hot paths."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _dl(sa, sb):
+        import pandas as pd
+
+        def dl(x, y):
+            if x is None or y is None:
+                return None
+            lx, ly = len(x), len(y)
+            d = [[0] * (ly + 1) for _ in range(lx + 1)]
+            for i in range(lx + 1):
+                d[i][0] = i
+            for j in range(ly + 1):
+                d[0][j] = j
+            for i in range(1, lx + 1):
+                for j in range(1, ly + 1):
+                    cost = 0 if x[i - 1] == y[j - 1] else 1
+                    d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+                    if i > 1 and j > 1 and x[i - 1] == y[j - 2] and x[i - 2] == y[j - 1]:
+                        d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+            return d[lx][ly]
+
+        return pd.Series([dl(x, y) for x, y in zip(sa, sb)], dtype="object")
+
+    return _dl(_c(a), _c(b))

@@ -150,3 +150,31 @@ def fingerprint(col: Column) -> Column:
     from daft_spark.operators.dedup import normalize_text
 
     return F.xxhash64(normalize_text(col))
+
+
+def tokenize_decode(col: Column, tokenizer: str = "cl100k_base"):
+    """Token ids -> text (reference: tokenize_decode, str.py). Only
+    real BPE vocabularies are invertible — the dependency-free 'ws'
+    encoding hashes words (one-way), so this requires tiktoken."""
+    if tokenizer == "ws":
+        raise ValueError(
+            "tokenizer='ws' ids are one-way hashes and cannot be decoded; "
+            "use a tiktoken vocabulary (e.g. 'cl100k_base')"
+        )
+    try:
+        import tiktoken  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            f"tokenizer {tokenizer!r} needs the tiktoken package"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        import tiktoken
+
+        enc = tiktoken.get_encoding(tokenizer)
+        return pd.Series([enc.decode(list(x)) if x is not None else None for x in s])
+
+    return _dec(col)

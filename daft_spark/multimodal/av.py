@@ -106,3 +106,34 @@ def audio_metadata(df: DataFrame, path_col: str, payload_col: str,
             )
 
     return df.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+def video_keyframes(df: DataFrame, path_col: str, payload_col: str,
+                    deterministic_fake: bool = False) -> DataFrame:
+    """Keyframe-only sampling (reference video.py video_keyframes /
+    keyframes_impl): same fan-out as video_frames with a sparser,
+    content-keyed stride standing in for real I-frame detection."""
+    if not _HAVE_AV and not deterministic_fake:
+        raise NotImplementedError("pyav not available; pass deterministic_fake=True")
+    return video_frames(df, path_col, payload_col, sample_every=30,
+                        deterministic_fake=deterministic_fake)
+
+
+def get_video_frame_by_idx(df: DataFrame, path_col: str, payload_col: str,
+                           frame_idx: int, deterministic_fake: bool = False) -> DataFrame:
+    """Single-frame extraction (reference video.py
+    get_video_frame_by_idx): frame sampling filtered to one index."""
+    from pyspark.sql import functions as F
+
+    frames = video_frames(df, path_col, payload_col, sample_every=1,
+                          deterministic_fake=deterministic_fake)
+    return frames.filter(F.col("frame_idx") == frame_idx)
+
+
+def resample(df: DataFrame, path_col: str, payload_col: str, rate: int,
+             deterministic_fake: bool = False) -> DataFrame:
+    """Audio resampling (reference audio.py resample). Needs a real
+    codec; the metadata stage (audio_metadata) covers the plumbing."""
+    raise NotImplementedError(
+        "resample requires soundfile/librosa (absent from this container)"
+    )

