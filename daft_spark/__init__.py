@@ -134,6 +134,251 @@ def range(start, end=None, step: int = 1, partitions=None) -> DataFrame:  # noqa
     return _wrap(range_(start, end, step, partitions))
 
 
+def read_paimon(path, **kw) -> DataFrame:
+    from daft_spark.io.lakehouse import read_paimon as _rp
+
+    return _wrap(_rp(path, **kw))
+
+
+def read_video_frames(path, sample_every: int = 10, **kw) -> DataFrame:
+    """reference read_video_frames (daft/io/av/__init__.py:25):
+    binaryFile listing + the frame-sampling fan-out stage."""
+    from daft_spark.multimodal.av import video_frames
+
+    spark = get_or_create()
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _wrap(video_frames(files, "path", "content", sample_every=sample_every, **kw))
+
+
+def from_pylist(rows: list, **kw) -> DataFrame:
+    """List of dicts -> DataFrame (reference daft.from_pylist)."""
+    cols: dict = {}
+    for r in rows:
+        for k in r:
+            cols.setdefault(k, [])
+    for r in rows:
+        for k in cols:
+            cols[k].append(r.get(k))
+    return from_pydict(cols, **kw)
+
+
+def from_files(pattern: str, **kw) -> DataFrame:
+    """Glob -> one typed-file row per match (reference daft.from_files):
+    the listing plus a File struct column."""
+    from daft_spark.functions.files import file as _file
+
+    listing = from_glob_path(pattern, **kw)
+    return _wrap(listing._sdf.withColumn("file", _file("path")))
+
+
+def from_dask_dataframe(ddf) -> DataFrame:
+    """reference from_dask_dataframe — requires dask."""
+    try:
+        import dask  # noqa: F401
+    except ImportError as e:
+        raise ImportError("from_dask_dataframe requires the 'dask' package") from e
+    return from_pandas(ddf.compute())
+
+
+def from_ray_dataset(ds) -> DataFrame:
+    """reference from_ray_dataset — requires ray."""
+    try:
+        import ray  # noqa: F401
+    except ImportError as e:
+        raise ImportError("from_ray_dataset requires the 'ray' package") from e
+    return from_arrow(ds.to_arrow_refs())
+
+
+def concat(*dfs: DataFrame) -> DataFrame:
+    """Row-wise concatenation of DataFrames (reference daft.concat) —
+    unionByName so column order differences don't corrupt rows."""
+    if not dfs:
+        raise ValueError("concat needs at least one DataFrame")
+    out = dfs[0]._sdf if isinstance(dfs[0], DataFrame) else dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d._sdf if isinstance(d, DataFrame) else d)
+    return _wrap(out)
+
+
+def open_file(path: str):
+    """reference daft.open_file — a typed local File handle."""
+    from daft_spark.types import File
+
+    return File(path)
+
+
+def interval(**units) -> Column:
+    """Interval literal (reference daft.interval):
+    interval(days=3, hours=2) -> a DayTimeInterval/YearMonth expr."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for unit in ("years", "months", "weeks", "days", "hours", "minutes", "seconds", "milliseconds", "microseconds"):
+        v = units.pop(unit, None)
+        if v:
+            parts.append(f"INTERVAL {int(v)} {unit[:-1].upper()}{'S' if abs(int(v)) != 1 else ''}")
+    if units:
+        raise ValueError(f"unknown interval units {sorted(units)}")
+    if not parts:
+        return F.expr("INTERVAL 0 SECONDS")
+    expr = F.expr(parts[0])
+    for p in parts[1:]:
+        expr = expr + F.expr(p)
+    return expr
+
+
+def element() -> Column:
+    """reference daft.element — the per-element placeholder inside list
+    expressions. Spark's higher-order functions take Python lambdas
+    instead (``functions.list_map(col, lambda x: x + 1)``), which bind
+    the element variable explicitly."""
+    raise NotImplementedError(
+        "Spark expresses per-element logic as lambdas to higher-order "
+        "functions: use functions.list_map(col, lambda x: ...) / F.transform"
+    )
+
+
+def read_table(identifier, **options) -> DataFrame:
+    """Session-catalog table read (reference daft.read_table)."""
+    return session().read_table(identifier, **options)
+
+
+def write_table(df, identifier, mode: str = "append") -> None:
+    """Session-catalog table write (reference daft.write_table)."""
+    session().get_table(identifier).write(
+        df._sdf if isinstance(df, DataFrame) else df, mode=mode
+    )
+
+
+# --- session-state delegates (reference daft/__init__.py re-exports the
+# default session's methods at the top level; same here) ---------------------
+
+
+def _session_delegate(name):
+    def call(*a, **kw):
+        return getattr(session(), name)(*a, **kw)
+
+    call.__name__ = name
+    call.__doc__ = f"Default-session delegate (reference daft.{name} -> Session.{name})."
+    return call
+
+
+attach = _session_delegate("attach")
+attach_catalog = _session_delegate("attach_catalog")
+attach_table = _session_delegate("attach_table")
+attach_view = _session_delegate("attach_view")
+attach_function = _session_delegate("attach_function")
+detach_catalog = _session_delegate("detach_catalog")
+detach_table = _session_delegate("detach_table")
+detach_function = _session_delegate("detach_function")
+create_namespace = _session_delegate("create_namespace")
+create_namespace_if_not_exists = _session_delegate("create_namespace_if_not_exists")
+create_table = _session_delegate("create_table")
+create_table_if_not_exists = _session_delegate("create_table_if_not_exists")
+create_temp_table = _session_delegate("create_temp_table")
+create_temp_view = _session_delegate("create_temp_view")
+drop_namespace = _session_delegate("drop_namespace")
+drop_table = _session_delegate("drop_table")
+get_catalog = _session_delegate("get_catalog")
+get_table = _session_delegate("get_table")
+has_catalog = _session_delegate("has_catalog")
+has_namespace = _session_delegate("has_namespace")
+has_table = _session_delegate("has_table")
+list_catalogs = _session_delegate("list_catalogs")
+list_tables = _session_delegate("list_tables")
+set_catalog = _session_delegate("set_catalog")
+set_namespace = _session_delegate("set_namespace")
+
+
+def current_catalog():
+    return session().current_catalog()
+
+
+def current_namespace():
+    return session().current_namespace()
+
+
+def current_session():
+    """reference daft.current_session — the default Session singleton."""
+    return session()
+
+
+def set_session(s) -> None:
+    """reference daft.set_session — replace the default session."""
+    import daft_spark.session as _sess_mod
+
+    _sess_mod._DEFAULT_SESSION = s
+
+
+# --- runtime/context surface (daft_spark.runtime) ----------------------------
+
+from daft_spark.runtime import (  # noqa: E402, F401
+    CheckpointConfig,
+    CheckpointStore,
+    DaftContext,
+    IOConfig,
+    IdempotentCommit,
+    KeyFilteringSettings,
+    ResourceRequest,
+    attach_provider,
+    attach_subscriber,
+    current_model,
+    current_provider,
+    detach_provider,
+    detach_subscriber,
+    execution_config_ctx,
+    get_aggregate_function,
+    get_context,
+    get_function,
+    get_loaded_extension_paths,
+    get_or_create_runner,
+    get_or_infer_runner_type,
+    get_provider,
+    has_provider,
+    load_extension,
+    metrics,
+    planning_config_ctx,
+    refresh_logger,
+    register_viz_hook,
+    set_execution_config,
+    set_model,
+    set_planning_config,
+    set_provider,
+    set_runner_native,
+    set_runner_ray,
+    with_subscriber,
+)
+
+# --- type surface ------------------------------------------------------------
+
+from daft_spark.types import (  # noqa: E402, F401
+    AudioFile,
+    DataType,
+    Expression,
+    File,
+    Hdf5File,
+    ImageFile,
+    ImageFormat,
+    ImageMode,
+    ImageProperty,
+    MediaType,
+    Schema,
+    Series,
+    TimeUnit,
+    UnionMode,
+    VideoFile,
+)
+
+# --- UDF decorators + submodule handles --------------------------------------
+
+from pyspark.sql import Window  # noqa: E402, F401
+
+from daft_spark import functions, io, runtime as runners  # noqa: E402, F401
+from daft_spark import datasets  # noqa: E402, F401
+from daft_spark.udf import cls, func, method, udaf  # noqa: E402, F401
+from daft_spark import udf  # noqa: E402, F401
+
+
 __all__ = [
     "Catalog",
     "Column",

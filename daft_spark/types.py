@@ -119,3 +119,165 @@ def _resolve(x) -> T.DataType:
     if isinstance(x, T.DataType):
         return x
     return to_spark_type(x)
+
+
+# ---------------------------------------------------------------------------
+# reference-style public type surface (daft.DataType / Schema / TimeUnit
+# / media enums — reference daft/datatype.py, daft/schema.py)
+
+
+class _DataTypeMeta(type):
+    def __getattr__(cls, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def factory(*params):
+            return to_spark_type(name, *params)
+
+        factory.__name__ = name
+        return factory
+
+
+class DataType(metaclass=_DataTypeMeta):
+    """daft.DataType parity: every reference constructor
+    (``DataType.int64()``, ``DataType.string()``,
+    ``DataType.list(inner)``, ``DataType.embedding(dim)``, ...) returns
+    the mapped Spark type via :func:`to_spark_type` — the widening
+    rules of SURVEY §1.2 apply."""
+
+    @staticmethod
+    def from_arrow_type(at):
+        import pyarrow as pa  # noqa: F401
+        from pyspark.sql.pandas.types import from_arrow_type as _fat
+
+        return _fat(at)
+
+
+# Schema is Spark's StructType (Delta inherited this serialization too);
+# Series is the pandas Series (the per-column container crossing every
+# Arrow UDF boundary); Expression is Spark's Column.
+from pyspark.sql import Column as Expression  # noqa: E402, F401
+from pyspark.sql.types import StructType as Schema  # noqa: E402, F401
+
+try:  # pandas is a hard dep of pyspark's pandas-UDF path
+    from pandas import Series  # noqa: F401
+except ImportError:  # pragma: no cover
+    Series = None
+
+
+class TimeUnit:
+    """reference TimeUnit — Spark timestamps are µs; s/ms widen, ns
+    truncates on ingest (SURVEY §1.2)."""
+
+    @staticmethod
+    def s() -> str:
+        return "s"
+
+    @staticmethod
+    def ms() -> str:
+        return "ms"
+
+    @staticmethod
+    def us() -> str:
+        return "us"
+
+    @staticmethod
+    def ns() -> str:
+        return "ns"
+
+
+class ImageMode:
+    """reference ImageMode enum (pixel layouts)."""
+
+    L = "L"
+    LA = "LA"
+    RGB = "RGB"
+    RGBA = "RGBA"
+
+
+class ImageFormat:
+    """reference ImageFormat enum (container codecs)."""
+
+    PNG = "PNG"
+    JPEG = "JPEG"
+    TIFF = "TIFF"
+    GIF = "GIF"
+    BMP = "BMP"
+
+
+class ImageProperty:
+    """reference ImageProperty enum (image_attribute accessors)."""
+
+    HEIGHT = "height"
+    WIDTH = "width"
+    MODE = "mode"
+    CHANNEL = "channel"
+
+
+class UnionMode:
+    """reference UnionMode — tagged-struct encoding on Spark."""
+
+    SPARSE = "sparse"
+    DENSE = "dense"
+
+
+class MediaType:
+    """reference MediaType — the typed-file kind tags
+    (functions/files.py typed constructors)."""
+
+    IMAGE = "image"
+    AUDIO = "audio"
+    VIDEO = "video"
+    DOCUMENT = "document"
+    UNKNOWN = "unknown"
+
+
+class File:
+    """Typed file reference (reference daft.File): path + lazily
+    statted size/mime. The column-level counterpart is
+    functions.files.file()."""
+
+    kind = MediaType.UNKNOWN
+
+    def __init__(self, path: str):
+        self.path = path
+
+    @property
+    def size(self) -> int | None:
+        import os
+
+        p = self.path[7:] if self.path.startswith("file://") else self.path
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return None
+
+    def read(self) -> bytes:
+        p = self.path[7:] if self.path.startswith("file://") else self.path
+        with open(p, "rb") as f:
+            return f.read()
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self.path!r})"
+
+
+class ImageFile(File):
+    kind = MediaType.IMAGE
+
+
+class AudioFile(File):
+    kind = MediaType.AUDIO
+
+
+class VideoFile(File):
+    kind = MediaType.VIDEO
+
+
+class Hdf5File(File):
+    """reference Hdf5File — reading requires h5py (absent from this
+    container); the reference's hdf5 accessors are gated the same way."""
+
+    kind = MediaType.DOCUMENT
+
+    def keys(self):
+        raise NotImplementedError("hdf5 access requires the h5py package")

@@ -1,0 +1,156 @@
+"""Top-level daft_spark namespace: every reference `daft` export
+resolves, and the round-5 runtime/type/session surfaces behave."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import daft_spark
+
+REFERENCE_EXPORTS = [
+    # types
+    "DataType", "Schema", "Series", "Expression", "TimeUnit", "ImageMode",
+    "ImageFormat", "ImageProperty", "UnionMode", "MediaType",
+    "File", "ImageFile", "AudioFile", "VideoFile", "Hdf5File", "Window",
+    # session & catalog
+    "Session", "Catalog", "Table", "Identifier", "session", "current_session",
+    "set_session", "attach", "attach_catalog", "attach_table", "attach_view",
+    "attach_function", "detach_catalog", "detach_table", "detach_function",
+    "create_namespace", "create_table", "create_temp_table", "create_temp_view",
+    "current_catalog", "current_namespace", "drop_table", "get_catalog",
+    "get_table", "has_catalog", "has_table", "list_catalogs", "list_tables",
+    "read_table", "write_table", "set_catalog", "set_namespace",
+    # runtime / context
+    "get_context", "set_runner_native", "set_runner_ray",
+    "get_or_create_runner", "get_or_infer_runner_type",
+    "set_execution_config", "set_planning_config", "execution_config_ctx",
+    "planning_config_ctx", "metrics", "refresh_logger", "register_viz_hook",
+    "load_extension", "get_loaded_extension_paths",
+    # providers / model
+    "attach_provider", "detach_provider", "get_provider", "has_provider",
+    "current_provider", "set_provider", "set_model", "current_model",
+    "attach_subscriber", "detach_subscriber", "with_subscriber",
+    # checkpointing
+    "CheckpointConfig", "CheckpointStore", "IdempotentCommit",
+    "KeyFilteringSettings", "ResourceRequest", "IOConfig",
+    # io / constructors
+    "read_parquet", "read_csv", "read_json", "read_text", "read_warc",
+    "read_sql", "read_deltalake", "read_iceberg", "read_hudi", "read_paimon",
+    "read_lance", "read_huggingface", "read_mcap", "read_video_frames",
+    "from_pydict", "from_pylist", "from_pandas", "from_arrow",
+    "from_glob_path", "from_files", "from_dask_dataframe", "from_ray_dataset",
+    "range", "concat", "open_file", "interval", "element",
+    # expressions / functions / udfs
+    "col", "lit", "sql", "sql_expr", "functions", "io", "datasets",
+    "udf", "func", "cls", "method", "udaf", "runners",
+    "get_function", "get_aggregate_function",
+]
+
+
+@pytest.mark.parametrize("name", REFERENCE_EXPORTS)
+def test_export_resolves(name):
+    assert hasattr(daft_spark, name), name
+
+
+def test_full_reference_export_list_resolves():
+    import re
+
+    src = open("/root/reference/daft/__init__.py").read()
+    m = re.search(r"__all__\s*=\s*\[(.*?)\]", src, re.S)
+    names = re.findall(r'"([^"]+)"', m.group(1))
+    missing = [n for n in names if not hasattr(daft_spark, n)]
+    assert not missing, missing
+
+
+def test_execution_config_ctx_scopes_conf(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with daft_spark.execution_config_ctx(shuffle_partitions=7):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_interval_and_from_pylist(spark):
+    df = daft_spark.from_pylist([{"a": 1, "b": "x"}, {"a": 2}])
+    assert df.to_spark().count() == 2
+    row = (
+        spark.range(1)
+        .select(
+            (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + daft_spark.interval(days=1, hours=2)).alias("t")
+        )
+        .collect()[0]
+    )
+    assert str(row["t"]) == "2024-01-02 02:00:00"
+    with pytest.raises(ValueError, match="unknown interval"):
+        daft_spark.interval(fortnights=1)
+
+
+def test_concat_union_by_name(spark):
+    a = daft_spark.from_pydict({"x": [1], "y": ["a"]})
+    b = daft_spark.from_pydict({"y": ["b"], "x": [2]})  # different column order
+    out = daft_spark.concat(a, b).to_spark().orderBy("x").collect()
+    assert [(r["x"], r["y"]) for r in out] == [(1, "a"), (2, "b")]
+
+
+def test_datatype_and_file_surface(tmp_path):
+    from pyspark.sql import types as T
+
+    assert daft_spark.DataType.int64() == T.LongType()
+    assert daft_spark.DataType.embedding(16) == T.ArrayType(T.FloatType())
+    assert daft_spark.DataType.uint8() == T.ShortType()  # widening rule
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"abc")
+    f = daft_spark.open_file(str(p))
+    assert f.size == 3 and f.read() == b"abc"
+    assert daft_spark.ImageFile(str(p)).kind == daft_spark.MediaType.IMAGE
+
+
+def test_provider_and_model_state():
+    daft_spark.set_model("test-model-1")
+    assert daft_spark.current_model() == "test-model-1"
+    p = daft_spark.attach_provider("deterministic", alias="det")
+    assert daft_spark.has_provider("det")
+    assert daft_spark.get_provider("det") is p
+    daft_spark.set_provider("det")
+    assert daft_spark.current_provider() is p
+    daft_spark.detach_provider("det")
+    assert not daft_spark.has_provider("det")
+
+
+def test_checkpoint_store_roundtrip(spark, tmp_path):
+    cfg = daft_spark.CheckpointConfig(
+        path=str(tmp_path / "out"), keys=daft_spark.KeyFilteringSettings(["id"])
+    )
+    df1 = spark.range(0, 10).withColumnRenamed("id", "id")
+    with daft_spark.IdempotentCommit(cfg) as store:
+        store.commit(df1)
+    # resumed run over a superset only processes the new keys
+    df2 = spark.range(0, 15)
+    remaining = daft_spark.CheckpointStore(cfg).filter_unprocessed(df2)
+    assert remaining.count() == 5
+    with daft_spark.IdempotentCommit(cfg) as store:
+        store.commit(df2)
+    assert spark.read.parquet(cfg.path).count() == 15
+
+
+def test_runtime_shims(spark):
+    ctx = daft_spark.get_context()
+    assert daft_spark.get_or_infer_runner_type() == "native"
+    assert ctx is daft_spark.get_or_create_runner()
+    m = daft_spark.metrics()
+    assert "application_id" in m and m["default_parallelism"] >= 1
+    with pytest.raises(NotImplementedError, match="master"):
+        daft_spark.set_runner_ray("ray://somewhere")
+    with pytest.raises(NotImplementedError, match="lambda"):
+        daft_spark.element()
+    assert callable(daft_spark.get_function("to_title_case"))
+    assert callable(daft_spark.get_aggregate_function("approx_count_distinct"))
+
+
+def test_from_files_listing(spark, tmp_path):
+    for i in __import__("builtins").range(3):
+        (tmp_path / f"d{i}.txt").write_text("x" * (i + 1))
+    df = daft_spark.from_files(str(tmp_path / "*.txt")).to_spark()
+    rows = df.select("path", "file.size", "file.mime").collect()
+    assert len(rows) == 3
+    assert all(r["mime"] == "text/plain" for r in rows)
