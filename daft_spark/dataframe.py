@@ -411,6 +411,235 @@ class DataFrame:
 
         write_sink(self._sdf, sink_fn)
 
+    def write_sql(self, table: str, url: str, mode: str = "append", **options) -> None:
+        """reference DataFrame.write_sql (dataframe.py:911) — JDBC, or
+        the pure-python sqlite:// path (io/sqldb.py)."""
+        from daft_spark.io.writers import write_sql
+
+        write_sql(self._sdf, table, url, write_mode=mode, **options)
+
+    def write_lance(self, path: str, **opts) -> None:
+        from daft_spark.io.writers import write_lance
+
+        write_lance(self._sdf, path, **opts)
+
+    def write_turbopuffer(self, namespace: str, **opts) -> None:
+        from daft_spark.io.writers import write_turbopuffer
+
+        write_turbopuffer(self._sdf, namespace, **opts)
+
+    def write_clickhouse(self, table: str, **opts) -> None:
+        from daft_spark.io.writers import write_clickhouse
+
+        write_clickhouse(self._sdf, table, **opts)
+
+    def write_bigtable(self, table: str, **opts) -> None:
+        from daft_spark.io.writers import write_bigtable
+
+        write_bigtable(self._sdf, table, **opts)
+
+    def write_huggingface(self, repo: str, **_opts) -> None:
+        """reference DataFrame.write_huggingface — pushes parquet
+        shards to the Hub; needs huggingface_hub + network."""
+        raise NotImplementedError(
+            "write_huggingface requires the 'huggingface_hub' package and "
+            "outbound network; write_parquet + `huggingface-cli upload` is the "
+            "offline equivalent"
+        )
+
+    # --- reference agg/conveniences (dataframe.py whole-frame aggs) ---------
+    def count(self, *cols) -> "DataFrame":
+        """Non-null count per column (reference DataFrame.count —
+        returns a one-row DataFrame, NOT a scalar; the scalar is
+        count_rows())."""
+        use = list(cols) or self._sdf.columns
+        return DataFrame(self._sdf.agg(*[F.count(c).alias(c) for c in use]))
+
+    def count_distinct(self, *cols) -> "DataFrame":
+        use = list(cols) or self._sdf.columns
+        return DataFrame(self._sdf.agg(*[F.count_distinct(F.col(c)).alias(c) for c in use]))
+
+    def any_value(self, *cols) -> "DataFrame":
+        use = list(cols) or self._sdf.columns
+        return DataFrame(self._sdf.agg(*[F.any_value(c).alias(c) for c in use]))
+
+    def product(self, *cols) -> "DataFrame":
+        from daft_spark.functions.aggs import product as _product
+
+        return (
+            DataFrame(self._sdf.agg(*[_product(F.col(c)).alias(c) for c in cols]))
+            if cols
+            else self._agg_all(lambda c: _product(F.col(c)))
+        )
+
+    def skew(self, *cols) -> "DataFrame":
+        return DataFrame(self._sdf.agg(*[F.skewness(c).alias(c) for c in cols])) if cols else self._agg_all(F.skewness)
+
+    def var(self, *cols) -> "DataFrame":
+        return DataFrame(self._sdf.agg(*[F.variance(c).alias(c) for c in cols])) if cols else self._agg_all(F.variance)
+
+    def agg_list(self, *cols) -> "DataFrame":
+        use = list(cols) or self._sdf.columns
+        return DataFrame(self._sdf.agg(*[F.collect_list(c).alias(c) for c in use]))
+
+    list_agg = agg_list
+
+    def agg_set(self, *cols) -> "DataFrame":
+        use = list(cols) or self._sdf.columns
+        return DataFrame(self._sdf.agg(*[F.collect_set(c).alias(c) for c in use]))
+
+    list_agg_distinct = agg_set
+
+    def agg_concat(self, *cols) -> "DataFrame":
+        """Concatenate per-row arrays across all rows (reference
+        agg_concat)."""
+        use = list(cols) or self._sdf.columns
+        return DataFrame(
+            self._sdf.agg(*[F.flatten(F.collect_list(c)).alias(c) for c in use])
+        )
+
+    def string_agg(self, *cols, sep: str = "") -> "DataFrame":
+        from daft_spark.functions.aggs import string_agg as _sagg
+
+        use = list(cols) or self._sdf.columns
+        return DataFrame(self._sdf.agg(*[_sagg(F.col(c), sep).alias(c) for c in use]))
+
+    def drop_null(self, *cols) -> "DataFrame":
+        """Drop rows with SQL nulls in the given (or any) columns
+        (reference drop_null — NaN is NOT null; Spark's dropna would
+        drop NaNs too, so this filters on isNotNull)."""
+        use = list(cols) or self._sdf.columns
+        out = self._sdf
+        for c in use:
+            out = out.filter(F.col(c).isNotNull())
+        return DataFrame(out)
+
+    def drop_nan(self, *cols) -> "DataFrame":
+        """Drop rows with NaNs in the given (or all float) columns."""
+        use = list(cols) or [
+            f.name for f in self._sdf.schema.fields
+            if f.dataType.typeName() in ("double", "float")
+        ]
+        out = self._sdf
+        for c in use:
+            out = out.filter(~F.isnan(F.col(c)) | F.col(c).isNull())
+        return DataFrame(out)
+
+    def map_groups(self, fn, schema, group_by=None) -> "DataFrame":
+        """Whole-group pandas transform (reference map_groups): grouped
+        applyInPandas, or a single-pass mapInPandas when ungrouped."""
+        if group_by:
+            cols = [group_by] if isinstance(group_by, str) else list(group_by)
+            return DataFrame(self._sdf.groupBy(*cols).applyInPandas(fn, schema))
+        return DataFrame(self._sdf.mapInPandas(lambda it: map(fn, it), schema))
+
+    def into_batches(self, batch_size: int) -> "DataFrame":
+        """Batch-size control for downstream Arrow/pandas UDF stages
+        (reference into_batches / IntoBatches op). Spark's execution
+        model sizes Python-boundary batches from
+        spark.sql.execution.arrow.maxRecordsPerBatch at execution time
+        (per-operator batch sizes don't exist — a re-sliced stream is
+        re-chunked at the next stage boundary), so this sets the
+        session conf; every subsequent batch UDF in this session sees
+        batches of at most ``batch_size`` rows."""
+        self._sdf.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+        return self
+
+    def skip_existing(self, output_path: str, key_cols: list[str],
+                      output_format: str = "parquet") -> "DataFrame":
+        """reference DataFrame.skip_existing (dataframe.py:3233) —
+        resume filtering via anti-join (operators/checkpoint.py)."""
+        from daft_spark.operators.checkpoint import skip_existing
+
+        return DataFrame(skip_existing(self._sdf, output_path, key_cols, output_format))
+
+    def union_all_by_name(self, other) -> "DataFrame":
+        """unionByName keeping duplicates (reference
+        union_all_by_name)."""
+        return DataFrame(self._sdf.unionByName(_unwrap(other)))
+
+    def num_partitions(self) -> int:
+        return self._sdf.rdd.getNumPartitions()
+
+    def metrics(self) -> dict:
+        """Engine metrics snapshot (reference DataFrame.metrics)."""
+        from daft_spark.runtime import metrics as _metrics
+
+        return _metrics()
+
+    def set_storage_option(self, key: str, value: str) -> "DataFrame":
+        """Cloud-storage credential/option (reference
+        set_storage_option) — lands in the session's hadoop conf, so it
+        applies to this plan's scans."""
+        self._sdf.sparkSession.sparkContext._jsc.hadoopConfiguration().set(key, value)
+        return self
+
+    @property
+    def skipped_corrupt_files(self):
+        """reference skipped_corrupt_files: Spark counts skipped files
+        only when spark.sql.files.ignoreCorruptFiles is on, and exposes
+        them in task metrics/logs rather than per-plan — no per-frame
+        number exists, so this is None (never a fake 0)."""
+        return None
+
+    def to_arrow_iter(self):
+        """Iterator of Arrow record batches (reference to_arrow_iter) —
+        driver-side, batch-at-a-time."""
+        yield from self._sdf.toArrow().to_batches()
+
+    def to_dask_dataframe(self, npartitions: int | None = None):
+        try:
+            import dask.dataframe as dd
+        except ImportError as e:
+            raise ImportError("to_dask_dataframe requires the 'dask' package") from e
+        return dd.from_pandas(self._sdf.toPandas(), npartitions=npartitions or 1)
+
+    def to_ray_dataset(self):
+        try:
+            import ray
+        except ImportError as e:
+            raise ImportError("to_ray_dataset requires the 'ray' package") from e
+        return ray.data.from_arrow(self._sdf.toArrow())
+
+    def _torch(self):
+        try:
+            import torch  # noqa: F401
+            import torch.utils.data as tud
+        except ImportError as e:
+            raise ImportError("to_torch_* requires the 'torch' package") from e
+        return tud
+
+    def to_torch_map_dataset(self):
+        """reference to_torch_map_dataset — indexable row dataset."""
+        tud = self._torch()
+        rows = self.to_pylist()
+
+        class _MapDS(tud.Dataset):
+            def __len__(self):
+                return len(rows)
+
+            def __getitem__(self, i):
+                return rows[i]
+
+        return _MapDS()
+
+    def to_torch_iter_dataset(self):
+        tud = self._torch()
+        arrow_iter = self.to_arrow_iter
+
+        class _IterDS(tud.IterableDataset):
+            def __iter__(self):
+                for batch in arrow_iter():
+                    yield from batch.to_pylist()
+
+        return _IterDS()
+
+    def to_torch_dataloader(self, batch_size: int = 32, **kw):
+        tud = self._torch()
+        return tud.DataLoader(self.to_torch_map_dataset(), batch_size=batch_size, **kw)
+
     # --- introspection ------------------------------------------------------
     @property
     def schema(self):
@@ -419,6 +648,12 @@ class DataFrame:
     @property
     def column_names(self) -> list[str]:
         return self._sdf.columns
+
+    @property
+    def columns(self) -> list[Column]:
+        """reference DataFrame.columns — the Column objects (the name
+        list is column_names)."""
+        return [self._sdf[c] for c in self._sdf.columns]
 
     def __getitem__(self, name: str) -> Column:
         return self._sdf[name]
