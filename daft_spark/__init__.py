@@ -378,6 +378,9 @@ from daft_spark import datasets  # noqa: E402, F401
 from daft_spark.udf import cls, func, method, udaf  # noqa: E402, F401
 from daft_spark import udf  # noqa: E402, F401
 
+# attach the reference Expression method surface to pyspark Column
+from daft_spark import expressions as _expressions  # noqa: E402, F401
+
 
 __all__ = [
     "Catalog",
