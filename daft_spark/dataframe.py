@@ -700,6 +700,34 @@ class GroupedDataFrame:
     def concat(self, *cols) -> DataFrame:
         return DataFrame(self._gd.agg(*[F.collect_list(c).alias(c) for c in cols]))
 
+    def stddev(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.stddev(c).alias(c) for c in cols]))
+
+    def var(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.variance(c).alias(c) for c in cols]))
+
+    def skew(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.skewness(c).alias(c) for c in cols]))
+
+    def count_distinct(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.count_distinct(F.col(c)).alias(c) for c in cols]))
+
+    def product(self, *cols) -> DataFrame:
+        from daft_spark.functions.aggs import product as _product
+
+        return DataFrame(self._gd.agg(*[_product(F.col(c)).alias(c) for c in cols]))
+
+    def list_agg(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.collect_list(c).alias(c) for c in cols]))
+
+    def list_agg_distinct(self, *cols) -> DataFrame:
+        return DataFrame(self._gd.agg(*[F.collect_set(c).alias(c) for c in cols]))
+
+    def string_agg(self, *cols, sep: str = "") -> DataFrame:
+        from daft_spark.functions.aggs import string_agg as _sagg
+
+        return DataFrame(self._gd.agg(*[_sagg(F.col(c), sep).alias(c) for c in cols]))
+
     def map_groups(self, fn, schema) -> DataFrame:
         """Full-group pandas UDF (reference map_groups dataframe.py:6495
         -> applyInPandas)."""

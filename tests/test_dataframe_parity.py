@@ -119,3 +119,23 @@ def test_gated_bridges(df):
         df.to_ray_dataset()
     with pytest.raises(NotImplementedError, match="huggingface_hub"):
         df.write_huggingface("org/repo")
+
+
+def test_grouped_dataframe_parity_and_values(spark, df):
+    import re
+
+    from daft_spark.dataframe import GroupedDataFrame
+
+    src = open("/root/reference/daft/dataframe/dataframe.py").read()
+    m = re.search(r"class GroupedDataFrame[^\n]*:(.*?)(\nclass |\Z)", src, re.S)
+    names = sorted(set(re.findall(r"\n    def ([a-z][a-z0-9_]*)\(", m.group(1))))
+    missing = [n for n in names if not hasattr(GroupedDataFrame, n)]
+    assert not missing, missing
+
+    g = df.groupby("k")
+    got = {r["k"]: r["n"] for r in g.count_distinct("n").to_pylist()}
+    assert got == {"a": 2, "b": 3}
+    sets = {r["k"]: sorted(r["n"]) for r in g.list_agg_distinct("n").to_pylist()}
+    assert sets == {"a": [10, 20], "b": [30, 40, 50]}
+    var = {r["k"]: r["n"] for r in g.var("n").to_pylist()}
+    assert abs(var["a"] - 50.0) < 1e-9

@@ -277,3 +277,16 @@ def test_q5_region_pruning_before_fact_join(spark):
     # at least one broadcast (dimension) join must sit below them
     if smj_lines:
         assert bcast_first < max(smj_lines)
+
+
+def test_q21_plan_shape(spark):
+    """tpch_q21: the supplier⋈nation dim must broadcast, no cartesian
+    product may appear, and the per-order aggregate must partial-agg
+    before its exchange (the decorrelated EXISTS/NOT-EXISTS rewrite)."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(all_queries()["tpch_q21"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
