@@ -3,13 +3,21 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Measurement discipline (round-5 rework): one cold pass (JVM warm-up +
-codegen + parquet footers, reported separately), then ``N`` warm passes
-per query with ``release_caches`` between every pass; the per-query
-number is the MEDIAN of the warm passes and every raw pass is emitted
-(``passes``) so run-to-run variance is visible — a single contended
-warm pass is not a measurement (round-4 measured identical code 4.6x
-slower than round 3 on a contended sandbox).
+Measurement discipline (round-5 rework, tightened after observing the
+sandbox's bursty contention): one cold pass (JVM warm-up + codegen +
+parquet footers, reported separately), then ``N`` warm passes per
+query with ``release_caches`` between every pass. The per-query number
+is the MEDIAN of the warm passes and every raw pass is emitted
+(``passes``) so run-to-run variance is visible.
+
+The DuckDB reference is measured in TIME-ADJACENT PAIRS: within each
+warm sweep, every query's Spark pass is immediately followed by its
+DuckDB pass, so a contention burst hits both engines at the same
+instant and the per-pass ratio stays meaningful even when absolute
+times spike (round 4 measured identical code 4.6x slower than round 3
+because a single back-to-back phase absorbed a burst asymmetrically).
+``min`` per query is also emitted — under bursty external load the
+minimum is the best available estimate of the code's intrinsic cost.
 
 Counterpart of the reference's local benchmark harness
 (reference: tests/benchmarks/test_local_tpch.py, conftest.py SCALE_FACTOR=0.2).
@@ -28,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WARM_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-# Precomputed large-scale results (tools/run_sf1_bench.py writes this);
+# Precomputed large-scale results (tools/run_scale_bench.py writes this);
 # embedded verbatim so the per-round artifact carries the sf1 ratio.
 SF1_RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SF1_RESULTS.json")
 
@@ -60,6 +68,7 @@ def main() -> None:
     spark = get_or_create(app_name="daft_spark_bench", master=f"local[{CPUS}]")
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
+    duck = _duckdb_connect()
 
     # Cold pass: JVM warm-up + codegen + parquet footers (recorded as
     # cold_total). Caches persisted inside one query's plan must not
@@ -72,6 +81,7 @@ def main() -> None:
     # fetchall) measures the client binding, not the engine.
     cold_total = 0.0
     failed: set[str] = set()
+    dfailed: set[str] = set()
     for name in names:
         t0 = time.perf_counter()
         try:
@@ -81,34 +91,57 @@ def main() -> None:
             print(f"# bench {name} FAILED (cold): {e}", file=sys.stderr)
             failed.add(name)
         release_caches(spark)
+        oracle = registry[name].oracle
+        if oracle is not None:
+            try:
+                duck.execute(oracle).arrow()  # duckdb cold (buffers + plan cache)
+            except Exception as e:
+                print(f"# bench duckdb {name} FAILED (cold): {e}", file=sys.stderr)
+                dfailed.add(name)
 
     # Warm passes: interleave full sweeps (pass 1 of every query, then
     # pass 2, ...) rather than back-to-back repeats of one query, so a
     # transient contention spike hits one pass of many queries instead
-    # of all passes of one — the median then rejects it.
+    # of all passes of one — the median then rejects it. Each Spark
+    # pass is immediately followed by the SAME query's DuckDB pass
+    # (time-adjacent pairing) so per-pass ratios share ambient load.
     passes: dict[str, list[float]] = {n: [] for n in names}
+    dpasses: dict[str, list[float]] = {}
     for _ in range(WARM_PASSES):
         for name in names:
-            if name in failed:
-                continue
+            if name not in failed:
+                t0 = time.perf_counter()
+                try:
+                    _materialize(registry[name].spark_fn(spark, SF_DIR))
+                    passes[name].append(round(time.perf_counter() - t0, 3))
+                except Exception as e:
+                    print(f"# bench {name} FAILED: {e}", file=sys.stderr)
+                    failed.add(name)
+                release_caches(spark)
+            oracle = registry[name].oracle
+            if oracle is None or name in failed or name in dfailed:
+                continue  # non-SQL-expressible (e.g. LSH pipeline) — excluded
             t0 = time.perf_counter()
             try:
-                _materialize(registry[name].spark_fn(spark, SF_DIR))
-                passes[name].append(round(time.perf_counter() - t0, 3))
+                duck.execute(oracle).arrow()
+                dpasses.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
             except Exception as e:
-                print(f"# bench {name} FAILED: {e}", file=sys.stderr)
-                failed.add(name)
-            release_caches(spark)
+                print(f"# bench duckdb {name} FAILED: {e}", file=sys.stderr)
+                dfailed.add(name)
 
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     total = 0.0
+    min_total = 0.0
     for name in names:
         if name in failed or not passes[name]:
             timings[name] = -1.0
             continue
         med = statistics.median(passes[name])
         timings[name] = round(med, 3)
+        mins[name] = min(passes[name])
         total += med
+        min_total += mins[name]
 
     # Like-for-like local reference: DuckDB (the correctness oracle) runs
     # the SAME queries on the SAME parquet at the SAME scale factor and
@@ -117,8 +150,9 @@ def main() -> None:
     # comparable at this SF — and its wheel is not installable in this
     # container, so DuckDB, a state-of-the-art single-node vectorized
     # engine, is the honest local stand-in. ratio = ours / duckdb over
-    # the oracled headline queries.
-    vs_ref = _duckdb_reference(registry, names, failed)
+    # the oracled headline queries; paired_ratio uses per-pass
+    # time-adjacent pairs (robust to bursty ambient load).
+    vs_ref = _reference_block(passes, dpasses, timings)
 
     # Per-stage accounting for the suite's most expensive entry (the
     # LSH pipeline): rows + seconds for docs -> shingle hashes ->
@@ -146,8 +180,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm_passes": WARM_PASSES,
         "passes": passes,
+        "min_sec": mins,
+        "min_total_sec": round(min_total, 3),
         "cold_total_sec": round(cold_total, 3),
-        "vs_local_reference": _with_ratio(vs_ref, timings),
+        "vs_local_reference": vs_ref,
     }
     if lsh_stages is not None:
         out["lsh_stages"] = lsh_stages
@@ -183,23 +219,7 @@ def _materialize(df) -> None:
         df.collect()
 
 
-def _with_ratio(vs_ref: dict, timings: dict) -> dict:
-    ours = sum(timings[n] for n in vs_ref["queries"] if timings.get(n, -1) > 0)
-    dtotal = vs_ref["duckdb_total_sec"]
-    slow = {
-        n: round(timings[n] / max(vs_ref["queries"][n], 1e-3), 1)
-        for n in vs_ref["queries"]
-        if timings.get(n, -1) > 0 and timings[n] > 2 * max(vs_ref["queries"][n], 1e-3)
-    }
-    return {
-        **vs_ref,
-        "ours_comparable_sec": round(ours, 3),
-        "ratio": round(ours / dtotal, 2) if dtotal > 0 else None,
-        "per_query_over_2x": slow,
-    }
-
-
-def _duckdb_reference(registry, names, failed) -> dict:
+def _duckdb_connect():
     import duckdb
 
     con = duckdb.connect()
@@ -212,28 +232,55 @@ def _duckdb_reference(registry, names, failed) -> dict:
         elif not os.path.exists(path):
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    dpasses: dict[str, list[float]] = {}
-    for name in names:
-        oracle = registry[name].oracle
-        if oracle is None or name in failed:
-            continue  # non-SQL-expressible (e.g. dedup_minhash_lsh) — excluded
-        try:
-            con.execute(oracle).arrow()  # cold (buffers + plan cache)
-            runs = []
-            for _ in range(WARM_PASSES):
-                t0 = time.perf_counter()
-                con.execute(oracle).arrow()
-                runs.append(round(time.perf_counter() - t0, 3))
-            dpasses[name] = runs
-        except Exception as e:
-            print(f"# bench duckdb {name} FAILED: {e}", file=sys.stderr)
-    dtimes = {n: round(statistics.median(r), 3) for n, r in dpasses.items()}
+    return con
+
+
+def _reference_block(passes: dict, dpasses: dict, timings: dict) -> dict:
+    dtimes = {n: round(statistics.median(r), 3) for n, r in dpasses.items() if r}
     dtotal = sum(dtimes.values())
+    ours = sum(timings[n] for n in dtimes if timings.get(n, -1) > 0)
+    # Per-pass paired ratios: spark pass k vs duckdb pass k of the same
+    # query ran back-to-back, so ambient contention cancels in the
+    # division. Per-query: median of its per-pass ratios. Suite: the
+    # per-SWEEP totals are divided (sum of spark pass k over queries /
+    # sum of duckdb pass k), then the median over sweeps — weighting by
+    # absolute time like the headline ratio (a median over per-query
+    # ratios would let 20-ms queries' fixed Spark stage overhead
+    # dominate the suite number).
+    paired: dict[str, float] = {}
+    for n, druns in dpasses.items():
+        sruns = passes.get(n, [])
+        ratios = [s / max(d, 1e-3) for s, d in zip(sruns, druns)]
+        if ratios:
+            paired[n] = round(statistics.median(ratios), 2)
+    sweep_ratios = []
+    for k in range(WARM_PASSES):
+        snum = dnum = 0.0
+        for n, druns in dpasses.items():
+            sruns = passes.get(n, [])
+            if len(sruns) > k and len(druns) > k:
+                snum += sruns[k]
+                dnum += druns[k]
+        if dnum > 0:
+            sweep_ratios.append(round(snum / dnum, 2))
+    slow = {
+        n: round(timings[n] / max(dtimes[n], 1e-3), 1)
+        for n in dtimes
+        if timings.get(n, -1) > 0 and timings[n] > 2 * max(dtimes[n], 1e-3)
+    }
     return {
         "engine": f"duckdb[{CPUS} threads]",
         "duckdb_total_sec": round(dtotal, 3),
         "queries": dtimes,
         "passes": dpasses,
+        "ours_comparable_sec": round(ours, 3),
+        "ratio": round(ours / dtotal, 2) if dtotal > 0 else None,
+        "paired_ratio_per_query": paired,
+        "paired_ratio_suite": (
+            round(statistics.median(sweep_ratios), 2) if sweep_ratios else None
+        ),
+        "paired_sweep_ratios": sweep_ratios,
+        "per_query_over_2x": slow,
     }
 
 

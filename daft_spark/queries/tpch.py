@@ -465,13 +465,20 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer order-count distribution — LEFT OUTER join + double agg."""
+    """Customer order-count distribution — LEFT OUTER join + double agg.
+
+    Orders are counted per o_custkey BEFORE the join (map-side partial
+    agg reduces the fact table to one row per customer), then the tiny
+    per-customer counts join customer with COALESCE(cnt, 0) supplying
+    the no-order customers — equivalent to LEFT JOIN then COUNT, but
+    the exchange carries pre-reduced counts instead of the full join
+    output."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
     per_cust = (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(per_key, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
     )
     return (
         per_cust.groupBy("c_count")
@@ -595,16 +602,28 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large volume customer — join + agg + HAVING + top-n."""
+    """Large volume customer — join + agg + HAVING + top-n.
+
+    Aggregates lineitem by l_orderkey FIRST (single 8-byte shuffle key
+    with map-side partial agg), filters to the rare >180-qty orders,
+    and only then joins orders/customer — the surviving set is tiny, so
+    AQE demotes both joins to broadcasts. The naive shape (join all
+    three tables, then group by five keys including c_name) shuffles
+    the full fact join output keyed on strings; at 100 TB that is the
+    whole corpus through the exchange. The 5-key grouping is equivalent
+    because every non-orderkey key is functionally dependent on
+    o_orderkey (one order -> one customer)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 180)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -695,29 +714,42 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
-    j = l.join(
-        o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey")
-    ).withColumn(
-        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    )
-    per_order = j.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_suppliers"),
-    )
-    waiters = (
-        j.filter(F.col("late"))
-        .join(
-            per_order.filter(
-                (F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1)
-            ),
-            F.col("l_orderkey") == F.col("po_orderkey"),
+    # Reduce to (order, supplier) granularity in ONE pass over the fact
+    # join: late_lines counts this supplier's late lines in the order.
+    # Everything downstream operates on this reduced frame, so the
+    # orders⋈lineitem join runs once (the previous shape consumed the
+    # join twice — once for the per-order aggregate, once for the late
+    # lines — recomputing it), and the distinct-supplier conditions
+    # become plain counts instead of countDistinct's Expand.
+    per_os = (
+        l.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late_lines")
+        )
+    )
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0)).alias("n_late_suppliers"),
+    )
+    waiters = per_os.filter(F.col("late_lines") > 0).join(
+        per_order.filter((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1)),
+        F.col("l_orderkey") == F.col("po_orderkey"),
     )
     sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     return (
         waiters.join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
