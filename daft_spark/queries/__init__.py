@@ -61,6 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_clusters",
     "fn_horizontal_partitioning", "fn_files_tokenize",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "stream_window_counts", "stream_session_windows",
     # fell just outside the r3/r4 windows (green r1)
     "agg_rollup",
     # r1-era stale (20)
@@ -110,6 +111,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sql_q,
         lakehouse_q,
         io_q,
+        streaming_q,
     )
 
     ordered = {n: REGISTRY[n] for n in DRIVER_PRIORITY if n in REGISTRY}

@@ -1,0 +1,163 @@
+"""Structured Streaming queries, driver-oracled.
+
+The reference engine is bounded-only (SURVEY §2.8) — streaming is
+Spark's free extension beyond it. These queries run the REAL streaming
+machinery end-to-end inside the driver contract: a parquet file-source
+stream over the sf_dir events table, event-time windowed aggregation,
+``trigger(availableNow=True)`` drained into an in-memory sink, and the
+sink table returned as the result DataFrame. Because the complete
+output mode emits the full aggregation state after the final
+micro-batch, the result is deterministic and equals the batch
+computation — which is exactly what the DuckDB oracle restates, so
+streaming gets a full value-hash correctness row instead of the weaker
+rows-only check.
+
+Multi-micro-batch state handoff (watermark advancement across batches,
+late-row drops, GroupState) is proven separately in
+tests/test_streaming.py with a 3-file source at maxFilesPerTrigger=1.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daft_spark.queries import register
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the raw events parquet. The file source
+    needs an explicit schema (streaming reads cannot infer); taking it
+    from a batch scan of the same path is the standard pattern. The ts
+    column is cast to the tz-aware TIMESTAMP watermarks require —
+    value-preserving because the session time zone is pinned to UTC."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if not os.path.isdir(path):
+        # The file stream source requires a directory (its basePath
+        # check rejects a bare file even when basePath is set
+        # explicitly); sharded gen_sf layouts are already directories,
+        # a single-file table gets symlinked into a scratch dir.
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="stream_events_")
+        link = os.path.join(d, "part-0.parquet")
+        try:
+            os.symlink(os.path.abspath(path), link)
+        except OSError:
+            import shutil
+
+            shutil.copy(path, link)
+        path = d
+    src = spark.readStream.schema(raw_schema).parquet(path)
+    ts = F.col("ts")
+    if dict(src.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) fixture variant
+        ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    return src.select(
+        "event_id",
+        ts.cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def _drain(stream_df: DataFrame, timeout: int = 300) -> DataFrame:
+    """Run the stream to completion into a memory sink and return the
+    sink table. Complete mode re-emits the full aggregation state each
+    trigger, so after availableNow drains every file the table holds
+    the final, batch-equivalent answer (append mode would withhold
+    windows the closing watermark hasn't passed). The sink name is
+    uniqued so repeated invocations (bench warm passes, driver + sweep
+    in one session) never collide."""
+    name = f"stream_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "stream_window_counts",
+    """
+    SELECT date_trunc('hour', ts) AS w_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows on a live stream: watermarked 1-hour
+    ``F.window`` aggregation drained with availableNow. Epoch-aligned
+    1-hour tumbling windows start exactly at date_trunc('hour'), which
+    the oracle restates over the same rows."""
+    e = _stream_events(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    out = _drain(agg)
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("w_start"),
+        "event_type",
+        "n",
+        F.round(F.col("sum_value"), 4).alias("sum_value"),
+    ).orderBy("w_start", "event_type")
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS s_start,
+           CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS s_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, s_start
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on a live stream: ``F.session_window`` with a
+    30-minute inactivity gap per user, drained with availableNow. A
+    session spans [first event, last event + gap); an event arriving at
+    exactly the window end starts a NEW session (win is half-open), so
+    the oracle's gaps-and-islands break condition is >= 30 min."""
+    e = _stream_events(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _drain(agg)
+    return out.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("s_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("s_end"),
+        "n",
+    ).orderBy("user_id", "s_start")
