@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None):
 DRIVER_PRIORITY: list[str] = [
     # changed/new round 5 (17)
     "dedup_exact", "dedup_exact_keepmin", "tpch_q15", "tpch_q21",
+    "tpch_q13", "tpch_q18",  # aggregate-before-join rewrites (late r5)
     "lake_iceberg_roundtrip", "lake_hudi_roundtrip",
     "lake_paimon_roundtrip", "lake_delta_roundtrip",
     "io_csv_roundtrip", "io_json_roundtrip", "io_warc_roundtrip",
@@ -61,7 +62,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_clusters",
     "fn_horizontal_partitioning", "fn_files_tokenize",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "stream_window_counts", "stream_session_windows",
+    "stream_window_counts", "stream_session_windows", "stream_dedup_distinct",
     # fell just outside the r3/r4 windows (green r1)
     "agg_rollup",
     # r1-era stale (20)
@@ -72,10 +73,10 @@ DRIVER_PRIORITY: list[str] = [
     "agg_stats", "agg_skew", "agg_product_bool", "agg_any_value",
     "agg_string_collect", "agg_approx_bounds", "agg_null_group_keys",
     "agg_cube", "agg_map_groups_zscore",
-    # r2-era stale (17)
+    # --- 50-row window boundary (w_row_number onward leads round 6) ---
+    # r2-era stale
     "w_row_number", "w_rank_dense", "w_lag_lead", "w_sliding_rows",
     "w_range_frame",
-    # --- 50-row window boundary ---
     "w_first_last",
     "w_partition_only", "w_sessionize", "w_spark_extras",
     "asof_backward_by", "asof_forward_by",

@@ -65,7 +65,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain(stream_df: DataFrame, timeout: int = 300) -> DataFrame:
+def _drain(stream_df: DataFrame, timeout: int = 300, mode: str = "complete") -> DataFrame:
     """Run the stream to completion into a memory sink and return the
     sink table. Complete mode re-emits the full aggregation state each
     trigger, so after availableNow drains every file the table holds
@@ -77,7 +77,7 @@ def _drain(stream_df: DataFrame, timeout: int = 300) -> DataFrame:
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -115,6 +115,25 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("sum_value"), 4).alias("sum_value"),
     ).orderBy("w_start", "event_type")
+
+
+@register(
+    "stream_dedup_distinct",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` on a live
+    stream in append mode emits each key's first occurrence as it
+    arrives; draining the whole source makes the emitted set exactly
+    DISTINCT over the input. Projecting to the dedup key alone keeps
+    the result order-independent (keeping payload columns would tie the
+    output to which duplicate arrived first — real but unoracleable)."""
+    e = _stream_events(spark, sf_dir).select("user_id", "event_type")
+    out = _drain(e.dropDuplicates(["user_id", "event_type"]), mode="append")
+    return out.orderBy("user_id", "event_type")
 
 
 @register(
