@@ -56,6 +56,7 @@ HEADLINE = [
     "asof_backward_by",
     "dedup_exact",
     "dedup_minhash_lsh_pipeline",
+    "dedup_resolve",
     "text_quality",
     "sim_topk_cosine",
 ]

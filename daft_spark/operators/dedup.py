@@ -591,3 +591,70 @@ def simhash_near_dups(
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_resolve(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+    seed: int = 42,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Full dedup RESOLUTION with O(n) output: every row gets
+    (cluster_id, is_representative) instead of an O(pairs) edge list.
+
+    This is the shape a 100 TB pipeline actually ships: a corpus with
+    heavy exact duplication (the common case — crawl snapshots, mirror
+    copies) makes pair enumeration quadratic PER GROUP (1M identical
+    docs = 5*10^11 pairs), while the resolution is linear. Stages:
+
+    1. Exact collapse: group by (xxhash64(text), length(text)) — the
+       16-byte-key exchange from exact_dedup — keeping min(id) and its
+       text via one min(struct) aggregate (no join-back).
+    2. MinHash-LSH pair mining over the UNIQUE texts only
+       (minhash_near_dups); on a 100x-duplicated corpus this is 100x
+       less signature work and the capped buckets stop saturating with
+       identical copies.
+    3. Star edges member->group-representative (ids only) unioned with
+       the representative near-dup pairs, resolved by hash-to-min
+       connected components (operators/cluster.py) — near-dup clusters
+       are star/clique-shaped, so label propagation converges in 2-4
+       rounds of keys-only joins.
+
+    The reference ships the pair kernels (daft/functions/misc.py:428);
+    resolution-not-enumeration is the standard production companion
+    (C4/RefinedWeb-style recipes dedup by component membership)."""
+    from daft_spark.operators.cluster import duplicate_clusters
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        F.xxhash64(text_col).alias("__th"),
+        F.length(text_col).alias("__tl"),
+    )
+    groups = keyed.groupBy("__th", "__tl").agg(
+        F.min(F.struct("__id", "__text")).alias("__r")
+    ).persist()
+    reps = groups.select(
+        F.col("__r.__id").alias(id_col), F.col("__r.__text").alias(text_col)
+    )
+    rep_pairs = minhash_near_dups(
+        reps, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        threshold=threshold, max_bucket_size=max_bucket_size, seed=seed,
+    ).select("id_a", "id_b")
+    star = (
+        keyed.select("__id", "__th", "__tl")
+        .join(groups.select("__th", "__tl", F.col("__r.__id").alias("__rep")),
+              ["__th", "__tl"])
+        .filter(F.col("__id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
+    )
+    return duplicate_clusters(
+        df, star.unionAll(rep_pairs), id_col, max_iterations=max_iterations
+    )

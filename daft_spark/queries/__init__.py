@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "fn_horizontal_partitioning", "fn_files_tokenize",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "stream_window_counts", "stream_session_windows", "stream_dedup_distinct",
+    "dedup_resolve",
     # fell just outside the r3/r4 windows (green r1)
     "agg_rollup",
     # r1-era stale (20)
@@ -72,8 +73,9 @@ DRIVER_PRIORITY: list[str] = [
     "rel_generator_source", "rel_shard",
     "agg_stats", "agg_skew", "agg_product_bool", "agg_any_value",
     "agg_string_collect", "agg_approx_bounds", "agg_null_group_keys",
-    "agg_cube", "agg_map_groups_zscore",
-    # --- 50-row window boundary (w_row_number onward leads round 6) ---
+    "agg_cube",
+    # --- 50-row window boundary (agg_map_groups_zscore onward leads round 6) ---
+    "agg_map_groups_zscore",
     # r2-era stale
     "w_row_number", "w_rank_dense", "w_lag_lead", "w_sliding_rows",
     "w_range_frame",

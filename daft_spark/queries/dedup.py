@@ -284,3 +284,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "is_representative")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_resolve",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS one_keeper_per_cluster,
+           TRUE AS same_text_same_cluster,
+           TRUE AS keeper_is_min
+    FROM documents
+    """,
+)
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n)-output dedup resolution (operators/dedup.py
+    near_dup_resolve): exact-collapse -> LSH over unique texts -> star
+    edges + connected components -> one (cluster_id,
+    is_representative) row per doc. Driver-checked via invariant
+    booleans computed FROM the real pipeline output: exactly one
+    representative per cluster, byte-identical texts always share a
+    cluster, and every cluster's label is its minimum member id (a
+    broken exact-collapse, star join, or label propagation flips
+    them)."""
+    from daft_spark.operators.dedup import near_dup_resolve
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    r = near_dup_resolve(d, "text", "doc_id").persist()
+    n_docs = r.agg(F.count(F.lit(1)).alias("n_docs"))
+    keepers = r.agg(
+        (
+            F.sum(F.col("is_representative").cast("long"))
+            == F.count_distinct(F.col("cluster_id"))
+        ).alias("one_keeper_per_cluster")
+    )
+    per_text = (
+        r.groupBy(F.xxhash64("text").alias("__th"), F.length("text").alias("__tl"))
+        .agg(F.count_distinct("cluster_id").alias("nc"))
+        .agg(F.max("nc").alias("m"))
+        .select((F.col("m") == 1).alias("same_text_same_cluster"))
+    )
+    min_label = (
+        r.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("mn"))
+        .agg(
+            F.sum(F.when(F.col("mn") != F.col("cluster_id"), 1).otherwise(0)).alias("bad")
+        )
+        .select((F.col("bad") == 0).alias("keeper_is_min"))
+    )
+    return n_docs.crossJoin(keepers).crossJoin(per_text).crossJoin(min_label)
