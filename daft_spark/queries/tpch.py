@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from daft_spark.io.readers import load_table
 from daft_spark.queries import register
@@ -737,19 +738,33 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late_lines")
         )
     )
-    per_order = per_os.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0)).alias("n_late_suppliers"),
+    # The per-order supplier counts come from a WINDOW over the reduced
+    # frame rather than a second aggregate joined back: an agg+self-join
+    # would make Catalyst expand per_os into two full subtrees (the fact
+    # join and its aggregation would run twice — observed in the plan),
+    # while the window is one sort within the existing partitioning.
+    w = Window.partitionBy("l_orderkey")
+    waiters = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late_lines",
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+        F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0))
+        .over(w)
+        .alias("n_late_suppliers"),
+    ).filter(
+        (F.col("late_lines") > 0)
+        & (F.col("n_suppliers") >= 2)
+        & (F.col("n_late_suppliers") == 1)
     )
-    waiters = per_os.filter(F.col("late_lines") > 0).join(
-        per_order.filter((F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1)),
-        F.col("l_orderkey") == F.col("po_orderkey"),
-    )
+    # Reduce to one row per supplier BEFORE touching the dimension —
+    # the join then moves #suppliers rows, not #waiting-lines rows.
+    per_supp = waiters.groupBy("l_suppkey").agg(F.sum("late_lines").alias("pw"))
     sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     return (
-        waiters.join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        per_supp.join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.sum("late_lines").alias("numwait"))
+        .agg(F.sum("pw").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
