@@ -52,7 +52,7 @@ def register(name: str, oracle: str | None):
 DRIVER_PRIORITY: list[str] = [
     # changed/new round 5 (17)
     "dedup_exact", "dedup_exact_keepmin", "tpch_q15", "tpch_q21",
-    "tpch_q13", "tpch_q18",  # aggregate-before-join rewrites (late r5)
+    "tpch_q13", "tpch_q18", "tpch_q17",  # plan rewrites (late r5)
     "lake_iceberg_roundtrip", "lake_hudi_roundtrip",
     "lake_paimon_roundtrip", "lake_delta_roundtrip",
     "io_csv_roundtrip", "io_json_roundtrip", "io_warc_roundtrip",
@@ -73,8 +73,8 @@ DRIVER_PRIORITY: list[str] = [
     "rel_generator_source", "rel_shard",
     "agg_stats", "agg_skew", "agg_product_bool", "agg_any_value",
     "agg_string_collect", "agg_approx_bounds", "agg_null_group_keys",
+    # --- 50-row window boundary (agg_cube onward leads round 6) ---
     "agg_cube",
-    # --- 50-row window boundary (agg_map_groups_zscore onward leads round 6) ---
     "agg_map_groups_zscore",
     # r2-era stale
     "w_row_number", "w_rank_dense", "w_lag_lead", "w_sliding_rows",

@@ -543,9 +543,12 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
     s = _t(spark, sf_dir, "supplier")
+    # persist: both the scalar max and the equality filter read this
+    # (#suppliers)-row frame; without it Catalyst expands the lineitem
+    # scan + aggregation into two full subtrees.
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
-    )
+    ).persist()
     max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     top = (
         revenue.crossJoin(F.broadcast(max_rev))
@@ -577,8 +580,19 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/daft-logical-plan/src/optimization/rules/unnest_subquery.rs)."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    thresh = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    # Magic-set: the correlated threshold is only consulted for the
+    # brand's parts, so semi-join lineitem down to those partkeys
+    # BEFORE the per-part average — the aggregation input shrinks by
+    # the brand's selectivity instead of averaging every part on earth.
+    thresh = (
+        l.join(
+            p.select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )  # no broadcast hint: the brand subset is small here but scales
+        # with the part table — AQE demotes the shuffle join when it fits
+        .groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_thresh"))
     )
     return (
         l.join(p, F.col("p_partkey") == F.col("l_partkey"))
