@@ -63,7 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "fn_horizontal_partitioning", "fn_files_tokenize",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "stream_window_counts", "stream_session_windows", "stream_dedup_distinct",
-    "dedup_resolve",
+    "stream_running_stats", "dedup_resolve",
     # fell just outside the r3/r4 windows (green r1)
     "agg_rollup",
     # r1-era stale (20)
@@ -72,8 +72,9 @@ DRIVER_PRIORITY: list[str] = [
     "rel_explode_multi", "rel_monotonic_id", "rel_sample_seeded",
     "rel_generator_source", "rel_shard",
     "agg_stats", "agg_skew", "agg_product_bool", "agg_any_value",
-    "agg_string_collect", "agg_approx_bounds", "agg_null_group_keys",
-    # --- 50-row window boundary (agg_cube onward leads round 6) ---
+    "agg_string_collect", "agg_approx_bounds",
+    # --- 50-row window boundary (agg_null_group_keys onward leads round 6) ---
+    "agg_null_group_keys",
     "agg_cube",
     "agg_map_groups_zscore",
     # r2-era stale

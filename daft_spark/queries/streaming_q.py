@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from daft_spark.queries import register
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events(
+    spark: SparkSession, sf_dir: str, single_batch: bool = False
+) -> DataFrame:
     """File-source stream over the raw events parquet. The file source
     needs an explicit schema (streaming reads cannot infer); taking it
     from a batch scan of the same path is the standard pattern. The ts
@@ -52,7 +54,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             shutil.copy(path, link)
         path = d
-    src = spark.readStream.schema(raw_schema).parquet(path)
+    reader = spark.readStream.schema(raw_schema)
+    if single_batch:
+        # One micro-batch over the whole source: update-mode stateful
+        # queries then emit each key exactly once (the final state), so
+        # the drained table is deterministic and batch-oracleable.
+        reader = reader.option("maxFilesPerTrigger", "1000000")
+    src = reader.parquet(path)
     ts = F.col("ts")
     if dict(src.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) fixture variant
         ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
@@ -180,3 +188,34 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").cast("timestamp_ntz").alias("s_end"),
         "n",
     ).orderBy("user_id", "s_start")
+
+
+@register(
+    "stream_running_stats",
+    """
+    SELECT user_id, CAST(count(value) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 4) AS sum_value,
+           round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+           round(CAST(max(value) AS DOUBLE), 4) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/running_stats_stream): per-user count/sum/min/max held in
+    explicit GroupState, update-mode emission. The source is forced to
+    ONE micro-batch so each key is emitted exactly once with its final
+    state, making the drained table equal the batch aggregate the
+    oracle restates; multi-batch state handoff for the same operator is
+    proven in tests/test_streaming.py with maxFilesPerTrigger=1."""
+    from daft_spark.streaming import running_stats_stream
+
+    e = _stream_events(spark, sf_dir, single_batch=True).select("user_id", "value")
+    out = _drain(running_stats_stream(e, "user_id", "value"), mode="update")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("user_id")
