@@ -16,13 +16,15 @@ This module implements the bounded subset a batch engine needs, using
 the sibling pure-Python Avro codec (``daft_spark.io.avro``):
 
 - ``write_iceberg_py(df, path, mode, partition_by=None)``: append /
-  overwrite / error / ignore on v2 tables, unpartitioned or
-  identity-partitioned. Data files are written with Spark's parquet
-  writer; identity partitioning stages through ``partitionBy`` on a
-  DUPLICATED column so the source columns stay IN the data files
-  (what native Iceberg writers produce — hive layout alone would drop
-  them) while the directory layout yields each file's partition tuple
-  for its manifest entry. Each commit publishes one manifest, a new
+  overwrite / error / ignore on v2 tables — unpartitioned,
+  identity-partitioned, or HIDDEN-partitioned (``bucket(N, col)``,
+  ``truncate(W, col)``, ``days/months/years(col)`` transform terms).
+  Data files are written with Spark's parquet writer; partitioning
+  stages through ``partitionBy`` on a DERIVED column (a duplicate for
+  identity, the transform value otherwise) so the source columns stay
+  IN the data files (what native Iceberg writers produce — hive layout
+  alone would drop them) while the directory layout yields each file's
+  partition tuple for its manifest entry. Each commit publishes one manifest, a new
   manifest list (append re-references the previous snapshot's
   manifests untouched), a new metadata.json, and finally rotates
   ``version-hint.text`` via atomic rename — the same single-writer
@@ -34,10 +36,13 @@ the sibling pure-Python Avro codec (``daft_spark.io.avro``):
   filter/column pushdown, split planning, and AQE apply exactly as for
   raw parquet.
 
-Out of scope (raise cleanly): transform partition specs
-(bucket/truncate/days/...), delete files / row-level deletes
+Out of scope (raise cleanly): delete files / row-level deletes
 (content != 0), format v3, schema evolution beyond latest-schema
-reads, and non-local filesystems.
+reads, and non-local filesystems. Bucket numbering uses Spark's
+murmur3 ``F.hash`` (see _parse_partition_term), which is internally
+consistent but not byte-compatible with Java Iceberg's bucket
+transform; partition values only drive pruning, which this reader
+does not apply.
 
 At 100 TB the metadata walk is driver-side KB/MB work (exactly how
 pyiceberg plans scans); the data plane stays a multi-file parquet scan.
@@ -375,26 +380,110 @@ def read_iceberg_py(
     meta = _latest_metadata(path)
     if meta.get("format-version", 1) > 2:
         raise NotImplementedError("Iceberg format v3+ not supported")
-    # Identity-partitioned tables are readable: native Iceberg writers
-    # store the partition source columns IN the data files, so a plain
-    # parquet read reconstructs full rows (partition pruning is lost —
-    # filters still apply post-scan). Transform partitions
-    # (bucket/truncate/days/...) are rejected: their derived values
-    # exist only in metadata, and hidden-partitioning guarantees can't
-    # be honored without them.
-    for spec in meta.get("partition-specs", []):
-        for f in spec.get("fields", []):
-            if f.get("transform", "identity") not in ("identity", "void"):
-                raise NotImplementedError(
-                    f"Iceberg transform partitioning ({f.get('transform')!r}) "
-                    "is not supported by this pure-Python reader; use the "
-                    "Spark Iceberg runtime"
-                )
+    # Partitioned tables of ANY spec are readable: Iceberg's spec
+    # requires data files to contain the SOURCE columns (identity
+    # partitions included; hidden transforms like bucket/truncate/day
+    # derive their values from columns that stay in the files), so a
+    # plain parquet read reconstructs full rows. What is lost is
+    # manifest-level partition pruning — filters still apply post-scan;
+    # the Spark Iceberg runtime remains the path for pruned scans.
     schema = _current_schema(meta)
     files = _live_data_files(meta, path, snapshot_id)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
+
+
+def _parse_partition_term(term: str, field_types: dict) -> dict:
+    """Parse one partition_by term into its Iceberg partition field:
+    ``"col"`` (identity), ``"bucket(N, col)"``, ``"truncate(W, col)"``,
+    ``"days(col)"``/``"day(col)"``, ``"months(col)"``, ``"years(col)"``.
+
+    Returns {name, transform, source, avro_t, expr, parse}: the hidden
+    partition value is DERIVED (``expr``) for file layout and manifest
+    tuples while the source column stays untouched in the data files —
+    Iceberg's hidden-partitioning contract. Bucket uses Spark's murmur3
+    ``F.hash`` (pmod n); byte-level bucket numbering therefore matches
+    this writer/reader pair, not Java Iceberg's bucket transform (which
+    hashes the value's little-endian Iceberg binary form) — partition
+    VALUES only drive pruning, which this reader does not apply, so
+    roundtrip correctness is unaffected. Temporal transforms follow the
+    spec's epoch-relative integers (day/month/year since 1970)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    m = re.match(r"\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", term)
+    if m:
+        kind, arg, col = m.group(1), int(m.group(2)), m.group(3)
+        dt = field_types.get(col)
+        if kind == "bucket":
+            return {
+                "name": f"{col}_bucket",
+                "transform": f"bucket[{arg}]",
+                "source": col,
+                "avro_t": "int",
+                "expr": F.pmod(F.hash(F.col(col)), F.lit(arg)),
+                "parse": int,
+            }
+        if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+            return {
+                "name": f"{col}_trunc",
+                "transform": f"truncate[{arg}]",
+                "source": col,
+                "avro_t": "long" if isinstance(dt, T.LongType) else "int",
+                "expr": F.col(col) - F.pmod(F.col(col), F.lit(arg)),
+                "parse": int,
+            }
+        if isinstance(dt, T.StringType):
+            return {
+                "name": f"{col}_trunc",
+                "transform": f"truncate[{arg}]",
+                "source": col,
+                "avro_t": "string",
+                "expr": F.substring(F.col(col), 1, arg),
+                "parse": str,
+            }
+        raise NotImplementedError(f"truncate on column {col!r} of type {dt}")
+    m = re.match(r"\s*(days?|months?|years?)\s*\(\s*(\w+)\s*\)\s*$", term)
+    if m:
+        kind, col = m.group(1).rstrip("s"), m.group(2)
+        c = F.col(col)
+        exprs = {
+            "day": (F.datediff(c.cast("date"), F.lit("1970-01-01")), "day"),
+            "month": ((F.year(c) - 1970) * 12 + F.month(c) - 1, "month"),
+            "year": (F.year(c) - 1970, "year"),
+        }
+        expr, tname = exprs[kind]
+        return {
+            "name": f"{col}_{kind}",
+            "transform": tname,
+            "source": col,
+            "avro_t": "int",
+            "expr": expr.cast("int"),
+            "parse": int,
+        }
+    col = term.strip()
+    dt = field_types.get(col)
+    avro_t = next(
+        (a for cls, a in _PARTITIONABLE_AVRO.items() if isinstance(dt, cls)), None
+    )
+    if avro_t is None:
+        raise NotImplementedError(
+            f"identity partitioning on column {col!r} of type {dt} is not "
+            "supported (string/int/long/boolean only)"
+        )
+    parse = (lambda v: v.lower() == "true") if avro_t == "boolean" else (
+        int if avro_t in ("int", "long") else str
+    )
+    return {
+        "name": col,
+        "transform": "identity",
+        "source": col,
+        "avro_t": avro_t,
+        "expr": F.col(col),
+        "parse": parse,
+    }
 
 
 def write_iceberg_py(
@@ -403,9 +492,12 @@ def write_iceberg_py(
     """Write ``df`` as one Iceberg v2 commit: parquet data files, one
     manifest, a manifest list, metadata.json v(N+1), then rotate
     version-hint.text (atomic rename = publish). ``partition_by``
-    declares an identity partition spec; data files keep the source
-    columns (staged through partitionBy on duplicated columns) and each
-    file's partition tuple is recorded in its manifest entry."""
+    declares the partition spec — identity column names and/or hidden
+    transforms (``bucket(N, col)``, ``truncate(W, col)``, ``days(col)``,
+    ``months(col)``, ``years(col)``, see _parse_partition_term); data
+    files keep the source columns (staged through partitionBy on
+    derived columns) and each file's partition tuple is recorded in its
+    manifest entry."""
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
@@ -424,18 +516,11 @@ def write_iceberg_py(
 
     partition_by = list(partition_by or [])
     field_types = {f.name: f.dataType for f in df.schema.fields}
-    part_fields: list[tuple[str, str]] = []
-    for c in partition_by:
-        dt = field_types.get(c)
-        avro_t = next(
-            (a for cls, a in _PARTITIONABLE_AVRO.items() if isinstance(dt, cls)), None
-        )
-        if avro_t is None:
-            raise NotImplementedError(
-                f"identity partitioning on column {c!r} of type {dt} is not "
-                "supported (string/int/long/boolean only)"
-            )
-        part_fields.append((c, avro_t))
+    terms = [_parse_partition_term(t, field_types) for t in partition_by]
+    for t in terms:
+        if t["source"] not in field_types:
+            raise ValueError(f"partition source column {t['source']!r} not in schema")
+    part_fields = [(t["name"], t["avro_t"]) for t in terms]
     if prior is not None and mode == "append":
         prior_spec = next(
             (
@@ -445,11 +530,12 @@ def write_iceberg_py(
             ),
             {"fields": []},
         )
-        prior_cols = [f["name"] for f in prior_spec.get("fields", [])]
-        if prior_cols != partition_by:
+        prior_pairs = [(f["name"], f["transform"]) for f in prior_spec.get("fields", [])]
+        new_pairs = [(t["name"], t["transform"]) for t in terms]
+        if prior_pairs != new_pairs:
             raise ValueError(
-                f"partition columns {partition_by} do not match the table's "
-                f"existing spec {prior_cols}"
+                f"partition spec {new_pairs} does not match the table's "
+                f"existing spec {prior_pairs}"
             )
 
     now_ms = int(time.time() * 1000)
@@ -457,30 +543,24 @@ def write_iceberg_py(
     seq = (prior.get("last-sequence-number", 0) if prior else 0) + 1
 
     # Stage data files via Spark's parquet writer, move under data/.
-    # For identity partitions, partitionBy consumes DUPLICATED columns
-    # (_p_<c>) so the originals survive in the data files — exactly what
-    # native Iceberg writers produce — while the hive dirs tell us each
-    # file's partition tuple.
+    # partitionBy consumes DERIVED columns (_p_<name> — a duplicate for
+    # identity, the transform value for hidden partitioning) so the
+    # source columns survive in the data files — exactly what native
+    # Iceberg writers produce — while the hive dirs tell us each file's
+    # partition tuple.
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     staged = df
-    for c in partition_by:
-        staged = staged.withColumn(f"_p_{c}", F.col(c))
+    for t in terms:
+        staged = staged.withColumn(f"_p_{t['name']}", t["expr"])
     writer = staged.write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*[f"_p_{c}" for c in partition_by])
+        writer = writer.partitionBy(*[f"_p_{t['name']}" for t in terms])
     writer.parquet(staging)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(md, exist_ok=True)
 
-    def _typed(raw: str | None, avro_t: str):
-        if raw is None:
-            return None
-        if avro_t == "int" or avro_t == "long":
-            return int(raw)
-        if avro_t == "boolean":
-            return raw.lower() == "true"
-        return raw
+    parsers = {t["name"]: t["parse"] for t in terms}
 
     entries = []
     for root, _dirs, files in os.walk(staging):
@@ -496,8 +576,7 @@ def write_iceberg_py(
                     k, _, v = seg.partition("=")
                     col = k[3:] if k.startswith("_p_") else k
                     raw = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-                    avro_t = dict(part_fields)[col]
-                    pvals[col] = _typed(raw, avro_t)
+                    pvals[col] = None if raw is None else parsers[col](raw)
                     segs.append(f"{col}={v}")
                 rel_out = os.path.join(*segs)
             name = f"{uuid.uuid4().hex}.parquet"
@@ -526,12 +605,12 @@ def write_iceberg_py(
     schema_field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     spec_fields = [
         {
-            "name": c,
-            "transform": "identity",
-            "source-id": schema_field_ids[c],
+            "name": t["name"],
+            "transform": t["transform"],
+            "source-id": schema_field_ids[t["source"]],
             "field-id": 1000 + i,
         }
-        for i, (c, _) in enumerate(part_fields)
+        for i, t in enumerate(terms)
     ]
     manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
     write_ocf(
