@@ -19,24 +19,29 @@ every manifest's ADD(0)/DELETE(1) entries yields the live file set.
 Bounded subset implemented (mirroring io/delta.py / iceberg.py /
 hudi.py; Avro via the same io/avro.py codec Iceberg uses):
 
-- ``write_paimon_py(df, path, mode)``: append / overwrite (DELETE
-  entries retiring every prior live file, commitKind OVERWRITE) /
-  error / ignore, for unpartitioned append-only ("unaware bucket",
-  bucket = -1) tables; data written with Spark's parquet writer and
-  renamed to Paimon data-file names; snapshot JSON staged and
-  os.rename()'d — single-writer file:// atomicity. Each commit's base
-  manifest list carries forward the previous snapshot's base + delta
-  metas, so readers only ever consult the latest snapshot.
+- ``write_paimon_py(df, path, mode, partition_by=None)``: append /
+  overwrite (DELETE entries retiring every prior live file, commitKind
+  OVERWRITE) / error / ignore, for append-only ("unaware bucket",
+  bucket = -1) tables — unpartitioned or hive-partitioned: the
+  partition columns are dropped from the data files (the Paimon
+  layout) and each file's tuple is encoded as a Flink BinaryRow in its
+  manifest entry (binary_row_encode — 8-bit header + null bits, 8-byte
+  slots, compact <=7-byte strings, little-endian). Data written with
+  Spark's parquet writer and renamed to Paimon data-file names;
+  snapshot JSON staged and os.rename()'d — single-writer file://
+  atomicity. Each commit's base manifest list carries forward the
+  previous snapshot's base + delta metas, so readers only ever consult
+  the latest snapshot.
 - ``read_paimon_py(path, spark, snapshot=None)``: schema + snapshot +
   manifest walk to the live parquet files, handed to Spark's parquet
-  reader — pushdowns, split planning and AQE as usual. ``snapshot``
-  time travels to an earlier id.
+  reader — pushdowns, split planning and AQE as usual; partition
+  columns restored from each entry's BinaryRow tuple (one scan per
+  live partition, unioned). ``snapshot`` time travels to an earlier id.
 
-Out of scope (raise cleanly): partitioned tables (BinaryRow-encoded
-partition values), primary-key tables (LSM levels + merge-on-read),
-changelog producers, ORC data files. At 100 TB the metadata walk is
-driver-side KB work; the data plane is an ordinary multi-file parquet
-scan.
+Out of scope (raise cleanly): primary-key tables (LSM levels +
+merge-on-read), changelog producers, ORC data files. At 100 TB the
+metadata walk is driver-side KB work; the data plane is an ordinary
+multi-file parquet scan.
 """
 
 from __future__ import annotations
@@ -159,6 +164,107 @@ _EMPTY_STATS = {"_MIN_VALUES": b"", "_MAX_VALUES": b"", "_NULL_COUNTS": None}
 
 
 # ---------------------------------------------------------------------------
+# BinaryRow codec — the Flink binary row format Paimon serializes
+# manifest partition tuples with (public format: an 8-bit header plus
+# per-field null bits rounded to 8-byte words, one 8-byte fixed slot
+# per field, variable-length data appended 8-byte aligned; strings of
+# <= 7 bytes packed into the slot with 0x80|len in the high byte,
+# longer ones referenced as (offset << 32 | len); little-endian, the
+# de-facto byte order of JVM deployments). Only the partitionable
+# types are implemented: INT/BIGINT -> slot integer, BOOLEAN -> slot
+# byte, STRING -> compact-or-offset utf8.
+
+
+def _binrow_nullbits_width(arity: int) -> int:
+    return ((arity + 63 + 8) // 64) * 8
+
+
+def binary_row_encode(values: list, types: list[str]) -> bytes:
+    nb = _binrow_nullbits_width(len(values))
+    fixed = bytearray(nb + 8 * len(values))
+    var = bytearray()
+    for i, (v, t) in enumerate(zip(values, types)):
+        slot = nb + 8 * i
+        if v is None:
+            bit = i + 8  # 8 header bits precede the field null bits
+            fixed[bit // 8] |= 1 << (bit % 8)
+            continue
+        base = t.split("(")[0].strip().upper()
+        if base in ("INT", "BIGINT", "SMALLINT", "TINYINT"):
+            fixed[slot : slot + 8] = int(v).to_bytes(8, "little", signed=True)
+        elif base == "BOOLEAN":
+            fixed[slot] = 1 if v else 0
+        elif base in ("STRING", "VARCHAR", "CHAR"):
+            raw = str(v).encode("utf-8")
+            if len(raw) <= 7:
+                packed = bytearray(8)
+                packed[: len(raw)] = raw
+                packed[7] = 0x80 | len(raw)
+                fixed[slot : slot + 8] = packed
+            else:
+                offset = len(fixed) + len(var)
+                var.extend(raw)
+                if len(raw) % 8:
+                    var.extend(b"\x00" * (8 - len(raw) % 8))
+                fixed[slot : slot + 8] = (
+                    ((offset << 32) | len(raw)).to_bytes(8, "little")
+                )
+        else:
+            raise NotImplementedError(f"BinaryRow partition type {t!r}")
+    return bytes(fixed) + bytes(var)
+
+
+def binary_row_decode(data: bytes, types: list[str]) -> list:
+    arity = len(types)
+    nb = _binrow_nullbits_width(arity)
+    out: list = []
+    for i, t in enumerate(types):
+        bit = i + 8
+        if data[bit // 8] & (1 << (bit % 8)):
+            out.append(None)
+            continue
+        slot = nb + 8 * i
+        word = data[slot : slot + 8]
+        base = t.split("(")[0].strip().upper()
+        if base in ("INT", "BIGINT", "SMALLINT", "TINYINT"):
+            out.append(int.from_bytes(word, "little", signed=True))
+        elif base == "BOOLEAN":
+            out.append(word[0] != 0)
+        elif base in ("STRING", "VARCHAR", "CHAR"):
+            if word[7] & 0x80:
+                n = word[7] & 0x7F
+                out.append(word[:n].decode("utf-8"))
+            else:
+                packed = int.from_bytes(word, "little")
+                offset, n = packed >> 32, packed & 0xFFFFFFFF
+                out.append(data[offset : offset + n].decode("utf-8"))
+        else:
+            raise NotImplementedError(f"BinaryRow partition type {t!r}")
+    return out
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_dir(keys: list[str], values: list) -> str:
+    """Canonical hive-style partition path segment for a decoded tuple —
+    the writer MOVES staged files into exactly these directories, so the
+    reader reconstructs file locations from manifest partition bytes
+    alone (no dependence on Spark's own path escaping)."""
+    from urllib.parse import quote
+
+    segs = []
+    for k, v in zip(keys, values):
+        if v is None:
+            segs.append(f"{k}={_HIVE_NULL}")
+        elif isinstance(v, bool):
+            segs.append(f"{k}={'true' if v else 'false'}")
+        else:
+            segs.append(f"{k}={quote(str(v), safe='')}")
+    return os.path.join(*segs) if segs else ""
+
+
+# ---------------------------------------------------------------------------
 # layout helpers
 
 
@@ -221,18 +327,34 @@ def _manifest_metas(path: str, snapshot: dict) -> list[dict]:
     return metas
 
 
-def _live_files(path: str, snapshot: dict) -> list[str]:
-    """Replay every manifest's ADD/DELETE entries to the live file set."""
-    live: dict[tuple[int, str], str] = {}
+def _live_entries(path: str, snapshot: dict) -> list[dict]:
+    """Replay every manifest's ADD/DELETE entries to the live set of
+    {partition (BinaryRow bytes), bucket, name} records."""
+    live: dict[tuple[bytes, int, str], dict] = {}
     for meta in _manifest_metas(path, snapshot):
         _, _, entries = read_ocf(os.path.join(_manifest_dir(path), meta["_FILE_NAME"]))
         for e in entries:
-            key = (e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
+            key = (e["_PARTITION"], e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
             if e["_KIND"] == 0:
-                live[key] = os.path.join(path, f"bucket-{e['_BUCKET']}", e["_FILE"]["_FILE_NAME"])
+                live[key] = {
+                    "partition": e["_PARTITION"],
+                    "bucket": e["_BUCKET"],
+                    "name": e["_FILE"]["_FILE_NAME"],
+                }
             else:
                 live.pop(key, None)
-    return sorted(live.values())
+    return [live[k] for k in sorted(live)]
+
+
+def _entry_path(path: str, schema: dict, entry: dict) -> str:
+    keys = schema.get("partitionKeys") or []
+    if not keys:
+        return os.path.join(path, f"bucket-{entry['bucket']}", entry["name"])
+    ftypes = {f["name"]: f["type"] for f in schema["fields"]}
+    values = binary_row_decode(entry["partition"], [ftypes[k] for k in keys])
+    return os.path.join(
+        path, _part_dir(keys, values), f"bucket-{entry['bucket']}", entry["name"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -242,17 +364,18 @@ def _live_files(path: str, snapshot: dict) -> list[str]:
 def read_paimon_py(
     path: str, spark: SparkSession, snapshot: int | None = None
 ) -> DataFrame:
-    """Read an (unpartitioned, append-only) Paimon table by walking
-    schema -> snapshot -> manifest lists -> manifests. The result is a
-    plain multi-file parquet scan; ``snapshot`` time travels."""
+    """Read an append-only Paimon table (unpartitioned or partitioned)
+    by walking schema -> snapshot -> manifest lists -> manifests. The
+    result is a plain multi-file parquet scan; partition columns —
+    absent from data files per the Paimon layout — are restored from
+    each manifest entry's BinaryRow partition tuple (one scan per live
+    partition, unioned; driver-side plan cost O(live partitions)).
+    ``snapshot`` time travels."""
+    from pyspark.sql import functions as F
+
     if not os.path.isdir(_schema_dir(path)):
         raise FileNotFoundError(f"not a Paimon table (no schema/ under {path})")
     schema = _latest_schema(path)
-    if schema.get("partitionKeys"):
-        raise NotImplementedError(
-            "partitioned Paimon tables (BinaryRow partition values) are not "
-            "supported by this pure-Python reader; use the Paimon Spark connector"
-        )
     if schema.get("primaryKeys"):
         raise NotImplementedError(
             "primary-key Paimon tables (LSM merge-on-read) are not supported "
@@ -261,31 +384,61 @@ def read_paimon_py(
     sid = snapshot if snapshot is not None else _latest_snapshot_id(path)
     if sid is None:
         raise ValueError(f"Paimon table at {path} has no snapshots")
-    files = _live_files(path, _load_snapshot(path, sid))
+    entries = _live_entries(path, _load_snapshot(path, sid))
     spark_schema = T.StructType(
         [
             T.StructField(f["name"], _paimon_type_to_spark(f["type"]), "NOT NULL" not in f["type"])
             for f in schema["fields"]
         ]
     )
-    if not files:
+    if not entries:
         return spark.createDataFrame([], spark_schema)
-    return spark.read.schema(spark_schema).parquet(*files)
+    keys = schema.get("partitionKeys") or []
+    if not keys:
+        return spark.read.schema(spark_schema).parquet(
+            *[_entry_path(path, schema, e) for e in entries]
+        )
+    ftypes = {f["name"]: f["type"] for f in schema["fields"]}
+    part_spark = {k: _paimon_type_to_spark(ftypes[k]) for k in keys}
+    phys = T.StructType([f for f in spark_schema.fields if f.name not in keys])
+    groups: dict[bytes, list[str]] = {}
+    for e in entries:
+        groups.setdefault(e["partition"], []).append(_entry_path(path, schema, e))
+    parts = []
+    for pbytes, files in sorted(groups.items()):
+        values = binary_row_decode(pbytes, [ftypes[k] for k in keys])
+        df = spark.read.schema(phys).parquet(*files)
+        for k, v in zip(keys, values):
+            df = df.withColumn(k, F.lit(v).cast(part_spark[k]))
+        parts.append(df.select(*[f.name for f in spark_schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
-def write_paimon_py(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_paimon_py(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
     """Write ``df`` as one Paimon commit: parquet data files under
-    bucket-0 plus manifest / manifest-list / snapshot metadata. Modes:
-    append, overwrite, error, ignore."""
+    [<k>=<v>/...]bucket-0 plus manifest / manifest-list / snapshot
+    metadata. ``partition_by`` declares hive-partitioned layout: the
+    partition columns are dropped from the data files (the Paimon
+    layout) and each file's tuple is BinaryRow-encoded into its
+    manifest entry. Modes: append, overwrite, error, ignore."""
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unsupported mode {mode!r}")
+    partition_by = list(partition_by or [])
     prior_id = _latest_snapshot_id(path) if os.path.isdir(_snapshot_dir(path)) else None
     if prior_id is not None and mode == "error":
         raise FileExistsError(f"Paimon table already exists at {path}")
     if prior_id is not None and mode == "ignore":
         return
 
-    for d in (_schema_dir(path), _snapshot_dir(path), _manifest_dir(path), os.path.join(path, "bucket-0")):
+    for d in (_schema_dir(path), _snapshot_dir(path), _manifest_dir(path)):
         os.makedirs(d, exist_ok=True)
 
     # schema-0 on first write; later writes must match it
@@ -293,6 +446,16 @@ def write_paimon_py(df: DataFrame, path: str, mode: str = "append") -> None:
         {"id": i, "name": f.name, "type": _spark_type_to_paimon(f.dataType) + ("" if f.nullable else " NOT NULL")}
         for i, f in enumerate(df.schema.fields)
     ]
+    ptypes = {f["name"]: f["type"] for f in fields}
+    for c in partition_by:
+        if c not in ptypes:
+            raise ValueError(f"partition column {c!r} not in schema")
+        base = ptypes[c].split("(")[0].replace(" NOT NULL", "").strip().upper()
+        if base not in ("INT", "BIGINT", "SMALLINT", "TINYINT", "BOOLEAN", "STRING", "VARCHAR", "CHAR"):
+            raise NotImplementedError(
+                f"Paimon partitioning on column {c!r} of type {ptypes[c]} is "
+                "not supported (int/bigint/boolean/string only)"
+            )
     schema_file = os.path.join(_schema_dir(path), "schema-0")
     if not os.path.exists(schema_file):
         with open(schema_file, "w") as f:
@@ -302,7 +465,7 @@ def write_paimon_py(df: DataFrame, path: str, mode: str = "append") -> None:
                     "id": 0,
                     "fields": fields,
                     "highestFieldId": len(fields) - 1,
-                    "partitionKeys": [],
+                    "partitionKeys": partition_by,
                     "primaryKeys": [],
                     "options": {"bucket": "-1"},
                     "comment": "",
@@ -317,39 +480,79 @@ def write_paimon_py(df: DataFrame, path: str, mode: str = "append") -> None:
                 f"schema mismatch appending to Paimon table at {path}: "
                 f"{[f['name'] for f in existing['fields']]} vs {[f['name'] for f in fields]}"
             )
+        if (existing.get("partitionKeys") or []) != partition_by:
+            raise ValueError(
+                f"partition keys {partition_by} do not match the table's "
+                f"existing keys {existing.get('partitionKeys') or []}"
+            )
 
-    # data files: stage with Spark's parquet writer, rename into bucket-0
+    # data files: stage with Spark's parquet writer (partitionBy drops
+    # the partition columns from the files — the Paimon layout), then
+    # rename into <canonical partition dir>/bucket-0
     import pyarrow.parquet as pq
+    from urllib.parse import unquote
+
+    def _typed(raw: str | None, t: str):
+        if raw is None:
+            return None
+        base = t.split("(")[0].replace(" NOT NULL", "").strip().upper()
+        if base in ("INT", "BIGINT", "SMALLINT", "TINYINT"):
+            return int(raw)
+        if base == "BOOLEAN":
+            return raw.lower() == "true"
+        return raw
 
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     seq_base = int(time.time() * 1000)
     entries: list[dict] = []
-    for i, f in enumerate(sorted(os.listdir(staging))):
-        if not f.endswith(".parquet"):
-            continue
-        name = f"data-{uuid.uuid4().hex}-{i}.parquet"
-        dst = os.path.join(path, "bucket-0", name)
-        shutil.move(os.path.join(staging, f), dst)
-        entries.append(
-            {
-                "_KIND": 0,
-                "_PARTITION": b"",
-                "_BUCKET": 0,
-                "_TOTAL_BUCKETS": -1,
-                "_FILE": {
-                    "_FILE_NAME": name,
-                    "_FILE_SIZE": os.path.getsize(dst),
-                    "_ROW_COUNT": pq.ParquetFile(dst).metadata.num_rows,
-                    "_MIN_SEQUENCE_NUMBER": seq_base,
-                    "_MAX_SEQUENCE_NUMBER": seq_base,
-                    "_SCHEMA_ID": 0,
-                    "_LEVEL": 0,
-                    "_EXTRA_FILES": [],
-                    "_CREATION_TIME": seq_base,
-                },
-            }
-        )
+    i = 0
+    for root, _dirs, fnames in os.walk(staging):
+        for f in sorted(fnames):
+            if not f.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            values: list = []
+            if partition_by:
+                raw_by_col = {}
+                if rel_dir != ".":
+                    for seg in rel_dir.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        raw_by_col[k] = None if v == _HIVE_NULL else unquote(v)
+                values = [_typed(raw_by_col.get(c), ptypes[c]) for c in partition_by]
+            pbytes = (
+                binary_row_encode(values, [ptypes[c] for c in partition_by])
+                if partition_by
+                else b""
+            )
+            name = f"data-{uuid.uuid4().hex}-{i}.parquet"
+            i += 1
+            dst_dir = os.path.join(path, _part_dir(partition_by, values), "bucket-0")
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, name)
+            shutil.move(os.path.join(root, f), dst)
+            entries.append(
+                {
+                    "_KIND": 0,
+                    "_PARTITION": pbytes,
+                    "_BUCKET": 0,
+                    "_TOTAL_BUCKETS": -1,
+                    "_FILE": {
+                        "_FILE_NAME": name,
+                        "_FILE_SIZE": os.path.getsize(dst),
+                        "_ROW_COUNT": pq.ParquetFile(dst).metadata.num_rows,
+                        "_MIN_SEQUENCE_NUMBER": seq_base,
+                        "_MAX_SEQUENCE_NUMBER": seq_base,
+                        "_SCHEMA_ID": 0,
+                        "_LEVEL": 0,
+                        "_EXTRA_FILES": [],
+                        "_CREATION_TIME": seq_base,
+                    },
+                }
+            )
     shutil.rmtree(staging, ignore_errors=True)
     delta_rows = sum(e["_FILE"]["_ROW_COUNT"] for e in entries)
 
@@ -357,16 +560,18 @@ def write_paimon_py(df: DataFrame, path: str, mode: str = "append") -> None:
     prior_snapshot = _load_snapshot(path, prior_id) if prior_id is not None else None
     if overwriting:
         # retire every prior live file in this commit's delta manifest
-        for p in _live_files(path, prior_snapshot):
+        prior_schema = _latest_schema(path)
+        for prev in _live_entries(path, prior_snapshot):
+            p = _entry_path(path, prior_schema, prev)
             entries.insert(
                 0,
                 {
                     "_KIND": 1,
-                    "_PARTITION": b"",
-                    "_BUCKET": int(os.path.basename(os.path.dirname(p)).split("-")[1]),
+                    "_PARTITION": prev["partition"],
+                    "_BUCKET": prev["bucket"],
                     "_TOTAL_BUCKETS": -1,
                     "_FILE": {
-                        "_FILE_NAME": os.path.basename(p),
+                        "_FILE_NAME": prev["name"],
                         "_FILE_SIZE": os.path.getsize(p),
                         "_ROW_COUNT": 0,
                         "_MIN_SEQUENCE_NUMBER": 0,

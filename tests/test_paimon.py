@@ -1,7 +1,7 @@
 """Pure-Python Paimon support: snapshot/manifest walk, append and
-overwrite commits, time travel, mode gates, and the partitioned /
-primary-key gates. Reference surface: daft/io/__init__.py lakehouse
-reader set (read_paimon)."""
+overwrite commits, time travel, mode gates, hive-partitioned tables
+with BinaryRow manifest tuples, and the primary-key gate. Reference
+surface: daft/io/__init__.py lakehouse reader set (read_paimon)."""
 
 from __future__ import annotations
 
@@ -110,8 +110,56 @@ def test_paimon_unsupported_table_gates(spark, tmp_path):
         json.dump(schema, f)
     with pytest.raises(NotImplementedError, match="primary-key"):
         read_paimon_py(path, spark)
-    schema["primaryKeys"], schema["partitionKeys"] = [], ["o_orderstatus"]
-    with open(sp, "w") as f:
-        json.dump(schema, f)
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        read_paimon_py(path, spark)
+
+
+def test_binary_row_codec_roundtrip():
+    from daft_spark.io.paimon import binary_row_decode, binary_row_encode
+
+    cases = [
+        ([42, "ok"], ["INT", "STRING"]),
+        ([None, "a longer-than-seven-bytes string"], ["BIGINT", "STRING"]),
+        ([True, None, -7], ["BOOLEAN", "STRING", "INT"]),
+        ([2**40, "éß"], ["BIGINT", "STRING"]),  # multi-byte utf8 compact
+        ([], []),
+    ]
+    for values, types in cases:
+        assert binary_row_decode(binary_row_encode(values, types), types) == values
+    # compact string boundary: 7 bytes inline, 8 bytes via the var part
+    for s in ("seven77", "eight888"):
+        assert binary_row_decode(binary_row_encode([s], ["STRING"]), ["STRING"]) == [s]
+
+
+def test_paimon_partitioned_roundtrip(spark, tmp_path):
+    """Hive-partitioned append-only tables: partition columns dropped
+    from data files, BinaryRow tuples in manifest entries, restored on
+    read; appends and overwrite keep working; time travel preserved."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.paimon import read_paimon_py, write_paimon_py
+
+    o = _orders(spark).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = str(tmp_path / "ptbl")
+    first = o.filter(F.col("o_orderkey") < 500)
+    write_paimon_py(first, path, partition_by=["o_orderstatus"])
+    # data files live under hive dirs and do NOT contain the partition column
+    sample = glob.glob(path + "/o_orderstatus=*/bucket-0/*.parquet")
+    assert sample, "expected hive-partitioned data dirs"
+    assert "o_orderstatus" not in pq.read_schema(sample[0]).names
+    back = read_paimon_py(path, spark)
+    assert sorted(back.columns) == sorted(o.columns)
+    assert back.count() == first.count()
+    assert back.join(first, ["o_orderkey", "o_orderstatus", "o_totalprice"], "left_anti").count() == 0
+    # append extends; partition keys must match
+    second = o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 800))
+    write_paimon_py(second, path, partition_by=["o_orderstatus"])
+    assert read_paimon_py(path, spark).count() == first.count() + second.count()
+    with pytest.raises(ValueError, match="partition keys"):
+        write_paimon_py(second, path, partition_by=[])
+    # time travel back to snapshot 1
+    assert read_paimon_py(path, spark, snapshot=1).count() == first.count()
+    # overwrite retires all partitions
+    write_paimon_py(o.limit(10), path, mode="overwrite", partition_by=["o_orderstatus"])
+    assert read_paimon_py(path, spark).count() == 10
