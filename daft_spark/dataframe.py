@@ -397,12 +397,16 @@ class DataFrame:
         write_hudi_py(self._sdf, path, mode=mode, partition_by=partition_by)
 
     def write_paimon(self, path: str, mode: str = "append",
-                     partition_by: list[str] | None = None) -> None:
-        """Paimon append-only table commit (io/paimon.py) — Spark-side
+                     partition_by: list[str] | None = None,
+                     primary_key: list[str] | None = None,
+                     delete: bool = False) -> None:
+        """Paimon table commit (io/paimon.py) — append-only or, with
+        ``primary_key``, upsert/delete with merge-on-read; Spark-side
         analogue of the reference's Paimon lakehouse support."""
         from daft_spark.io.paimon import write_paimon_py
 
-        write_paimon_py(self._sdf, path, mode=mode, partition_by=partition_by)
+        write_paimon_py(self._sdf, path, mode=mode, partition_by=partition_by,
+                        primary_key=primary_key, delete=delete)
 
     def write_sink(self, sink_fn) -> None:
         """reference DataFrame.write_sink (dataframe.py:2267) —

@@ -38,10 +38,15 @@ hudi.py; Avro via the same io/avro.py codec Iceberg uses):
   columns restored from each entry's BinaryRow tuple (one scan per
   live partition, unioned). ``snapshot`` time travels to an earlier id.
 
-Out of scope (raise cleanly): primary-key tables (LSM levels +
-merge-on-read), changelog producers, ORC data files. At 100 TB the
-metadata walk is driver-side KB work; the data plane is an ordinary
-multi-file parquet scan.
+Primary-key tables (``primary_key=``): upsert/delete commits carry the
+KeyValue system columns (``_KEY_<pk>``, ``_SEQUENCE_NUMBER`` = the
+commit's snapshot id, ``_VALUE_KIND`` 0=ADD 1=DELETE) in L0 data
+files; the reader merges on read — one shuffle on the key,
+latest-sequence-wins, tombstones drop — Paimon's deduplicate merge
+engine. Out of scope (raise cleanly): LSM compaction levels beyond L0,
+changelog producers, ORC data files. At 100 TB the metadata walk is
+driver-side KB work; the data plane is an ordinary multi-file parquet
+scan (plus the one merge exchange for primary-key tables).
 """
 
 from __future__ import annotations
@@ -364,23 +369,22 @@ def _entry_path(path: str, schema: dict, entry: dict) -> str:
 def read_paimon_py(
     path: str, spark: SparkSession, snapshot: int | None = None
 ) -> DataFrame:
-    """Read an append-only Paimon table (unpartitioned or partitioned)
-    by walking schema -> snapshot -> manifest lists -> manifests. The
-    result is a plain multi-file parquet scan; partition columns —
-    absent from data files per the Paimon layout — are restored from
-    each manifest entry's BinaryRow partition tuple (one scan per live
-    partition, unioned; driver-side plan cost O(live partitions)).
-    ``snapshot`` time travels."""
+    """Read an append-only OR primary-key Paimon table (unpartitioned
+    or partitioned) by walking schema -> snapshot -> manifest lists ->
+    manifests. The result is a plain multi-file parquet scan; partition
+    columns — absent from data files per the Paimon layout — are
+    restored from each manifest entry's BinaryRow partition tuple (one
+    scan per live partition, unioned; driver-side plan cost O(live
+    partitions)). Primary-key tables are merged on read: one shuffle on
+    the key, latest ``_SEQUENCE_NUMBER`` wins, DELETE rows
+    (``_VALUE_KIND`` = 1) tombstone the key — the deduplicate merge
+    engine over L0 files. ``snapshot`` time travels."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     if not os.path.isdir(_schema_dir(path)):
         raise FileNotFoundError(f"not a Paimon table (no schema/ under {path})")
     schema = _latest_schema(path)
-    if schema.get("primaryKeys"):
-        raise NotImplementedError(
-            "primary-key Paimon tables (LSM merge-on-read) are not supported "
-            "by this pure-Python reader; use the Paimon Spark connector"
-        )
     sid = snapshot if snapshot is not None else _latest_snapshot_id(path)
     if sid is None:
         raise ValueError(f"Paimon table at {path} has no snapshots")
@@ -391,30 +395,50 @@ def read_paimon_py(
             for f in schema["fields"]
         ]
     )
+    pks = schema.get("primaryKeys") or []
     if not entries:
         return spark.createDataFrame([], spark_schema)
     keys = schema.get("partitionKeys") or []
+    sys_fields = (
+        [
+            T.StructField("_SEQUENCE_NUMBER", T.LongType(), False),
+            T.StructField("_VALUE_KIND", T.IntegerType(), False),
+        ]
+        if pks
+        else []
+    )
+    ftypes = {f["name"]: f["type"] for f in schema["fields"]}
+    phys = T.StructType(
+        [f for f in spark_schema.fields if f.name not in keys] + sys_fields
+    )
     if not keys:
-        return spark.read.schema(spark_schema).parquet(
+        out = spark.read.schema(phys).parquet(
             *[_entry_path(path, schema, e) for e in entries]
         )
-    ftypes = {f["name"]: f["type"] for f in schema["fields"]}
-    part_spark = {k: _paimon_type_to_spark(ftypes[k]) for k in keys}
-    phys = T.StructType([f for f in spark_schema.fields if f.name not in keys])
-    groups: dict[bytes, list[str]] = {}
-    for e in entries:
-        groups.setdefault(e["partition"], []).append(_entry_path(path, schema, e))
-    parts = []
-    for pbytes, files in sorted(groups.items()):
-        values = binary_row_decode(pbytes, [ftypes[k] for k in keys])
-        df = spark.read.schema(phys).parquet(*files)
-        for k, v in zip(keys, values):
-            df = df.withColumn(k, F.lit(v).cast(part_spark[k]))
-        parts.append(df.select(*[f.name for f in spark_schema.fields]))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    else:
+        part_spark = {k: _paimon_type_to_spark(ftypes[k]) for k in keys}
+        groups: dict[bytes, list[str]] = {}
+        for e in entries:
+            groups.setdefault(e["partition"], []).append(_entry_path(path, schema, e))
+        parts = []
+        cols = [f.name for f in spark_schema.fields] + [f.name for f in sys_fields]
+        for pbytes, files in sorted(groups.items()):
+            values = binary_row_decode(pbytes, [ftypes[k] for k in keys])
+            df = spark.read.schema(phys).parquet(*files)
+            for k, v in zip(keys, values):
+                df = df.withColumn(k, F.lit(v).cast(part_spark[k]))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+    if not pks:
+        return out
+    w = Window.partitionBy(*pks).orderBy(F.col("_SEQUENCE_NUMBER").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("_VALUE_KIND") == 0))
+        .select(*[f.name for f in spark_schema.fields])
+    )
 
 
 def write_paimon_py(
@@ -422,16 +446,35 @@ def write_paimon_py(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    primary_key: list[str] | None = None,
+    delete: bool = False,
 ) -> None:
     """Write ``df`` as one Paimon commit: parquet data files under
     [<k>=<v>/...]bucket-0 plus manifest / manifest-list / snapshot
     metadata. ``partition_by`` declares hive-partitioned layout: the
     partition columns are dropped from the data files (the Paimon
     layout) and each file's tuple is BinaryRow-encoded into its
-    manifest entry. Modes: append, overwrite, error, ignore."""
+    manifest entry. ``primary_key`` declares an upsert table: data
+    files carry the KeyValue system columns (``_KEY_<pk>`` copies,
+    ``_SEQUENCE_NUMBER`` = the commit's snapshot id, ``_VALUE_KIND``)
+    and the reader merges latest-sequence-wins; ``delete=True``
+    commits the rows as DELETE tombstones for their keys. Modes:
+    append, overwrite, error, ignore."""
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unsupported mode {mode!r}")
     partition_by = list(partition_by or [])
+    primary_key = list(primary_key or [])
+    if delete and not primary_key:
+        raise ValueError("delete=True requires a primary_key table")
+    for c in primary_key:
+        if c not in df.columns:
+            raise ValueError(f"primary key column {c!r} not in schema")
+    if primary_key and not set(partition_by) <= set(primary_key):
+        raise ValueError(
+            "the primary key must contain every partition key "
+            f"({partition_by} vs {primary_key}) — the Paimon constraint that "
+            "makes a key unique table-wide"
+        )
     prior_id = _latest_snapshot_id(path) if os.path.isdir(_snapshot_dir(path)) else None
     if prior_id is not None and mode == "error":
         raise FileExistsError(f"Paimon table already exists at {path}")
@@ -466,7 +509,7 @@ def write_paimon_py(
                     "fields": fields,
                     "highestFieldId": len(fields) - 1,
                     "partitionKeys": partition_by,
-                    "primaryKeys": [],
+                    "primaryKeys": primary_key,
                     "options": {"bucket": "-1"},
                     "comment": "",
                     "timeMillis": int(time.time() * 1000),
@@ -485,6 +528,11 @@ def write_paimon_py(
                 f"partition keys {partition_by} do not match the table's "
                 f"existing keys {existing.get('partitionKeys') or []}"
             )
+        if (existing.get("primaryKeys") or []) != primary_key:
+            raise ValueError(
+                f"primary keys {primary_key} do not match the table's "
+                f"existing keys {existing.get('primaryKeys') or []}"
+            )
 
     # data files: stage with Spark's parquet writer (partitionBy drops
     # the partition columns from the files — the Paimon layout), then
@@ -502,12 +550,38 @@ def write_paimon_py(
             return raw.lower() == "true"
         return raw
 
+    new_id = (prior_id or 0) + 1
+    staged_df = df
+    if primary_key:
+        from pyspark.sql import functions as F
+
+        # one row per key per commit keeps the merge deterministic (two
+        # rows with equal key AND sequence have no defined winner)
+        dups = (
+            df.groupBy(*primary_key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dups:
+            raise ValueError(
+                f"batch contains duplicate primary keys {primary_key}; "
+                "deduplicate before committing"
+            )
+        # KeyValue system columns, Paimon column order: keys first
+        staged_df = df.select(
+            *[F.col(c).alias(f"_KEY_{c}") for c in primary_key],
+            F.lit(new_id).cast("long").alias("_SEQUENCE_NUMBER"),
+            F.lit(1 if delete else 0).cast("int").alias("_VALUE_KIND"),
+            *df.columns,
+        )
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
+    writer = staged_df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    seq_base = int(time.time() * 1000)
+    seq_base = new_id if primary_key else int(time.time() * 1000)
     entries: list[dict] = []
     i = 0
     for root, _dirs, fnames in os.walk(staging):
@@ -606,7 +680,6 @@ def write_paimon_py(
     write_ocf(os.path.join(_manifest_dir(path), base_name), _MANIFEST_LIST_SCHEMA, base_metas)
     write_ocf(os.path.join(_manifest_dir(path), delta_name), _MANIFEST_LIST_SCHEMA, [delta_meta])
 
-    new_id = (prior_id or 0) + 1
     prior_total = 0 if overwriting or prior_snapshot is None else prior_snapshot.get("totalRecordCount", 0)
     snapshot = {
         "version": 3,

@@ -217,3 +217,55 @@ def lake_hudi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "lake_paimon_upsert",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey < 50 THEN CAST(-1.0 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey >= 25 AND o_orderkey < 300
+      UNION ALL
+      SELECT o_orderkey + 10000 AS o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 10
+    ) ORDER BY o_orderkey
+    """,
+)
+def lake_paimon_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paimon PRIMARY-KEY table: insert a base slice, upsert changed
+    totals for keys < 50 plus ten brand-new keys, then DELETE keys
+    < 25 — read back through merge-on-read (latest _SEQUENCE_NUMBER
+    wins, tombstones drop). The oracle restates the surviving state
+    straight from the source table, so a broken sequence order, missed
+    tombstone, or key collision mismatches. io/paimon.py
+    write_paimon_py(primary_key=...)."""
+    import shutil
+
+    from daft_spark.io.lakehouse import read_paimon
+    from daft_spark.io.paimon import write_paimon_py
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_paimon", f"orders_pk_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    base = o.filter(F.col("o_orderkey") < 300)
+    write_paimon_py(base, path, mode="overwrite", primary_key=["o_orderkey"])
+    upd = base.filter(F.col("o_orderkey") < 50).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    new = o.filter(F.col("o_orderkey") < 10).select(
+        (F.col("o_orderkey") + 10000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    write_paimon_py(upd.unionAll(new), path, primary_key=["o_orderkey"])
+    write_paimon_py(
+        upd.filter(F.col("o_orderkey") < 25), path,
+        primary_key=["o_orderkey"], delete=True,
+    )
+    return read_paimon(path, spark).orderBy("o_orderkey")

@@ -97,19 +97,15 @@ def test_paimon_mode_gates_and_wrapper(spark, tmp_path):
 
 
 def test_paimon_unsupported_table_gates(spark, tmp_path):
-    from daft_spark.io.paimon import read_paimon_py, write_paimon_py
+    from daft_spark.io.paimon import write_paimon_py
 
     o = _orders(spark).limit(5)
-    path = str(tmp_path / "tbl")
-    write_paimon_py(o, path)
-    sp = os.path.join(path, "schema", "schema-0")
-    with open(sp) as f:
-        schema = json.load(f)
-    schema["primaryKeys"] = ["o_orderkey"]
-    with open(sp, "w") as f:
-        json.dump(schema, f)
-    with pytest.raises(NotImplementedError, match="primary-key"):
-        read_paimon_py(path, spark)
+    # partitioning on a non-partitionable type is gated at write time
+    with pytest.raises(NotImplementedError, match="not supported"):
+        write_paimon_py(o, str(tmp_path / "t1"), partition_by=["o_totalprice"])
+    # delete commits require a primary-key table
+    with pytest.raises(ValueError, match="primary_key"):
+        write_paimon_py(o, str(tmp_path / "t2"), delete=True)
 
 
 def test_binary_row_codec_roundtrip():
@@ -163,3 +159,64 @@ def test_paimon_partitioned_roundtrip(spark, tmp_path):
     # overwrite retires all partitions
     write_paimon_py(o.limit(10), path, mode="overwrite", partition_by=["o_orderstatus"])
     assert read_paimon_py(path, spark).count() == 10
+
+
+def test_paimon_primary_key_upsert_delete(spark, tmp_path):
+    """Primary-key tables: KeyValue system columns in the data files,
+    merge-on-read with latest _SEQUENCE_NUMBER winning, DELETE
+    tombstones, time travel to pre-upsert state, and the
+    duplicate-keys-in-batch / key-constraint errors."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.paimon import read_paimon_py, write_paimon_py
+
+    o = _orders(spark).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") < 300)
+    path = str(tmp_path / "pk")
+    write_paimon_py(base, path, primary_key=["o_orderkey"])
+    # system columns present in the files, keys first
+    f0 = glob.glob(path + "/bucket-0/*.parquet")[0]
+    names = pq.read_schema(f0).names
+    assert names[:3] == ["_KEY_o_orderkey", "_SEQUENCE_NUMBER", "_VALUE_KIND"]
+    assert read_paimon_py(path, spark).count() == base.count()
+    # upsert: new totalprice for 50 keys, 10 brand-new keys
+    upd = base.filter(F.col("o_orderkey") < 50).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    new = o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 310))
+    write_paimon_py(upd.unionAll(new), path, primary_key=["o_orderkey"])
+    merged = read_paimon_py(path, spark)
+    assert merged.count() == base.count() + new.count()
+    assert merged.filter(F.col("o_totalprice") == -1.0).count() == upd.count()
+    # delete tombstones remove keys
+    write_paimon_py(upd, path, primary_key=["o_orderkey"], delete=True)
+    after = read_paimon_py(path, spark)
+    assert after.count() == base.count() + new.count() - upd.count()
+    assert after.filter(F.col("o_totalprice") == -1.0).count() == 0
+    # time travel to snapshot 1 = original rows
+    assert read_paimon_py(path, spark, snapshot=1).count() == base.count()
+    # duplicate keys in one batch rejected
+    with pytest.raises(ValueError, match="duplicate primary keys"):
+        write_paimon_py(base.unionAll(base.limit(1)), path, primary_key=["o_orderkey"])
+    # primary key must contain partition keys
+    with pytest.raises(ValueError, match="must contain every partition key"):
+        write_paimon_py(
+            base, str(tmp_path / "pk2"),
+            partition_by=["o_orderstatus"], primary_key=["o_orderkey"],
+        )
+    # partitioned + PK works when the key includes the partition column
+    p3 = str(tmp_path / "pk3")
+    write_paimon_py(
+        base, p3, partition_by=["o_orderstatus"],
+        primary_key=["o_orderkey", "o_orderstatus"],
+    )
+    write_paimon_py(
+        upd, p3, partition_by=["o_orderstatus"],
+        primary_key=["o_orderkey", "o_orderstatus"],
+    )
+    got = read_paimon_py(p3, spark)
+    assert got.count() == base.count()
+    assert got.filter(F.col("o_totalprice") == -1.0).count() == upd.count()
