@@ -290,3 +290,44 @@ def test_q21_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q18_aggregate_before_join_plan(spark):
+    """tpch_q18: lineitem must reduce by l_orderkey (partial+final agg)
+    BEFORE any join — exactly one shuffle exchange (the groupBy), both
+    joins broadcast, and exactly one lineitem scan."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(all_queries()["tpch_q18"].spark_fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    # each table scanned exactly once (Location detail appears once per scan)
+    for t in ("lineitem.parquet", "orders.parquet", "customer.parquet"):
+        assert plan.count(t) == 1, f"{t} scanned {plan.count(t)} times"
+    assert "SortMergeJoin" not in plan  # tiny survivor set -> broadcasts
+
+
+def test_q21_single_fact_subtree(spark):
+    """tpch_q21: the (order, supplier) reduction feeds the per-order
+    window — the fact join must NOT be expanded into two subtrees (one
+    lineitem scan only), and the supplier counts come from a Window,
+    not an agg self-joined back to its input."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(all_queries()["tpch_q21"].spark_fn(spark, SF_DIR))
+    lineitem_scans = plan.count("lineitem.parquet")
+    assert lineitem_scans == 1, f"fact subtree duplicated: {lineitem_scans} lineitem scans"
+    assert "Window" in plan
+
+
+def test_q15_no_global_window_single_lineitem_scan(spark):
+    """tpch_q15: the scalar max must come from an aggregate broadcast
+    (no empty-partition Window funneling all suppliers through one
+    task), and the persisted revenue CTE must appear as ONE lineitem
+    scan (InMemoryTableScan on the second consumer)."""
+    from daft_spark.queries import all_queries
+
+    df = all_queries()["tpch_q15"].spark_fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert plan.count("lineitem.parquet") <= 1
+    df.sparkSession.catalog.clearCache()
