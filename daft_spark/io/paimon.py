@@ -43,8 +43,10 @@ KeyValue system columns (``_KEY_<pk>``, ``_SEQUENCE_NUMBER`` = the
 commit's snapshot id, ``_VALUE_KIND`` 0=ADD 1=DELETE) in L0 data
 files; the reader merges on read — one shuffle on the key,
 latest-sequence-wins, tombstones drop — Paimon's deduplicate merge
-engine. Out of scope (raise cleanly): LSM compaction levels beyond L0,
-changelog producers, ORC data files. At 100 TB the metadata walk is
+engine. ``compact_paimon_py`` rewrites the merged state as one COMPACT
+snapshot retiring every pre-compact file (full compaction — the
+leveled-LSM incremental variant is out of scope). Out of scope (raise
+cleanly): changelog producers, ORC data files. At 100 TB the metadata walk is
 driver-side KB work; the data plane is an ordinary multi-file parquet
 scan (plus the one merge exchange for primary-key tables).
 """
@@ -448,6 +450,7 @@ def write_paimon_py(
     partition_by: list[str] | None = None,
     primary_key: list[str] | None = None,
     delete: bool = False,
+    _commit_kind: str | None = None,
 ) -> None:
     """Write ``df`` as one Paimon commit: parquet data files under
     [<k>=<v>/...]bucket-0 plus manifest / manifest-list / snapshot
@@ -690,7 +693,7 @@ def write_paimon_py(
         "changelogManifestList": None,
         "commitUser": "daft-spark",
         "commitIdentifier": new_id,
-        "commitKind": "OVERWRITE" if overwriting else "APPEND",
+        "commitKind": _commit_kind or ("OVERWRITE" if overwriting else "APPEND"),
         "timeMillis": int(time.time() * 1000),
         "logOffsets": {},
         "totalRecordCount": prior_total + delta_rows,
@@ -712,3 +715,31 @@ def write_paimon_py(
         with open(tmp, "w") as f:
             f.write(str(value))
         os.rename(tmp, hp)
+
+
+def compact_paimon_py(
+    path: str, spark: SparkSession, target_partitions: int | None = None
+) -> None:
+    """Full compaction: materialize the table's merged current state
+    (for primary-key tables the merge-on-read result — latest sequence
+    wins, tombstones dropped) and commit it back as ONE snapshot whose
+    delta manifest retires every pre-compact live file (commitKind
+    COMPACT). Afterwards reads consult only the compacted files, so the
+    per-read merge shrinks back to a no-op until new upserts arrive;
+    prior snapshots stay time-travelable because nothing is physically
+    deleted. ``target_partitions`` coalesces the rewrite (compaction
+    exists to reduce file counts — the default keeps Spark's write
+    parallelism)."""
+    schema = _latest_schema(path)
+    keys = schema.get("partitionKeys") or []
+    pks = schema.get("primaryKeys") or []
+    merged = read_paimon_py(path, spark)
+    if target_partitions is not None:
+        merged = merged.coalesce(max(1, target_partitions))
+    # Staging materializes the merged frame BEFORE the retire manifest
+    # is built, and pre-compact files stay on disk (Paimon never
+    # deletes until snapshot expiry), so the lazy self-read is safe.
+    write_paimon_py(
+        merged, path, mode="overwrite",
+        partition_by=keys, primary_key=pks, _commit_kind="COMPACT",
+    )

@@ -220,3 +220,51 @@ def test_paimon_primary_key_upsert_delete(spark, tmp_path):
     got = read_paimon_py(p3, spark)
     assert got.count() == base.count()
     assert got.filter(F.col("o_totalprice") == -1.0).count() == upd.count()
+
+
+def test_paimon_compaction(spark, tmp_path):
+    """Full compaction: the merged state is rewritten as one COMPACT
+    snapshot retiring all pre-compact files; reads are unchanged,
+    pre-compact snapshots stay time-travelable, and later upserts keep
+    merging on top of the compacted files."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.paimon import (
+        _latest_snapshot_id,
+        _live_entries,
+        _load_snapshot,
+        compact_paimon_py,
+        read_paimon_py,
+        write_paimon_py,
+    )
+
+    o = _orders(spark).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") < 200)
+    upd = base.filter(F.col("o_orderkey") < 40).withColumn("o_totalprice", F.lit(-1.0))
+    path = str(tmp_path / "cpk")
+    write_paimon_py(base, path, primary_key=["o_orderkey"])
+    write_paimon_py(upd, path, primary_key=["o_orderkey"])
+    write_paimon_py(upd.filter(F.col("o_orderkey") < 10), path,
+                    primary_key=["o_orderkey"], delete=True)
+    before = read_paimon_py(path, spark).orderBy("o_orderkey").collect()
+    files_before = len(_live_entries(path, _load_snapshot(path, _latest_snapshot_id(path))))
+    compact_paimon_py(path, spark, target_partitions=1)
+    sid = _latest_snapshot_id(path)
+    with open(f"{path}/snapshot/snapshot-{sid}") as f:
+        assert _json.load(f)["commitKind"] == "COMPACT"
+    after = read_paimon_py(path, spark).orderBy("o_orderkey").collect()
+    assert after == before
+    files_after = len(_live_entries(path, _load_snapshot(path, sid)))
+    assert files_after < files_before
+    assert files_after == 1
+    # time travel to the pre-compact upsert state still merges correctly
+    assert len(read_paimon_py(path, spark, snapshot=2).orderBy("o_orderkey").collect()) == 200
+    # upserts continue on top of the compacted snapshot
+    write_paimon_py(upd.filter((F.col("o_orderkey") >= 20) & (F.col("o_orderkey") < 30))
+                    .withColumn("o_totalprice", F.lit(-2.0)),
+                    path, primary_key=["o_orderkey"])
+    got = read_paimon_py(path, spark)
+    assert got.filter(F.col("o_totalprice") == -2.0).count() == 10
+    assert got.count() == len(after)
