@@ -36,9 +36,14 @@ the sibling pure-Python Avro codec (``daft_spark.io.avro``):
   filter/column pushdown, split planning, and AQE apply exactly as for
   raw parquet.
 
-Out of scope (raise cleanly): delete files / row-level deletes
-(content != 0), format v3, schema evolution beyond latest-schema
-reads, and non-local filesystems. Bucket numbering uses Spark's
+- ``delete_iceberg_py(df, path, equality_by)``: row-level deletes as
+  v2 EQUALITY DELETE files (content=2 entries + equality_ids in a
+  content=1 deletes manifest); the reader applies them merge-on-read —
+  data files grouped by data sequence number, each group anti-joined
+  against the strictly-newer delete values (the v2 sequencing rule).
+
+Out of scope (raise cleanly): position delete files, format v3, schema
+evolution beyond latest-schema reads, and non-local filesystems. Bucket numbering uses Spark's
 murmur3 ``F.hash`` (see _parse_partition_term), which is internally
 consistent but not byte-compatible with Java Iceberg's bucket
 transform; partition values only drive pruning, which this reader
@@ -228,6 +233,12 @@ def _data_file_schema(partition_fields: list[tuple[str, str]]) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+                "field-id": 135,
+            },
         ],
     }
 
@@ -336,29 +347,50 @@ def current_snapshot(meta: dict, snapshot_id: int | None = None) -> dict | None:
     return None
 
 
-def _live_data_files(meta: dict, table_path: str, snapshot_id: int | None = None) -> list[str]:
+def _live_files_and_deletes(
+    meta: dict, table_path: str, snapshot_id: int | None = None
+) -> tuple[list[dict], list[dict]]:
+    """Walk manifest-list -> manifests to the live DATA files and
+    EQUALITY-DELETE files, each tagged with its data sequence number
+    (entries inherit the manifest's when their own is null — the v2
+    inheritance rule). Position deletes (content 1) are gated."""
     snap = current_snapshot(meta, snapshot_id)
     if snap is None:
-        return []
+        return [], []
     _, _, manifests = read_ocf(_to_local(snap["manifest-list"], table_path))
-    files: list[str] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) != 0:
-            raise NotImplementedError(
-                "Iceberg delete manifests (row-level deletes) are not supported "
-                "by this pure-Python reader; use the Spark Iceberg runtime"
-            )
+        mseq = m.get("sequence_number", 0)
         _, _, entries = read_ocf(_to_local(m["manifest_path"], table_path))
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
             dfile = e["data_file"]
-            if dfile.get("content", 0) != 0:
-                raise NotImplementedError("delete files not supported")
             if dfile["file_format"].lower() != "parquet":
                 raise NotImplementedError(f"file format {dfile['file_format']}")
-            files.append(_to_local(dfile["file_path"], table_path))
-    return sorted(files)
+            seq = e.get("sequence_number")
+            seq = mseq if seq is None else seq
+            content = dfile.get("content", 0)
+            rec = {"path": _to_local(dfile["file_path"], table_path), "seq": seq}
+            if content == 0:
+                data.append(rec)
+            elif content == 2:
+                rec["equality_ids"] = list(dfile.get("equality_ids") or [])
+                deletes.append(rec)
+            else:
+                raise NotImplementedError(
+                    "Iceberg position delete files are not supported by this "
+                    "pure-Python reader; use the Spark Iceberg runtime"
+                )
+    data.sort(key=lambda r: r["path"])
+    deletes.sort(key=lambda r: r["path"])
+    return data, deletes
+
+
+def _live_data_files(meta: dict, table_path: str, snapshot_id: int | None = None) -> list[str]:
+    data, _deletes = _live_files_and_deletes(meta, table_path, snapshot_id)
+    return [r["path"] for r in data]
 
 
 def _current_schema(meta: dict) -> T.StructType:
@@ -388,10 +420,51 @@ def read_iceberg_py(
     # manifest-level partition pruning — filters still apply post-scan;
     # the Spark Iceberg runtime remains the path for pruned scans.
     schema = _current_schema(meta)
-    files = _live_data_files(meta, path, snapshot_id)
-    if not files:
+    data, deletes = _live_files_and_deletes(meta, path, snapshot_id)
+    if not data:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    if not deletes:
+        return spark.read.schema(schema).parquet(*[r["path"] for r in data])
+    # Equality deletes, merge-on-read: a delete file removes every data
+    # row whose equality columns match one of its rows, but only from
+    # data files with a STRICTLY OLDER data sequence number (the v2
+    # rule — rows written after the delete are unaffected). Data files
+    # are grouped by sequence number (one group per commit) and each
+    # group anti-joins the union of the later delete values.
+    eq_sets = {tuple(sorted(d["equality_ids"])) for d in deletes}
+    if len(eq_sets) > 1:
+        raise NotImplementedError(
+            f"mixed equality-id sets in delete files ({sorted(eq_sets)}); "
+            "this reader supports one equality key per table"
+        )
+    id2name = _field_names_by_id(meta)
+    eq_cols = [id2name[i] for i in sorted(next(iter(eq_sets)))]
+    del_schema = T.StructType([f for f in schema.fields if f.name in eq_cols])
+    groups: dict[int, list[str]] = {}
+    for r in data:
+        groups.setdefault(r["seq"], []).append(r["path"])
+    parts = []
+    for seq, files in sorted(groups.items()):
+        df = spark.read.schema(schema).parquet(*files)
+        applicable = [d["path"] for d in deletes if d["seq"] > seq]
+        if applicable:
+            dels = spark.read.schema(del_schema).parquet(*applicable).distinct()
+            df = df.join(dels, eq_cols, "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    sid = meta.get("current-schema-id", 0)
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == sid:
+            return {f["id"]: f["name"] for f in s["fields"]}
+    if "schema" in meta:
+        return {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    raise ValueError("Iceberg metadata has no resolvable schema")
 
 
 def _parse_partition_term(term: str, field_types: dict) -> dict:
@@ -596,6 +669,7 @@ def write_iceberg_py(
                         "partition": {c: pvals.get(c) for c, _ in part_fields},
                         "record_count": _parquet_rows(dst),
                         "file_size_in_bytes": os.path.getsize(dst),
+                        "equality_ids": None,
                     },
                 }
             )
@@ -705,3 +779,132 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def delete_iceberg_py(df: DataFrame, path: str, equality_by: list[str]) -> None:
+    """Commit row-level DELETEs as Iceberg v2 EQUALITY DELETE files:
+    every table row whose ``equality_by`` columns match one of ``df``'s
+    rows is deleted (merge-on-read — readers drop matches from data
+    files with an older data sequence number; nothing is rewritten).
+    The delete file is a parquet of the DISTINCT equality values, its
+    manifest entry carries content=2 + equality_ids, and its manifest
+    is registered with content=1 in the manifest list."""
+    prior = _latest_metadata(path)
+    if prior.get("format-version", 1) > 2:
+        raise NotImplementedError("Iceberg format v3+ not supported")
+    equality_by = list(equality_by)
+    if not equality_by:
+        raise ValueError("equality_by must name at least one column")
+    sid = prior.get("current-schema-id", 0)
+    cur = next(
+        (s for s in prior.get("schemas", []) if s.get("schema-id") == sid), None
+    )
+    if cur is None:
+        raise ValueError("Iceberg metadata has no resolvable schema")
+    name2id = {f["name"]: f["id"] for f in cur["fields"]}
+    for c in equality_by:
+        if c not in name2id:
+            raise ValueError(f"equality column {c!r} not in table schema")
+    eq_ids = [name2id[c] for c in equality_by]
+
+    md = _meta_dir(path)
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    seq = prior.get("last-sequence-number", 0) + 1
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    df.select(*equality_by).distinct().write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries = []
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"{uuid.uuid4().hex}-deletes.parquet"
+            dst = os.path.join(data_dir, name)
+            shutil.move(os.path.join(root, f), dst)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 2,  # EQUALITY_DELETES
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": _parquet_rows(dst),
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "equality_ids": eq_ids,
+                    },
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
+    write_ocf(
+        manifest_path,
+        _manifest_entry_schema([]),
+        entries,
+        metadata={
+            "schema": json.dumps(cur),
+            "partition-spec": json.dumps([]),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    new_manifest = {
+        "manifest_path": manifest_path,
+        "manifest_length": os.path.getsize(manifest_path),
+        "partition_spec_id": 0,
+        "content": 1,  # deletes manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+        "existing_data_files_count": 0,
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = [new_manifest]
+    prior_snap = current_snapshot(prior)
+    if prior_snap is not None:
+        _, _, prev = read_ocf(_to_local(prior_snap["manifest-list"], path))
+        manifests.extend(prev)
+
+    mlist_path = os.path.join(md, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
+    write_ocf(mlist_path, _MANIFEST_FILE_SCHEMA, manifests, metadata={"format-version": "2"})
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+        "schema-id": sid,
+    }
+    meta = dict(prior)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = list(prior.get("snapshots", [])) + [snapshot]
+    meta["snapshot-log"] = list(prior.get("snapshot-log", [])) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    version = (_read_version_hint(path) or 0) + 1
+    meta_file = os.path.join(md, f"v{version}.metadata.json")
+    tmp = meta_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    if os.path.exists(meta_file):
+        os.remove(tmp)
+        raise RuntimeError(f"concurrent Iceberg commit detected at v{version} ({path})")
+    os.rename(tmp, meta_file)
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))

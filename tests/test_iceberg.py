@@ -376,3 +376,54 @@ def test_identity_partitioned_write_and_read(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition spec"):
         write_iceberg_py(o.limit(5), path, mode="append")
+
+
+def test_iceberg_equality_deletes_merge_on_read(spark, tmp_path):
+    """Row-level deletes via v2 equality delete files: matching rows
+    vanish from OLDER data files only (sequence rule), later appends
+    resurrect the key, time travel sees the pre-delete state, and the
+    distinct delete values land in a content=1 deletes manifest."""
+    from daft_spark.io.iceberg import (
+        delete_iceberg_py,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+    from daft_spark.io.readers import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") < 400)
+    path = str(tmp_path / "dtbl")
+    write_iceberg_py(base, path)
+    # delete 100 keys by equality on o_orderkey
+    doomed = base.filter(F.col("o_orderkey") < 100)
+    delete_iceberg_py(doomed, path, equality_by=["o_orderkey"])
+    got = read_iceberg_py(path, spark)
+    assert got.count() == base.count() - doomed.count()
+    assert got.filter(F.col("o_orderkey") < 100).count() == 0
+    # rows appended AFTER the delete are unaffected (strictly-older rule)
+    write_iceberg_py(doomed.limit(20), path, mode="append")
+    got2 = read_iceberg_py(path, spark)
+    assert got2.filter(F.col("o_orderkey") < 100).count() == 20
+    assert got2.count() == base.count() - doomed.count() + 20
+    # time travel to the first snapshot predates the delete
+    import glob
+    import json as _json
+
+    meta = sorted(glob.glob(path + "/metadata/v*.metadata.json"))[0]
+    with open(meta) as f:
+        first_snap = _json.load(f)["current-snapshot-id"]
+    assert read_iceberg_py(path, spark, snapshot_id=first_snap).count() == base.count()
+    # second delete stacks on everything older — the 5 keys exist only
+    # in the resurrected batch (their base rows were already deleted),
+    # so exactly 5 rows disappear
+    delete_iceberg_py(doomed.limit(5), path, equality_by=["o_orderkey"])
+    got3 = read_iceberg_py(path, spark)
+    assert got3.count() == got2.count() - 5
+    assert got3.filter(F.col("o_orderkey").isin(
+        [r[0] for r in doomed.limit(5).select("o_orderkey").collect()]
+    )).count() == 0
+    # unknown equality column rejected
+    with pytest.raises(ValueError, match="not in table schema"):
+        delete_iceberg_py(doomed, path, equality_by=["nope"])
