@@ -53,7 +53,7 @@ DRIVER_PRIORITY: list[str] = [
     # changed/new round 5 (17)
     "dedup_exact", "dedup_exact_keepmin", "tpch_q15", "tpch_q21",
     "tpch_q13", "tpch_q18", "tpch_q17",  # plan rewrites (late r5)
-    "lake_iceberg_roundtrip", "lake_hudi_roundtrip",
+    "lake_iceberg_roundtrip", "lake_iceberg_deletes", "lake_hudi_roundtrip",
     "lake_paimon_roundtrip", "lake_paimon_upsert", "lake_delta_roundtrip",
     "io_csv_roundtrip", "io_json_roundtrip", "io_warc_roundtrip",
     "io_mcap_roundtrip", "io_checkpoint_resume", "rel_repartition_colocate",
@@ -72,8 +72,8 @@ DRIVER_PRIORITY: list[str] = [
     "rel_explode_multi", "rel_monotonic_id", "rel_sample_seeded",
     "rel_generator_source", "rel_shard",
     "agg_stats", "agg_skew", "agg_product_bool", "agg_any_value",
+    # --- 50-row window boundary (agg_string_collect onward leads round 6) ---
     "agg_string_collect",
-    # --- 50-row window boundary (agg_approx_bounds onward leads round 6) ---
     "agg_approx_bounds",
     "agg_null_group_keys",
     "agg_cube",

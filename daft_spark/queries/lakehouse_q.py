@@ -269,3 +269,45 @@ def lake_paimon_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         primary_key=["o_orderkey"], delete=True,
     )
     return read_paimon(path, spark).orderBy("o_orderkey")
+
+
+@register(
+    "lake_iceberg_deletes",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 400
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 20
+    ) ORDER BY o_orderkey
+    """,
+)
+def lake_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 ROW-LEVEL DELETES: write a base slice, commit an
+    equality-delete for keys < 100, then append keys < 20 back — the
+    reader must drop deleted rows from the older files only (the
+    strictly-older sequence rule leaves the re-appended rows alive).
+    The oracle restates the surviving state from the source table.
+    io/iceberg.py delete_iceberg_py + merge-on-read."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        delete_iceberg_py,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg", f"orders_del_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    base = o.filter(F.col("o_orderkey") < 400)
+    write_iceberg_py(base, path, mode="overwrite")
+    delete_iceberg_py(base.filter(F.col("o_orderkey") < 100), path,
+                      equality_by=["o_orderkey"])
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 20), path, mode="append")
+    return read_iceberg_py(path, spark).orderBy("o_orderkey")
