@@ -268,3 +268,52 @@ def test_paimon_compaction(spark, tmp_path):
     got = read_paimon_py(path, spark)
     assert got.filter(F.col("o_totalprice") == -2.0).count() == 10
     assert got.count() == len(after)
+
+
+def test_paimon_and_iceberg_null_partition_values(spark, tmp_path):
+    """NULL partition values roundtrip through the hive default-name
+    directory, the BinaryRow null bit (Paimon), and the manifest
+    partition tuple (Iceberg); a PK upsert targeting the null group
+    still merges (window grouping treats the null key as one group).
+    Also: BinaryRow arity > 56 exercises the second null-bitset word."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from daft_spark.io.iceberg import read_iceberg_py, write_iceberg_py
+    from daft_spark.io.paimon import (
+        binary_row_decode,
+        binary_row_encode,
+        read_paimon_py,
+        write_paimon_py,
+    )
+
+    vals = [i if i % 3 else None for i in range(60)]
+    types = ["BIGINT"] * 60
+    assert binary_row_decode(binary_row_encode(vals, types), types) == vals
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "b", 3.0), (4, None, 4.0)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("grp", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    expect = sorted(tuple(r) for r in df.collect())
+
+    p = str(tmp_path / "np")
+    write_paimon_py(df, p, partition_by=["grp"])
+    assert sorted(tuple(r) for r in read_paimon_py(p, spark).collect()) == expect
+
+    p2 = str(tmp_path / "ni")
+    write_iceberg_py(df, p2, partition_by=["grp"])
+    assert sorted(tuple(r) for r in read_iceberg_py(p2, spark).collect()) == expect
+
+    p3 = str(tmp_path / "npk")
+    write_paimon_py(df, p3, partition_by=["grp"], primary_key=["id", "grp"])
+    upd = spark.createDataFrame([(2, None, -9.0)], df.schema)
+    write_paimon_py(upd, p3, partition_by=["grp"], primary_key=["id", "grp"])
+    got = {r["id"]: r["v"] for r in read_paimon_py(p3, spark).collect()}
+    assert got[2] == -9.0 and len(got) == 4
