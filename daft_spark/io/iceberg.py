@@ -449,7 +449,15 @@ def read_iceberg_py(
         applicable = [d["path"] for d in deletes if d["seq"] > seq]
         if applicable:
             dels = spark.read.schema(del_schema).parquet(*applicable).distinct()
-            df = df.join(dels, eq_cols, "left_anti")
+            # NULL-SAFE equality: the spec matches delete values with
+            # IS NOT DISTINCT FROM semantics (a null delete value
+            # deletes rows whose column is null), which a plain
+            # column-name anti-join would silently never match.
+            cond = None
+            for c in eq_cols:
+                e = df[c].eqNullSafe(dels[c])
+                cond = e if cond is None else cond & e
+            df = df.join(dels, cond, "left_anti")
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:

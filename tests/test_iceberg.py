@@ -427,3 +427,32 @@ def test_iceberg_equality_deletes_merge_on_read(spark, tmp_path):
     # unknown equality column rejected
     with pytest.raises(ValueError, match="not in table schema"):
         delete_iceberg_py(doomed, path, equality_by=["nope"])
+
+
+def test_iceberg_equality_delete_null_semantics(spark, tmp_path):
+    """Equality deletes use IS NOT DISTINCT FROM semantics: a delete
+    row with a NULL key value deletes rows whose column IS NULL (a
+    plain equality anti-join would never match them)."""
+    from pyspark.sql import types as T
+
+    from daft_spark.io.iceberg import (
+        delete_iceberg_py,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("k", T.StringType()),
+            ]
+        ),
+    )
+    path = str(tmp_path / "nd")
+    write_iceberg_py(df, path)
+    dels = spark.createDataFrame([(0, None)], df.schema).select("k")
+    delete_iceberg_py(dels, path, equality_by=["k"])
+    got = read_iceberg_py(path, spark)
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
