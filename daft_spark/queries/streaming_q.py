@@ -109,8 +109,11 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows on a live stream: watermarked 1-hour
     ``F.window`` aggregation drained with availableNow. Epoch-aligned
     1-hour tumbling windows start exactly at date_trunc('hour'), which
-    the oracle restates over the same rows."""
-    e = _stream_events(spark, sf_dir)
+    the oracle restates over the same rows. single_batch guards the
+    sharded gen_sf layouts: with multiple unordered files split across
+    micro-batches, the advancing watermark could legitimately drop a
+    later batch's older rows and diverge from the batch oracle."""
+    e = _stream_events(spark, sf_dir, single_batch=True)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -174,8 +177,10 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-minute inactivity gap per user, drained with availableNow. A
     session spans [first event, last event + gap); an event arriving at
     exactly the window end starts a NEW session (win is half-open), so
-    the oracle's gaps-and-islands break condition is >= 30 min."""
-    e = _stream_events(spark, sf_dir)
+    the oracle's gaps-and-islands break condition is >= 30 min.
+    single_batch: see stream_window_counts (watermark vs unordered
+    shards)."""
+    e = _stream_events(spark, sf_dir, single_batch=True)
     agg = (
         e.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
