@@ -435,3 +435,47 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     with open(tmp, "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
     os.rename(tmp, last)
+
+
+def delete_deltalake_py(path: str, spark: SparkSession, condition: str) -> None:
+    """Copy-on-write DELETE: rows matching the SQL ``condition`` are
+    removed by rewriting the table — the new commit retires every prior
+    file (remove actions) and adds the surviving rows, exactly the
+    rewrite a DV-less Delta DELETE performs (deletion vectors, the
+    avoid-the-rewrite optimization, stay gated). NULL-condition rows
+    survive (SQL three-valued DELETE keeps rows where the predicate is
+    not TRUE). Prior versions stay time-travelable."""
+    from pyspark.sql import functions as F
+
+    _schema_json, partition_cols, _adds = _replay_log(path)
+    t = read_deltalake_py(path, spark)
+    cond = F.expr(condition)
+    keep = t.filter(~cond.eqNullSafe(F.lit(True)))
+    write_deltalake_py(keep, path, mode="overwrite", partition_by=partition_cols)
+
+
+def update_deltalake_py(
+    path: str, spark: SparkSession, set_exprs: dict, condition: str = "true"
+) -> None:
+    """Copy-on-write UPDATE: rows matching ``condition`` get each
+    column in ``set_exprs`` replaced by its SQL expression (evaluated
+    against the pre-update row); all rows are rewritten in one commit,
+    the DV-less Delta UPDATE shape. Prior versions stay
+    time-travelable."""
+    from pyspark.sql import functions as F
+
+    _schema_json, partition_cols, _adds = _replay_log(path)
+    t = read_deltalake_py(path, spark)
+    for c in set_exprs:
+        if c not in t.columns:
+            raise ValueError(f"update target column {c!r} not in table schema")
+    cond = F.expr(condition).eqNullSafe(F.lit(True))
+    updated = t.select(
+        *[
+            F.when(cond, F.expr(str(set_exprs[c]))).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in t.columns
+        ]
+    )
+    write_deltalake_py(updated, path, mode="overwrite", partition_by=partition_cols)

@@ -105,16 +105,40 @@ def read_hudi_py(path: str, spark: SparkSession) -> DataFrame:
 
 
 def write_hudi_py(
-    df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    record_key: str | None = None,
 ) -> None:
     """Write ``df`` as one Hudi CoW commit: parquet base files with
     Hudi naming + one atomic timeline entry. Modes: append, overwrite,
-    error, ignore. ``partition_by`` produces a hive-style partitioned
-    table with the partition columns kept in the data files."""
+    error, ignore, upsert. ``partition_by`` produces a hive-style
+    partitioned table with the partition columns kept in the data
+    files. ``mode="upsert"`` (Hudi's signature operation) requires
+    ``record_key``: incoming rows replace existing rows with the same
+    key and insert the rest — copy-on-write, realized as one
+    replacecommit of the merged state (real Hudi rewrites only the
+    affected file groups; this full rewrite has identical semantics and
+    the same timeline shape). Prior instants stay time-travelable."""
     from pyspark.sql import functions as F
 
-    if mode not in ("append", "overwrite", "error", "ignore"):
+    if mode not in ("append", "overwrite", "error", "ignore", "upsert"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if mode == "upsert":
+        if not record_key:
+            raise ValueError('mode="upsert" requires record_key')
+        if record_key not in df.columns:
+            raise ValueError(f"record key column {record_key!r} not in schema")
+        if not _instants(path):
+            return write_hudi_py(df, path, mode="overwrite", partition_by=partition_by)
+        spark = df.sparkSession
+        existing = read_hudi_py(path, spark)
+        survivors = existing.join(
+            df.select(record_key).distinct(), on=record_key, how="left_anti"
+        )
+        merged = survivors.unionByName(df.select(*existing.columns))
+        return write_hudi_py(merged, path, mode="overwrite", partition_by=partition_by)
     partition_by = list(partition_by or [])
     exists = bool(_instants(path))
     if exists and mode == "error":

@@ -154,3 +154,41 @@ def test_checkpoint_with_partitioned_table(spark, tbl):
     out = read_deltalake_py(tbl, spark)
     assert out.count() == 90
     assert out.filter(F.col("k") != F.format_string("k%d", F.col("id") % 3)).count() == 0
+
+
+def test_delta_cow_delete_and_update(spark, tmp_path):
+    """Copy-on-write DELETE/UPDATE: full-rewrite commits with correct
+    three-valued predicate semantics (NULL-condition rows survive a
+    DELETE and are untouched by an UPDATE); prior versions stay
+    time-travelable."""
+    from pyspark.sql import types as T
+
+    from daft_spark.io.delta import (
+        delete_deltalake_py,
+        read_deltalake_py,
+        update_deltalake_py,
+        write_deltalake_py,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "b", 3.0), (4, "a", 4.0)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("k", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    path = str(tmp_path / "dml")
+    write_deltalake_py(df, path, mode="overwrite")
+    # DELETE WHERE k = 'a' — the NULL-k row must survive
+    delete_deltalake_py(path, spark, "k = 'a'")
+    got = read_deltalake_py(path, spark)
+    assert sorted(r["id"] for r in got.collect()) == [2, 3]
+    # UPDATE v = v * 10 WHERE id = 3; NULL-condition rows untouched
+    update_deltalake_py(path, spark, {"v": "v * 10"}, "k = 'b'")
+    vals = {r["id"]: r["v"] for r in read_deltalake_py(path, spark).collect()}
+    assert vals == {2: 2.0, 3: 30.0}
+    # time travel to version 0 sees all four rows
+    assert read_deltalake_py(path, spark, version=0).count() == 4

@@ -115,3 +115,28 @@ def test_hudi_partitioned_roundtrip(spark, tmp_path):
     back2 = read_hudi_py(path, spark)
     assert back2.count() == o.filter(F.col("o_orderkey") >= 1400).count()
     assert back2.filter(F.col("o_orderkey") < 1400).count() == 0
+
+
+def test_hudi_record_key_upsert(spark, tmp_path):
+    """mode='upsert': same-key rows replaced, new keys inserted, one
+    replacecommit of the merged state; earlier instants preserved."""
+    from pyspark.sql import types as T
+
+    from daft_spark.io.hudi import read_hudi_py, write_hudi_py
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)],
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+        ),
+    )
+    path = str(tmp_path / "up")
+    write_hudi_py(df, path, mode="upsert", record_key="id")  # first write = insert
+    inc = spark.createDataFrame([(2, -2.0), (9, 9.0)], df.schema)
+    write_hudi_py(inc, path, mode="upsert", record_key="id")
+    got = {r["id"]: r["v"] for r in read_hudi_py(path, spark).collect()}
+    assert got == {1: 1.0, 2: -2.0, 3: 3.0, 9: 9.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="record_key"):
+        write_hudi_py(inc, path, mode="upsert")
