@@ -311,3 +311,91 @@ def lake_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                       equality_by=["o_orderkey"])
     write_iceberg_py(o.filter(F.col("o_orderkey") < 20), path, mode="append")
     return read_iceberg_py(path, spark).orderBy("o_orderkey")
+
+
+@register(
+    "lake_delta_dml",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'O' THEN CAST(-1.0 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey < 400 AND o_orderstatus <> 'F'
+    ORDER BY o_orderkey
+    """,
+)
+def lake_delta_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta copy-on-write DML: write a base slice, DELETE WHERE
+    o_orderstatus = 'F', UPDATE o_totalprice = -1 WHERE status 'O' —
+    read back through the log replay. The oracle restates the surviving
+    mutated state from the source table, so an unapplied remove action,
+    wrong predicate semantics, or lost update mismatches. io/delta.py
+    delete_deltalake_py / update_deltalake_py."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        delete_deltalake_py,
+        read_deltalake_py,
+        update_deltalake_py,
+        write_deltalake_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_delta", f"orders_dml_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_deltalake_py(o.filter(F.col("o_orderkey") < 400), path, mode="overwrite")
+    delete_deltalake_py(path, spark, "o_orderstatus = 'F'")
+    update_deltalake_py(
+        path, spark, {"o_totalprice": "CAST(-1.0 AS DOUBLE)"}, "o_orderstatus = 'O'"
+    )
+    return read_deltalake_py(path, spark).orderBy("o_orderkey")
+
+
+@register(
+    "lake_hudi_upsert",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey < 60 THEN CAST(-1.0 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey < 250
+      UNION ALL
+      SELECT o_orderkey + 20000 AS o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 15
+    ) ORDER BY o_orderkey
+    """,
+)
+def lake_hudi_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi record-key UPSERT: insert a base slice, then upsert changed
+    totals for keys < 60 plus fifteen new shifted keys in one
+    replacecommit — read back through the timeline replay. The oracle
+    restates the merged state, so a duplicate surviving key, lost
+    insert, or stale file-slice resolution mismatches. io/hudi.py
+    write_hudi_py(mode='upsert')."""
+    import shutil
+
+    from daft_spark.io.hudi import read_hudi_py, write_hudi_py
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_hudi", f"orders_up_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    base = o.filter(F.col("o_orderkey") < 250)
+    write_hudi_py(base, path, mode="overwrite")
+    upd = base.filter(F.col("o_orderkey") < 60).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    new = o.filter(F.col("o_orderkey") < 15).select(
+        (F.col("o_orderkey") + 20000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    write_hudi_py(upd.unionAll(new), path, mode="upsert", record_key="o_orderkey")
+    return read_hudi_py(path, spark).orderBy("o_orderkey")
