@@ -1,7 +1,14 @@
 """Benchmark harness — runs the headline query suite at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT JSON line LAST:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The compact line carries only the headline numbers (per-query medians,
+totals, ratios); every bulky detail — raw passes, DuckDB per-pass
+times, LSH stage accounting, sf1/sf10 scale blocks, prose notes — goes
+to the BENCH_DETAIL.json sidecar next to this file. Round 5's driver
+artifact was unparseable because the single line embedded all of that
+and got tail-truncated; the compact-last-line contract fixes it.
 
 Measurement discipline (round-5 rework, tightened after observing the
 sandbox's bursty contention): one cold pass (JVM warm-up + codegen +
@@ -153,7 +160,8 @@ def main() -> None:
     # engine, is the honest local stand-in. ratio = ours / duckdb over
     # the oracled headline queries; paired_ratio uses per-pass
     # time-adjacent pairs (robust to bursty ambient load).
-    vs_ref = _reference_block(passes, dpasses, timings)
+    comparable = {n for n in names if registry[n].comparable}
+    vs_ref = _reference_block(passes, dpasses, timings, comparable)
 
     # Per-stage accounting for the suite's most expensive entry (the
     # LSH pipeline): rows + seconds for docs -> shingle hashes ->
@@ -173,6 +181,44 @@ def main() -> None:
         print(f"# bench lsh_stages FAILED: {e}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # Sidecar: every bulky detail (raw passes, duckdb per-pass, LSH
+    # stage table, scale-run blocks, notes) so the stdout line stays
+    # small enough for the driver's tail capture.
+    detail = {
+        "passes": passes,
+        "min_sec": mins,
+        "vs_local_reference": vs_ref,
+    }
+    if lsh_stages is not None:
+        detail["lsh_stages"] = lsh_stages
+    scale = _load_scale_runs()
+    scale_summary = {}
+    if scale is not None:
+        for key in ("sf1", "sf10"):
+            if key in scale:
+                detail[key] = scale[key]
+                blk = scale[key]
+                scale_summary[key] = {
+                    "suite_sec": blk.get("value"),
+                    "ratio": (blk.get("vs_local_reference") or {}).get("ratio"),
+                    "paired_ratio_suite": (blk.get("vs_local_reference") or {}).get(
+                        "paired_ratio_suite"
+                    ),
+                }
+        for key in ("note", "variance_note"):
+            if key in scale:
+                detail[f"scale_{key}"] = scale[key]
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except Exception as e:
+        print(f"# bench detail sidecar write FAILED: {e}", file=sys.stderr)
+
+    # Compact headline — the LAST stdout line, parseable by the driver.
     out = {
         "metric": "headline_suite_total",
         "value": round(total, 3),
@@ -180,25 +226,17 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "warm_passes": WARM_PASSES,
-        "passes": passes,
-        "min_sec": mins,
         "min_total_sec": round(min_total, 3),
         "cold_total_sec": round(cold_total, 3),
-        "vs_local_reference": vs_ref,
+        "duckdb_total_sec": vs_ref.get("duckdb_total_sec"),
+        "ratio_comparable": vs_ref.get("ratio"),
+        "ratio_raw": vs_ref.get("ratio_raw"),
+        "paired_ratio_suite": vs_ref.get("paired_ratio_suite"),
+        "scale": scale_summary or None,
+        "detail_file": "BENCH_DETAIL.json",
     }
-    if lsh_stages is not None:
-        out["lsh_stages"] = lsh_stages
-    scale = _load_scale_runs()
-    if scale is not None:
-        for key in ("sf1", "sf10"):
-            if key in scale:
-                out[key] = scale[key]
-        if "note" in scale:
-            out["scale_note"] = scale["note"]
-        if "variance_note" in scale:
-            out["scale_variance_note"] = scale["variance_note"]
-    print(json.dumps(out))
     spark.stop()
+    print(json.dumps(out))
 
 
 def _load_scale_runs():
@@ -236,8 +274,19 @@ def _duckdb_connect():
     return con
 
 
-def _reference_block(passes: dict, dpasses: dict, timings: dict) -> dict:
-    dtimes = {n: round(statistics.median(r), 3) for n, r in dpasses.items() if r}
+def _reference_block(
+    passes: dict, dpasses: dict, timings: dict, comparable: set
+) -> dict:
+    """ratio = ours / duckdb over queries whose oracle does the SAME
+    work (QuerySpec.comparable). Invariant-oracle queries (e.g.
+    dedup_resolve: real LSH vs a 2 ms count) are excluded from the
+    headline ratio but still reported under ratio_raw for continuity
+    with rounds <=5."""
+    dtimes_all = {n: round(statistics.median(r), 3) for n, r in dpasses.items() if r}
+    dtotal_raw = sum(dtimes_all.values())
+    ours_raw = sum(timings[n] for n in dtimes_all if timings.get(n, -1) > 0)
+    dtimes = {n: t for n, t in dtimes_all.items() if n in comparable}
+    dpasses = {n: r for n, r in dpasses.items() if n in comparable}
     dtotal = sum(dtimes.values())
     ours = sum(timings[n] for n in dtimes if timings.get(n, -1) > 0)
     # Per-pass paired ratios: spark pass k vs duckdb pass k of the same
@@ -276,6 +325,8 @@ def _reference_block(passes: dict, dpasses: dict, timings: dict) -> dict:
         "passes": dpasses,
         "ours_comparable_sec": round(ours, 3),
         "ratio": round(ours / dtotal, 2) if dtotal > 0 else None,
+        "ratio_raw": round(ours_raw / dtotal_raw, 2) if dtotal_raw > 0 else None,
+        "excluded_invariant_oracles": sorted(set(dtimes_all) - set(dtimes)),
         "paired_ratio_per_query": paired,
         "paired_ratio_suite": (
             round(statistics.median(sweep_ratios), 2) if sweep_ratios else None

@@ -57,6 +57,28 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Size the loop's shuffles to the EDGE COUNT, not the session-wide
+    # spark.sql.shuffle.partitions: the iterate frames are keys-only
+    # (≤2 longs/row), so a dedup corpus whose session is tuned for
+    # 100 TB scans would otherwise run every tiny propagation round as
+    # a full-width shuffle — pure stage overhead (round-6 A/B at
+    # sf0.1: 32 -> 4 partitions halved the loop wall time). ~2M edges
+    # per partition keeps a partition tens of MB; at real scale the
+    # clamp returns the session setting unchanged. Restored in finally.
+    spark = pairs.sparkSession
+    ecnt = edges.count()  # free: edges is already materialized
+    session_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_sp = min(int(session_sp), max(1, ecnt // 2_000_000 + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+        labels = _propagate_to_fixpoint(edges, max_iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", session_sp)
+    return labels.select("node", "component")
+
+
+def _propagate_to_fixpoint(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Hash-to-min rounds over a materialized symmetric edge list."""
     # initial label: the node's own id joined with min neighbor
     labels = (
         edges.groupBy("src")
@@ -66,26 +88,34 @@ def connected_components(
     )
 
     for _ in range(max_iterations):
-        # propagate: each node takes min(own label, neighbors' labels)
+        # propagate: each node takes min(own label, neighbors' labels).
+        # The node's OLD label rides along as a second agg column (it is
+        # unique per node, so min() just carries it) — the convergence
+        # check is then a scan over the already-materialized checkpoint
+        # instead of a second shuffle join per round (round-6 constant-
+        # cost fix: halves the per-round stage count; dedup_resolve's
+        # 7.7 s at sf0.1 was ~25 tiny jobs of pure stage overhead).
+        comp_type = labels.schema["component"].dataType
         neighbor_labels = (
             edges.join(labels, edges["dst"] == labels["node"])
-            .select(edges["src"].alias("node"), F.col("component"))
+            .select(
+                edges["src"].alias("node"),
+                F.col("component"),
+                F.lit(None).cast(comp_type).alias("old"),
+            )
         )
         new_labels = (
-            labels.select("node", "component")
+            labels.select("node", "component", F.col("component").alias("old"))
             .unionAll(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
         # scalar convergence check: any node whose label shrank this round?
         changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") < F.col("old"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("component") < F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     else:
@@ -94,7 +124,7 @@ def connected_components(
             "iterations — the pair graph has a very long path; raise "
             "max_iterations if this is expected"
         )
-    return labels.select("node", "component")
+    return labels
 
 
 def duplicate_clusters(

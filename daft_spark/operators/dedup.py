@@ -484,19 +484,25 @@ def minhash_near_dups(
     (__id, __h) shingle frame between the signature and verify stages
     (the two most expensive scans of the corpus), so the raw text is
     tokenized and hashed exactly once. The shingle hasher is
-    shuffle-free (posexplode + F.get neighbors, pure codegen) and both
-    per-doc reductions are partial-agg friendly — each exchange moves
-    ~one reduced row per document, never token rows. The signature mins
-    and the collect_set shingle sets are aggregated SEPARATELY: mixing
-    a typed-imperative agg (collect_set) into the 64-min groupBy would
-    push the whole aggregation onto the interpreted
-    ObjectHashAggregate path and forfeit codegen."""
-    ex = shingle_hashes(df, text_col, id_col, shingle_k).persist()
-    sig = _signatures_from_hashes(ex, num_hashes, seed)
+    shuffle-free (posexplode + F.get neighbors, pure codegen) and the
+    per-doc reduction is partial-agg friendly — the exchange moves
+    ~one reduced row per document, never token rows. The 64 signature
+    mins and the collect_set shingle sets are computed in ONE groupBy:
+    collect_set forces the interpreted ObjectHashAggregate path, but
+    the A/B (round 6, sf0.1 warm) measured the single-exchange
+    combined agg FASTER than two codegen'd groupBys (2.7 s vs 3.1 s)
+    — one shuffle of the token-level frame instead of two dominates
+    the codegen loss, and at 100 TB the saved exchange is the entire
+    shingle stream."""
+    ex = shingle_hashes(df, text_col, id_col, shingle_k)
+    aggs = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    both = ex.groupBy("__id").agg(*aggs, F.collect_set("__h").alias("__vsh")).persist()
+    sig = both.select("__id", *[f"__m{i}" for i in range(num_hashes)])
     cands = _band_candidates(sig, num_hashes, bands, max_bucket_size)
-    sets = ex.groupBy("__id").agg(F.collect_set("__h").alias("__vsh")).withColumnRenamed(
-        "__id", "__vid"
-    )
+    sets = both.select(F.col("__id").alias("__vid"), F.col("__vsh"))
     return _verify_with_sets(cands, sets, threshold)
 
 
@@ -637,9 +643,15 @@ def near_dup_resolve(
         F.xxhash64(text_col).alias("__th"),
         F.length(text_col).alias("__tl"),
     )
-    groups = keyed.groupBy("__th", "__tl").agg(
-        F.min(F.struct("__id", "__text")).alias("__r")
-    ).persist()
+    # localCheckpoint, not persist: the collapse output is read by three
+    # independent subtrees (miner, star edges, CC) and truncating the
+    # lineage here keeps AQE from re-deriving stats for the groupBy
+    # chain under each of them.
+    groups = (
+        keyed.groupBy("__th", "__tl")
+        .agg(F.min(F.struct("__id", "__text")).alias("__r"))
+        .localCheckpoint(eager=True)
+    )
     reps = groups.select(
         F.col("__r.__id").alias(id_col), F.col("__r.__text").alias(text_col)
     )

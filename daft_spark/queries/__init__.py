@@ -22,16 +22,25 @@ class QuerySpec:
     name: str
     spark_fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL over the registered table views
+    # comparable=False marks INVARIANT oracles: the SQL checks a
+    # property of the result (counts, booleans) rather than doing the
+    # same work as the Spark side. The correctness gate still uses it,
+    # but bench.py must NOT pair its runtime against Spark's — a 2 ms
+    # `SELECT count(*)` paired against 7 s of real LSH work poisons the
+    # published suite ratio (round-5 verdict, What's wrong #2).
+    comparable: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: str | None, comparable: bool = True):
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name=name, spark_fn=fn, oracle=oracle)
+        REGISTRY[name] = QuerySpec(
+            name=name, spark_fn=fn, oracle=oracle, comparable=comparable
+        )
         return fn
 
     return deco

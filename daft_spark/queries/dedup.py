@@ -132,7 +132,7 @@ _LSH_INVARIANT_ORACLE = """
 """
 
 
-@register("dedup_minhash_lsh", _LSH_INVARIANT_ORACLE)
+@register("dedup_minhash_lsh", _LSH_INVARIANT_ORACLE, comparable=False)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH + exact-Jaccard verify at 0.5
     (reference minhash kernel: src/daft-minhash/, misc.py:428; the LSH
@@ -191,6 +191,7 @@ def dedup_minhash_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS copy_echo_consistent
     FROM documents WHERE doc_id < 1000
     """,
+    comparable=False,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dups, Hamming <= 6 via 4-block candidate join
@@ -295,6 +296,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS keeper_is_min
     FROM documents
     """,
+    comparable=False,
 )
 def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O(n)-output dedup resolution (operators/dedup.py

@@ -63,6 +63,7 @@ def mm_llm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_classify_text",
     "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS labels_valid FROM documents",
+    comparable=False,
 )
 def mm_classify_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """classify_text operator (reference ai/classify_text): every doc
@@ -115,6 +116,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_url_download",
     "SELECT 3 AS n_files, TRUE AS all_nonempty",
+    comparable=False,
 )
 def mm_url_download(spark: SparkSession, sf_dir: str) -> DataFrame:
     """url.download over the testdata's own parquet files (file:// paths

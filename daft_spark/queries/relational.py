@@ -312,6 +312,7 @@ def rel_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_distinct_ids
     FROM events
     """,
+    comparable=False,
 )
 def rel_monotonic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """monotonically_increasing_id: 64-bit partition-in-upper-bits ID —
@@ -332,6 +333,7 @@ def rel_monotonic_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT TRUE AS count_in_bounds, TRUE AS deterministic_same,
            TRUE AS same_size, TRUE AS subset_ok
     """,
+    comparable=False,
 )
 def rel_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (reference: ops/sample.rs:15,
@@ -417,6 +419,7 @@ def rel_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS BIGINT) AS multi_partition
     FROM customer
     """,
+    comparable=False,
 )
 def rel_repartition_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repartition/IntoPartitions invariant (reference repartition ops,

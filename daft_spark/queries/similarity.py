@@ -143,6 +143,7 @@ def _recall_vs_exact(queries, corpus, approx: DataFrame) -> DataFrame:
 @register(
     "sim_ann_lsh_recall",
     "SELECT 8 AS n_queries, TRUE AS recall_ge_090",
+    comparable=False,
 )
 def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe SRP-LSH top-k vs exact top-k: avg recall@5 over 8
@@ -164,6 +165,7 @@ def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_ivf_recall",
     "SELECT 8 AS n_queries, TRUE AS recall_ge_070",
+    comparable=False,
 )
 def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means trained in-DataFrame, nprobe=4 of 8 centroid
