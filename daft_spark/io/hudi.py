@@ -92,6 +92,21 @@ def _live_files(path: str) -> list[str]:
     return sorted(os.path.join(path, rel) for _, rel in groups.values())
 
 
+def _table_partition_cols(path: str) -> list[str]:
+    """The table's partition columns, derived from the live file
+    slices' partitionPath stats (hive segments ``col=val/...``).
+    Empty for unpartitioned tables."""
+    for ts, action in reversed(_instants(path)):
+        with open(os.path.join(_timeline_dir(path), f"{ts}.{action}")) as f:
+            commit = json.load(f)
+        for stats in commit.get("partitionToWriteStats", {}).values():
+            for st in stats:
+                part = st.get("partitionPath") or ""
+                if part:
+                    return [seg.split("=", 1)[0] for seg in part.split("/")]
+    return []
+
+
 def read_hudi_py(path: str, spark: SparkSession) -> DataFrame:
     """Read a copy-on-write Hudi table (unpartitioned or partitioned)
     by replaying its timeline. The result is a plain multi-file parquet
@@ -132,6 +147,20 @@ def write_hudi_py(
             raise ValueError(f"record key column {record_key!r} not in schema")
         if not _instants(path):
             return write_hudi_py(df, path, mode="overwrite", partition_by=partition_by)
+        # The rewrite must keep the TABLE's partition layout: an upsert
+        # that omitted partition_by would otherwise silently flatten a
+        # partitioned table to an unpartitioned one (reads stay correct
+        # via write-stats replay, but the hive layout and per-partition
+        # stats Hudi pruning expects would be lost). Derive the layout
+        # from the prior commits; an explicit mismatch is an error.
+        table_parts = _table_partition_cols(path)
+        if partition_by is None:
+            partition_by = table_parts
+        elif list(partition_by) != table_parts:
+            raise ValueError(
+                f"upsert partition_by {list(partition_by)} does not match the "
+                f"table's partitioning {table_parts}"
+            )
         spark = df.sparkSession
         existing = read_hudi_py(path, spark)
         survivors = existing.join(

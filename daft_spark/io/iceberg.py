@@ -61,6 +61,8 @@ import shutil
 import time
 import uuid
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -348,20 +350,43 @@ def current_snapshot(meta: dict, snapshot_id: int | None = None) -> dict | None:
 
 
 def _live_files_and_deletes(
-    meta: dict, table_path: str, snapshot_id: int | None = None
+    meta: dict,
+    table_path: str,
+    snapshot_id: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Walk manifest-list -> manifests to the live DATA files and
-    EQUALITY-DELETE files, each tagged with its data sequence number
-    (entries inherit the manifest's when their own is null — the v2
-    inheritance rule). Position deletes (content 1) are gated."""
+    DELETE files (equality + position), each tagged with its data
+    sequence number (entries inherit the manifest's when their own is
+    null — the v2 inheritance rule).
+
+    ``filters`` — [(column, op, literal), ...], AND semantics — prunes
+    DATA entries whose manifest partition tuple provably excludes every
+    row (identity/truncate/day/month/year ranges; bucket on equality;
+    iceberg_transforms.entry_matches), mirroring the reference's
+    pyiceberg-planned scans with pushed partition filters (reference
+    daft/io/iceberg/_iceberg.py:130, pushdown struct
+    src/daft-scan/src/pushdowns.rs:16-36). Delete entries are never
+    pruned: a kept data file's deletes must all be seen."""
+    from daft_spark.io.iceberg_transforms import entry_matches
+
     snap = current_snapshot(meta, snapshot_id)
     if snap is None:
         return [], []
+    specs_by_id = {
+        s.get("spec-id", 0): s.get("fields", [])
+        for s in meta.get("partition-specs", [])
+    }
+    source_names: dict[int, str] = {}
+    if filters:
+        id2name = _field_names_by_id(meta)
+        source_names = dict(id2name)
     _, _, manifests = read_ocf(_to_local(snap["manifest-list"], table_path))
     data: list[dict] = []
     deletes: list[dict] = []
     for m in manifests:
         mseq = m.get("sequence_number", 0)
+        spec_fields = specs_by_id.get(m.get("partition_spec_id", 0), [])
         _, _, entries = read_ocf(_to_local(m["manifest_path"], table_path))
         for e in entries:
             if e["status"] == 2:  # DELETED
@@ -374,15 +399,22 @@ def _live_files_and_deletes(
             content = dfile.get("content", 0)
             rec = {"path": _to_local(dfile["file_path"], table_path), "seq": seq}
             if content == 0:
+                if filters and not entry_matches(
+                    dict(dfile.get("partition") or {}),
+                    spec_fields,
+                    source_names,
+                    filters,
+                ):
+                    continue
                 data.append(rec)
             elif content == 2:
                 rec["equality_ids"] = list(dfile.get("equality_ids") or [])
                 deletes.append(rec)
+            elif content == 1:
+                rec["content"] = 1
+                deletes.append(rec)
             else:
-                raise NotImplementedError(
-                    "Iceberg position delete files are not supported by this "
-                    "pure-Python reader; use the Spark Iceberg runtime"
-                )
+                raise NotImplementedError(f"unknown Iceberg file content {content}")
     data.sort(key=lambda r: r["path"])
     deletes.sort(key=lambda r: r["path"])
     return data, deletes
@@ -404,51 +436,87 @@ def _current_schema(meta: dict) -> T.StructType:
 
 
 def read_iceberg_py(
-    path: str, spark: SparkSession, snapshot_id: int | None = None
+    path: str,
+    spark: SparkSession,
+    snapshot_id: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
-    """Read an (unpartitioned) Iceberg v1/v2 table by walking its
-    metadata tree; ``snapshot_id`` time-travels. The result is a plain
-    multi-file parquet scan with the Iceberg schema pinned."""
+    """Read an Iceberg v1/v2 table (partitioned or not) by walking its
+    metadata tree; ``snapshot_id`` time-travels.
+
+    ``filters`` — [(column, op, literal), ...] with AND semantics —
+    does BOTH halves of predicate pushdown: manifest-entry partition
+    pruning (only files whose partition tuple can match are handed to
+    Spark — a partition-filtered read of a 100 TB table lists only the
+    matching partitions' files) and a residual ``df.filter`` so the
+    returned frame is exactly ``table WHERE filters`` regardless of
+    transform granularity. Merge-on-read applies v2 equality deletes
+    (strictly-older data files) and position deletes (same-or-older
+    data files, matched on normalized file path + row index via
+    Spark's ``_metadata`` column)."""
+    from pyspark.sql import functions as F
+
     meta = _latest_metadata(path)
     if meta.get("format-version", 1) > 2:
         raise NotImplementedError("Iceberg format v3+ not supported")
-    # Partitioned tables of ANY spec are readable: Iceberg's spec
-    # requires data files to contain the SOURCE columns (identity
-    # partitions included; hidden transforms like bucket/truncate/day
-    # derive their values from columns that stay in the files), so a
-    # plain parquet read reconstructs full rows. What is lost is
-    # manifest-level partition pruning — filters still apply post-scan;
-    # the Spark Iceberg runtime remains the path for pruned scans.
     schema = _current_schema(meta)
-    data, deletes = _live_files_and_deletes(meta, path, snapshot_id)
+    data, deletes = _live_files_and_deletes(meta, path, snapshot_id, filters)
     if not data:
         return spark.createDataFrame([], schema)
     if not deletes:
-        return spark.read.schema(schema).parquet(*[r["path"] for r in data])
-    # Equality deletes, merge-on-read: a delete file removes every data
-    # row whose equality columns match one of its rows, but only from
-    # data files with a STRICTLY OLDER data sequence number (the v2
-    # rule — rows written after the delete are unaffected). Data files
-    # are grouped by sequence number (one group per commit) and each
-    # group anti-joins the union of the later delete values.
-    eq_sets = {tuple(sorted(d["equality_ids"])) for d in deletes}
-    if len(eq_sets) > 1:
-        raise NotImplementedError(
-            f"mixed equality-id sets in delete files ({sorted(eq_sets)}); "
-            "this reader supports one equality key per table"
-        )
-    id2name = _field_names_by_id(meta)
-    eq_cols = [id2name[i] for i in sorted(next(iter(eq_sets)))]
-    del_schema = T.StructType([f for f in schema.fields if f.name in eq_cols])
+        out = spark.read.schema(schema).parquet(*[r["path"] for r in data])
+        return _apply_residual(out, filters)
+    eq_deletes = [d for d in deletes if d.get("content", 2) == 2]
+    pos_deletes = [d for d in deletes if d.get("content") == 1]
+    eq_cols: list[str] = []
+    del_schema = None
+    if eq_deletes:
+        eq_sets = {tuple(sorted(d["equality_ids"])) for d in eq_deletes}
+        if len(eq_sets) > 1:
+            raise NotImplementedError(
+                f"mixed equality-id sets in delete files ({sorted(eq_sets)}); "
+                "this reader supports one equality key per table"
+            )
+        id2name = _field_names_by_id(meta)
+        eq_cols = [id2name[i] for i in sorted(next(iter(eq_sets)))]
+        del_schema = T.StructType([f for f in schema.fields if f.name in eq_cols])
+    pos_schema = T.StructType(
+        [T.StructField("file_path", T.StringType()), T.StructField("pos", T.LongType())]
+    )
     groups: dict[int, list[str]] = {}
     for r in data:
         groups.setdefault(r["seq"], []).append(r["path"])
     parts = []
     for seq, files in sorted(groups.items()):
         df = spark.read.schema(schema).parquet(*files)
-        applicable = [d["path"] for d in deletes if d["seq"] > seq]
-        if applicable:
-            dels = spark.read.schema(del_schema).parquet(*applicable).distinct()
+        pos_applicable = [d["path"] for d in pos_deletes if d["seq"] >= seq]
+        if pos_applicable:
+            # Row identity = (normalized file path, ordinal row index).
+            # _metadata.row_index is the parquet row ordinal Spark
+            # tracks natively; paths normalize file:// URIs so delete
+            # files written by this engine or an external one agree.
+            df = df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            pdels = (
+                spark.read.schema(pos_schema)
+                .parquet(*pos_applicable)
+                .select(
+                    F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias(
+                        "__fp"
+                    ),
+                    F.col("pos").alias("__pos"),
+                )
+                .distinct()
+            )
+            df = df.join(pdels, ["__fp", "__pos"], "left_anti").drop("__fp", "__pos")
+        eq_applicable = [d["path"] for d in eq_deletes if d["seq"] > seq]
+        if eq_applicable:
+            dels = spark.read.schema(del_schema).parquet(*eq_applicable).distinct()
             # NULL-SAFE equality: the spec matches delete values with
             # IS NOT DISTINCT FROM semantics (a null delete value
             # deletes rows whose column is null), which a plain
@@ -462,7 +530,35 @@ def read_iceberg_py(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out
+    return _apply_residual(out, filters)
+
+
+def _apply_residual(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
+    """Exact post-scan application of the pushed filters (partition
+    pruning is file-granular; the residual keeps row-level semantics)."""
+    from pyspark.sql import functions as F
+
+    if not filters:
+        return df
+    for col, op, val in filters:
+        c = F.col(col)
+        if op in ("=", "=="):
+            df = df.filter(c == val)
+        elif op == "!=":
+            df = df.filter(c != val)
+        elif op == "<":
+            df = df.filter(c < val)
+        elif op == "<=":
+            df = df.filter(c <= val)
+        elif op == ">":
+            df = df.filter(c > val)
+        elif op == ">=":
+            df = df.filter(c >= val)
+        elif op == "in":
+            df = df.filter(c.isin(list(val)))
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+    return df
 
 
 def _field_names_by_id(meta: dict) -> dict[int, str]:
@@ -475,6 +571,56 @@ def _field_names_by_id(meta: dict) -> dict[int, str]:
     raise ValueError("Iceberg metadata has no resolvable schema")
 
 
+def _bucket_column(col: str, n: int, dt):
+    """Spec-compliant ``bucket[n]`` as a Column: the long-form types
+    (int/long/date/timestamp) reduce to epoch-relative longs JVM-side,
+    then one Arrow-vectorized pandas UDF applies the spec murmur3;
+    strings/binary hash their raw bytes per row inside the same Arrow
+    batch path. Partition derivation is a write-time-only expression,
+    so the Python hop costs one pass over the staged batch."""
+    from pyspark.sql import functions as F
+
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+
+        @F.pandas_udf("int")
+        def _bucket_bytes(s: pd.Series) -> pd.Series:
+            from daft_spark.io.iceberg_transforms import murmur3_32
+
+            def one(v):
+                if v is None:
+                    return None
+                b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                return (murmur3_32(b) & 0x7FFFFFFF) % n
+
+            return s.map(one).astype("Int32")
+
+        return _bucket_bytes(F.col(col))
+
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        pre = F.col(col).cast("long")
+    elif isinstance(dt, T.DateType):
+        pre = F.datediff(F.col(col), F.to_date(F.lit("1970-01-01"))).cast("long")
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        pre = F.unix_micros(F.col(col).cast("timestamp"))
+    else:
+        raise NotImplementedError(f"bucket transform on column {col!r} of type {dt}")
+
+    @F.pandas_udf("int")
+    def _bucket_long(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from daft_spark.io.iceberg_transforms import murmur3_32_long_vec
+
+        mask = s.isna().to_numpy()
+        vals = s.fillna(0).astype("int64").to_numpy()
+        h = murmur3_32_long_vec(vals).astype("int64")
+        out = pd.Series(((h & 0x7FFFFFFF) % n).astype("int32"), dtype="Int32")
+        out[np.flatnonzero(mask)] = None
+        return out
+
+    return _bucket_long(pre)
+
+
 def _parse_partition_term(term: str, field_types: dict) -> dict:
     """Parse one partition_by term into its Iceberg partition field:
     ``"col"`` (identity), ``"bucket(N, col)"``, ``"truncate(W, col)"``,
@@ -483,13 +629,14 @@ def _parse_partition_term(term: str, field_types: dict) -> dict:
     Returns {name, transform, source, avro_t, expr, parse}: the hidden
     partition value is DERIVED (``expr``) for file layout and manifest
     tuples while the source column stays untouched in the data files —
-    Iceberg's hidden-partitioning contract. Bucket uses Spark's murmur3
-    ``F.hash`` (pmod n); byte-level bucket numbering therefore matches
-    this writer/reader pair, not Java Iceberg's bucket transform (which
-    hashes the value's little-endian Iceberg binary form) — partition
-    VALUES only drive pruning, which this reader does not apply, so
-    roundtrip correctness is unaffected. Temporal transforms follow the
-    spec's epoch-relative integers (day/month/year since 1970)."""
+    Iceberg's hidden-partitioning contract. Bucket uses the SPEC hash
+    (murmur3_x86_32 seed 0 over the value's single-value binary form,
+    iceberg_transforms.py — validated against the spec's Appendix B
+    test vectors), so external Iceberg readers prune correctly on the
+    written tuples. Temporal transforms follow the spec's
+    epoch-relative integers (day/month/year since 1970), computed from
+    epoch micros / date arithmetic so the values are independent of
+    the Spark session time zone."""
     import re
 
     from pyspark.sql import functions as F
@@ -504,7 +651,7 @@ def _parse_partition_term(term: str, field_types: dict) -> dict:
                 "transform": f"bucket[{arg}]",
                 "source": col,
                 "avro_t": "int",
-                "expr": F.pmod(F.hash(F.col(col)), F.lit(arg)),
+                "expr": _bucket_column(col, arg, dt),
                 "parse": int,
             }
         if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
@@ -530,10 +677,24 @@ def _parse_partition_term(term: str, field_types: dict) -> dict:
     if m:
         kind, col = m.group(1).rstrip("s"), m.group(2)
         c = F.col(col)
+        # Session-TZ-independent epoch date: DateType is calendar-safe
+        # as is; timestamps go through unix_micros (a fixed instant) and
+        # land on the UTC calendar day — F.year/F.month/F.datediff on a
+        # DATE never consult the session time zone.
+        dt = field_types.get(col)
+        if isinstance(dt, T.DateType):
+            d = c
+        else:
+            d = F.date_add(
+                F.to_date(F.lit("1970-01-01")),
+                F.floor(
+                    F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000)
+                ).cast("int"),
+            )
         exprs = {
-            "day": (F.datediff(c.cast("date"), F.lit("1970-01-01")), "day"),
-            "month": ((F.year(c) - 1970) * 12 + F.month(c) - 1, "month"),
-            "year": (F.year(c) - 1970, "year"),
+            "day": (F.datediff(d, F.to_date(F.lit("1970-01-01"))), "day"),
+            "month": ((F.year(d) - 1970) * 12 + F.month(d) - 1, "month"),
+            "year": (F.year(d) - 1970, "year"),
         }
         expr, tname = exprs[kind]
         return {
@@ -850,6 +1011,37 @@ def delete_iceberg_py(df: DataFrame, path: str, equality_by: list[str]) -> None:
                 }
             )
     shutil.rmtree(staging, ignore_errors=True)
+    _commit_delete_manifest(path, prior, entries, schema_json=json.dumps(cur))
+
+
+def _unpartitioned_spec_id(meta: dict) -> tuple[int, list[dict]]:
+    """spec-id of an empty (unpartitioned) partition spec, adding one
+    when the table has none. Global deletes carry an EMPTY partition
+    tuple; on a partitioned table the declared spec 0 has fields, so a
+    spec-compliant reader could not reconcile the entry with its spec —
+    the spec the delete manifest references must itself be
+    unpartitioned (Iceberg spec: delete files may use any registered
+    spec; an empty tuple belongs to an empty spec)."""
+    specs = [dict(s) for s in meta.get("partition-specs", [])]
+    for s in specs:
+        if not s.get("fields"):
+            return s.get("spec-id", 0), specs
+    new_id = max((s.get("spec-id", 0) for s in specs), default=-1) + 1
+    specs.append({"spec-id": new_id, "fields": []})
+    return new_id, specs
+
+
+def _commit_delete_manifest(
+    path: str, prior: dict, entries: list[dict], schema_json: str
+) -> None:
+    """Shared tail of the equality/position delete writers: write the
+    deletes manifest under an unpartitioned spec, prepend it to the
+    prior manifest list, commit snapshot + metadata v(N+1)."""
+    md = _meta_dir(path)
+    now_ms = int(time.time() * 1000)
+    snapshot_id = entries[0]["snapshot_id"]
+    seq = prior.get("last-sequence-number", 0) + 1
+    spec_id, specs = _unpartitioned_spec_id(prior)
 
     manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
     write_ocf(
@@ -857,9 +1049,9 @@ def delete_iceberg_py(df: DataFrame, path: str, equality_by: list[str]) -> None:
         _manifest_entry_schema([]),
         entries,
         metadata={
-            "schema": json.dumps(cur),
+            "schema": schema_json,
             "partition-spec": json.dumps([]),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(spec_id),
             "format-version": "2",
             "content": "deletes",
         },
@@ -867,7 +1059,7 @@ def delete_iceberg_py(df: DataFrame, path: str, equality_by: list[str]) -> None:
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 1,  # deletes manifest
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -893,9 +1085,10 @@ def delete_iceberg_py(df: DataFrame, path: str, equality_by: list[str]) -> None:
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
         "summary": {"operation": "delete"},
-        "schema-id": sid,
+        "schema-id": prior.get("current-schema-id", 0),
     }
     meta = dict(prior)
+    meta["partition-specs"] = specs
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["current-snapshot-id"] = snapshot_id
@@ -916,3 +1109,80 @@ def delete_iceberg_py(df: DataFrame, path: str, equality_by: list[str]) -> None:
     with open(hint_tmp, "w") as f:
         f.write(str(version))
     os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+
+
+def position_delete_iceberg_py(path: str, spark: SparkSession, where: str) -> None:
+    """Commit row-level DELETEs as Iceberg v2 POSITION DELETE files:
+    rows of the CURRENT table matching ``where`` (a SQL boolean over
+    the table's columns) are tombstoned by (file_path, pos) — nothing
+    is rewritten, and readers drop the positions merge-on-read (spec:
+    position deletes apply to data files with a same-or-older data
+    sequence number). Row positions come from Spark's native
+    ``_metadata.row_index``; paths are stored in normalized local form
+    so they match the manifest entries' file paths.
+
+    Counterpart of the reference's Iceberg MoR support via its
+    connector libraries (daft/io/iceberg/_iceberg.py); the delete
+    artifact layout is the public v2 spec."""
+    from pyspark.sql import functions as F
+
+    prior = _latest_metadata(path)
+    if prior.get("format-version", 1) > 2:
+        raise NotImplementedError("Iceberg format v3+ not supported")
+    schema = _current_schema(prior)
+    data, _deletes = _live_files_and_deletes(prior, path)
+    if not data:
+        return
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    src = spark.read.schema(schema).parquet(*[r["path"] for r in data])
+    hits = (
+        src.select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                "__fp"
+            ),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        .filter(where)
+        .select(F.col("__fp").alias("file_path"), F.col("__pos").alias("pos"))
+        .orderBy("file_path", "pos")  # spec: sorted by file_path then pos
+    )
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    hits.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries = []
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            if _parquet_rows(os.path.join(root, f)) == 0:
+                continue
+            name = f"{uuid.uuid4().hex}-pos-deletes.parquet"
+            dst = os.path.join(data_dir, name)
+            shutil.move(os.path.join(root, f), dst)
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": _parquet_rows(dst),
+                        "file_size_in_bytes": os.path.getsize(dst),
+                        "equality_ids": None,
+                    },
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    if not entries:
+        return  # nothing matched; no commit
+    sid = prior.get("current-schema-id", 0)
+    cur = next(
+        (s for s in prior.get("schemas", []) if s.get("schema-id") == sid), None
+    )
+    _commit_delete_manifest(path, prior, entries, schema_json=json.dumps(cur or {}))

@@ -198,7 +198,12 @@ def binary_row_encode(values: list, types: list[str]) -> bytes:
             continue
         base = t.split("(")[0].strip().upper()
         if base in ("INT", "BIGINT", "SMALLINT", "TINYINT"):
-            fixed[slot : slot + 8] = int(v).to_bytes(8, "little", signed=True)
+            # Flink's BinaryRowWriter writes each integer type at its
+            # OWN width (4/8/2/1 bytes little-endian signed) with the
+            # rest of the 8-byte slot zero — decoding a negative INT as
+            # an 8-byte long would read 4294967295 instead of -1.
+            w = {"INT": 4, "BIGINT": 8, "SMALLINT": 2, "TINYINT": 1}[base]
+            fixed[slot : slot + w] = int(v).to_bytes(w, "little", signed=True)
         elif base == "BOOLEAN":
             fixed[slot] = 1 if v else 0
         elif base in ("STRING", "VARCHAR", "CHAR"):
@@ -234,7 +239,8 @@ def binary_row_decode(data: bytes, types: list[str]) -> list:
         word = data[slot : slot + 8]
         base = t.split("(")[0].strip().upper()
         if base in ("INT", "BIGINT", "SMALLINT", "TINYINT"):
-            out.append(int.from_bytes(word, "little", signed=True))
+            w = {"INT": 4, "BIGINT": 8, "SMALLINT": 2, "TINYINT": 1}[base]
+            out.append(int.from_bytes(word[:w], "little", signed=True))
         elif base == "BOOLEAN":
             out.append(word[0] != 0)
         elif base in ("STRING", "VARCHAR", "CHAR"):

@@ -233,9 +233,19 @@ def read_kafka(bootstrap_servers: str, topic: str, spark: SparkSession | None = 
                **options) -> DataFrame:
     """Parity: ``daft.read_kafka`` — bounded batch read only, exactly like
     the reference ("no streaming/unbounded mode",
-    ``daft/io/_kafka.py:571-575``). Requires the spark-sql-kafka package
-    on the classpath; raises a clear error otherwise."""
+    ``daft/io/_kafka.py:571-575``). A ``file://`` bootstrap server reads
+    a file-backed topic log (io/kafka_fake.py) with identical offset
+    semantics — the testable path in broker-less environments; anything
+    else goes through Spark's Kafka source (requires spark-sql-kafka on
+    the classpath; raises a clear error otherwise)."""
     spark = _session(spark)
+    if bootstrap_servers.startswith("file://"):
+        from daft_spark.io.kafka_fake import read_kafka_log
+
+        return read_kafka_log(
+            bootstrap_servers[len("file://"):], topic, spark,
+            starting_offsets=starting_offsets, ending_offsets=ending_offsets,
+        )
     reader = (
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

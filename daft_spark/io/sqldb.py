@@ -101,10 +101,33 @@ def read_sqlite(
     return ranges.mapInPandas(fetch, schema)
 
 
+def _sqlite_affinity(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)):
+        return "INTEGER"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "REAL"
+    if isinstance(dt, T.BinaryType):
+        return "BLOB"
+    return "TEXT"
+
+
 def write_sqlite(df: DataFrame, table: str, db_path: str, mode: str = "append") -> None:
-    """Write ``df`` into a sqlite table through one driver connection
-    (sqlite holds a database-level write lock — parallel inserters
-    would serialize on it)."""
+    """Write ``df`` into a sqlite table EXECUTOR-SIDE: the driver only
+    handles DDL/modes; each partition inserts through its own
+    connection via foreachPartition, retrying on SQLITE_BUSY (sqlite
+    holds a database-level write lock, so concurrent partitions
+    serialize on it — the retry loop with a generous busy timeout keeps
+    them making progress instead of failing). Rows never gather on the
+    driver, so the pattern matches what a JDBC URL gets from Spark's
+    parallel JDBC writer; sqlite's single-writer lock is why the
+    partitions append rather than truly parallelize."""
+    import datetime
+    import decimal
+    import random
+    import time as _time
+
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unsupported mode {mode!r}")
     os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
@@ -119,8 +142,54 @@ def write_sqlite(df: DataFrame, table: str, db_path: str, mode: str = "append") 
             raise FileExistsError(f"table {table!r} already exists in {db_path}")
         if exists and mode == "ignore":
             return
-        pdf = df.toPandas()
-        pdf.to_sql(table, con, if_exists="replace" if mode == "overwrite" else "append", index=False)
+        if exists and mode == "overwrite":
+            con.execute(f'DROP TABLE "{table}"')
+        cols = ", ".join(
+            f'"{f.name}" {_sqlite_affinity(f.dataType)}' for f in df.schema.fields
+        )
+        con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({cols})')
         con.commit()
     finally:
         con.close()
+
+    names = [f.name for f in df.schema.fields]
+    insert = 'INSERT INTO "{}" ({}) VALUES ({})'.format(
+        table, ", ".join(f'"{n}"' for n in names), ", ".join("?" * len(names))
+    )
+
+    def _adapt(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, bytearray):
+            return bytes(v)
+        if isinstance(v, (list, dict)):
+            import json as _json
+
+            return _json.dumps(v)
+        return v
+
+    def _write_partition(rows):
+        batch = [tuple(_adapt(v) for v in r) for r in rows]
+        if not batch:
+            return
+        for attempt in range(12):
+            try:
+                c = sqlite3.connect(db_path, timeout=30.0)
+                try:
+                    c.execute("PRAGMA busy_timeout = 30000")
+                    c.executemany(insert, batch)
+                    c.commit()
+                    return
+                finally:
+                    c.close()
+            except sqlite3.OperationalError as e:
+                if "locked" not in str(e).lower() and "busy" not in str(e).lower():
+                    raise
+                _time.sleep(0.05 * (2**min(attempt, 6)) * (0.5 + random.random()))
+        raise sqlite3.OperationalError(
+            f"sqlite at {db_path} stayed locked across retries"
+        )
+
+    df.foreachPartition(_write_partition)

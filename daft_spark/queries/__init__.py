@@ -47,41 +47,30 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 
 
 # The external driver records correctness rows for the FIRST 50 queries
-# in registration order. Round 1 verified tpch/relational/aggregates;
-# round 2 verified windows/asof/dedup/text/similarity/multimodal/fn;
-# rounds 3-4 verified the sql_* dialect set, UDAF/summarize, Delta, and
-# re-verified the r3-changed windows/dedup/tpch paths (CORRECTNESS_r04:
-# 49/50 green, the 50th rows-only by design).
-# Round-5 rotation: queries whose code is NEW or CHANGED this round
-# first (exact-dedup hash-key rework, q15 de-windowing, _spread rework
-# feeds the dedup pipelines, new Iceberg/Hudi/cluster/Q21/fn queries),
-# then the stale set last driver-verified in r1/r2. Names past the
-# 50-row window boundary lead the round-6 rotation; names not listed
-# keep registration order after these.
+# in registration order. Rounds 1-5 verified (cumulatively) tpch/
+# relational/aggregates, windows/asof/dedup/text/similarity/multimodal,
+# the sql_* dialect set, UDAF/summarize, the lakehouse formats, io
+# roundtrips, and streaming (CORRECTNESS_r05: 50/50 fully green).
+# Round-6 rotation: queries whose CODE changed this round first — the
+# two final-r5-commit DML rows the judge verified manually but the
+# driver never saw (lake_delta_dml, lake_hudi_upsert), the new Iceberg
+# pruning/position-delete/kafka queries, every query downstream of the
+# round-6 dedup/cluster rework and the Iceberg/Hudi/Paimon/streaming
+# fixes — then the stale set last driver-verified in r1/r2 (led by
+# agg_string_collect per the r5 boundary note).
 DRIVER_PRIORITY: list[str] = [
-    # changed/new round 5 (17)
-    "dedup_exact", "dedup_exact_keepmin", "tpch_q15", "tpch_q21",
-    "tpch_q13", "tpch_q18", "tpch_q17",  # plan rewrites (late r5)
-    "lake_iceberg_roundtrip", "lake_iceberg_deletes", "lake_hudi_roundtrip",
-    "lake_paimon_roundtrip", "lake_paimon_upsert", "lake_delta_roundtrip",
-    "io_csv_roundtrip", "io_json_roundtrip", "io_warc_roundtrip",
-    "io_mcap_roundtrip", "io_checkpoint_resume", "rel_repartition_colocate",
-    "fn_udf_scalar_batch", "fn_udtf_lateral", "sql_expr_battery",
-    "io_sql_roundtrip",
-    "dedup_clusters",
-    "fn_horizontal_partitioning", "fn_files_tokenize",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    # never driver-seen or new this round (6)
+    "lake_delta_dml", "lake_hudi_upsert",
+    "lake_iceberg_pruned", "lake_iceberg_pos_deletes", "io_kafka_bounded",
+    "sql_session_catalog",
+    # code changed round 6 (14)
+    "dedup_resolve", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "dedup_ngram_jaccard",
+    "lake_iceberg_roundtrip", "lake_iceberg_deletes",
+    "lake_paimon_roundtrip", "lake_paimon_upsert", "lake_hudi_roundtrip",
     "stream_window_counts", "stream_session_windows", "stream_dedup_distinct",
-    "stream_running_stats", "dedup_resolve",
-    # fell just outside the r3/r4 windows (green r1)
-    "agg_rollup",
-    # r1-era stale (20)
-    "rel_union_all", "rel_union_distinct", "rel_intersect",
-    "rel_intersect_all", "rel_except", "rel_except_all",
-    "rel_explode_multi", "rel_monotonic_id", "rel_sample_seeded",
-    "rel_generator_source", "rel_shard",
-    "agg_stats", "agg_skew", "agg_product_bool", "agg_any_value",
-    # --- 50-row window boundary (agg_string_collect onward leads round 6) ---
+    "stream_running_stats",
+    # r1/r2-era stale, past the r5 window boundary (31 -> fills row 50)
     "agg_string_collect",
     "agg_approx_bounds",
     "agg_null_group_keys",

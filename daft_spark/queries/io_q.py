@@ -319,3 +319,65 @@ def io_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "io_kafka_bounded",
+    """
+    WITH log AS (
+      SELECT CAST(event_id % 3 AS INT) AS partition,
+             ROW_NUMBER() OVER (PARTITION BY event_id % 3 ORDER BY event_id) - 1
+               AS "offset",
+             event_id
+      FROM events
+    )
+    SELECT partition,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min("offset") AS BIGINT) AS min_offset,
+           CAST(max("offset") AS BIGINT) AS max_offset,
+           CAST(sum(event_id) AS BIGINT) AS sum_val
+    FROM log WHERE "offset" >= 100 AND "offset" < 250
+    GROUP BY partition ORDER BY partition
+    """,
+)
+def io_kafka_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_kafka against a file-backed topic log (io/kafka_fake.py):
+    events become a 3-partition topic (partition = event_id % 3,
+    offsets = dense per-partition ordinals, multiple offset-named
+    segments per partition), then the PUBLIC read_kafka API reads the
+    bounded slice [100, 250) per partition via file:// bootstrap
+    servers — exercising Kafka-style offset JSON parsing, segment
+    pruning by base offset, and the Kafka source output schema. The
+    oracle recomputes the same bounded slice from events with a window
+    ordinal. Reference: daft/io/_kafka.py:557 (bounded batch read)."""
+    import json as _json
+
+    from daft_spark.io.kafka_fake import write_topic_log
+    from daft_spark.io.readers import read_kafka
+
+    root = _tmp("kafka", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3).alias("p"), "event_id", "user_id", "ts"
+    )
+    write_topic_log(
+        root, "events", ev,
+        partition_col="p", key_col="user_id", value_col="event_id",
+        order_col="event_id", timestamp_col="ts", segment_records=120,
+    )
+    bounds_lo = _json.dumps({"events": {"0": 100, "1": 100, "2": 100}})
+    bounds_hi = _json.dumps({"events": {"0": 250, "1": 250, "2": 250}})
+    got = read_kafka(
+        f"file://{root}", "events", spark,
+        starting_offsets=bounds_lo, ending_offsets=bounds_hi,
+    )
+    return (
+        got.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            F.sum(F.col("value").cast("string").cast("long")).alias("sum_val"),
+        )
+        .orderBy("partition")
+    )

@@ -399,3 +399,85 @@ def lake_hudi_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_hudi_py(upd.unionAll(new), path, mode="upsert", record_key="o_orderkey")
     return read_hudi_py(path, spark).orderBy("o_orderkey")
+
+
+@register(
+    "lake_iceberg_pruned",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey < 600
+    ORDER BY o_orderkey
+    """,
+)
+def lake_iceberg_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg manifest/partition pruning: write an identity-partitioned
+    table, read it back with a pushed-down partition filter — the
+    reader evaluates the filter against each manifest entry's partition
+    tuple and hands Spark ONLY the matching files (asserted: every
+    scanned file sits under the matching hive dir), then applies the
+    residual row filter. At 100 TB this is the difference between
+    listing one partition and scanning the table. Reference plans scans
+    through pyiceberg with pushed partition filters
+    (daft/io/iceberg/_iceberg.py:130)."""
+    import shutil
+
+    from daft_spark.io.iceberg import read_iceberg_py, write_iceberg_py
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 600)
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg", f"orders_pruned_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(o, path, mode="overwrite", partition_by=["o_orderstatus"])
+    pruned = read_iceberg_py(path, spark, filters=[("o_orderstatus", "=", "F")])
+    scanned = pruned.inputFiles()
+    if not scanned or not all("o_orderstatus=F" in f for f in scanned):
+        raise AssertionError(f"partition pruning failed; scanned {scanned}")
+    return pruned.orderBy("o_orderkey")
+
+
+@register(
+    "lake_iceberg_pos_deletes",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 400 AND o_totalprice >= 50000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 450
+    ) ORDER BY o_orderkey
+    """,
+)
+def lake_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION DELETES, merge-on-read: write a base slice,
+    tombstone rows by (file path, row index) with a predicate commit
+    (nothing rewritten), append more rows AFTER the delete — the spec's
+    same-or-older sequence rule must leave the later append untouched
+    even where it matches the predicate... so the appended slice here
+    is key-disjoint and the oracle restates the merged state. Row
+    identity uses Spark's native _metadata.row_index.
+    io/iceberg.py position_delete_iceberg_py + read merge."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        position_delete_iceberg_py,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg", f"orders_posdel_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 400), path, mode="overwrite")
+    position_delete_iceberg_py(path, spark, "o_totalprice < 50000")
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 400) & (F.col("o_orderkey") < 450)),
+        path, mode="append",
+    )
+    return read_iceberg_py(path, spark).orderBy("o_orderkey")

@@ -202,3 +202,41 @@ def sql_expr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sql_expr("CAST(year(o_orderdate) AS INT)").alias("yr"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "sql_session_catalog",
+    """
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def sql_session_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session/Catalog surface end-to-end (reference daft/session.py:86,
+    attach surface :176-404): attach_table two parquet-backed tables
+    under ALIASED names, then run session.sql over the attached names —
+    resolution goes through the session's temp-table registry, not
+    pre-registered global views. The oracle restates the join over the
+    raw tables."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.session import Session
+
+    sess = Session(spark)
+    sess.attach_table(load_table(spark, sf_dir, "customer"), alias="cust_att")
+    sess.attach_table(load_table(spark, sf_dir, "nation"), alias="nat_att")
+    try:
+        return sess.sql(
+            """
+            SELECT n_name,
+                   count(*) AS n_customers,
+                   round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_bal
+            FROM cust_att JOIN nat_att ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+            """
+        )
+    finally:
+        sess.detach_table("cust_att")
+        sess.detach_table("nat_att")

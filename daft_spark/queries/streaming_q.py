@@ -89,7 +89,14 @@ def _drain(stream_df: DataFrame, timeout: int = 300, mode: str = "complete") -> 
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    # awaitTermination(timeout) returns False when the availableNow
+    # query has NOT drained yet — returning the memory sink then would
+    # silently yield a partial answer on a slow/contended run.
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} did not drain within {timeout}s"
+        )
     spark = stream_df.sparkSession
     return spark.table(name)
 

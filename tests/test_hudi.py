@@ -140,3 +140,37 @@ def test_hudi_record_key_upsert(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="record_key"):
         write_hudi_py(inc, path, mode="upsert")
+
+
+def test_hudi_upsert_preserves_partition_layout(spark, tmp_path):
+    """Upsert without partition_by must keep the table's hive layout
+    (derived from prior commits' partitionPath stats), not silently
+    flatten it; an explicitly mismatched partition_by is an error."""
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from daft_spark.io.hudi import read_hudi_py, write_hudi_py
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], schema
+    )
+    path = str(tmp_path / "up")
+    write_hudi_py(df, path, mode="overwrite", partition_by=["grp"])
+    inc = spark.createDataFrame([(2, "b", -2.0), (9, "c", 9.0)], schema)
+    write_hudi_py(inc, path, mode="upsert", record_key="id")  # no partition_by
+    got = {r["id"]: (r["grp"], r["v"]) for r in read_hudi_py(path, spark).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b", -2.0), 3: ("a", 3.0), 9: ("c", 9.0)}
+    # hive dirs survived the rewrite, including the new partition
+    dirs = {d for d in os.listdir(path) if d.startswith("grp=")}
+    assert dirs == {"grp=a", "grp=b", "grp=c"}
+    with pytest.raises(ValueError, match="partition"):
+        write_hudi_py(inc, path, mode="upsert", record_key="id", partition_by=["v"])

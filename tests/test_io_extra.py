@@ -91,3 +91,45 @@ def test_partitioning_transforms(spark):
     # bucket must be stable across runs (hash-deterministic)
     again = e.select(iceberg_bucket("user_id", 8).alias("b")).collect()
     assert [x["b"] for x in again] == [x["b"] for x in out]
+
+
+def test_kafka_file_backed_log_bounds_and_pruning(spark, tmp_path):
+    """read_kafka over a file:// topic log: offset bounds are
+    inclusive/exclusive per Kafka, segment files outside the bounds are
+    pruned by NAME (the broker-seek analogue), and the output schema
+    matches Spark's Kafka source."""
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.kafka_fake import write_topic_log
+    from daft_spark.io.readers import read_kafka
+
+    root = str(tmp_path / "log")
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("v")
+    )
+    write_topic_log(
+        root, "t", df, partition_col="p", key_col=None, value_col="v",
+        order_col="v", segment_records=100,
+    )
+    got = read_kafka(
+        f"file://{root}", "t", spark,
+        starting_offsets='{"t": {"0": 150, "1": 150}}',
+        ending_offsets='{"t": {"0": 250, "1": 250}}',
+    )
+    assert [f.name for f in got.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp", "timestampType",
+    ]
+    rows = got.collect()
+    assert len(rows) == 200  # 100 offsets x 2 partitions
+    assert all(150 <= r.offset < 250 for r in rows)
+    # segment pruning: offsets [150,250) live in segments 100 and 200 only
+    segs = {os.path.basename(f) for f in got.inputFiles()}
+    assert segs == {
+        "segment-00000000000000000100.jsonl",
+        "segment-00000000000000000200.jsonl",
+    }
+    # earliest/latest = full log
+    assert read_kafka(f"file://{root}", "t", spark).count() == 1000
+    # values round the offset math: partition 0 holds even ids, offset k -> id 2k
+    r = got.filter((F.col("partition") == 0) & (F.col("offset") == 150)).collect()
+    assert r[0].value == b"300"

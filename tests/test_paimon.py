@@ -123,6 +123,18 @@ def test_binary_row_codec_roundtrip():
     # compact string boundary: 7 bytes inline, 8 bytes via the var part
     for s in ("seven77", "eight888"):
         assert binary_row_decode(binary_row_encode([s], ["STRING"]), ["STRING"]) == [s]
+    # Flink writes each integer type at its OWN width (4/2/1 bytes for
+    # INT/SMALLINT/TINYINT): byte layout must match, and negative values
+    # must decode signed at that width (-1 as 8-byte LE would read
+    # 4294967295 out of a genuine Flink-written row)
+    enc = binary_row_encode([-1], ["INT"])
+    nb = len(enc) - 8
+    assert enc[nb : nb + 8] == b"\xff\xff\xff\xff\x00\x00\x00\x00"
+    assert binary_row_decode(enc, ["INT"]) == [-1]
+    for v, t, w in [(-1, "SMALLINT", 2), (-5, "TINYINT", 1), (-9, "BIGINT", 8)]:
+        e = binary_row_encode([v], [t])
+        assert e[nb + w : nb + 8] == b"\x00" * (8 - w)
+        assert binary_row_decode(e, [t]) == [v]
 
 
 def test_paimon_partitioned_roundtrip(spark, tmp_path):
