@@ -33,9 +33,15 @@ needs:
   partition value combination, unioned — driver-side plan cost is
   O(live partitions), the same as delta-rs's file-pruning walk).
 
-Out of scope (raise cleanly): deletion vectors, column mapping,
-reader/writer protocol versions above (1, 2), multi-part checkpoints,
-v2 checkpoints.
+Deletion vectors (reader v3 tables whose only reader feature is
+deletionVectors) are SUPPORTED merge-on-read: delete_deltalake_dv_py
+tombstones matching rows into roaring-bitmap DV files (io/roaring.py —
+the spec's RoaringBitmapArray portable format + the DV file framing
+version/size/CRC32) without rewriting data, and the reader drops the
+positions via _metadata.row_index anti-join.
+
+Out of scope (raise cleanly): column mapping, other v3 reader
+features, multi-part checkpoints, v2 checkpoints.
 
 At 100 TB the log replay is driver-side metadata work (KBs per commit);
 the data path is an ordinary multi-file parquet scan with the usual
@@ -87,6 +93,23 @@ def _checkpoint_versions(table_path: str) -> list[int]:
     return sorted(out)
 
 
+def _check_protocol(p: dict) -> None:
+    """Reader v1 always; v2/v3 only when every reader feature is one we
+    implement (deletionVectors). Anything else raises rather than
+    silently misreading."""
+    v = p.get("minReaderVersion", 1)
+    if v <= _MAX_SUPPORTED["minReaderVersion"]:
+        return
+    feats = set(p.get("readerFeatures") or [])
+    if v <= 3 and feats <= {"deletionVectors"}:
+        return
+    raise NotImplementedError(
+        f"Delta minReaderVersion {v} with readerFeatures {sorted(feats)} is "
+        "not supported by this pure-Python reader (only deletionVectors); "
+        "use delta-spark"
+    )
+
+
 def _read_checkpoint(table_path: str, version: int):
     """Load replay state (schema_json, partition_cols, active adds) from
     a classic single-file parquet checkpoint."""
@@ -100,11 +123,7 @@ def _read_checkpoint(table_path: str, version: int):
     for row in rows:
         p = row.get("protocol")
         if p:
-            if p.get("minReaderVersion", 1) > _MAX_SUPPORTED["minReaderVersion"]:
-                raise NotImplementedError(
-                    f"Delta minReaderVersion {p['minReaderVersion']} > 1 is not "
-                    "supported by this pure-Python reader; use delta-spark"
-                )
+            _check_protocol(p)
         md = row.get("metaData")
         if md:
             schema_json = md["schemaString"]
@@ -158,13 +177,7 @@ def _replay_log(table_path: str, version: int | None = None):
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    p = action["protocol"]
-                    if p.get("minReaderVersion", 1) > _MAX_SUPPORTED["minReaderVersion"]:
-                        raise NotImplementedError(
-                            f"Delta minReaderVersion {p['minReaderVersion']} > 1 "
-                            "(deletion vectors/column mapping not supported "
-                            "by this pure-Python reader; use delta-spark)"
-                        )
+                    _check_protocol(action["protocol"])
                 elif "metaData" in action:
                     schema_json = action["metaData"]["schemaString"]
                     partition_cols = list(action["metaData"].get("partitionColumns") or [])
@@ -195,8 +208,28 @@ def read_deltalake_py(
     schema = StructType.fromJson(json.loads(schema_json))
     if not adds:
         return spark.createDataFrame([], schema)
+    dv_frame = _dv_positions_frame(spark, path, adds)
+
+    def _strip_dv(df):
+        """Anti-join the deletion-vector positions by (normalized file
+        path, parquet row ordinal) — the MoR application of Delta DVs,
+        mirroring the Iceberg position-delete path."""
+        if dv_frame is None:
+            return df
+        tagged = df.select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                "__fp"
+            ),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        return tagged.join(
+            F.broadcast(dv_frame), ["__fp", "__pos"], "left_anti"
+        ).drop("__fp", "__pos")
+
     if not partition_cols:
-        return spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in adds])
+        scan = spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in adds])
+        return _strip_dv(scan)
 
     part_types = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
     phys = StructType([f for f in schema.fields if f.name not in partition_cols])
@@ -207,7 +240,7 @@ def read_deltalake_py(
         groups.setdefault(key, []).append(os.path.join(path, rel))
     parts = []
     for key, files in sorted(groups.items()):
-        df = spark.read.schema(phys).parquet(*files)
+        df = _strip_dv(spark.read.schema(phys).parquet(*files))
         for c, raw in zip(partition_cols, key):
             # Delta serializes partition values as strings (null -> absent)
             df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
@@ -216,6 +249,184 @@ def read_deltalake_py(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def _dv_read(table_path: str, desc: dict) -> list[int]:
+    """Positions stored in one deletion-vector descriptor (storageType
+    'p' = absolute path). File framing per the Delta spec: version byte
+    1 at offset 0; at ``offset``: 4B big-endian data size, the
+    RoaringBitmapArray bytes, 4B big-endian CRC32 of those bytes."""
+    import struct
+    import zlib
+
+    from daft_spark.io.roaring import deserialize_rbm64
+
+    st = desc.get("storageType")
+    if st != "p":
+        raise NotImplementedError(
+            f"deletion vector storageType {st!r} not supported (only 'p')"
+        )
+    dv_path = desc["pathOrInlineDv"]
+    with open(dv_path, "rb") as f:
+        data = f.read()
+    off = desc["offset"]
+    (size,) = struct.unpack_from(">I", data, off)
+    body = data[off + 4 : off + 4 + size]
+    (crc,) = struct.unpack_from(">I", data, off + 4 + size)
+    if zlib.crc32(body) & 0xFFFFFFFF != crc:
+        raise ValueError(f"deletion vector checksum mismatch in {dv_path}")
+    return deserialize_rbm64(body)
+
+
+def _dv_positions_frame(spark: SparkSession, table_path: str, adds: dict):
+    """(__fp, __pos) frame of every deleted row position across the
+    active adds, or None. Driver-side assembly is metadata-scale work
+    (per-file cardinality is bounded by the file's row count, same
+    order as the log replay itself); the frame broadcasts into the
+    anti-join."""
+    rows = []
+    for rel, add in adds.items():
+        desc = add.get("deletionVector")
+        if not desc:
+            continue
+        abs_path = os.path.abspath(os.path.join(table_path, rel))
+        rows.extend((abs_path, int(p)) for p in _dv_read(table_path, desc))
+    if not rows:
+        return None
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    sch = StructType(
+        [StructField("__fp", StringType()), StructField("__pos", LongType())]
+    )
+    return spark.createDataFrame(rows, sch)
+
+
+def _dv_write(table_path: str, positions) -> dict:
+    """Write one deletion-vector file (version byte + size/data/CRC32
+    framing) and return its add-action descriptor."""
+    import struct
+    import zlib
+
+    from daft_spark.io.roaring import serialize_rbm64
+
+    vals = sorted(set(int(p) for p in positions))
+    body = serialize_rbm64(vals)
+    name = f"deletion_vector_{uuid.uuid4().hex}.bin"
+    dst = os.path.join(table_path, name)
+    with open(dst, "wb") as f:
+        f.write(b"\x01")  # format version
+        offset = f.tell()
+        f.write(struct.pack(">I", len(body)))
+        f.write(body)
+        f.write(struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+    return {
+        "storageType": "p",
+        "pathOrInlineDv": dst,
+        "offset": offset,
+        "sizeInBytes": len(body),
+        "cardinality": len(vals),
+    }
+
+
+def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> None:
+    """Merge-on-read DELETE via DELETION VECTORS: rows matching the SQL
+    ``condition`` are tombstoned by parquet row ordinal into roaring
+    bitmaps — no data file is rewritten (the commit retires each
+    affected add and re-adds the same file with a deletionVector
+    descriptor, upgrading the protocol to readerFeatures=
+    [deletionVectors]). Existing DVs merge with the new positions.
+    NULL-condition rows survive (three-valued DELETE). Prior versions
+    stay time-travelable."""
+    from pyspark.sql import functions as F
+
+    schema_json, partition_cols, adds = _replay_log(path)
+    schema = StructType.fromJson(json.loads(schema_json))
+    if not adds:
+        return
+    # Match against the CURRENT state (existing DVs applied) so already-
+    # deleted rows don't churn; capture (file, ordinal) via _metadata.
+    dv_frame = _dv_positions_frame(spark, path, adds)
+    part_types = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
+    phys = StructType([f for f in schema.fields if f.name not in partition_cols])
+    groups: dict[tuple, list[str]] = {}
+    for rel, add in adds.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in partition_cols)
+        groups.setdefault(key, []).append(os.path.join(path, rel))
+    hits = None
+    for key, files in sorted(groups.items()):
+        df = spark.read.schema(phys).parquet(*files).select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                "__fp"
+            ),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        if dv_frame is not None:
+            df = df.join(F.broadcast(dv_frame), ["__fp", "__pos"], "left_anti")
+        for c, raw in zip(partition_cols, key):
+            df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
+        m = df.filter(F.expr(condition).eqNullSafe(F.lit(True))).select("__fp", "__pos")
+        hits = m if hits is None else hits.unionAll(m)
+    by_file: dict[str, list[int]] = {}
+    for r in hits.collect():
+        by_file.setdefault(r["__fp"], []).append(r["__pos"])
+    if not by_file:
+        return
+    abs_to_rel = {os.path.abspath(os.path.join(path, rel)): rel for rel in adds}
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    for abs_path, positions in sorted(by_file.items()):
+        rel = abs_to_rel[abs_path]
+        add = adds[rel]
+        old_desc = add.get("deletionVector")
+        if old_desc:
+            positions = positions + _dv_read(path, old_desc)
+        desc = _dv_write(path, positions)
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+        )
+        new_add = {
+            "path": rel,
+            "partitionValues": add.get("partitionValues") or {},
+            "size": add.get("size") or 0,
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "deletionVector": desc,
+        }
+        actions.append({"add": new_add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": condition, "mode": "mor-dv"},
+                "engineInfo": "daft_spark pure-python delta writer",
+            }
+        }
+    )
+    version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
+    tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    final = _commit_file(path, version)
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent Delta commit detected at version {version} ({path})"
+        )
+    os.rename(tmp, final)
 
 
 def write_deltalake_py(
@@ -359,6 +570,13 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     import pyarrow.parquet as pq
 
     schema_json, partition_cols, adds = _replay_log(table_path, version)
+    if any(a.get("deletionVector") for a in adds.values()):
+        # The classic checkpoint schema here has no deletionVector
+        # column; writing one would silently resurrect deleted rows for
+        # replays that start from it. Skip — the JSON log stays the
+        # source of truth until the DVs are compacted away by a
+        # rewriting commit (overwrite/CoW DML).
+        return
     rows: list[dict] = [
         {"protocol": dict(_MAX_SUPPORTED), "metaData": None, "add": None},
         {

@@ -59,10 +59,10 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # fixes — then the stale set last driver-verified in r1/r2 (led by
 # agg_string_collect per the r5 boundary note).
 DRIVER_PRIORITY: list[str] = [
-    # never driver-seen or new this round (6)
+    # never driver-seen or new this round (7)
     "lake_delta_dml", "lake_hudi_upsert",
     "lake_iceberg_pruned", "lake_iceberg_pos_deletes", "io_kafka_bounded",
-    "sql_session_catalog",
+    "sql_session_catalog", "lake_delta_dv",
     # code changed round 6 (14)
     "dedup_resolve", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_ngram_jaccard",

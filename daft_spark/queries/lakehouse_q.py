@@ -481,3 +481,43 @@ def lake_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         path, mode="append",
     )
     return read_iceberg_py(path, spark).orderBy("o_orderkey")
+
+
+@register(
+    "lake_delta_dv",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey < 500 AND NOT (o_totalprice < 100000 AND o_orderstatus = 'F')
+    ORDER BY o_orderkey
+    """,
+)
+def lake_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION-VECTOR DELETE (merge-on-read): matching rows are
+    tombstoned by parquet row ordinal into a roaring-bitmap DV file
+    (io/roaring.py — the spec's RoaringBitmapArray portable format)
+    with NO data-file rewrite; the reader anti-joins the positions via
+    _metadata.row_index. The oracle restates the surviving rows.
+    Reference handles DV tables through delta-rs
+    (daft/io/delta_lake/_deltalake.py); the artifact layout is the
+    public Delta PROTOCOL.md."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 500)
+    path = os.path.join(
+        "/tmp/daft_spark_delta", f"orders_dv_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_deltalake_py(o, path, mode="overwrite")
+    delete_deltalake_dv_py(
+        path, spark, "o_totalprice < 100000 AND o_orderstatus = 'F'"
+    )
+    return read_deltalake_py(path, spark).orderBy("o_orderkey")

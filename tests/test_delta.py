@@ -192,3 +192,90 @@ def test_delta_cow_delete_and_update(spark, tmp_path):
     assert vals == {2: 2.0, 3: 30.0}
     # time travel to version 0 sees all four rows
     assert read_deltalake_py(path, spark, version=0).count() == 4
+
+
+def test_delta_deletion_vectors_merge_on_read(spark, tmp_path):
+    """DV DELETE: matching rows tombstone into a roaring-bitmap DV file
+    (data files untouched), the reader drops them by row ordinal, a
+    second DV delete merges with the first, and later appends are
+    unaffected. Protocol upgrades to readerFeatures=[deletionVectors];
+    checkpoints skip while DVs are active."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        read_deltalake_py,
+        write_deltalake_py,
+        _replay_log,
+    )
+    from daft_spark.io.readers import load_table
+    from tests.conftest import SF_DIR
+
+    c = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = str(tmp_path / "tbl")
+    write_deltalake_py(c, path, mode="overwrite")
+    data_files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    delete_deltalake_dv_py(path, spark, "c_acctbal < 0")
+    # data files untouched, a DV .bin appeared
+    assert sorted(f for f in os.listdir(path) if f.endswith(".parquet")) == data_files
+    assert any(f.startswith("deletion_vector_") for f in os.listdir(path))
+    back = read_deltalake_py(path, spark)
+    exp = c.filter(~(F.col("c_acctbal") < 0))
+    assert back.count() == exp.count()
+    assert back.join(exp, ["c_custkey"], "left_anti").count() == 0
+    # second DV delete on the same files merges positions
+    delete_deltalake_dv_py(path, spark, "c_mktsegment = 'BUILDING'")
+    exp2 = exp.filter(~(F.col("c_mktsegment") == "BUILDING"))
+    assert read_deltalake_py(path, spark).count() == exp2.count()
+    # appended rows are never touched by the earlier DVs
+    extra = c.limit(25)
+    write_deltalake_py(extra, path, mode="append")
+    got = read_deltalake_py(path, spark)
+    assert got.count() == exp2.count() + 25
+    # protocol carries the reader feature
+    _, _, adds = _replay_log(path)
+    assert any(a.get("deletionVector") for a in adds.values())
+    log_dir = os.path.join(path, "_delta_log")
+    protos = []
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(log_dir, f)) as fh:
+                for line in fh:
+                    a = _json.loads(line)
+                    if "protocol" in a:
+                        protos.append(a["protocol"])
+    assert protos[-1]["minReaderVersion"] == 3
+    assert protos[-1]["readerFeatures"] == ["deletionVectors"]
+    # DV table refuses nothing on read; CoW overwrite compacts DVs away
+    write_deltalake_py(got, path, mode="overwrite")
+    _, _, adds2 = _replay_log(path)
+    assert not any(a.get("deletionVector") for a in adds2.values())
+    assert read_deltalake_py(path, spark).count() == exp2.count() + 25
+
+
+def test_delta_dv_partitioned_and_null_semantics(spark, tmp_path):
+    """DVs on a partitioned table (positions tracked per physical file
+    under hive dirs) + three-valued predicate: NULL-condition rows
+    survive."""
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "b", -5.0), (4, "b", 2.0), (5, "a", -1.0)],
+        "id long, grp string, v double",
+    )
+    path = str(tmp_path / "p")
+    write_deltalake_py(df, path, mode="overwrite", partition_by=["grp"])
+    delete_deltalake_dv_py(path, spark, "v < 0")
+    got = {r["id"] for r in read_deltalake_py(path, spark).collect()}
+    assert got == {1, 2, 4}  # NULL v survives; -5 and -1 deleted
