@@ -1,0 +1,116 @@
+"""Pruning soundness for the Iceberg partition transforms
+(io/iceberg_transforms.py): transform_admits may return False ONLY
+when no value in the partition can satisfy the predicate — a single
+false negative silently drops rows at scan time, the worst failure
+mode a reader can have. Property-based over random values/ops."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from daft_spark.io.iceberg_transforms import (
+    bucket_value,
+    day_value,
+    month_value,
+    transform_admits,
+    truncate_value,
+    year_value,
+)
+
+OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+def _sat(v, op, lit):
+    return {
+        "=": v == lit,
+        "!=": v != lit,
+        "<": v < lit,
+        "<=": v <= lit,
+        ">": v > lit,
+        ">=": v >= lit,
+    }[op]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    v=st.integers(-10_000, 10_000),
+    lit=st.integers(-10_000, 10_000),
+    op=st.sampled_from(OPS),
+    w=st.sampled_from([1, 2, 5, 10, 100]),
+)
+def test_truncate_int_never_false_negative(v, lit, op, w):
+    pv = truncate_value(v, w)
+    if _sat(v, op, lit):
+        assert transform_admits(f"truncate[{w}]", pv, op, lit), (v, pv, op, lit)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    v=st.text(alphabet="abcxyz", min_size=0, max_size=6),
+    lit=st.text(alphabet="abcxyz", min_size=0, max_size=6),
+    op=st.sampled_from(OPS),
+    w=st.sampled_from([1, 2, 3]),
+)
+def test_truncate_string_never_false_negative(v, lit, op, w):
+    pv = truncate_value(v, w)
+    if _sat(v, op, lit):
+        assert transform_admits(f"truncate[{w}]", pv, op, lit), (v, pv, op, lit)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    v=st.dates(datetime.date(1960, 1, 1), datetime.date(2030, 12, 31)),
+    lit=st.dates(datetime.date(1960, 1, 1), datetime.date(2030, 12, 31)),
+    op=st.sampled_from(OPS),
+    t=st.sampled_from(["day", "month", "year"]),
+)
+def test_temporal_never_false_negative(v, lit, op, t):
+    fn = {"day": day_value, "month": month_value, "year": year_value}[t]
+    pv = fn(v)
+    if _sat(v, op, lit):
+        assert transform_admits(t, pv, op, lit), (v, pv, op, lit)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    v=st.one_of(
+        st.integers(-(2**40), 2**40),
+        st.text(alphabet="abcdef", min_size=0, max_size=8),
+    ),
+    op=st.sampled_from(["=", "!="]),
+    n=st.sampled_from([2, 4, 16]),
+)
+def test_bucket_equality_never_false_negative(v, op, n):
+    pv = bucket_value(v, n)
+    # the only prunable case is equality with the same literal
+    if _sat(v, op, v):
+        assert transform_admits(f"bucket[{n}]", pv, op, v)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    v=st.integers(-1000, 1000),
+    lits=st.lists(st.integers(-1000, 1000), min_size=1, max_size=5),
+    w=st.sampled_from([1, 7, 50]),
+)
+def test_in_op_never_false_negative(v, lits, w):
+    if v in lits:
+        assert transform_admits(f"truncate[{w}]", truncate_value(v, w), "in", lits)
+        assert transform_admits("identity", v, "in", lits)
+        assert transform_admits("bucket[8]", bucket_value(v, 8), "in", lits)
+
+
+def test_identity_null_partition():
+    # a null identity partition holds only null rows: no comparison matches
+    for op in OPS:
+        want = op == "!="
+        assert transform_admits("identity", None, op, 5) is want
+
+
+def test_unknown_transform_or_type_is_conservative():
+    assert transform_admits("void", 1, "=", 1) is True
+    assert transform_admits("truncate[4]", 3.5, "=", 3.0) is True  # odd pv type
+    assert transform_admits("day", 3, "~", "x") is True  # unknown op
