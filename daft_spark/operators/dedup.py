@@ -489,11 +489,11 @@ def minhash_near_dups(
     ~one reduced row per document, never token rows. The 64 signature
     mins and the collect_set shingle sets are computed in ONE groupBy:
     collect_set forces the interpreted ObjectHashAggregate path, but
-    the A/B (round 6, sf0.1 warm) measured the single-exchange
-    combined agg FASTER than two codegen'd groupBys (2.7 s vs 3.1 s)
-    — one shuffle of the token-level frame instead of two dominates
-    the codegen loss, and at 100 TB the saved exchange is the entire
-    shingle stream."""
+    the A/B (round 6) measured the single-exchange combined agg FASTER
+    at sf0.1 warm (2.7 s vs 3.1 s) and within noise at sf10 warm
+    (95.6 s vs 92.3 s full-miner) — one shuffle of the token-level
+    frame instead of two offsets the codegen loss, and at 100 TB the
+    saved exchange is the entire shingle stream."""
     ex = shingle_hashes(df, text_col, id_col, shingle_k)
     aggs = [
         F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"__m{i}")
