@@ -33,6 +33,9 @@ BUILD_CONFS: dict[str, str] = {
     # Arrow transfer for every pandas UDF / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Catalyst hands filters to Python DataSources (pushFilters) — the
+    # daft_iceberg source prunes manifests with them (io/iceberg_source.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # The testdata's `events.ts` is parquet TIMESTAMP(NANOS) which the
     # vectorized reader refuses; read as int64 ns and convert (io/readers.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -57,6 +60,7 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
@@ -95,6 +99,12 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             pass
     _ship_package(spark)
+    try:  # format("daft_iceberg") with automatic filter pushdown
+        from daft_spark.io.iceberg_source import IcebergSource
+
+        spark.dataSource.register(IcebergSource)
+    except Exception:
+        pass  # already registered / pre-4.1 API
     return spark
 
 

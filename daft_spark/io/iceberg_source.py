@@ -1,0 +1,171 @@
+"""``daft_iceberg`` — an Iceberg table as a Spark Python DataSource
+with AUTOMATIC filter pushdown.
+
+    spark.read.format("daft_iceberg").option("path", p).load()
+        .filter("status = 'F'")
+
+Catalyst hands the scan its filters through ``pushFilters`` (Spark
+4.1 Python DataSource API); supported comparisons translate into the
+same (column, op, literal) tuples the metadata walk prunes manifests
+with (io/iceberg.py + iceberg_transforms.entry_matches), so partition
+pruning needs no manual ``filters=`` plumbing. Every filter is
+returned as unhandled — pruning is file-granular, and Spark re-applies
+the predicates row-level above the scan, which keeps semantics exact.
+
+Execution shape: one input partition per pruned data file; each task
+reads its file with pyarrow and streams Arrow record batches, applying
+the table's merge-on-read deletes LOCALLY (equality deletes as value
+anti-masks, position deletes as ordinal anti-masks — per-file work,
+no shuffle at all). This path trades the JVM parquet scan for
+transparent SQL integration; ``read_iceberg_py`` remains the
+throughput path (native scan + the same pruning, filters passed
+explicitly) and is what ``read_iceberg`` routes to.
+
+Reference: ``daft/io/iceberg/_iceberg.py:130`` plans Iceberg scans
+through pyiceberg with pushed filters; this source is the same design
+on Spark's pluggable-scan surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+def _translate(filters) -> tuple[list[tuple], list]:
+    """Spark Filter objects -> (col, op, literal) tuples for manifest
+    pruning. Only top-level columns; everything else is ignored (and
+    ALL filters are reported back as unhandled either way)."""
+    out = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            out.append((col, "=", f.value))
+        elif isinstance(f, GreaterThan):
+            out.append((col, ">", f.value))
+        elif isinstance(f, GreaterThanOrEqual):
+            out.append((col, ">=", f.value))
+        elif isinstance(f, LessThan):
+            out.append((col, "<", f.value))
+        elif isinstance(f, LessThanOrEqual):
+            out.append((col, "<=", f.value))
+        elif isinstance(f, In):
+            out.append((col, "in", list(f.values)))
+    return out, list(filters)
+
+
+class IcebergSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "daft_iceberg"
+
+    def schema(self):
+        from daft_spark.io.iceberg import _current_schema, _latest_metadata
+
+        meta = _latest_metadata(self.options["path"])
+        return _current_schema(meta)
+
+    def reader(self, schema) -> "IcebergReader":
+        return IcebergReader(self.options)
+
+
+class IcebergReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        snap = options.get("snapshot_id")
+        self.snapshot_id = int(snap) if snap else None
+        self.filters: list[tuple] = []
+
+    def pushFilters(self, filters):
+        pruning, unhandled = _translate(filters)
+        self.filters = pruning
+        # file-granular pruning only: Spark must re-apply row-level
+        yield from unhandled
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from daft_spark.io.iceberg import _latest_metadata, _live_files_and_deletes
+
+        meta = _latest_metadata(self.path)
+        if meta.get("format-version", 1) > 2:
+            raise NotImplementedError("Iceberg format v3+ not supported")
+        data, deletes = _live_files_and_deletes(
+            meta, self.path, self.snapshot_id, self.filters or None
+        )
+        id2name = {}
+        if any(d.get("content", 2) == 2 for d in deletes):
+            from daft_spark.io.iceberg import _field_names_by_id
+
+            id2name = _field_names_by_id(meta)
+        # one task per data file, its applicable deletes riding along —
+        # delete application is per-file local work, never a shuffle
+        parts = []
+        for rec in data:
+            eq = [
+                (d["path"], sorted(id2name[i] for i in d["equality_ids"]))
+                for d in deletes
+                if d.get("content", 2) == 2 and d["seq"] > rec["seq"]
+            ]
+            pos = [
+                d["path"]
+                for d in deletes
+                if d.get("content") == 1 and d["seq"] >= rec["seq"]
+            ]
+            parts.append(InputPartition((rec["path"], eq, pos)))
+        return parts
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        path, eq_deletes, pos_deletes = partition.value
+        table = pq.read_table(path)
+        n = table.num_rows
+        keep = None  # boolean mask, lazily created
+        if pos_deletes:
+            drop = set()
+            norm = path if path.startswith("/") else "/" + path.lstrip("/")
+            for dpath in pos_deletes:
+                dt = pq.read_table(dpath, columns=["file_path", "pos"])
+                for fp, pos in zip(
+                    dt.column("file_path").to_pylist(), dt.column("pos").to_pylist()
+                ):
+                    if fp.replace("file://", "") == norm:
+                        drop.add(pos)
+            if drop:
+                keep = pa.array([i not in drop for i in range(n)])
+        if eq_deletes:
+            for dpath, cols in eq_deletes:
+                dt = pq.read_table(dpath, columns=cols)
+                # null-safe tuple membership: build the match mask per
+                # delete row conjunction, OR them together
+                match = None
+                for drow in dt.to_pylist():
+                    row_mask = None
+                    for c in cols:
+                        v = drow[c]
+                        col = table.column(c)
+                        m = pc.is_null(col) if v is None else pc.equal(col, v)
+                        m = pc.fill_null(m, False)
+                        row_mask = m if row_mask is None else pc.and_(row_mask, m)
+                    match = row_mask if match is None else pc.or_(match, row_mask)
+                if match is not None:
+                    inv = pc.invert(match)
+                    keep = inv if keep is None else pc.and_(keep, inv)
+        if keep is not None:
+            table = table.filter(keep)
+        yield from table.to_batches(max_chunksize=65536)

@@ -67,20 +67,30 @@ def read_deltalake(
         raise
 
 
-def read_iceberg(table: str, spark: SparkSession | None = None, snapshot_id: int | None = None) -> DataFrame:
+def read_iceberg(
+    table: str,
+    spark: SparkSession | None = None,
+    snapshot_id: int | None = None,
+    filters: list[tuple] | None = None,
+) -> DataFrame:
     """reference read_iceberg (daft/io/iceberg/_iceberg.py:130) ->
     Iceberg catalog table read when a catalog is configured; for a
     filesystem table path (a directory with metadata/), the pure-Python
     metadata walk (daft_spark.io.iceberg) — mirroring the reference,
     which also reads Iceberg without a Spark connector (via pyiceberg).
-    Time travel via snapshot_id."""
+    Time travel via snapshot_id. ``filters`` =
+    [(column, op, literal), ...] prunes manifest entries AND applies
+    row-level (io/iceberg.py); for pushdown without manual plumbing use
+    ``spark.read.format("daft_iceberg").option("path", ...)`` —
+    registered by daft_spark.context.configure — whose pushFilters hook
+    feeds Catalyst's own filters into the same pruning."""
     import os
 
     spark = _session(spark)
     if os.path.isdir(os.path.join(table, "metadata")):
         from daft_spark.io.iceberg import read_iceberg_py
 
-        return read_iceberg_py(table, spark, snapshot_id=snapshot_id)
+        return read_iceberg_py(table, spark, snapshot_id=snapshot_id, filters=filters)
     try:
         if snapshot_id is not None:
             return spark.read.option("snapshot-id", snapshot_id).table(table)

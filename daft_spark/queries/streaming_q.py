@@ -231,3 +231,54 @@ def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("user_id")
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (clicks ⋈ purchases within 10 minutes
+    per user): both sides are real file-source streams with watermarks;
+    the time-interval condition bounds the join state Spark must hold
+    (without it a stream-stream join is unbounded). Inner-join matches
+    emit as found, so the availableNow drain in append mode yields the
+    complete, batch-equivalent match set — which the DuckDB self-join
+    oracle restates. The reference has no unbounded mode (SURVEY §2.8);
+    this is Spark's free extension."""
+    clicks = (
+        _stream_events(spark, sf_dir, single_batch=True)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("ts_a"),
+        )
+    )
+    purchases = (
+        _stream_events(spark, sf_dir, single_batch=True)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    return _drain(joined, mode="append").orderBy("click_id", "purchase_id")

@@ -638,3 +638,54 @@ def test_iceberg_delete_manifests_reference_unpartitioned_spec(spark, tmp_path):
     assert specs[0] != []  # the table's own spec keeps its fields
     back = read_iceberg_py(path, spark)
     assert back.filter(F.col("c_custkey") % 10 == 3).count() == 0
+
+
+def test_iceberg_python_datasource_pushdown(spark, tmp_path):
+    """format("daft_iceberg"): Catalyst pushes the filter into the
+    source (pushFilters), the reader prunes manifest entries to the
+    matching files (one input partition per pruned file), deletes apply
+    per-file, and Spark re-applies the predicate row-level (every
+    filter returned unhandled)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from daft_spark.io.iceberg import (
+        delete_iceberg_py,
+        write_iceberg_py,
+    )
+    from daft_spark.io.iceberg_source import IcebergReader, IcebergSource
+    from daft_spark.io.readers import load_table
+
+    try:
+        spark.dataSource.register(IcebergSource)
+    except Exception:
+        pass
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "tbl")
+    write_iceberg_py(o, path, mode="overwrite", partition_by=["o_orderstatus"])
+
+    # end-to-end: the registered format answers filtered queries exactly
+    df = spark.read.format("daft_iceberg").option("path", path).load()
+    assert df.count() == o.count()
+    got = df.filter(F.col("o_orderstatus") == "F")
+    assert got.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+    # reader-level: pushFilters reduces the partition (file) list and
+    # reports every filter back as unhandled
+    r = IcebergReader({"path": path})
+    full = len(r.partitions())
+    r2 = IcebergReader({"path": path})
+    unhandled = list(r2.pushFilters([EqualTo(("o_orderstatus",), "F"),
+                                     GreaterThan(("o_totalprice",), 0.0)]))
+    assert len(unhandled) == 2
+    pruned = len(r2.partitions())
+    assert 0 < pruned < full
+
+    # merge-on-read through the source
+    delete_iceberg_py(
+        o.filter(F.col("o_orderkey") < 50).select("o_orderkey"), path, ["o_orderkey"]
+    )
+    df2 = spark.read.format("daft_iceberg").option("path", path).load()
+    assert df2.filter(F.col("o_orderkey") < 50).count() == 0
+    assert df2.count() == o.filter(F.col("o_orderkey") >= 50).count()
