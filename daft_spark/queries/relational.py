@@ -440,3 +440,121 @@ def rel_repartition_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         (F.countDistinct("pid0") >= 2).cast("long").alias("multi_partition"),
     )
+
+
+@register(
+    "rel_join_right_outer",
+    """
+    WITH custs AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0),
+         ords AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                         round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS spend
+                  FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey, c.c_name,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.spend, 0.0) AS spend
+    FROM ords o RIGHT JOIN custs c ON o.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def rel_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (reference join type enum, ops/join.rs:176):
+    every kept customer survives, unmatched ones with null-coalesced
+    aggregates — the right side drives the result."""
+    custs = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    return (
+        ords.join(custs, ords["o_custkey"] == custs["c_custkey"], "right")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "rel_join_full_outer",
+    """
+    WITH a AS (SELECT CAST(user_id % 50 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_click
+               FROM events WHERE event_type = 'click' AND user_id % 2 = 0 GROUP BY 1),
+         b AS (SELECT CAST(user_id % 50 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_view
+               FROM events WHERE event_type = 'view' AND user_id % 3 = 0 GROUP BY 1)
+    SELECT coalesce(a.k, b.k) AS k,
+           coalesce(a.n_click, 0) AS n_click,
+           coalesce(b.n_view, 0) AS n_view
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    ORDER BY k
+    """,
+)
+def rel_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: keys present on either side survive with
+    null-coalesced counts from the missing side."""
+    e = load_table(spark, sf_dir, "events")
+    a = (
+        e.filter((F.col("event_type") == "click") & (F.col("user_id") % 2 == 0))
+        .groupBy((F.col("user_id") % 50).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    b = (
+        e.filter((F.col("event_type") == "view") & (F.col("user_id") % 3 == 0))
+        .groupBy((F.col("user_id") % 50).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_view"))
+    )
+    return (
+        a.join(b, a["k"] == b["k"], "outer")
+        .select(
+            F.coalesce(a["k"], b["k"]).alias("k"),
+            F.coalesce(F.col("n_click"), F.lit(0)).alias("n_click"),
+            F.coalesce(F.col("n_view"), F.lit(0)).alias("n_view"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "rel_join_hints",
+    """
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def rel_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join STRATEGY HINTS (reference join strategies: broadcast/
+    sort-merge/hash, ops/join.rs): the same query planned under an
+    explicit broadcast hint AND an explicit merge (SMJ) hint must agree
+    — the result is the broadcast-planned frame, and the function
+    asserts both the plan shapes (BroadcastHashJoin vs SortMergeJoin)
+    and that the two strategies return identical aggregates."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def agg(joined):
+        return (
+            joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n")).orderBy("n_name")
+        )
+
+    bcast = agg(c.join(n.hint("broadcast"), c["c_nationkey"] == n["n_nationkey"]))
+    merged = agg(c.join(n.hint("merge"), c["c_nationkey"] == n["n_nationkey"]))
+    bplan = bcast._jdf.queryExecution().executedPlan().toString()
+    mplan = merged._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" not in bplan:
+        raise AssertionError("broadcast hint did not produce a broadcast join")
+    if "SortMergeJoin" not in mplan:
+        raise AssertionError("merge hint did not produce a sort-merge join")
+    if [tuple(r) for r in bcast.collect()] != [tuple(r) for r in merged.collect()]:
+        raise AssertionError("hinted strategies disagree")
+    return bcast

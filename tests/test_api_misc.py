@@ -66,3 +66,38 @@ def test_with_columns_and_exclude(ev):
     ).exclude("props", "value")
     assert "a" in out.column_names and "props" not in out.column_names
     assert out.to_pylist()[0]["b"] == "x"
+
+
+def test_to_arrow_exact_types(spark):
+    """to_arrow is Spark 4's native Arrow export — exact for nested,
+    decimal and timestamp types (no pandas round-trip), and
+    to_arrow_iter streams the same table as batches."""
+    import datetime
+    import decimal
+
+    import pyarrow as pa
+
+    import daft_spark
+
+    df = daft_spark.from_pydict(
+        {
+            "i": [1, 2],
+            "d": [decimal.Decimal("1.25"), decimal.Decimal("-3.50")],
+            "ts": [datetime.datetime(2020, 1, 1, 12), datetime.datetime(2021, 6, 1)],
+            "arr": [[1, 2], [3]],
+            "s": [{"x": "a"}, {"x": "b"}],
+        },
+        spark=spark,
+    )
+    t = df.to_arrow()
+    assert isinstance(t, pa.Table)
+    assert t.num_rows == 2
+    assert pa.types.is_decimal(t.schema.field("d").type)
+    assert pa.types.is_timestamp(t.schema.field("ts").type)
+    assert pa.types.is_list(t.schema.field("arr").type)
+    assert pa.types.is_struct(t.schema.field("s").type)
+    assert t.column("d").to_pylist() == [decimal.Decimal("1.25"), decimal.Decimal("-3.50")]
+    assert t.column("arr").to_pylist() == [[1, 2], [3]]
+    batches = list(df.to_arrow_iter())
+    assert sum(b.num_rows for b in batches) == 2
+    assert pa.Table.from_batches(batches).column("i").to_pylist() == [1, 2]
