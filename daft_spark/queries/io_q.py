@@ -381,3 +381,145 @@ def io_kafka_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition")
     )
+
+
+@register(
+    "io_from_pydict_family",
+    """
+    SELECT src, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS total
+    FROM (
+      SELECT 'pydict' AS src, x AS v FROM (VALUES (1), (2), (3)) t(x)
+      UNION ALL SELECT 'pandas', x FROM (VALUES (10), (20)) t(x)
+      UNION ALL SELECT 'arrow', x FROM (VALUES (100), (200), (300), (400)) t(x)
+      UNION ALL SELECT 'range', x FROM (SELECT unnest(range(0, 50, 7)) AS x)
+    ) GROUP BY src ORDER BY src
+    """,
+)
+def io_from_pydict_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory constructors (reference daft/convert.py from_pydict/
+    from_pandas/from_arrow + daft.range): each source becomes a frame,
+    unioned and aggregated; the oracle restates the same values with
+    VALUES/range."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from daft_spark.io.readers import from_arrow, from_pandas, from_pydict, range_
+
+    a = from_pydict({"v": [1, 2, 3]}, spark=spark).select(
+        F.lit("pydict").alias("src"), F.col("v").cast("long").alias("v")
+    )
+    b = from_pandas(pd.DataFrame({"v": [10, 20]}), spark=spark).select(
+        F.lit("pandas").alias("src"), F.col("v").cast("long").alias("v")
+    )
+    c = from_arrow(pa.table({"v": [100, 200, 300, 400]}), spark=spark).select(
+        F.lit("arrow").alias("src"), F.col("v").cast("long").alias("v")
+    )
+    d = range_(0, 50, 7, spark=spark).select(
+        F.lit("range").alias("src"), F.col("id").cast("long").alias("v")
+    )
+    return (
+        a.unionAll(b).unionAll(c).unionAll(d)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .orderBy("src")
+    )
+
+
+@register(
+    "io_push_sink_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_ids,
+           CAST(sum(nk) AS BIGINT) AS sum_nk
+    FROM (SELECT c_custkey AS id, c_nationkey AS nk FROM customer
+          WHERE c_custkey <= 400)
+    """,
+)
+def io_push_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Push sink executor contract (reference write_turbopuffer,
+    dataframe.py:2499; DataSink daft/io/sink.py): the slice streams
+    through write_turbopuffer with a FILE-BACKED sink factory — one
+    sink per partition on executors, bounded write_batch flushes,
+    close() on exhaustion — then the flushed JSONL is read back and
+    aggregated; the oracle restates the aggregates from the source
+    table. The real client path only swaps the factory."""
+    import json as _json
+    import uuid as _uuid
+
+    from daft_spark.io.writers import write_turbopuffer
+
+    out_dir = _tmp("push_sink", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink_factory():
+        path = os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.jsonl")
+
+        class _FileSink:
+            def __init__(self):
+                self.f = open(path, "w")
+
+            def write_batch(self, docs):
+                for d in docs:
+                    self.f.write(_json.dumps(d) + "\n")
+
+            def close(self):
+                self.f.close()
+
+        return _FileSink()
+
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select("c_custkey", "c_nationkey")
+    )
+    write_turbopuffer(
+        src, namespace="ns", id_column="c_custkey", batch_size=50,
+        sink_factory=sink_factory,
+    )
+    back = spark.read.json(os.path.join(out_dir, "*.jsonl"))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("id").alias("n_ids"),
+        F.sum("c_nationkey").alias("sum_nk"),
+    )
+
+
+@register(
+    "io_hf_mirror",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def io_hf_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_huggingface offline path (reference
+    daft/io/huggingface/__init__.py:38): hf://datasets/<org>/<name>
+    resolves against a local snapshot mirror
+    ($DAFT_SPARK_HF_MIRROR/<org>/<name>/**.parquet — the
+    huggingface_hub.snapshot_download layout) and reads the shards as
+    ordinary parquet. The fixture mirrors the customer table into
+    acme/customers; the oracle aggregates the source."""
+    from daft_spark.io.lakehouse import read_huggingface
+
+    mirror = _tmp("hf_mirror", sf_dir)
+    root = os.path.join(mirror, "acme", "customers")
+    shutil.rmtree(mirror, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").parquet(
+        os.path.join(root, "data")
+    )
+    prev = os.environ.get("DAFT_SPARK_HF_MIRROR")
+    os.environ["DAFT_SPARK_HF_MIRROR"] = mirror
+    try:
+        df = read_huggingface("hf://datasets/acme/customers", spark=spark)
+    finally:
+        if prev is None:
+            os.environ.pop("DAFT_SPARK_HF_MIRROR", None)
+        else:
+            os.environ["DAFT_SPARK_HF_MIRROR"] = prev
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
