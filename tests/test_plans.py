@@ -378,3 +378,23 @@ def test_iceberg_pos_delete_read_no_shuffle_join(spark, tmp_path):
     # the delete side is tiny: broadcast (possibly via AQE) — assert the
     # data side is not exchanged for the anti-join in the static plan
     assert plan.count("Exchange hashpartitioning") == 0 or "BroadcastHashJoin" in plan, plan
+
+
+def test_q5_lineitem_first_join_is_broadcast(spark):
+    """r6 Q5 shape: lineitem's FIRST contact must be the broadcast join
+    with the pruned suppliers (single scan pass, no full-lineitem
+    shuffle before supplier pruning) — the orderkey join sees only the
+    reduced side."""
+    from daft_spark.queries import all_queries
+
+    df = all_queries()["tpch_q5"].spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # in the tree string children print below their parent: the nearest
+    # join ABOVE the lineitem scan is the one lineitem feeds first —
+    # it must be a BroadcastHashJoin (supplier side), never an exchange
+    # into a shuffle join of the raw fact table
+    li = [i for i, ln in enumerate(lines) if "lineitem" in ln and "Scan" in ln]
+    assert li, plan
+    above = [ln for ln in reversed(lines[: li[0]]) if "Join" in ln]
+    assert above and "BroadcastHashJoin" in above[0], plan
