@@ -444,12 +444,28 @@ class DataFrame:
         write_bigtable(self._sdf, table, **opts)
 
     def write_huggingface(self, repo: str, **_opts) -> None:
-        """reference DataFrame.write_huggingface — pushes parquet
-        shards to the Hub; needs huggingface_hub + network."""
+        """reference DataFrame.write_huggingface (dataframe.py:2598) —
+        pushes parquet shards to the Hub. Offline symmetric path: when
+        $DAFT_SPARK_HF_MIRROR is set, shards land in the same
+        snapshot layout read_huggingface resolves
+        (<mirror>/<org>/<name>/**.parquet), so write->read roundtrips
+        air-gapped; the networked path needs huggingface_hub."""
+        import os
+
+        if repo.startswith("hf://"):
+            repo = repo[len("hf://"):]
+        if repo.startswith("datasets/"):
+            repo = repo[len("datasets/"):]
+        mirror = os.environ.get("DAFT_SPARK_HF_MIRROR")
+        if mirror:
+            out = os.path.join(mirror, *repo.split("/"), "data")
+            self._sdf.write.mode("overwrite").parquet(out)
+            return
         raise NotImplementedError(
             "write_huggingface requires the 'huggingface_hub' package and "
-            "outbound network; write_parquet + `huggingface-cli upload` is the "
-            "offline equivalent"
+            "outbound network (or set DAFT_SPARK_HF_MIRROR for the offline "
+            "snapshot layout); write_parquet + `huggingface-cli upload` is "
+            "the manual equivalent"
         )
 
     # --- reference agg/conveniences (dataframe.py whole-frame aggs) ---------

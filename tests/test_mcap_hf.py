@@ -118,3 +118,18 @@ def test_read_huggingface_no_network_error(spark, monkeypatch):
     monkeypatch.delenv("DAFT_SPARK_HF_MIRROR", raising=False)
     with pytest.raises(NotImplementedError, match="huggingface.co/api/datasets/org/x"):
         read_huggingface("hf://datasets/org/x", spark)
+
+
+def test_huggingface_mirror_write_read_roundtrip(spark, tmp_path, monkeypatch):
+    """write_huggingface -> read_huggingface through the offline mirror
+    (the snapshot_download layout): air-gapped roundtrip, shards as
+    ordinary parquet."""
+    import daft_spark
+    from daft_spark.io.lakehouse import read_huggingface
+
+    monkeypatch.setenv("DAFT_SPARK_HF_MIRROR", str(tmp_path))
+    df = daft_spark.from_pydict({"k": [1, 2, 3], "v": ["a", "b", "c"]}, spark=spark)
+    df.write_huggingface("hf://datasets/acme/tiny")
+    back = read_huggingface("hf://datasets/acme/tiny", spark=spark)
+    assert back.count() == 3
+    assert {r["k"] for r in back.collect()} == {1, 2, 3}
