@@ -63,7 +63,8 @@ DRIVER_PRIORITY: list[str] = [
     "lake_delta_dml", "lake_hudi_upsert",
     "lake_iceberg_pruned", "lake_iceberg_pos_deletes", "io_kafka_bounded",
     "sql_session_catalog", "lake_delta_dv",
-    # code changed round 6 (14)
+    # code changed round 6 (15)
+    "tpch_q5",  # join-order rewrite (late r6)
     "dedup_resolve", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_ngram_jaccard",
     "lake_iceberg_roundtrip", "lake_iceberg_deletes",
