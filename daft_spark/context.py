@@ -99,12 +99,17 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             pass
     _ship_package(spark)
-    try:  # format("daft_iceberg") with automatic filter pushdown
-        from daft_spark.io.iceberg_source import IcebergSource
+    if not getattr(spark, "_daft_spark_sources_registered", False):
+        try:  # format("daft_iceberg") with automatic filter pushdown
+            from daft_spark.io.iceberg_source import IcebergSource
 
-        spark.dataSource.register(IcebergSource)
-    except Exception:
-        pass  # already registered / pre-4.1 API
+            spark.dataSource.register(IcebergSource)
+        except Exception:
+            pass  # pre-4.1 API
+        try:
+            spark._daft_spark_sources_registered = True
+        except Exception:
+            pass
     return spark
 
 
