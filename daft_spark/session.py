@@ -84,6 +84,23 @@ class Table:
     def from_df(name: str, df: DataFrame) -> "Table":
         return Table(name, lambda: df)
 
+    @staticmethod
+    def from_iceberg(table) -> "Table":
+        """reference Table.from_iceberg (daft/catalog/__init__.py:937).
+        A filesystem table path (directory with metadata/) binds to the
+        pure-Python Iceberg reader/writer; pyiceberg table objects need
+        that package (absent here — its metadata location would feed
+        the same reader)."""
+        import os
+
+        if isinstance(table, str) and os.path.isdir(os.path.join(table, "metadata")):
+            return _iceberg_fs_table(os.path.basename(table.rstrip("/")), table)
+        raise ImportError(
+            "Table.from_iceberg accepts a filesystem Iceberg table path "
+            "(directory containing metadata/); pyiceberg table objects "
+            "require the 'pyiceberg' package"
+        )
+
     def read(self) -> DataFrame:
         return self._read()
 
@@ -121,6 +138,23 @@ class Catalog:
     @staticmethod
     def from_spark(name: str = "spark_catalog", spark: SparkSession | None = None) -> "Catalog":
         return SparkCatalog(name, spark)
+
+    @staticmethod
+    def from_iceberg(catalog, name: str = "iceberg") -> "Catalog":
+        """reference Catalog.from_iceberg (daft/catalog/__init__.py:226).
+        A warehouse DIRECTORY (namespaces = subdirectories, tables =
+        directories containing metadata/ — pyiceberg's filesystem
+        warehouse layout) gets a fully functional catalog over the
+        pure-Python Iceberg reader/writer; pyiceberg catalog objects
+        need that package."""
+        import os
+
+        if isinstance(catalog, str) and os.path.isdir(catalog):
+            return IcebergDirectoryCatalog(catalog, name)
+        raise ImportError(
+            "Catalog.from_iceberg accepts a filesystem warehouse directory; "
+            "pyiceberg catalog objects require the 'pyiceberg' package"
+        )
 
     @staticmethod
     def _unsupported(kind: str, conf_hint: str):
@@ -253,6 +287,135 @@ class MemoryCatalog(Catalog):
         if pattern:
             out = [n for n in out if pattern in n]
         return out
+
+
+def _iceberg_fs_table(name: str, path: str) -> Table:
+    """Table handle over a filesystem Iceberg table: reads via the
+    pure-Python metadata walk, writes commit new snapshots."""
+
+    def _read() -> DataFrame:
+        from daft_spark.context import get_or_create
+        from daft_spark.io.iceberg import read_iceberg_py
+
+        spark = SparkSession.getActiveSession() or get_or_create()
+        return read_iceberg_py(path, spark)
+
+    def _write(df: DataFrame, mode: str) -> None:
+        from daft_spark.io.iceberg import write_iceberg_py
+
+        write_iceberg_py(df, path, mode=mode)
+
+    return Table(name, _read, _write)
+
+
+class IcebergDirectoryCatalog(Catalog):
+    """Filesystem Iceberg warehouse (reference Catalog.from_iceberg,
+    daft/catalog/__init__.py:226 — there backed by pyiceberg; here by
+    the pure-Python Iceberg v2 implementation in io/iceberg.py):
+    ``<root>/<namespace...>/<table>/metadata/``. create_table writes a
+    first snapshot; get_table().read()/write() go through the same
+    reader/writer every lake_iceberg_* driver query verifies."""
+
+    def __init__(self, root: str, name: str = "iceberg"):
+        import os
+
+        self.name = name
+        self._root = os.path.abspath(root)
+
+    def _path(self, identifier) -> str:
+        import os
+
+        return os.path.join(self._root, *_ident(identifier))
+
+    def _is_table(self, path: str) -> bool:
+        import os
+
+        return os.path.isdir(os.path.join(path, "metadata"))
+
+    def create_namespace(self, identifier) -> None:
+        import os
+
+        os.makedirs(self._path(identifier), exist_ok=True)
+
+    def create_table(self, identifier, source, **properties) -> Table:
+        import os
+
+        from daft_spark.io.iceberg import write_iceberg_py
+
+        path = self._path(identifier)
+        if self._is_table(path):
+            raise ValueError(f"table {identifier} already exists in {self.name}")
+        from daft_spark.dataframe import DataFrame as WrappedDF
+
+        if isinstance(source, WrappedDF):
+            source = source.to_spark()
+        if not isinstance(source, DataFrame):
+            raise TypeError(f"cannot create an Iceberg table from {type(source)}")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_iceberg_py(
+            source, path, mode="error",
+            partition_by=properties.get("partition_by"),
+        )
+        return _iceberg_fs_table(str(_ident(identifier)), path)
+
+    def drop_namespace(self, identifier) -> None:
+        import os
+        import shutil
+
+        path = self._path(identifier)
+        if not os.path.isdir(path):
+            raise NotFoundError(f"namespace {identifier} not found in {self.name}")
+        shutil.rmtree(path)
+
+    def drop_table(self, identifier) -> None:
+        import shutil
+
+        path = self._path(identifier)
+        if not self._is_table(path):
+            raise NotFoundError(f"table {identifier} not found in {self.name}")
+        shutil.rmtree(path)
+
+    def get_table(self, identifier) -> Table:
+        path = self._path(identifier)
+        if not self._is_table(path):
+            raise NotFoundError(f"table {identifier} not found in {self.name}")
+        return _iceberg_fs_table(str(_ident(identifier)), path)
+
+    def has_namespace(self, identifier) -> bool:
+        import os
+
+        path = self._path(identifier)
+        return os.path.isdir(path) and not self._is_table(path)
+
+    def has_table(self, identifier) -> bool:
+        return self._is_table(self._path(identifier))
+
+    def list_namespaces(self, pattern: str | None = None) -> list[Identifier]:
+        import os
+
+        out = []
+        for root, dirs, _files in os.walk(self._root):
+            if self._is_table(root):
+                dirs[:] = []
+                continue
+            rel = os.path.relpath(root, self._root)
+            if rel != "." and not self._is_table(root):
+                out.append(rel.replace(os.sep, "."))
+        if pattern:
+            out = [n for n in out if pattern in n]
+        return [Identifier.from_str(n) for n in sorted(out)]
+
+    def list_tables(self, pattern: str | None = None) -> list[str]:
+        import os
+
+        out = []
+        for root, dirs, _files in os.walk(self._root):
+            if self._is_table(root):
+                out.append(os.path.relpath(root, self._root).replace(os.sep, "."))
+                dirs[:] = []
+        if pattern:
+            out = [n for n in out if pattern in n]
+        return sorted(out)
 
 
 class SparkCatalog(Catalog):
