@@ -523,3 +523,41 @@ def io_hf_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "io_text_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(*) FILTER (text LIKE 'doc:%') AS BIGINT) AS n_prefixed
+    FROM (SELECT 'doc:' || CAST(doc_id AS VARCHAR) || '|' || lang AS text
+          FROM documents WHERE doc_id < 400)
+    """,
+)
+def io_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_text (reference daft/io/_text.py:12): write deterministic
+    lines with Spark's text writer, read back one row per line as the
+    ``text`` column, aggregate; the oracle recomputes the same lines
+    from the source table."""
+    from daft_spark.io.readers import read_text
+
+    out = _tmp("text", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    lines = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string"),
+                     F.lit("|"), F.col("lang")).alias("value")
+        )
+    )
+    lines.write.mode("overwrite").text(out)
+    back = read_text(out, spark=spark)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.when(F.col("text").startswith("doc:"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_prefixed"),
+    )
