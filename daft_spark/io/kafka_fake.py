@@ -135,6 +135,13 @@ def read_kafka_log(
     schema. Start bound inclusive, end bound exclusive (Kafka
     semantics). Segment files outside the requested offset range are
     pruned by NAME before Spark sees them."""
+    # Spark's Kafka BATCH source rejects these spec combinations; the
+    # fake keeps the same contract so tests can't pass on semantics the
+    # real source would refuse.
+    if starting_offsets == "latest":
+        raise ValueError('startingOffsets "latest" is not allowed for batch queries')
+    if ending_offsets == "earliest":
+        raise ValueError('endingOffsets "earliest" is not allowed for batch queries')
     tdir = os.path.join(root, topic)
     if not os.path.isdir(tdir):
         raise FileNotFoundError(f"no topic log at {tdir}")

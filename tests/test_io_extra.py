@@ -133,3 +133,22 @@ def test_kafka_file_backed_log_bounds_and_pruning(spark, tmp_path):
     # values round the offset math: partition 0 holds even ids, offset k -> id 2k
     r = got.filter((F.col("partition") == 0) & (F.col("offset") == 150)).collect()
     assert r[0].value == b"300"
+
+
+def test_kafka_batch_offset_spec_gates(spark, tmp_path):
+    """The fake keeps Spark's batch-source contract: startingOffsets
+    'latest' and endingOffsets 'earliest' are invalid for batch reads."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.kafka_fake import write_topic_log
+    from daft_spark.io.readers import read_kafka
+
+    root = str(tmp_path / "log")
+    df = spark.range(10).select((F.col("id") % 2).alias("p"), F.col("id").alias("v"))
+    write_topic_log(root, "t", df, partition_col="p", key_col=None,
+                    value_col="v", order_col="v")
+    with pytest.raises(ValueError, match="latest"):
+        read_kafka(f"file://{root}", "t", spark, starting_offsets="latest")
+    with pytest.raises(ValueError, match="earliest"):
+        read_kafka(f"file://{root}", "t", spark, ending_offsets="earliest")
