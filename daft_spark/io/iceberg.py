@@ -397,7 +397,11 @@ def _live_files_and_deletes(
             seq = e.get("sequence_number")
             seq = mseq if seq is None else seq
             content = dfile.get("content", 0)
-            rec = {"path": _to_local(dfile["file_path"], table_path), "seq": seq}
+            rec = {
+                "path": _to_local(dfile["file_path"], table_path),
+                "seq": seq,
+                "size": dfile.get("file_size_in_bytes") or 0,
+            }
             if content == 0:
                 if filters and not entry_matches(
                     dict(dfile.get("partition") or {}),

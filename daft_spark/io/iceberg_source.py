@@ -110,29 +110,51 @@ class IcebergReader(DataSourceReader):
             from daft_spark.io.iceberg import _field_names_by_id
 
             id2name = _field_names_by_id(meta)
-        # one task per data file, its applicable deletes riding along —
-        # delete application is per-file local work, never a shuffle
-        parts = []
+        # tasks bin-pack files to ~128 MB (matching
+        # spark.sql.files.maxPartitionBytes) so a table of many small
+        # files doesn't schedule one task each; files with different
+        # applicable-delete sets never share a task (delete application
+        # is per-file local work, never a shuffle)
+        target = 128 * 1024 * 1024
+        by_key: dict[tuple, list] = {}
         for rec in data:
-            eq = [
-                (d["path"], sorted(id2name[i] for i in d["equality_ids"]))
+            eq = tuple(
+                (d["path"], tuple(sorted(id2name[i] for i in d["equality_ids"])))
                 for d in deletes
                 if d.get("content", 2) == 2 and d["seq"] > rec["seq"]
-            ]
-            pos = [
+            )
+            pos = tuple(
                 d["path"]
                 for d in deletes
                 if d.get("content") == 1 and d["seq"] >= rec["seq"]
-            ]
-            parts.append(InputPartition((rec["path"], eq, pos)))
+            )
+            by_key.setdefault((eq, pos), []).append(rec)
+        parts = []
+        for (eq, pos), recs in by_key.items():
+            bin_files: list[str] = []
+            bin_bytes = 0
+            for rec in recs:
+                if bin_files and bin_bytes + rec["size"] > target:
+                    parts.append(InputPartition((bin_files, list(eq), list(pos))))
+                    bin_files, bin_bytes = [], 0
+                bin_files.append(rec["path"])
+                bin_bytes += rec["size"]
+            if bin_files:
+                parts.append(InputPartition((bin_files, list(eq), list(pos))))
         return parts
 
     def read(self, partition: InputPartition) -> Iterator:
+        paths, eq_deletes, pos_deletes = partition.value
+        for path in paths:
+            yield from self._read_one(path, eq_deletes, pos_deletes)
+
+    def _read_one(self, path, eq_deletes, pos_deletes) -> Iterator:
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        path, eq_deletes, pos_deletes = partition.value
+        # eq entries may arrive tuple-ized from the partition key
+        eq_deletes = [(p, list(cols)) for p, cols in eq_deletes]
         table = pq.read_table(path)
         n = table.num_rows
         keep = None  # boolean mask, lazily created
