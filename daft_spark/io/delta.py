@@ -62,6 +62,74 @@ from pyspark.sql.types import StructType
 _LOG_DIR = "_delta_log"
 _MAX_SUPPORTED = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# PROTOCOL.md: legacy protocol versions imply feature sets; an upgrade
+# to table features (reader 3 / writer 7) must carry these forward so
+# external writers keep enforcing them.
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+
+
+def _current_protocol(table_path: str) -> dict:
+    """Latest protocol action in the log (spec default reader1/writer2
+    when none was ever written)."""
+    proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+    ckpts = _checkpoint_versions(table_path)
+    start_after = -1
+    if ckpts:
+        import pyarrow.parquet as pq
+
+        p = os.path.join(
+            _log_path(table_path), f"{ckpts[-1]:020d}.checkpoint.parquet"
+        )
+        t = pq.read_table(p)
+        if "protocol" in t.column_names:
+            for row in t.column("protocol").to_pylist():
+                if row and row.get("minReaderVersion") is not None:
+                    proto = {k: v for k, v in row.items() if v is not None}
+        start_after = ckpts[-1]
+    for v in _list_versions(table_path):
+        if v <= start_after:
+            continue
+        with open(_commit_file(table_path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "protocol" in a:
+                        proto = a["protocol"]
+    return proto
+
+
+def _upgraded_dv_protocol(table_path: str) -> dict:
+    """The protocol action for a deletion-vector upgrade: (3, 7) with
+    deletionVectors PLUS every feature the table's previous protocol
+    implied (explicit feature lists carried as-is; legacy versions
+    expanded via the PROTOCOL.md implication tables)."""
+    prior = _current_protocol(table_path)
+    r, w = prior.get("minReaderVersion", 1), prior.get("minWriterVersion", 2)
+    reader_feats = set(prior.get("readerFeatures") or [])
+    writer_feats = set(prior.get("writerFeatures") or [])
+    if w < 7:
+        for v in range(2, w + 1):
+            writer_feats.update(_LEGACY_WRITER_FEATURES.get(v, ()))
+    if r < 3:
+        for v in range(2, r + 1):
+            reader_feats.update(_LEGACY_READER_FEATURES.get(v, ()))
+    reader_feats.add("deletionVectors")
+    writer_feats.add("deletionVectors")
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(reader_feats),
+        "writerFeatures": sorted(writer_feats),
+    }
+
 
 def _log_path(table_path: str) -> str:
     return os.path.join(table_path, _LOG_DIR)
@@ -368,24 +436,20 @@ def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> No
             df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
         m = df.filter(F.expr(condition).eqNullSafe(F.lit(True))).select("__fp", "__pos")
         hits = m if hits is None else hits.unionAll(m)
-    by_file: dict[str, list[int]] = {}
-    for r in hits.collect():
-        by_file.setdefault(r["__fp"], []).append(r["__pos"])
+    # Aggregate ordinals to per-file sorted lists EXECUTOR-side; the
+    # driver sees one row per affected file, not one per deleted row.
+    by_file = {
+        r["__fp"]: list(r["__positions"])
+        for r in hits.groupBy("__fp")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__positions"))
+        .collect()
+    }
     if not by_file:
         return
     abs_to_rel = {os.path.abspath(os.path.join(path, rel)): rel for rel in adds}
 
     now_ms = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
-            }
-        }
-    ]
+    actions: list[dict] = [{"protocol": _upgraded_dv_protocol(path)}]
     for abs_path, positions in sorted(by_file.items()):
         rel = abs_to_rel[abs_path]
         add = adds[rel]

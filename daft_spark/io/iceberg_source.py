@@ -141,12 +141,42 @@ class IcebergReader(DataSourceReader):
                 bin_bytes += rec["size"]
             if bin_files:
                 parts.append(InputPartition((bin_files, list(eq), list(pos))))
-        return parts
+        # never return []: Spark invokes read() with a default partition
+        # when the list is empty, and partition.value would then be absent
+        return parts or [InputPartition(([], [], []))]
 
     def read(self, partition: InputPartition) -> Iterator:
         paths, eq_deletes, pos_deletes = partition.value
         for path in paths:
             yield from self._read_one(path, eq_deletes, pos_deletes)
+
+    @staticmethod
+    def _encode_keys(table, cols):
+        """Null-safe composite key per row as one large_binary array:
+        each column cast to its string form, nulls replaced by a
+        sentinel byte no cast can produce, joined with \\x1f. Equal
+        tuples (null-safe) encode to equal bytes, so membership is a
+        single vectorized ``is_in`` instead of per-delete-row kernels."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        parts = []
+        for c in cols:
+            col = table.column(c)
+            if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+                s = pc.cast(col, pa.large_binary())
+            else:
+                s = pc.cast(pc.cast(col, pa.large_string()), pa.large_binary())
+            parts.append(pc.fill_null(s, b"\x00<null>"))
+        if len(parts) == 1:
+            key = parts[0]
+        else:
+            key = pc.binary_join_element_wise(*parts, b"\x00\x1f")
+        if isinstance(key, pa.ChunkedArray):
+            if key.num_chunks == 0:
+                return pa.array([], type=pa.large_binary())
+            key = pa.concat_arrays(key.chunks)
+        return key
 
     def _read_one(self, path, eq_deletes, pos_deletes) -> Iterator:
         import pyarrow as pa
@@ -159,35 +189,30 @@ class IcebergReader(DataSourceReader):
         n = table.num_rows
         keep = None  # boolean mask, lazily created
         if pos_deletes:
-            drop = set()
             norm = path if path.startswith("/") else "/" + path.lstrip("/")
+            drop_chunks = []
             for dpath in pos_deletes:
                 dt = pq.read_table(dpath, columns=["file_path", "pos"])
-                for fp, pos in zip(
-                    dt.column("file_path").to_pylist(), dt.column("pos").to_pylist()
-                ):
-                    if fp.replace("file://", "") == norm:
-                        drop.add(pos)
-            if drop:
-                keep = pa.array([i not in drop for i in range(n)])
+                fp = dt.column("file_path")
+                m = pc.or_(pc.equal(fp, norm), pc.equal(fp, "file://" + norm))
+                hit = dt.filter(pc.fill_null(m, False)).column("pos")
+                drop_chunks.extend(hit.cast(pa.int64()).chunks)
+            if drop_chunks:
+                drop = pa.concat_arrays(drop_chunks)
+                if len(drop):
+                    idx = pa.array(range(n), type=pa.int64())
+                    keep = pc.invert(pc.is_in(idx, value_set=drop))
         if eq_deletes:
             for dpath, cols in eq_deletes:
                 dt = pq.read_table(dpath, columns=cols)
-                # null-safe tuple membership: build the match mask per
-                # delete row conjunction, OR them together
-                match = None
-                for drow in dt.to_pylist():
-                    row_mask = None
-                    for c in cols:
-                        v = drow[c]
-                        col = table.column(c)
-                        m = pc.is_null(col) if v is None else pc.equal(col, v)
-                        m = pc.fill_null(m, False)
-                        row_mask = m if row_mask is None else pc.and_(row_mask, m)
-                    match = row_mask if match is None else pc.or_(match, row_mask)
-                if match is not None:
-                    inv = pc.invert(match)
-                    keep = inv if keep is None else pc.and_(keep, inv)
+                if dt.num_rows == 0:
+                    continue
+                match = pc.is_in(
+                    self._encode_keys(table, cols),
+                    value_set=self._encode_keys(dt, cols),
+                )
+                inv = pc.invert(pc.fill_null(match, False))
+                keep = inv if keep is None else pc.and_(keep, inv)
         if keep is not None:
             table = table.filter(keep)
         yield from table.to_batches(max_chunksize=65536)

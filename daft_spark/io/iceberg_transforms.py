@@ -175,6 +175,40 @@ def truncate_value(v, width: int):
 # ---------------------------------------------------------------------------
 # manifest-entry pruning
 
+_INCOMPARABLE = object()
+
+
+def _identity_lit(pv, val):
+    """Pushed literal normalized to the manifest's stored form for an
+    identity partition value ``pv`` — or ``_INCOMPARABLE`` when
+    exclusion can't be proven. Avro passes Iceberg date/timestamp
+    logical types through as raw ints, so externally-written tables
+    store days / epoch-micros where Catalyst pushes datetime.date /
+    datetime literals; ``int == date`` is silently False in Python
+    (no TypeError), which would prune every matching file."""
+    if isinstance(pv, bool) or isinstance(val, bool):
+        return val if isinstance(pv, bool) and isinstance(val, bool) else _INCOMPARABLE
+    if isinstance(pv, int):
+        if isinstance(val, (datetime.date, datetime.datetime)):
+            try:
+                return _to_long_form(val)  # date -> days, ts -> micros
+            except (TypeError, NotImplementedError):
+                return _INCOMPARABLE
+        return val if isinstance(val, (int, float)) else _INCOMPARABLE
+    if isinstance(pv, float):
+        return val if isinstance(val, (int, float)) else _INCOMPARABLE
+    if isinstance(pv, str):
+        return val if isinstance(val, str) else _INCOMPARABLE
+    if isinstance(pv, datetime.datetime):
+        return val if isinstance(val, datetime.datetime) else _INCOMPARABLE
+    if isinstance(pv, datetime.date):
+        if isinstance(val, datetime.date) and not isinstance(val, datetime.datetime):
+            return val
+        return _INCOMPARABLE
+    if isinstance(pv, (bytes, bytearray)):
+        return val if isinstance(val, (bytes, bytearray)) else _INCOMPARABLE
+    return _INCOMPARABLE
+
 
 def transform_admits(transform: str, pv, op: str, val) -> bool:
     """Could a row inside a file whose partition value for this
@@ -201,12 +235,18 @@ def transform_admits(transform: str, pv, op: str, val) -> bool:
         if transform == "identity":
             if pv is None:
                 return op == "!="
-            if op == "=":
-                return pv == val
             if op == "!=":
                 return True  # other rows in the file may differ
             if op == "in":
-                return pv in val
+                norm = [_identity_lit(pv, x) for x in val]
+                if any(x is _INCOMPARABLE for x in norm):
+                    return True  # can't prove exclusion
+                return pv in norm
+            val = _identity_lit(pv, val)
+            if val is _INCOMPARABLE:
+                return True  # can't prove exclusion
+            if op == "=":
+                return pv == val
             if op == "<":
                 return pv < val
             if op == "<=":
@@ -299,3 +339,172 @@ def entry_matches(
             if not transform_admits(f["transform"], partition[f["name"]], op, val):
                 return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# single-value serialization (Iceberg spec, Appendix D "Single-value
+# serialization": binary form used for lower_bounds / upper_bounds in
+# manifest data_file entries) + file-level stats pruning
+
+_TRUNC_WIDTH = 16
+
+
+def single_value_bytes(v, ice_type: str) -> bytes | None:
+    """Binary single-value form per the spec: booleans 0x00/0x01, ints
+    4-byte little-endian, longs 8-byte little-endian, float/double IEEE
+    little-endian, date = 4-byte LE days from epoch, timestamp[tz] =
+    8-byte LE epoch micros, string = UTF-8 bytes, binary as-is.
+    Returns None for types this writer doesn't bound (decimal, uuid,
+    fixed) or unconvertible values — an absent bound never prunes."""
+    import struct
+
+    if v is None:
+        return None
+    try:
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if ice_type == "int":
+            return struct.pack("<i", int(v))
+        if ice_type == "long":
+            return struct.pack("<q", int(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "date":
+            if isinstance(v, int):
+                return struct.pack("<i", v)
+            if isinstance(v, datetime.datetime):
+                v = v.date()
+            return struct.pack("<i", (v - _EPOCH).days)
+        if ice_type in ("timestamp", "timestamptz"):
+            if isinstance(v, int):
+                return struct.pack("<q", v)
+            return struct.pack("<q", _to_long_form(v))
+        if ice_type == "string":
+            return v.encode("utf-8") if isinstance(v, str) else None
+        if ice_type == "binary":
+            return bytes(v) if isinstance(v, (bytes, bytearray)) else None
+    except (TypeError, ValueError, OverflowError):
+        return None
+    return None
+
+
+def single_value_decode(b, ice_type: str):
+    """Inverse of single_value_bytes (None on size/type mismatch —
+    callers treat an undecodable bound as absent)."""
+    import struct
+
+    if b is None:
+        return None
+    b = bytes(b)
+    try:
+        if ice_type == "boolean":
+            return b != b"\x00"
+        if ice_type == "int":
+            return struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "date":
+            return _EPOCH + datetime.timedelta(days=struct.unpack("<i", b)[0])
+        if ice_type in ("timestamp", "timestamptz"):
+            us = struct.unpack("<q", b)[0]
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=us)
+        if ice_type == "string":
+            return b.decode("utf-8", errors="replace")
+        if ice_type == "binary":
+            return b
+    except (struct.error, ValueError, OverflowError):
+        return None
+    return None
+
+
+def truncate_lower(v):
+    """Lower-bound truncation: a prefix of the minimum is still a valid
+    lower bound (Iceberg UnicodeUtil.truncateStringMin /
+    BinaryUtil.truncateBinaryMin)."""
+    if isinstance(v, str):
+        return v[:_TRUNC_WIDTH]
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v[:_TRUNC_WIDTH])
+    return v
+
+
+def truncate_upper(v):
+    """Upper-bound truncation: truncate, then increment the last code
+    point / byte so the result sorts >= every value sharing the prefix
+    (UnicodeUtil.truncateStringMax / BinaryUtil.truncateBinaryMax).
+    None when no increment is possible — the caller omits the bound."""
+    if isinstance(v, str):
+        if len(v) <= _TRUNC_WIDTH:
+            return v
+        t = v[:_TRUNC_WIDTH]
+        for i in range(len(t) - 1, -1, -1):
+            cp = ord(t[i])
+            if cp < 0x10FFFF:
+                nxt = cp + 1
+                if 0xD800 <= nxt <= 0xDFFF:  # skip the surrogate gap
+                    nxt = 0xE000
+                return t[:i] + chr(nxt)
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        v = bytes(v)
+        if len(v) <= _TRUNC_WIDTH:
+            return v
+        t = bytearray(v[:_TRUNC_WIDTH])
+        for i in range(len(t) - 1, -1, -1):
+            if t[i] < 0xFF:
+                t[i] += 1
+                return bytes(t[: i + 1])
+        return None
+    return v
+
+
+def stats_admit(lower, upper, op: str, val) -> bool:
+    """Could any row of a file whose column spans [lower, upper]
+    satisfy ``col <op> val``? Sound under spec truncation (lower is a
+    prefix of the true min, upper is incremented past the true max).
+    None on either side = unknown = can't prune on that side.
+    Conservative True on any type mismatch."""
+    try:
+        if op == "==":
+            op = "="
+        if op == "!=":
+            return True
+        if op == "in":
+            return any(stats_admit(lower, upper, "=", x) for x in val)
+        if op == "=":
+            if lower is not None and _identity_ordered(val, lower):
+                return False  # val < min
+            if upper is not None and _identity_ordered(upper, val):
+                return False  # max < val
+            return True
+        if op == "<":
+            return lower is None or _identity_ordered(lower, val)
+        if op == "<=":
+            return lower is None or not _identity_ordered(val, lower)
+        if op == ">":
+            return upper is None or _identity_ordered(val, upper)
+        if op == ">=":
+            return upper is None or not _identity_ordered(upper, val)
+        return True
+    except TypeError:
+        return True
+
+
+class _Incomparable(TypeError):
+    pass
+
+
+def _identity_ordered(a, b) -> bool:
+    """a < b after the same literal normalization identity pruning
+    uses; raises TypeError (caught by stats_admit) when the pair can't
+    be compared soundly."""
+    b2 = _identity_lit(a, b)
+    if b2 is _INCOMPARABLE:
+        raise _Incomparable(f"{type(a).__name__} vs {type(b).__name__}")
+    return a < b2

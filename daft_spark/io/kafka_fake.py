@@ -112,15 +112,39 @@ def write_topic_log(
     shutil.rmtree(staging, ignore_errors=True)
 
 
-def _parse_offsets(spec, topic: str, partitions: list[int], default: int | None):
+def _parse_offsets(spec, topic: str, partitions: list[int], side: str):
     """Kafka-style offsets: "earliest"/"latest" or JSON
     '{"topic": {"0": 100, ...}}'. Returns {partition: offset|None}
-    (None = unbounded on that side)."""
+    (None = unbounded on that side). Matches the real batch source's
+    JSON contract: -2 means earliest, -1 means latest; latest as a
+    start or earliest as an end is rejected (same rule as the global
+    string forms); every topic partition must appear in the spec."""
     if spec in ("earliest", "latest"):
         return {p: None for p in partitions}
     d = json.loads(spec) if isinstance(spec, str) else spec
     per = d.get(topic, {})
-    return {p: per.get(str(p), per.get(p, default)) for p in partitions}
+    out = {}
+    for p in partitions:
+        if str(p) not in per and p not in per:
+            raise ValueError(
+                f"{side}ingOffsets JSON must specify all partitions of "
+                f"{topic!r}; missing partition {p}"
+            )
+        v = per.get(str(p), per.get(p))
+        if v == -2:  # earliest
+            if side == "end":
+                raise ValueError(
+                    'endingOffsets -2 ("earliest") is not allowed for batch queries'
+                )
+            v = None
+        elif v == -1:  # latest
+            if side == "start":
+                raise ValueError(
+                    'startingOffsets -1 ("latest") is not allowed for batch queries'
+                )
+            v = None
+        out[p] = v
+    return out
 
 
 def read_kafka_log(
@@ -150,8 +174,8 @@ def read_kafka_log(
         for d in os.listdir(tdir)
         if d.startswith("partition=")
     )
-    starts = _parse_offsets(starting_offsets, topic, partitions, 0)
-    ends = _parse_offsets(ending_offsets, topic, partitions, None)
+    starts = _parse_offsets(starting_offsets, topic, partitions, "start")
+    ends = _parse_offsets(ending_offsets, topic, partitions, "end")
     out = None
     for p in partitions:
         pdir = os.path.join(tdir, f"partition={p}")

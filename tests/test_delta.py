@@ -279,3 +279,27 @@ def test_delta_dv_partitioned_and_null_semantics(spark, tmp_path):
     delete_deltalake_dv_py(path, spark, "v < 0")
     got = {r["id"] for r in read_deltalake_py(path, spark).collect()}
     assert got == {1, 2, 4}  # NULL v survives; -5 and -1 deleted
+
+
+def test_dv_protocol_upgrade_carries_legacy_features(spark, tmp_path):
+    """ADVICE r6: upgrading to table features (3,7) must carry forward
+    the features implied by the prior protocol — writer v2 implies
+    appendOnly + invariants (PROTOCOL.md) — so external writers keep
+    enforcing them."""
+    from daft_spark.io.delta import (
+        _current_protocol,
+        delete_deltalake_dv_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    path = str(tmp_path / "t")
+    write_deltalake_py(_df(spark, 0, 50), path, mode="overwrite")
+    delete_deltalake_dv_py(path, spark, "id < 10")
+    proto = _current_protocol(path)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert set(proto["writerFeatures"]) >= {
+        "appendOnly", "invariants", "deletionVectors",
+    }
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert read_deltalake_py(path, spark).count() == 40

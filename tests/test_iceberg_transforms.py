@@ -114,3 +114,36 @@ def test_unknown_transform_or_type_is_conservative():
     assert transform_admits("void", 1, "=", 1) is True
     assert transform_admits("truncate[4]", 3.5, "=", 3.0) is True  # odd pv type
     assert transform_admits("day", 3, "~", "x") is True  # unknown op
+
+
+def test_identity_temporal_literal_normalization():
+    """ADVICE r6: manifests from external writers store identity
+    date/timestamp partition values as raw ints (days / epoch micros);
+    pushed literals arrive as datetime.date / datetime. int==date is
+    silently False in Python, which pruned every matching file."""
+    import datetime
+
+    from daft_spark.io.iceberg_transforms import transform_admits
+
+    d = datetime.date(2024, 1, 1)
+    days = (d - datetime.date(1970, 1, 1)).days
+    assert transform_admits("identity", days, "=", d) is True
+    assert transform_admits("identity", days + 1, "=", d) is False
+    assert transform_admits("identity", days, "in", [d, datetime.date(2000, 1, 1)])
+    assert not transform_admits(
+        "identity", days + 5, "in", [d, datetime.date(2024, 1, 2)]
+    )
+    assert transform_admits("identity", days + 1, ">", d) is True
+    assert transform_admits("identity", days - 1, ">", d) is False
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    micros = int(
+        (ts - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+    assert transform_admits("identity", micros, "=", ts) is True
+    assert transform_admits("identity", micros + 1, "=", ts) is False
+    # same-type partition values keep exact comparison
+    assert transform_admits("identity", d, "=", d) is True
+    assert transform_admits("identity", d, "=", datetime.date(2024, 1, 2)) is False
+    # incomparable pairs can't prove exclusion -> admit
+    assert transform_admits("identity", "2024-01-01", "=", d) is True
+    assert transform_admits("identity", 5, "=", "x") is True

@@ -152,3 +152,39 @@ def test_kafka_batch_offset_spec_gates(spark, tmp_path):
         read_kafka(f"file://{root}", "t", spark, starting_offsets="latest")
     with pytest.raises(ValueError, match="earliest"):
         read_kafka(f"file://{root}", "t", spark, ending_offsets="earliest")
+
+
+def test_kafka_json_sentinel_offsets(spark, tmp_path):
+    """ADVICE r6: per-partition JSON offset specs honor Kafka's
+    sentinels (-2 earliest / -1 latest), reject the combinations the
+    real batch source refuses, and error on partitions missing from
+    the spec instead of silently defaulting."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.kafka_fake import write_topic_log
+    from daft_spark.io.readers import read_kafka
+
+    root = str(tmp_path / "log")
+    df = spark.range(100).select((F.col("id") % 2).alias("p"), F.col("id").alias("v"))
+    write_topic_log(root, "t", df, partition_col="p", key_col=None,
+                    value_col="v", order_col="v")
+    # -2 start = earliest, -1 end = latest -> full log
+    got = read_kafka(
+        f"file://{root}", "t", spark,
+        starting_offsets='{"t": {"0": -2, "1": -2}}',
+        ending_offsets='{"t": {"0": -1, "1": -1}}',
+    )
+    assert got.count() == 100
+    # -1 as a start / -2 as an end are the latest/earliest combinations
+    # the batch source rejects
+    with pytest.raises(ValueError, match="latest"):
+        read_kafka(f"file://{root}", "t", spark,
+                   starting_offsets='{"t": {"0": -1, "1": -1}}').count()
+    with pytest.raises(ValueError, match="earliest"):
+        read_kafka(f"file://{root}", "t", spark,
+                   ending_offsets='{"t": {"0": -2, "1": -2}}').count()
+    # every topic partition must appear in the JSON spec
+    with pytest.raises(ValueError, match="missing partition"):
+        read_kafka(f"file://{root}", "t", spark,
+                   starting_offsets='{"t": {"0": 5}}').count()
