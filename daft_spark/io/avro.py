@@ -127,7 +127,13 @@ def encode(out: io.BytesIO, schema, value, names: dict) -> None:
     elif t == "record":
         _register(schema, names)
         for f in schema["fields"]:
-            encode(out, f["type"], value[f["name"]], names)
+            if f["name"] in value:
+                fv = value[f["name"]]
+            elif "default" in f:
+                fv = f["default"]  # Avro writer-side default
+            else:
+                raise KeyError(f"record field {f['name']!r} missing and has no default")
+            encode(out, f["type"], fv, names)
     elif t == "array":
         if value:
             _write_long(out, len(value))

@@ -220,6 +220,24 @@ def _partition_record_schema(partition_fields: list[tuple[str, str]]) -> dict:
     }
 
 
+def _bounds_map_schema(name: str, kid: int, vid: int) -> dict:
+    """Iceberg stores ``map<int, binary>`` in manifest avro as an array
+    of key/value records with logicalType map (string-keyed native avro
+    maps can't carry int keys)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ],
+        },
+    }
+
+
 def _data_file_schema(partition_fields: list[tuple[str, str]]) -> dict:
     return {
         "type": "record",
@@ -235,6 +253,21 @@ def _data_file_schema(partition_fields: list[tuple[str, str]]) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            # per-file column stats (spec field ids 125/128): single-value
+            # binary lower/upper keyed by schema field id — what lets an
+            # UNPARTITIONED table skip files on a selective filter
+            {
+                "name": "lower_bounds",
+                "type": ["null", _bounds_map_schema("k126_v127", 126, 127)],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _bounds_map_schema("k129_v130", 129, 130)],
+                "default": None,
+                "field-id": 128,
+            },
             {
                 "name": "equality_ids",
                 "type": ["null", {"type": "array", "items": "int"}],
@@ -378,9 +411,11 @@ def _live_files_and_deletes(
         for s in meta.get("partition-specs", [])
     }
     source_names: dict[int, str] = {}
+    fields_by_name: dict[str, tuple[int, object]] = {}
     if filters:
         id2name = _field_names_by_id(meta)
         source_names = dict(id2name)
+        fields_by_name = _fields_by_name(meta)
     _, _, manifests = read_ocf(_to_local(snap["manifest-list"], table_path))
     data: list[dict] = []
     deletes: list[dict] = []
@@ -409,6 +444,11 @@ def _live_files_and_deletes(
                     source_names,
                     filters,
                 ):
+                    continue
+                # file-level column stats: skip files whose lower/upper
+                # bounds provably exclude the filter (unpartitioned
+                # tables and intra-partition skipping)
+                if filters and _stats_exclude(dfile, filters, fields_by_name):
                     continue
                 data.append(rec)
             elif content == 2:
@@ -573,6 +613,124 @@ def _field_names_by_id(meta: dict) -> dict[int, str]:
     if "schema" in meta:
         return {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     raise ValueError("Iceberg metadata has no resolvable schema")
+
+
+def _fields_by_name(meta: dict) -> dict[str, tuple[int, object]]:
+    """name -> (field id, iceberg type) for the current schema's
+    top-level fields (type is a string for primitives, dict for
+    nested — stats pruning only uses the primitive ones)."""
+    sid = meta.get("current-schema-id", 0)
+    fields = None
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == sid:
+            fields = s["fields"]
+            break
+    if fields is None and "schema" in meta:
+        fields = meta["schema"]["fields"]
+    if fields is None:
+        raise ValueError("Iceberg metadata has no resolvable schema")
+    return {f["name"]: (f["id"], f["type"]) for f in fields}
+
+
+def _bounds_to_dict(raw) -> dict[int, bytes]:
+    """Manifest lower/upper bounds decode as a list of {key, value}
+    records (the array-encoded map) — normalize to {field_id: bytes}."""
+    if not raw:
+        return {}
+    return {r["key"]: r["value"] for r in raw if r.get("value") is not None}
+
+
+def _stats_exclude(dfile: dict, filters: list[tuple], fields_by_name: dict) -> bool:
+    """True when some filter PROVABLY excludes every row of the file
+    given its per-column lower/upper bounds. Missing/undecodable bounds
+    never exclude. Mirrors the reference's pyiceberg-planned file
+    skipping on manifest metrics (daft/io/iceberg/_iceberg.py:130;
+    pushdown struct src/daft-scan/src/pushdowns.rs:16-36)."""
+    from daft_spark.io.iceberg_transforms import single_value_decode, stats_admit
+
+    lbs = _bounds_to_dict(dfile.get("lower_bounds"))
+    ubs = _bounds_to_dict(dfile.get("upper_bounds"))
+    if not lbs and not ubs:
+        return False
+    for col, op, val in filters:
+        ent = fields_by_name.get(col)
+        if ent is None or not isinstance(ent[1], str):
+            continue
+        fid, ice_type = ent
+        lo = single_value_decode(lbs.get(fid), ice_type)
+        hi = single_value_decode(ubs.get(fid), ice_type)
+        if lo is None and hi is None:
+            continue
+        if not stats_admit(lo, hi, op, val):
+            return True
+    return False
+
+
+def _parquet_column_bounds(
+    path: str, ids_by_name: dict[str, int], types_by_name: dict[str, object]
+):
+    """Per-file column min/max lifted from the parquet footer and
+    re-encoded as Iceberg lower/upper bounds (single-value binary;
+    string/binary truncated to 16 with upper-increment, the
+    UnicodeUtil/BinaryUtil approach, so bounds stay small AND valid).
+    Columns whose footer lacks exact stats in any row group (INT96
+    timestamps, NaN floats, nested) are omitted — absent bounds never
+    prune. Returns (lower_list, upper_list) in the avro map-record
+    form, or (None, None)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from daft_spark.io.iceberg_transforms import (
+        single_value_bytes,
+        truncate_lower,
+        truncate_upper,
+    )
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue
+            ice_type = types_by_name.get(name)
+            if name not in ids_by_name or not isinstance(ice_type, str):
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            try:
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+            except TypeError:
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+    lower, upper = [], []
+    for name, mn in mins.items():
+        fid, ice_type = ids_by_name[name], types_by_name[name]
+        lb = single_value_bytes(truncate_lower(mn), ice_type)
+        if lb is not None:
+            lower.append({"key": fid, "value": lb})
+        mx = truncate_upper(maxs[name])
+        ub = None if mx is None else single_value_bytes(mx, ice_type)
+        if ub is not None:
+            upper.append({"key": fid, "value": ub})
+    return (lower or None), (upper or None)
 
 
 def _bucket_column(col: str, n: int, dt):
@@ -808,6 +966,10 @@ def write_iceberg_py(
 
     parsers = {t["name"]: t["parse"] for t in terms}
 
+    ice_schema = schema_to_iceberg(df.schema)
+    schema_field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    schema_field_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+
     entries = []
     for root, _dirs, files in os.walk(staging):
         for f in sorted(files):
@@ -829,6 +991,9 @@ def write_iceberg_py(
             dst = os.path.join(data_dir, rel_out, name) if rel_out else os.path.join(data_dir, name)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(os.path.join(root, f), dst)
+            lower, upper = _parquet_column_bounds(
+                dst, schema_field_ids, schema_field_types
+            )
             entries.append(
                 {
                     "status": 1,  # ADDED
@@ -842,14 +1007,14 @@ def write_iceberg_py(
                         "partition": {c: pvals.get(c) for c, _ in part_fields},
                         "record_count": _parquet_rows(dst),
                         "file_size_in_bytes": os.path.getsize(dst),
+                        "lower_bounds": lower,
+                        "upper_bounds": upper,
                         "equality_ids": None,
                     },
                 }
             )
     shutil.rmtree(staging, ignore_errors=True)
 
-    ice_schema = schema_to_iceberg(df.schema)
-    schema_field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     spec_fields = [
         {
             "name": t["name"],

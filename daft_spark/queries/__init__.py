@@ -58,44 +58,40 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # round-6 dedup/cluster rework and the Iceberg/Hudi/Paimon/streaming
 # fixes — then the stale set last driver-verified in r1/r2 (led by
 # agg_string_collect per the r5 boundary note).
+# Round-7 rotation (frozen at round start per the r6 verdict's hygiene
+# note — no additions after this commit land in the 50-row window):
+# first the 8 round-6 queries the driver never saw (added after the r6
+# rotation was set), then the queries whose CODE changed round 7
+# (Iceberg stats pruning + identity-literal fix + vectorized source
+# masks; Delta DV executor-side aggregation + protocol carry-forward;
+# kafka sentinel offsets; asof fast-path work), then the r2-era stale
+# set (fn_*, mm_*, sql_table_function, sim_ann_ivf_recall) and the
+# r5-era tpch/relational rows so no green row ages past ~3 rounds.
 DRIVER_PRIORITY: list[str] = [
-    # never driver-seen or new this round (7)
-    "lake_delta_dml", "lake_hudi_upsert",
-    "lake_iceberg_pruned", "lake_iceberg_pos_deletes", "io_kafka_bounded",
-    "sql_session_catalog", "lake_delta_dv",
-    # code changed round 6 (15)
-    "tpch_q5",  # join-order rewrite (late r6)
-    "dedup_resolve", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters", "dedup_ngram_jaccard",
+    # round-6 debt: registered r6 but never driver-seen (8)
+    "io_text_roundtrip", "io_from_pydict_family", "io_hf_mirror",
+    "io_push_sink_roundtrip", "rel_join_right_outer", "rel_join_full_outer",
+    "rel_join_hints", "stream_stream_join",
+    # new round 7 (2)
+    "lake_iceberg_stats_pruned", "sql_rest_catalog",
+    # code changed round 7 (12)
+    "lake_iceberg_pruned", "lake_iceberg_pos_deletes",
     "lake_iceberg_roundtrip", "lake_iceberg_deletes",
-    "lake_paimon_roundtrip", "lake_paimon_upsert", "lake_hudi_roundtrip",
-    "stream_window_counts", "stream_session_windows", "stream_dedup_distinct",
-    "stream_running_stats",
-    # r1/r2-era stale, past the r5 window boundary (31 -> fills row 50)
-    "agg_string_collect",
-    "agg_approx_bounds",
-    "agg_null_group_keys",
-    "agg_cube",
-    "agg_map_groups_zscore",
-    # r2-era stale
-    "w_row_number", "w_rank_dense", "w_lag_lead", "w_sliding_rows",
-    "w_range_frame",
-    "w_first_last",
-    "w_partition_only", "w_sessionize", "w_spark_extras",
-    "asof_backward_by", "asof_forward_by",
-    "asof_nearest_by", "asof_backward_global",
-    "dedup_normalized",
-    "text_token_count", "text_quality",
-    "text_quality_score_dist",
-    "text_langid_agreement", "text_fingerprint", "text_stats_by_source",
-    "text_stopword_filter",
-    "sim_centroid_cosine", "sim_ann_lsh_recall", "sim_ann_ivf_recall",
+    "lake_delta_dv", "lake_delta_dml", "io_kafka_bounded",
+    "asof_backward_by", "asof_forward_by", "asof_nearest_by",
+    "asof_backward_global",
+    "dedup_exact",
+    # r2-era stale (14)
     "fn_strings_regex", "fn_datetime_numeric", "fn_datetime_arith",
     "fn_json_bitwise", "fn_list_binary_url", "fn_conditional_struct",
-    "fn_hash_invariant",
-    "sql_table_function",
+    "fn_hash_invariant", "sql_table_function",
     "mm_embed_text", "mm_llm_generate", "mm_classify_text",
     "mm_image_decode", "mm_url_download", "mm_video_frames",
+    "sim_ann_ivf_recall",
+    # r5-era stale tpch/relational (13 -> fills row 50)
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q10",
+    "tpch_q13", "tpch_q17", "tpch_q18", "tpch_q21",
+    "rel_topn", "rel_pivot", "rel_unpivot", "rel_sample_seeded",
 ]
 
 

@@ -521,3 +521,57 @@ def lake_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         path, spark, "o_totalprice < 100000 AND o_orderstatus = 'F'"
     )
     return read_deltalake_py(path, spark).orderBy("o_orderkey")
+
+
+@register(
+    "lake_iceberg_stats_pruned",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey < 1500
+    ORDER BY o_orderkey
+    """,
+)
+def lake_iceberg_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FILE-LEVEL column-stats pruning on an UNPARTITIONED
+    table: the writer records each data file's lower/upper bounds
+    (spec single-value binary, manifest field-ids 125/128) from the
+    parquet footer, and the metadata walk skips files whose bounds
+    provably exclude the filter — asserted here: a range filter over a
+    range-layout table must scan strictly fewer files than exist. At
+    100 TB this is what makes a selective scan of an unpartitioned
+    table NOT read every file. Reference plans scans through pyiceberg
+    which prunes on the same per-file metrics
+    (daft/io/iceberg/_iceberg.py:130)."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        _live_files_and_deletes,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg",
+        f"orders_stats_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    # range layout: files carry disjoint o_orderkey spans, so bounds
+    # are selective (the natural state of time-ordered fact tables)
+    write_iceberg_py(
+        o.repartitionByRange(8, "o_orderkey"), path, mode="overwrite"
+    )
+    meta = _latest_metadata(path)
+    total, _ = _live_files_and_deletes(meta, path, None, None)
+    kept, _ = _live_files_and_deletes(
+        meta, path, None, [("o_orderkey", "<", 1500)]
+    )
+    if not (0 < len(kept) < len(total)):
+        raise AssertionError(
+            f"stats pruning failed: kept {len(kept)} of {len(total)} files"
+        )
+    pruned = read_iceberg_py(path, spark, filters=[("o_orderkey", "<", 1500)])
+    return pruned.filter(F.col("o_orderkey") < 1500).orderBy("o_orderkey")

@@ -692,3 +692,136 @@ def test_iceberg_python_datasource_pushdown(spark, tmp_path):
     df2 = spark.read.format("daft_iceberg").option("path", path).load()
     assert df2.filter(F.col("o_orderkey") < 50).count() == 0
     assert df2.count() == o.filter(F.col("o_orderkey") >= 50).count()
+
+
+def test_iceberg_datasource_all_files_pruned_returns_empty(spark, tmp_path):
+    """ADVICE r6: when pruning drops every data file (or the filter
+    matches nothing), the registered source must return 0 rows — not
+    crash on Spark's default partition for an empty partitions() list."""
+    from daft_spark.io.iceberg import write_iceberg_py
+    from daft_spark.io.iceberg_source import IcebergSource
+    from daft_spark.io.readers import load_table
+
+    try:
+        spark.dataSource.register(IcebergSource)
+    except Exception:
+        pass
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    path = str(tmp_path / "tbl")
+    write_iceberg_py(o, path, mode="overwrite", partition_by=["o_orderstatus"])
+    df = spark.read.format("daft_iceberg").option("path", path).load()
+    assert df.filter(F.col("o_orderstatus") == "Z").count() == 0
+
+
+def test_iceberg_datasource_bulk_deletes_vectorized(spark, tmp_path):
+    """10k-row position + equality delete files apply through the
+    vectorized mask path (is_in over encoded keys / row ordinals) and
+    stay exact. Bounded-time guard: the old per-row kernel loop was
+    O(delete_rows x file_rows) pyarrow calls."""
+    import time as _time
+
+    from daft_spark.io.iceberg import delete_iceberg_py, write_iceberg_py
+    from daft_spark.io.iceberg_source import IcebergSource
+
+    try:
+        spark.dataSource.register(IcebergSource)
+    except Exception:
+        pass
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("m")
+    )
+    path = str(tmp_path / "tbl")
+    write_iceberg_py(df, path, mode="overwrite")
+    # equality-delete half the keys (10k delete rows)
+    delete_iceberg_py(
+        df.filter(F.col("k") < n // 2).select("k"), path, ["k"]
+    )
+    t0 = _time.time()
+    got = spark.read.format("daft_iceberg").option("path", path).load()
+    assert got.count() == n // 2
+    assert got.agg(F.min("k")).first()[0] == n // 2
+    assert _time.time() - t0 < 60
+
+
+def test_iceberg_column_stats_written_and_pruned(spark, tmp_path):
+    """Write path records lower/upper bounds (single-value binary) per
+    data file; the metadata walk skips files on range filters over an
+    UNPARTITIONED table; string bounds are truncated at 16 with a
+    valid (incremented) upper; absent/foreign bounds never exclude."""
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        _live_files_and_deletes,
+        current_snapshot,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+    from daft_spark.io.avro import read_ocf
+    from daft_spark.io.iceberg_transforms import single_value_decode
+
+    df = spark.range(50000).select(
+        F.col("id").alias("k"),
+        # 16-char strings: inside the truncation width, so bounds stay exact
+        F.concat(F.lit("val_"), F.format_string("%012d", F.col("id"))).alias("s"),
+        # >16-char strings sharing a long prefix: bounds get truncated
+        F.concat(F.lit("longprefix_constant_"), F.col("id").cast("string")).alias(
+            "s2"
+        ),
+    )
+    path = str(tmp_path / "t")
+    write_iceberg_py(df.repartitionByRange(5, "k"), path, mode="overwrite")
+    meta = _latest_metadata(path)
+    # bounds present in the manifest, decodable, and truncated for strings
+    snap = current_snapshot(meta)
+    _, _, manifests = read_ocf(snap["manifest-list"])
+    _, _, entries = read_ocf(manifests[0]["manifest_path"])
+    d = entries[0]["data_file"]
+    lbs = {r["key"]: r["value"] for r in d["lower_bounds"]}
+    ubs = {r["key"]: r["value"] for r in d["upper_bounds"]}
+    assert set(lbs) == {1, 2, 3} and set(ubs) == {1, 2, 3}
+    lo_k = single_value_decode(lbs[1], "long")
+    hi_k = single_value_decode(ubs[1], "long")
+    assert isinstance(lo_k, int) and lo_k <= hi_k
+    assert len(lbs[3]) == 16  # long-string lower truncated to width
+    # truncated-and-incremented upper still bounds every value in the file
+    assert single_value_decode(ubs[3], "string") > "longprefix_const"
+    # range filter prunes files
+    total, _ = _live_files_and_deletes(meta, path, None, None)
+    kept, _ = _live_files_and_deletes(meta, path, None, [("k", "<", 100)])
+    assert len(total) == 5 and len(kept) == 1
+    # equality on the in-width string column keeps only one file
+    kept_s, _ = _live_files_and_deletes(
+        meta, path, None, [("s", "=", "val_000000042000")]
+    )
+    assert len(kept_s) == 1
+    # the shared->truncated s2 bounds must NOT wrongly exclude a match
+    kept_s2, _ = _live_files_and_deletes(
+        meta, path, None, [("s2", "=", "longprefix_constant_42000")]
+    )
+    assert len(kept_s2) == 5  # truncated bounds are non-selective here, by design
+    got = read_iceberg_py(path, spark, filters=[("k", "<", 100)])
+    assert got.filter(F.col("k") < 100).count() == 100
+    # full read unaffected
+    assert read_iceberg_py(path, spark).count() == 50000
+
+
+def test_iceberg_stats_pruning_sound_on_appends_and_deletes(spark, tmp_path):
+    """Stats pruning composes with merge-on-read: equality deletes
+    still apply to kept files, and appended snapshots' bounds are
+    honored independently per manifest."""
+    from daft_spark.io.iceberg import (
+        delete_iceberg_py,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("m"))
+    path = str(tmp_path / "t")
+    write_iceberg_py(df.filter(F.col("k") < 500).repartitionByRange(2, "k"), path,
+                     mode="overwrite")
+    write_iceberg_py(df.filter(F.col("k") >= 500).repartitionByRange(2, "k"), path,
+                     mode="append")
+    delete_iceberg_py(df.filter(F.col("k").between(100, 199)).select("k"), path, ["k"])
+    got = read_iceberg_py(path, spark, filters=[("k", "<", 300)])
+    assert got.filter(F.col("k") < 300).count() == 200  # 0-99 + 200-299
+    assert read_iceberg_py(path, spark).count() == 900
