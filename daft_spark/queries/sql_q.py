@@ -10,7 +10,10 @@ DuckDB oracle — the strongest possible SQL-frontend parity check.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from daft_spark.io.readers import register_views
 from daft_spark.queries import register
@@ -240,3 +243,56 @@ def sql_session_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sess.detach_table("cust_att")
         sess.detach_table("nat_att")
+
+
+@register(
+    "sql_rest_catalog",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sql_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg REST catalog protocol end-to-end (reference
+    daft/catalog/__iceberg.py; wire contract apache/iceberg
+    rest-catalog-open-api.yaml): an in-process HTTP server fronts a
+    filesystem warehouse; Catalog.from_iceberg("http://...") performs
+    the config handshake, createNamespace/createTable/loadTable all go
+    over the wire, and the loaded table (metadata-location from the
+    LoadTableResult) is read back through the pure-Python Iceberg scan
+    and aggregated. The oracle restates the aggregate from the raw
+    parquet — a protocol fault (lost table, stale metadata location)
+    surfaces as a hash mismatch."""
+    import shutil
+
+    from daft_spark.io.iceberg_rest import IcebergRestCatalogServer
+    from daft_spark.io.readers import load_table
+    from daft_spark.session import Catalog, Session
+
+    wh = os.path.join(
+        "/tmp/daft_spark_rest_wh", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 2000)
+    with IcebergRestCatalogServer(wh) as srv:
+        cat = Catalog.from_iceberg(srv.uri, name="restcat")
+        cat.create_namespace("sales")
+        cat.create_table("sales.orders_slice", o)
+        if cat.list_tables() != ["sales.orders_slice"]:
+            raise AssertionError(f"REST listTables wrong: {cat.list_tables()}")
+        sess = Session(spark)
+        sess.attach_catalog(cat, "restcat")
+        back = cat.read_table("sales.orders_slice")
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("o_totalprice").cast("double"), 2).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+        )

@@ -142,18 +142,24 @@ class Catalog:
     @staticmethod
     def from_iceberg(catalog, name: str = "iceberg") -> "Catalog":
         """reference Catalog.from_iceberg (daft/catalog/__init__.py:226).
-        A warehouse DIRECTORY (namespaces = subdirectories, tables =
-        directories containing metadata/ — pyiceberg's filesystem
-        warehouse layout) gets a fully functional catalog over the
-        pure-Python Iceberg reader/writer; pyiceberg catalog objects
-        need that package."""
+        Accepts either a warehouse DIRECTORY (namespaces =
+        subdirectories, tables = directories containing metadata/ —
+        pyiceberg's filesystem warehouse layout) or an ``http(s)://``
+        base URL of an Iceberg REST catalog (the protocol production
+        deployments speak — apache/iceberg rest-catalog-open-api.yaml);
+        pyiceberg catalog objects need that package."""
         import os
 
+        if isinstance(catalog, str) and catalog.startswith(("http://", "https://")):
+            from daft_spark.io.iceberg_rest import IcebergRestCatalog
+
+            return IcebergRestCatalog(catalog, name)
         if isinstance(catalog, str) and os.path.isdir(catalog):
             return IcebergDirectoryCatalog(catalog, name)
         raise ImportError(
-            "Catalog.from_iceberg accepts a filesystem warehouse directory; "
-            "pyiceberg catalog objects require the 'pyiceberg' package"
+            "Catalog.from_iceberg accepts a filesystem warehouse directory or "
+            "a REST catalog http(s) URL; pyiceberg catalog objects require "
+            "the 'pyiceberg' package"
         )
 
     @staticmethod
