@@ -112,6 +112,62 @@ def _directional(
     )
 
 
+def _right_plan_bytes(right: DataFrame) -> int:
+    """Catalyst's size estimate for the right plan (used to decide the
+    broadcast fast path). -1 when unavailable."""
+    try:
+        return int(
+            right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return -1
+
+
+def _broadcast_asof(
+    l: DataFrame,
+    r: DataFrame,
+    by: list[str],
+    strategy: str,
+) -> DataFrame:
+    """Broadcast-range fast path: the right side collapses to ONE
+    sorted array of (t, payload) per ``by`` group, broadcast to every
+    left task — the LEFT side (the fact table at scale) is never
+    shuffled at all. Matching is pure JVM: ``filter`` the array on the
+    time predicate and take the boundary element (``try_element_at``
+    handles the no-match case). Linear in the group's right rows per
+    left row, which is exactly when broadcast is the right plan anyway
+    (dimension-sized right). Mirrors the reference's probe-side
+    build-table strategy for small as-of inputs
+    (src/daft-local-execution/src/join/asof_join.rs)."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__asof_t").alias("t"),
+                                F.col("__asof_payload").alias("p"))),
+        lambda a, b: F.when(a["t"] < b["t"], -1)
+        .when(a["t"] > b["t"], 1)
+        .otherwise(0),
+    ).alias("__asof_arr")
+    rg = r.groupBy(*by).agg(ordered) if by else r.groupBy().agg(ordered)
+    j = (
+        l.join(F.broadcast(rg), by, "left")
+        if by
+        else l.crossJoin(F.broadcast(rg))
+    )
+    lt = F.col("__asof_t")
+    arr = F.col("__asof_arr")
+    bwd = F.try_element_at(F.filter(arr, lambda x: x["t"] <= lt), F.lit(-1))
+    fwd = F.try_element_at(F.filter(arr, lambda x: x["t"] >= lt), F.lit(1))
+    if strategy == "backward":
+        match = bwd
+    elif strategy == "forward":
+        match = fwd
+    else:  # nearest: closer side, ties prefer forward (reference tie rule)
+        pick_bwd = fwd.isNull() | (
+            bwd.isNotNull() & ((lt - bwd["t"]) < (fwd["t"] - lt))
+        )
+        match = F.when(pick_bwd, bwd).otherwise(fwd)
+    return j.withColumn("__match", match["p"]).drop("__asof_arr")
+
+
 def join_asof(
     left: DataFrame,
     right: DataFrame,
@@ -121,6 +177,7 @@ def join_asof(
     right_on: str | None = None,
     suffix: str = "_right",
     num_buckets: int | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Left as-of join: for each left row, the single best right match.
 
@@ -133,11 +190,36 @@ def join_asof(
     ``num_buckets`` (default 2x parallelism) parallel window partitions
     with boundary stitching — pass ``num_buckets=1`` to force the serial
     single-window plan.
+
+    ``broadcast``: force (True) or forbid (False) the broadcast-range
+    fast path — right side collapsed to per-group sorted arrays and
+    broadcast, so the left side is NEVER shuffled. Default None
+    auto-enables it only for ``nearest`` with a right plan Catalyst
+    estimates under ``spark.daft.asofBroadcastThreshold`` bytes
+    (default 256 MB). A/B at sf10 (ASOF_AB.json, hash-verified
+    identical results): backward/forward window 1.1s vs broadcast 1.8s
+    (the array build dominates — window keeps those), nearest window
+    7.0s vs broadcast 4.2s (one broadcast array replaces TWO
+    directional window passes — broadcast wins).
     """
     if strategy not in _STRATEGIES:
         raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
     by = [by] if isinstance(by, str) else list(by or [])
     right_on = right_on or on
+    if broadcast is None:
+        if strategy != "nearest":
+            broadcast = False
+        else:
+            try:
+                thresh = int(
+                    left.sparkSession.conf.get(
+                        "spark.daft.asofBroadcastThreshold", str(256 * 1024 * 1024)
+                    )
+                )
+            except ValueError:
+                thresh = 256 * 1024 * 1024
+            size = _right_plan_bytes(right)
+            broadcast = 0 < size <= thresh
     if not by and num_buckets is None:
         num_buckets = max(2, left.sparkSession.sparkContext.defaultParallelism * 2)
 
@@ -159,6 +241,16 @@ def join_asof(
             *[F.col(c).alias(out_names[c]) for c in r_payload_cols],
         ).alias("__asof_payload"),
     )
+    if broadcast:
+        matched = _broadcast_asof(l, r, by, strategy)
+        return matched.select(
+            *[F.col(c) for c in left_cols],
+            *[
+                F.col(f"__match.{out_names[c]}").alias(out_names[c])
+                for c in r_payload_cols
+            ],
+        )
+
     u = l.unionByName(r, allowMissingColumns=True)
 
     if strategy in ("backward", "forward"):

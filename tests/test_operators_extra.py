@@ -139,3 +139,32 @@ def test_string_agg_and_product(spark):
     assert out[1]["ss"] == ["a", "b"]
     assert out[2]["p"] == 0.0
     assert out[3]["p"] is None  # all-null group
+
+
+def test_asof_broadcast_path_matches_window_path(spark):
+    """The broadcast-range fast path and the union+window plan must
+    produce identical results for all three strategies, including
+    no-match lefts and by-groups absent from the right."""
+    from daft_spark.operators.asof_join import join_asof
+
+    left = spark.createDataFrame(
+        [("a", 5, 1), ("a", 12, 2), ("a", 30, 3), ("b", 7, 4), ("c", 9, 5)],
+        "k string, t long, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", 3, 10.0), ("a", 12, 20.0), ("a", 25, 30.0), ("b", 8, 40.0)],
+        "k string, t long, rv double",
+    )
+    for strat in ("backward", "forward", "nearest"):
+        w = join_asof(left, right, on="t", by="k", strategy=strat,
+                      broadcast=False).orderBy("lid").collect()
+        b = join_asof(left, right, on="t", by="k", strategy=strat,
+                      broadcast=True).orderBy("lid").collect()
+        assert [r.asDict() for r in w] == [r.asDict() for r in b], strat
+    # global (no by) broadcast path too
+    for strat in ("backward", "forward", "nearest"):
+        w = join_asof(left.drop("k"), right.drop("k"), on="t", strategy=strat,
+                      broadcast=False).orderBy("lid").collect()
+        b = join_asof(left.drop("k"), right.drop("k"), on="t", strategy=strat,
+                      broadcast=True).orderBy("lid").collect()
+        assert [r.asDict() for r in w] == [r.asDict() for r in b], strat

@@ -94,10 +94,17 @@ def test_asof_join_single_shuffle_per_window(spark):
     buys = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").alias("pv")
     )
-    plan = plan_of(join_asof(clicks, buys, on="ts", by="user_id"))
+    plan = plan_of(join_asof(clicks, buys, on="ts", by="user_id", broadcast=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+    # broadcast fast path: right becomes per-group sorted arrays behind a
+    # BroadcastHashJoin — the left side is never shuffled and there is no
+    # window at all
+    bplan = plan_of(join_asof(clicks, buys, on="ts", by="user_id", broadcast=True))
+    assert "BroadcastHashJoin" in bplan
+    assert "Window" not in bplan
+    assert "CartesianProduct" not in bplan
 
 
 def test_minhash_no_python_udf_in_plan(spark):
