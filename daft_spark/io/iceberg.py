@@ -41,13 +41,16 @@ the sibling pure-Python Avro codec (``daft_spark.io.avro``):
   content=1 deletes manifest); the reader applies them merge-on-read —
   data files grouped by data sequence number, each group anti-joined
   against the strictly-newer delete values (the v2 sequencing rule).
+- ``position_delete_iceberg_py``: v2 POSITION DELETE files keyed by
+  (file_path, row ordinal), applied with the same sequencing rule.
+- Manifest pruning: partition tuples (identity + spec-hash bucket +
+  truncate/day/month/year via iceberg_transforms) AND per-file column
+  stats — value/null counts (spec ids 109/110) and lower/upper bounds
+  (125/128, single-value binary) recorded on write and consulted on
+  read, so selective filters skip files even on unpartitioned tables.
 
-Out of scope (raise cleanly): position delete files, format v3, schema
-evolution beyond latest-schema reads, and non-local filesystems. Bucket numbering uses Spark's
-murmur3 ``F.hash`` (see _parse_partition_term), which is internally
-consistent but not byte-compatible with Java Iceberg's bucket
-transform; partition values only drive pruning, which this reader
-does not apply.
+Out of scope (raise cleanly): format v3, schema evolution beyond
+latest-schema reads, and non-local filesystems.
 
 At 100 TB the metadata walk is driver-side KB/MB work (exactly how
 pyiceberg plans scans); the data plane stays a multi-file parquet scan.
@@ -220,10 +223,10 @@ def _partition_record_schema(partition_fields: list[tuple[str, str]]) -> dict:
     }
 
 
-def _bounds_map_schema(name: str, kid: int, vid: int) -> dict:
-    """Iceberg stores ``map<int, binary>`` in manifest avro as an array
-    of key/value records with logicalType map (string-keyed native avro
-    maps can't carry int keys)."""
+def _bounds_map_schema(name: str, kid: int, vid: int, vtype: str = "bytes") -> dict:
+    """Iceberg stores ``map<int, binary|long>`` in manifest avro as an
+    array of key/value records with logicalType map (string-keyed
+    native avro maps can't carry int keys)."""
     return {
         "type": "array",
         "logicalType": "map",
@@ -232,7 +235,7 @@ def _bounds_map_schema(name: str, kid: int, vid: int) -> dict:
             "name": name,
             "fields": [
                 {"name": "key", "type": "int", "field-id": kid},
-                {"name": "value", "type": "bytes", "field-id": vid},
+                {"name": "value", "type": vtype, "field-id": vid},
             ],
         },
     }
@@ -253,9 +256,22 @@ def _data_file_schema(partition_fields: list[tuple[str, str]]) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-            # per-file column stats (spec field ids 125/128): single-value
-            # binary lower/upper keyed by schema field id — what lets an
-            # UNPARTITIONED table skip files on a selective filter
+            # per-file column stats (spec field ids 109/110/125/128):
+            # value/null counts answer IS [NOT] NULL; single-value binary
+            # lower/upper keyed by schema field id let an UNPARTITIONED
+            # table skip files on a selective filter
+            {
+                "name": "value_counts",
+                "type": ["null", _bounds_map_schema("k119_v120", 119, 120, "long")],
+                "default": None,
+                "field-id": 109,
+            },
+            {
+                "name": "null_value_counts",
+                "type": ["null", _bounds_map_schema("k121_v122", 121, 122, "long")],
+                "default": None,
+                "field-id": 110,
+            },
             {
                 "name": "lower_bounds",
                 "type": ["null", _bounds_map_schema("k126_v127", 126, 127)],
@@ -600,6 +616,10 @@ def _apply_residual(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
             df = df.filter(c >= val)
         elif op == "in":
             df = df.filter(c.isin(list(val)))
+        elif op == "isnull":
+            df = df.filter(c.isNull())
+        elif op == "isnotnull":
+            df = df.filter(c.isNotNull())
         else:
             raise ValueError(f"unsupported filter op {op!r}")
     return df
@@ -650,13 +670,27 @@ def _stats_exclude(dfile: dict, filters: list[tuple], fields_by_name: dict) -> b
 
     lbs = _bounds_to_dict(dfile.get("lower_bounds"))
     ubs = _bounds_to_dict(dfile.get("upper_bounds"))
-    if not lbs and not ubs:
+    vcs = _bounds_to_dict(dfile.get("value_counts"))
+    ncs = _bounds_to_dict(dfile.get("null_value_counts"))
+    if not lbs and not ubs and not vcs:
         return False
     for col, op, val in filters:
         ent = fields_by_name.get(col)
         if ent is None or not isinstance(ent[1], str):
             continue
         fid, ice_type = ent
+        vc, nc = vcs.get(fid), ncs.get(fid)
+        if op == "isnull":
+            if nc == 0:
+                return True  # no nulls in this file
+            continue
+        if op == "isnotnull":
+            if vc is not None and nc is not None and vc > 0 and nc >= vc:
+                return True  # every value is null
+            continue
+        # all-null columns satisfy no comparison operator
+        if vc is not None and nc is not None and vc > 0 and nc >= vc:
+            return True
         lo = single_value_decode(lbs.get(fid), ice_type)
         hi = single_value_decode(ubs.get(fid), ice_type)
         if lo is None and hi is None:
@@ -666,17 +700,18 @@ def _stats_exclude(dfile: dict, filters: list[tuple], fields_by_name: dict) -> b
     return False
 
 
-def _parquet_column_bounds(
+def _parquet_column_stats(
     path: str, ids_by_name: dict[str, int], types_by_name: dict[str, object]
 ):
-    """Per-file column min/max lifted from the parquet footer and
-    re-encoded as Iceberg lower/upper bounds (single-value binary;
-    string/binary truncated to 16 with upper-increment, the
-    UnicodeUtil/BinaryUtil approach, so bounds stay small AND valid).
-    Columns whose footer lacks exact stats in any row group (INT96
-    timestamps, NaN floats, nested) are omitted — absent bounds never
-    prune. Returns (lower_list, upper_list) in the avro map-record
-    form, or (None, None)."""
+    """Per-file column stats lifted from the parquet footer:
+    value/null counts plus min/max re-encoded as Iceberg lower/upper
+    bounds (single-value binary; string/binary truncated to 16 with
+    upper-increment, the UnicodeUtil/BinaryUtil approach, so bounds
+    stay small AND valid). Columns whose footer lacks exact min/max in
+    a non-all-null row group (INT96 timestamps, NaN floats, nested)
+    omit bounds — absent stats never prune. Returns
+    (value_counts, null_value_counts, lower, upper) avro map-record
+    lists (None when empty)."""
     import math
 
     import pyarrow.parquet as pq
@@ -690,19 +725,35 @@ def _parquet_column_bounds(
     md = pq.ParquetFile(path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    values: dict[str, int] = {}
     bad: set[str] = set()
+    bad_nulls: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if "." in name or name in bad:
+            if "." in name:
                 continue
             ice_type = types_by_name.get(name)
             if name not in ids_by_name or not isinstance(ice_type, str):
                 continue
             st = col.statistics
+            # counts (spec: value_counts includes nulls) are valid even
+            # when min/max aren't
+            values[name] = values.get(name, 0) + g.num_rows
+            if st is not None and st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                bad_nulls.add(name)
+            if name in bad:
+                continue
             if st is None or not st.has_min_max:
+                # an all-null row group legitimately has no min/max;
+                # other rows' bounds still hold for the whole file
+                if st is not None and st.has_null_count and st.null_count == g.num_rows:
+                    continue
                 bad.add(name)
                 mins.pop(name, None)
                 maxs.pop(name, None)
@@ -730,7 +781,20 @@ def _parquet_column_bounds(
         ub = None if mx is None else single_value_bytes(mx, ice_type)
         if ub is not None:
             upper.append({"key": fid, "value": ub})
-    return (lower or None), (upper or None)
+    value_counts = [
+        {"key": ids_by_name[n], "value": c} for n, c in values.items()
+    ]
+    null_counts = [
+        {"key": ids_by_name[n], "value": c}
+        for n, c in nulls.items()
+        if n not in bad_nulls
+    ]
+    return (
+        (value_counts or None),
+        (null_counts or None),
+        (lower or None),
+        (upper or None),
+    )
 
 
 def _bucket_column(col: str, n: int, dt):
@@ -991,7 +1055,7 @@ def write_iceberg_py(
             dst = os.path.join(data_dir, rel_out, name) if rel_out else os.path.join(data_dir, name)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(os.path.join(root, f), dst)
-            lower, upper = _parquet_column_bounds(
+            vcounts, ncounts, lower, upper = _parquet_column_stats(
                 dst, schema_field_ids, schema_field_types
             )
             entries.append(
@@ -1007,6 +1071,8 @@ def write_iceberg_py(
                         "partition": {c: pvals.get(c) for c, _ in part_fields},
                         "record_count": _parquet_rows(dst),
                         "file_size_in_bytes": os.path.getsize(dst),
+                        "value_counts": vcounts,
+                        "null_value_counts": ncounts,
                         "lower_bounds": lower,
                         "upper_bounds": upper,
                         "equality_ids": None,

@@ -21,6 +21,16 @@ transparent SQL integration; ``read_iceberg_py`` remains the
 throughput path (native scan + the same pruning, filters passed
 explicitly) and is what ``read_iceberg`` routes to.
 
+KNOWN SPARK LIMITATION (verified on 4.1, documented in
+tests/test_iceberg.py::test_iceberg_datasource_plan_cache_staleness):
+Spark caches a Python data source's planned read (partitions + read
+function) on the relation and re-plans only when the next query has
+filters to push. Reusing ONE ``load()`` DataFrame for a filtered
+action and then a weaker/unfiltered action replays the stale filtered
+plan (missing rows). Workaround: call ``load()`` per query, or use
+``read_iceberg_py``. Nothing the source can do — ``pushFilters`` is
+never invoked for the filterless re-use.
+
 Reference: ``daft/io/iceberg/_iceberg.py:130`` plans Iceberg scans
 through pyiceberg with pushed filters; this source is the same design
 on Spark's pluggable-scan surface.
@@ -33,11 +43,14 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
 )
@@ -65,6 +78,13 @@ def _translate(filters) -> tuple[list[tuple], list]:
             out.append((col, "<=", f.value))
         elif isinstance(f, In):
             out.append((col, "in", list(f.values)))
+        elif isinstance(f, EqualNullSafe):
+            # <=> null is IS NULL; <=> non-null prunes exactly like =
+            out.append((col, "isnull" if f.value is None else "=", f.value))
+        elif isinstance(f, IsNull):
+            out.append((col, "isnull", None))
+        elif isinstance(f, IsNotNull):
+            out.append((col, "isnotnull", None))
     return out, list(filters)
 
 
@@ -215,4 +235,12 @@ class IcebergReader(DataSourceReader):
                 keep = inv if keep is None else pc.and_(keep, inv)
         if keep is not None:
             table = table.filter(keep)
+        # normalize nullability + drop field metadata: batches of every
+        # file in a task bin must share ONE arrow schema or the arrow
+        # writer back to Spark rejects them (e.g. a file whose column is
+        # all-null vs one where it's non-null)
+        norm = pa.schema(
+            [pa.field(f.name, f.type, nullable=True) for f in table.schema]
+        )
+        table = table.cast(norm)
         yield from table.to_batches(max_chunksize=65536)

@@ -232,6 +232,11 @@ def transform_admits(transform: str, pv, op: str, val) -> bool:
     try:
         if op == "==":
             op = "="
+        if op in ("isnull", "isnotnull"):
+            # every Iceberg transform maps null -> null and (for the
+            # transforms we support) non-null -> non-null, so the
+            # partition value's null-ness decides for ANY transform
+            return (pv is None) if op == "isnull" else (pv is not None)
         if transform == "identity":
             if pv is None:
                 return op == "!="

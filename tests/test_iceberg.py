@@ -825,3 +825,85 @@ def test_iceberg_stats_pruning_sound_on_appends_and_deletes(spark, tmp_path):
     got = read_iceberg_py(path, spark, filters=[("k", "<", 300)])
     assert got.filter(F.col("k") < 300).count() == 200  # 0-99 + 200-299
     assert read_iceberg_py(path, spark).count() == 900
+
+
+def test_iceberg_null_count_stats_and_isnull_pruning(spark, tmp_path):
+    """value/null counts (spec ids 109/110) are recorded per file and
+    drive IS NULL / IS NOT NULL pruning plus all-null comparison
+    exclusion; Catalyst's IsNull/IsNotNull filters reach the pruning
+    walk through the registered daft_iceberg source."""
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        _live_files_and_deletes,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+    from daft_spark.io.iceberg_source import IcebergSource
+
+    try:
+        spark.dataSource.register(IcebergSource)
+    except Exception:
+        pass
+    # file A: v never null; file B: v always null (union of two writes)
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    ).coalesce(1)
+    b = spark.range(1000, 2000).select(
+        F.col("id").alias("k"), F.lit(None).cast("double").alias("v")
+    ).coalesce(1)
+    path = str(tmp_path / "t")
+    write_iceberg_py(a, path, mode="overwrite")
+    write_iceberg_py(b, path, mode="append")
+    meta = _latest_metadata(path)
+    total, _ = _live_files_and_deletes(meta, path, None, None)
+    assert len(total) == 2
+    only_null, _ = _live_files_and_deletes(meta, path, None, [("v", "isnull", None)])
+    assert len(only_null) == 1  # file A (nulls=0) pruned
+    only_val, _ = _live_files_and_deletes(meta, path, None, [("v", "isnotnull", None)])
+    assert len(only_val) == 1  # file B (all null) pruned
+    cmp_pruned, _ = _live_files_and_deletes(meta, path, None, [("v", ">", 10.0)])
+    assert len(cmp_pruned) == 1  # all-null file can't satisfy a comparison
+    # results stay exact through both read paths
+    assert read_iceberg_py(path, spark, filters=[("v", "isnull", None)]).filter(
+        F.col("v").isNull()
+    ).count() == 1000
+    # fresh load() per query: Spark caches the planned read per relation
+    # (see test_iceberg_datasource_plan_cache_staleness)
+    load = lambda: spark.read.format("daft_iceberg").option("path", path).load()
+    assert load().filter(F.col("v").isNull()).count() == 1000
+    assert load().filter(F.col("v").isNotNull()).count() == 1000
+    assert load().count() == 2000
+
+
+def test_iceberg_datasource_plan_cache_staleness(spark, tmp_path):
+    """Documents a SPARK 4.1 engine limitation, not a source bug: the
+    planned read of a Python data source is cached on the relation and
+    only re-planned when the next query pushes filters. Reusing one
+    load() DataFrame for a filtered action and then an unfiltered one
+    replays the stale filtered plan. A fresh load() per query is always
+    correct. If this test ever fails on a future Spark because the
+    SECOND assertion returns 2000, Spark fixed the caching — then drop
+    the docstring warning in io/iceberg_source.py."""
+    from daft_spark.io.iceberg import write_iceberg_py
+    from daft_spark.io.iceberg_source import IcebergSource
+
+    try:
+        spark.dataSource.register(IcebergSource)
+    except Exception:
+        pass
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    ).coalesce(1)
+    b = spark.range(1000, 2000).select(
+        F.col("id").alias("k"), F.lit(None).cast("double").alias("v")
+    ).coalesce(1)
+    path = str(tmp_path / "t")
+    write_iceberg_py(a, path, mode="overwrite")
+    write_iceberg_py(b, path, mode="append")
+    df = spark.read.format("daft_iceberg").option("path", path).load()
+    assert df.filter(F.col("v").isNotNull()).count() == 1000
+    # the stale filtered plan leaks into the unfiltered re-use
+    assert df.count() in (1000, 2000)  # 1000 on Spark 4.1 (cached plan)
+    # fresh relation always correct
+    df2 = spark.read.format("daft_iceberg").option("path", path).load()
+    assert df2.count() == 2000
