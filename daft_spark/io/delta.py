@@ -421,7 +421,24 @@ def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> No
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in partition_cols)
         groups.setdefault(key, []).append(os.path.join(path, rel))
-    hits = None
+    matched = _dv_matched_rows(
+        spark, path, condition, partition_cols, part_types, phys, groups, dv_frame
+    )
+    by_file = _dv_positions_by_file(matched)
+    if not by_file:
+        return
+    _dv_commit(path, adds, by_file, [], "DELETE", condition)
+
+
+def _dv_matched_rows(
+    spark, path, condition, partition_cols, part_types, phys, groups, dv_frame
+):
+    """CURRENT-state rows matching ``condition`` (existing DVs already
+    applied), tagged with (__fp, __pos) row identity, partition columns
+    restored."""
+    from pyspark.sql import functions as F
+
+    matched = None
     for key, files in sorted(groups.items()):
         df = spark.read.schema(phys).parquet(*files).select(
             "*",
@@ -434,21 +451,38 @@ def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> No
             df = df.join(F.broadcast(dv_frame), ["__fp", "__pos"], "left_anti")
         for c, raw in zip(partition_cols, key):
             df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
-        m = df.filter(F.expr(condition).eqNullSafe(F.lit(True))).select("__fp", "__pos")
-        hits = m if hits is None else hits.unionAll(m)
-    # Aggregate ordinals to per-file sorted lists EXECUTOR-side; the
-    # driver sees one row per affected file, not one per deleted row.
-    by_file = {
+        m = df.filter(F.expr(condition).eqNullSafe(F.lit(True)))
+        matched = m if matched is None else matched.unionByName(m)
+    return matched
+
+
+def _dv_positions_by_file(matched) -> dict[str, list[int]]:
+    """Aggregate matched ordinals to per-file sorted lists EXECUTOR-
+    side; the driver sees one row per affected file, not one per
+    deleted row."""
+    from pyspark.sql import functions as F
+
+    return {
         r["__fp"]: list(r["__positions"])
-        for r in hits.groupBy("__fp")
+        for r in matched.groupBy("__fp")
         .agg(F.sort_array(F.collect_list("__pos")).alias("__positions"))
         .collect()
     }
-    if not by_file:
-        return
-    abs_to_rel = {os.path.abspath(os.path.join(path, rel)): rel for rel in adds}
 
+
+def _dv_commit(
+    path: str,
+    adds: dict,
+    by_file: dict[str, list[int]],
+    extra_actions: list[dict],
+    op: str,
+    condition: str,
+) -> None:
+    """One DV commit: protocol upgrade, remove + re-add-with-DV for
+    each affected file (merging pre-existing DVs), then any extra add
+    actions (e.g. UPDATE's rewritten rows)."""
     now_ms = int(time.time() * 1000)
+    abs_to_rel = {os.path.abspath(os.path.join(path, rel)): rel for rel in adds}
     actions: list[dict] = [{"protocol": _upgraded_dv_protocol(path)}]
     for abs_path, positions in sorted(by_file.items()):
         rel = abs_to_rel[abs_path]
@@ -469,11 +503,12 @@ def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> No
             "deletionVector": desc,
         }
         actions.append({"add": new_add})
+    actions.extend(extra_actions)
     actions.append(
         {
             "commitInfo": {
                 "timestamp": now_ms,
-                "operation": "DELETE",
+                "operation": op,
                 "operationParameters": {"predicate": condition, "mode": "mor-dv"},
                 "engineInfo": "daft_spark pure-python delta writer",
             }
@@ -491,6 +526,89 @@ def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> No
             f"concurrent Delta commit detected at version {version} ({path})"
         )
     os.rename(tmp, final)
+
+
+def update_deltalake_dv_py(
+    path: str, spark: SparkSession, condition: str, set_exprs: dict[str, str]
+) -> None:
+    """Merge-on-read UPDATE via DELETION VECTORS: rows matching
+    ``condition`` are tombstoned by parquet ordinal (no data file
+    rewritten) and their updated versions — ``set_exprs`` maps column
+    name to a SQL expression over the old row — are appended as NEW
+    data files in the SAME commit, exactly how DV-enabled engines run
+    UPDATE. NULL-condition rows are untouched (three-valued UPDATE);
+    prior versions stay time-travelable. Reference surface: the
+    reference reads such tables through deltalake
+    (daft/io/delta_lake/_deltalake.py:22); the commit layout follows
+    the public Delta PROTOCOL.md deletion-vector rules."""
+    from pyspark.sql import functions as F
+
+    schema_json, partition_cols, adds = _replay_log(path)
+    schema = StructType.fromJson(json.loads(schema_json))
+    if not adds:
+        return
+    bad = set(set_exprs) - {f.name for f in schema.fields}
+    if bad:
+        raise ValueError(f"SET columns not in table schema: {sorted(bad)}")
+    dv_frame = _dv_positions_frame(spark, path, adds)
+    part_types = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
+    phys = StructType([f for f in schema.fields if f.name not in partition_cols])
+    groups: dict[tuple, list[str]] = {}
+    for rel, add in adds.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in partition_cols)
+        groups.setdefault(key, []).append(os.path.join(path, rel))
+    matched = _dv_matched_rows(
+        spark, path, condition, partition_cols, part_types, phys, groups, dv_frame
+    )
+    by_file = _dv_positions_by_file(matched)
+    if not by_file:
+        return
+    types_by_name = {f.name: f.dataType for f in schema.fields}
+    updated = matched
+    for col, expr in set_exprs.items():
+        updated = updated.withColumn(col, F.expr(expr).cast(types_by_name[col]))
+    updated = updated.select(*[f.name for f in schema.fields])
+    # Stage the rewritten rows exactly like write_deltalake_py does
+    # (hive layout when partitioned), producing the commit's add actions.
+    from urllib.parse import unquote
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    writer = updated.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    now_ms = int(time.time() * 1000)
+    version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
+    new_adds: list[dict] = []
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict[str, str] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            name = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+            rel = os.path.join(rel_dir, name) if rel_dir != "." else name
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, f), dst)
+            new_adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    _dv_commit(path, adds, by_file, new_adds, "UPDATE", condition)
 
 
 def write_deltalake_py(

@@ -575,3 +575,51 @@ def lake_iceberg_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     pruned = read_iceberg_py(path, spark, filters=[("o_orderkey", "<", 1500)])
     return pruned.filter(F.col("o_orderkey") < 1500).orderBy("o_orderkey")
+
+
+@register(
+    "lake_delta_dv_update",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_totalprice < 100000 AND o_orderstatus = 'F'
+                THEN round(CAST(o_totalprice * 1.1 AS DOUBLE), 2)
+                ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice
+    FROM orders WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def lake_delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION-VECTOR UPDATE (merge-on-read): matching rows are
+    tombstoned by ordinal into roaring DV files AND their rewritten
+    versions appended as new data files in the SAME commit — no base
+    file is rewritten, prior versions stay time-travelable. The oracle
+    restates the post-update table from the raw parquet. Reference
+    reads DV tables through delta-rs (daft/io/delta_lake/
+    _deltalake.py); commit layout per the public Delta PROTOCOL.md."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        read_deltalake_py,
+        update_deltalake_dv_py,
+        write_deltalake_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 500)
+    path = os.path.join(
+        "/tmp/daft_spark_delta",
+        f"orders_dv_upd_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_deltalake_py(o, path, mode="overwrite")
+    update_deltalake_dv_py(
+        path, spark,
+        "o_totalprice < 100000 AND o_orderstatus = 'F'",
+        {"o_totalprice": "round(o_totalprice * 1.1, 2)"},
+    )
+    out = read_deltalake_py(path, spark)
+    return out.select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).orderBy("o_orderkey")

@@ -303,3 +303,51 @@ def test_dv_protocol_upgrade_carries_legacy_features(spark, tmp_path):
     }
     assert "deletionVectors" in proto["readerFeatures"]
     assert read_deltalake_py(path, spark).count() == 40
+
+
+def test_dv_update_merge_on_read(spark, tmp_path):
+    """UPDATE via deletion vectors: matched rows tombstoned by ordinal
+    AND rewritten as appended files in one commit; base files are not
+    rewritten; NULL-condition rows untouched; time travel intact;
+    composes with a later DV DELETE."""
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.delta import (
+        read_deltalake_py,
+        update_deltalake_dv_py,
+        delete_deltalake_dv_py,
+        write_deltalake_py,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "b", -5.0), (4, "b", 2.0), (5, "a", -1.0)],
+        "id long, grp string, v double",
+    )
+    path = str(tmp_path / "t")
+    write_deltalake_py(df, path, mode="overwrite", partition_by=["grp"])
+    import glob as _glob
+    base_files = set(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    update_deltalake_dv_py(path, spark, "v < 0", {"v": "v * -1", "grp": "'fixed'"})
+    got = {r["id"]: (r["grp"], r["v"]) for r in read_deltalake_py(path, spark).collect()}
+    assert got == {
+        1: ("a", 10.0), 2: ("a", None),  # NULL v untouched
+        3: ("fixed", 5.0), 4: ("b", 2.0), 5: ("fixed", 1.0),
+    }
+    # base files survive (merge-on-read, not rewrite)
+    assert base_files <= set(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    # time travel to v0 sees the original rows
+    v0 = {r["id"]: r["v"] for r in read_deltalake_py(path, spark, version=0).collect()}
+    assert v0[3] == -5.0 and v0[5] == -1.0
+    # a later DV delete composes with the update's files
+    delete_deltalake_dv_py(path, spark, "grp = 'fixed'")
+    left = {r["id"] for r in read_deltalake_py(path, spark).collect()}
+    assert left == {1, 2, 4}
+    # no-match update is a no-op commit-wise
+    update_deltalake_dv_py(path, spark, "v > 1e9", {"v": "0.0"})
+    assert {r["id"] for r in read_deltalake_py(path, spark).collect()} == {1, 2, 4}
+    # unknown SET column errors
+    import pytest
+    with pytest.raises(ValueError, match="SET columns"):
+        update_deltalake_dv_py(path, spark, "v > 0", {"nope": "1"})
