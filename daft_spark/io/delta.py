@@ -611,12 +611,77 @@ def update_deltalake_dv_py(
     _dv_commit(path, adds, by_file, new_adds, "UPDATE", condition)
 
 
+def _all_txn_versions(table_path: str, version: int) -> dict[str, int]:
+    """Latest txn version per appId at ``version`` (checkpoint rows +
+    later JSON commits)."""
+    out: dict[str, int] = {}
+    ckpts = [c for c in _checkpoint_versions(table_path) if c <= version]
+    start_after = -1
+    if ckpts:
+        import pyarrow.parquet as pq
+
+        p = os.path.join(
+            _log_path(table_path), f"{ckpts[-1]:020d}.checkpoint.parquet"
+        )
+        t = pq.read_table(p)
+        if "txn" in t.column_names:
+            for row in t.column("txn").to_pylist():
+                if row and row.get("appId") is not None:
+                    a = row["appId"]
+                    out[a] = max(out.get(a, -1), int(row.get("version", -1)))
+        start_after = ckpts[-1]
+    for v in _list_versions(table_path):
+        if v <= start_after or v > version:
+            continue
+        with open(_commit_file(table_path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "txn" in a and a["txn"].get("appId") is not None:
+                        aid = a["txn"]["appId"]
+                        out[aid] = max(out.get(aid, -1), int(a["txn"].get("version", -1)))
+    return out
+
+
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest ``txn`` action version committed for ``app_id`` (-1 when
+    none) — the Delta protocol's application-transaction mechanism for
+    idempotent writers (PROTOCOL.md "Transaction Identifiers"). Scans
+    the newest checkpoint's txn rows plus every later JSON commit."""
+    best = -1
+    ckpts = _checkpoint_versions(path)
+    start_after = -1
+    if ckpts:
+        import pyarrow.parquet as pq
+
+        p = os.path.join(_log_path(path), f"{ckpts[-1]:020d}.checkpoint.parquet")
+        t = pq.read_table(p)
+        if "txn" in t.column_names:
+            for row in t.column("txn").to_pylist():
+                if row and row.get("appId") == app_id:
+                    best = max(best, int(row.get("version", -1)))
+        start_after = ckpts[-1]
+    for v in _list_versions(path):
+        if v <= start_after:
+            continue
+        with open(_commit_file(path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    a = json.loads(line)
+                    if "txn" in a and a["txn"].get("appId") == app_id:
+                        best = max(best, int(a["txn"].get("version", -1)))
+    return best
+
+
 def write_deltalake_py(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Write ``df`` as a Delta commit: parquet data files + one atomic
     JSON log entry. Modes: append, overwrite, error, ignore.
@@ -624,9 +689,20 @@ def write_deltalake_py(
     the partition columns recorded in partitionValues (and dropped from
     the files, per the spec). Every ``checkpoint_interval`` commits a
     classic single-file parquet checkpoint + _last_checkpoint is
-    emitted so the JSON prefix of the log becomes vacuumable."""
+    emitted so the JSON prefix of the log becomes vacuumable.
+    ``txn=(app_id, version)`` stamps the commit with a transaction
+    identifier (PROTOCOL.md) and SKIPS the write when that version is
+    already committed — the idempotence contract streaming sinks replay
+    on (see streaming.write_stream_delta)."""
     if mode not in ("append", "overwrite", "error", "ignore"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if txn is not None:
+        app_id, txn_version = str(txn[0]), int(txn[1])
+        try:
+            if last_txn_version(path, app_id) >= txn_version:
+                return  # already committed (replayed micro-batch)
+        except FileNotFoundError:
+            pass
     versions = _list_versions(path)
     ckpts = _checkpoint_versions(path)
     exists = bool(versions or ckpts)
@@ -716,6 +792,16 @@ def write_deltalake_py(
                 }
             )
     actions.extend(adds)
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {
@@ -788,6 +874,18 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                 },
             }
         )
+    # spec: a checkpoint must carry the newest txn action per appId,
+    # or idempotent writers lose their watermark once the JSON prefix
+    # is vacuumed
+    for app_id, txn_version in sorted(_all_txn_versions(table_path, version).items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app_id, "version": txn_version},
+            }
+        )
     # dict-valued fields are MAP<string,string> in real Delta checkpoints
     # (an empty plain struct is also unwritable to parquet)
     map_ss = pa.map_(pa.string(), pa.string())
@@ -823,6 +921,10 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                         ("dataChange", pa.bool_()),
                     ]
                 ),
+            ),
+            (
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
             ),
         ]
     )

@@ -282,3 +282,57 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "purchase_id", "user_id")
     return _drain(joined, mode="append").orderBy("click_id", "purchase_id")
+
+
+@register(
+    "stream_delta_sink",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-lakehouse ingestion: a file-source stream drains
+    through write_stream_delta — each micro-batch one ATOMIC Delta
+    commit stamped with a txn (appId, batchId) identifier, the
+    PROTOCOL.md idempotence contract — then the table is read back
+    through the pure-Python log replay and aggregated. The oracle
+    restates the aggregate from the raw parquet, so a lost batch,
+    duplicated replay, or broken commit shows as a hash mismatch.
+    The standard 100 TB streaming-ingestion shape: readers only ever
+    see whole batches; the table stays time-travelable per batch."""
+    import shutil
+    import tempfile
+
+    from daft_spark.io.delta import read_deltalake_py
+    from daft_spark.streaming import write_stream_delta
+
+    src = _stream_events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    scratch = tempfile.mkdtemp(prefix="stream_delta_")
+    tbl = os.path.join(scratch, "tbl")
+    ckpt = os.path.join(scratch, "ckpt")
+    q = write_stream_delta(
+        src, tbl, ckpt, app_id="stream_delta_sink", available_now=True
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("stream_delta_sink did not drain in 300s")
+    except Exception:
+        q.stop()
+        raise
+    out = (
+        read_deltalake_py(tbl, spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before scratch cleanup
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -12,6 +12,8 @@ pipelines can become continuous without rewrites.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -229,3 +231,51 @@ def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str, t
             raise TimeoutError(f"stream into {sink_table} did not drain in {timeout}s")
     finally:
         q.stop()
+
+
+def write_stream_delta(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    app_id: str | None = None,
+    partition_by: list[str] | None = None,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+):
+    """Streaming ingestion into a Delta table with EXACTLY-ONCE appends:
+    each micro-batch commits through the pure-Python Delta writer
+    stamped with a ``txn`` (appId, batchId) transaction identifier
+    (PROTOCOL.md "Transaction Identifiers"), so a replayed batch after
+    a crash/restart is recognized in the log and skipped — the same
+    idempotence contract delta-spark's streaming sink implements. State
+    about processed offsets lives in Spark's own checkpoint; state
+    about committed batches lives in the table log; either alone is
+    enough to prevent duplicates.
+
+    Returns the started StreamingQuery. At 100 TB this is the standard
+    stream-to-lakehouse shape: micro-batch appends are one atomic
+    commit each, readers always see full batches, and the table stays
+    time-travelable per batch."""
+    from daft_spark.io.delta import write_deltalake_py
+
+    app = app_id or f"daft_spark-stream-{os.path.basename(table_path.rstrip('/'))}"
+    parts = list(partition_by or [])
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_deltalake_py(
+            batch_df, table_path, mode="append",
+            partition_by=parts, txn=(app, int(batch_id)),
+        )
+
+    w = (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()

@@ -6,6 +6,8 @@ bounded-only (SURVEY §2.8); these are the continuous upgrades."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -200,3 +202,89 @@ def test_running_stats_stream_state_across_batches(spark, stream_src):
         | (F.abs(F.col("max_value") - F.col("mx_b")) > 1e-9)
     )
     assert bad.count() == 0
+
+
+def test_write_stream_delta_exactly_once(spark, tmp_path):
+    """foreachBatch Delta sink: micro-batches append as atomic txn-
+    stamped commits; a REPLAYED batch (same appId+batchId) is skipped
+    by the log-side idempotence guard even without Spark's checkpoint;
+    restart with a fresh checkpoint does not duplicate rows."""
+    import glob
+    import time as _time
+
+    from daft_spark.io.delta import (
+        last_txn_version,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+    from daft_spark.streaming import read_files_stream, write_stream_delta
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    df0 = spark.range(100).select(F.col("id").alias("k"))
+    df0.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "batch1"))
+    stream = read_files_stream(
+        str(src_dir) + "/*/", "parquet", schema="k long", spark=spark
+    )
+    q = write_stream_delta(stream, tbl, ckpt, app_id="t1", trigger_seconds=None)
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if glob.glob(os.path.join(tbl, "_delta_log", "*.json")):
+                got = read_deltalake_py(tbl, spark).count()
+                if got == 100:
+                    break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert read_deltalake_py(tbl, spark).count() == 100
+    assert last_txn_version(tbl, "t1") == 0
+    # simulate a crash-replay of batch 0: same txn -> skipped
+    write_deltalake_py(df0, tbl, mode="append", txn=("t1", 0))
+    assert read_deltalake_py(tbl, spark).count() == 100
+    # a NEW batch id commits
+    write_deltalake_py(
+        spark.range(100, 150).select(F.col("id").alias("k")), tbl,
+        mode="append", txn=("t1", 1),
+    )
+    assert read_deltalake_py(tbl, spark).count() == 150
+    assert last_txn_version(tbl, "t1") == 1
+    # another app's txn counter is independent
+    assert last_txn_version(tbl, "other") == -1
+
+
+def test_delta_txn_survives_checkpoint(spark, tmp_path):
+    """txn watermarks must survive checkpointing + JSON-prefix vacuum
+    (the spec requires checkpoints to carry the newest txn per appId)."""
+    from daft_spark.io.delta import (
+        last_txn_version,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    tbl = str(tmp_path / "t")
+    for i in range(12):  # checkpoint_interval=10 -> checkpoint written
+        write_deltalake_py(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id").alias("k")),
+            tbl, mode="append" if i else "overwrite", txn=("app", i),
+        )
+    import glob
+    ckpts = glob.glob(os.path.join(tbl, "_delta_log", "*.checkpoint.parquet"))
+    assert ckpts, "no checkpoint written"
+    # vacuum the JSON prefix the checkpoint covers
+    ck_v = max(int(os.path.basename(c).split(".")[0]) for c in ckpts)
+    for j in glob.glob(os.path.join(tbl, "_delta_log", "*.json")):
+        base = os.path.basename(j)
+        if base[:-5].isdigit() and int(base[:-5]) <= ck_v:
+            os.remove(j)
+    assert read_deltalake_py(tbl, spark).count() == 120
+    assert last_txn_version(tbl, "app") == 11
+    # replay of an old batch is still recognized after vacuum
+    write_deltalake_py(
+        spark.range(5).select(F.col("id").alias("k")), tbl,
+        mode="append", txn=("app", 3),
+    )
+    assert read_deltalake_py(tbl, spark).count() == 120
