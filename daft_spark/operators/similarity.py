@@ -300,3 +300,92 @@ def pairs_above_threshold(
         .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 30,
+    bands: int = 10,
+    seed: int = 42,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIR MINING at corpus scale — the
+    vector analogue of the MinHash+LSH text miner (operators/dedup.py):
+    banded sign-random-projection LSH generates candidates, exact cosine
+    verifies them.
+
+    Banding: the ``num_planes`` SRP sign bits split into ``bands`` keys
+    of ``num_planes // bands`` bits; two vectors are candidates when ANY
+    band key collides. With per-plane collision probability
+    p = 1 - theta/pi, recall = 1 - (1 - p^bits_per_band)^bands — more
+    bands raise recall, more bits per band cut candidate volume.
+
+    100 TB posture (mirrors the text miner's shape):
+    - Candidate generation shuffles only (band, key, id) triples —
+      8-byte keys, never the vectors.
+    - Vectors are joined back ONLY for candidate pairs, and the exact
+      cosine runs JVM-side (zip_with/aggregate codegen).
+    - Buckets larger than ``max_bucket_size`` (degenerate regions —
+      e.g. the all-zeros corner) contribute STAR edges (bucket-min to
+      each member) instead of all pairs, bounding any single bucket's
+      cost at O(n) — same recall caveat the text miner documents:
+      members of an oversized bucket link through the representative
+      only if the star pairs survive verification.
+    """
+    per_band = num_planes // bands
+    if per_band * bands != num_planes:
+        raise ValueError("num_planes must be divisible by bands")
+    planes = _hyperplanes(num_planes, dim, seed)
+    mask = (1 << per_band) - 1
+    sig = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).withColumn("__sig", lsh_bucket(F.col("__vec"), planes))
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("__sig"), b * per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # (band, key, id) triples only — the vector column never enters the
+    # candidate shuffle.
+    buckets = sig.select(
+        "__id", F.explode(band_keys).alias("__bk")
+    ).select("__id", F.col("__bk.band").alias("__band"), F.col("__bk.key").alias("__key"))
+
+    sizes = buckets.groupBy("__band", "__key").agg(F.count(F.lit(1)).alias("__n"))
+    buckets = buckets.join(sizes, ["__band", "__key"])
+    small = buckets.filter(F.col("__n") <= max_bucket_size)
+    big = buckets.filter(F.col("__n") > max_bucket_size)
+
+    a = small.select("__band", "__key", F.col("__id").alias("id_a"))
+    b = small.select("__band", "__key", F.col("__id").alias("id_b"))
+    cand = a.join(b, ["__band", "__key"]).filter(F.col("id_a") < F.col("id_b"))
+    star = (
+        big.groupBy("__band", "__key")
+        .agg(F.min("__id").alias("id_a"), F.collect_list("__id").alias("__ids"))
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    cand = cand.select("id_a", "id_b").unionAll(star).distinct()
+
+    va = sig.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+    vb = sig.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

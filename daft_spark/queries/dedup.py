@@ -334,3 +334,103 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("bad") == 0).alias("keeper_is_min"))
     )
     return n_docs.crossJoin(keepers).crossJoin(per_text).crossJoin(min_label)
+
+
+@register(
+    "dedup_embedding_resolve",
+    """
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.3
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT p.ib, r.lbl FROM reach r JOIN p ON p.ia = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(min(lbl) AS BIGINT) AS cluster_id,
+           node = min(lbl) AS is_representative
+    FROM reach GROUP BY node ORDER BY vec_id
+    """,
+)
+def dedup_embedding_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP: exact label-blocked cosine pairs
+    (operators/similarity.pairs_above_threshold) -> connected components
+    -> one (cluster_id, is_representative) row per vector. The oracle
+    recomputes the same components with a recursive CTE (hash-to-min as
+    recursion: every node reaches its component's minimum through the
+    symmetric pair edges), so a lost edge, wrong fixpoint, or premature
+    convergence in the label propagation mismatches. The sf0.01 graph
+    has 73 multi-member clusters with real transitive chains."""
+    from daft_spark.operators.cluster import duplicate_clusters
+    from daft_spark.operators.similarity import pairs_above_threshold
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = pairs_above_threshold(
+        emb, threshold=0.3, id_col="vec_id", vec_col="embedding", block_col="label"
+    )
+    return (
+        duplicate_clusters(emb.select("vec_id"), pairs, "vec_id")
+        .select("vec_id", "cluster_id", "is_representative")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS mined_subset_of_exact,
+           TRUE AS recall_ge_095
+    FROM p
+    """,
+    comparable=False,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SRP-LSH embedding near-dup miner
+    (operators/similarity.embedding_near_dups) checked against the
+    brute-force exact pair set computed IN SPARK: the oracle recomputes
+    the exact pair count in DuckDB, and the two booleans are measured
+    from the pipeline (precision: every mined pair is an exact pair;
+    recall >= 0.95 — measured 0.999 at sf0.001/0.01/0.1 with 32 planes
+    in 16 two-bit bands). comparable=False: the invariant SQL does the
+    exact quadratic, not the banded pipeline's work."""
+    from daft_spark.operators.similarity import (
+        embedding_near_dups,
+        pairs_above_threshold,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = pairs_above_threshold(emb, 0.3).select("id_a", "id_b").persist()
+    mined = (
+        embedding_near_dups(emb, 0.3, dim=64, num_planes=32, bands=16)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    hits = mined.join(exact, ["id_a", "id_b"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    subset = mined.agg(F.count(F.lit(1)).alias("nm")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("nh"))
+    )
+    return (
+        n_exact.crossJoin(subset)
+        .select(
+            "n_exact_pairs",
+            (F.col("nm") == F.col("nh")).alias("mined_subset_of_exact"),
+            (
+                F.col("nh").cast("double")
+                / F.greatest(F.col("n_exact_pairs").cast("double"), F.lit(1.0))
+                >= 0.95
+            ).alias("recall_ge_095"),
+        )
+    )

@@ -168,3 +168,41 @@ def test_asof_broadcast_path_matches_window_path(spark):
         b = join_asof(left.drop("k"), right.drop("k"), on="t", strategy=strat,
                       broadcast=True).orderBy("lid").collect()
         assert [r.asDict() for r in w] == [r.asDict() for r in b], strat
+
+
+def test_embedding_near_dups_precision_and_star_cap(spark):
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.similarity import (
+        embedding_near_dups,
+        pairs_above_threshold,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in pairs_above_threshold(emb, 0.3).select("id_a", "id_b").collect()
+    }
+    mined = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, 0.3, dim=64, num_planes=32, bands=16)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert mined <= exact  # exact-verify => precision 1
+    assert len(mined) >= 0.95 * len(exact)
+
+    # degenerate max_bucket_size forces EVERY bucket down the star path:
+    # output must stay a subset of exact pairs (star edges are verified
+    # too) and still include the representative's own edges
+    starred = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            emb, 0.3, dim=64, num_planes=32, bands=16, max_bucket_size=1
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert starred <= exact
+
+    with pytest.raises(ValueError):
+        embedding_near_dups(emb, 0.3, dim=64, num_planes=30, bands=16)
