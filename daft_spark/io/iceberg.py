@@ -181,8 +181,11 @@ def _iceberg_type_to_spark(t) -> T.DataType:
     raise NotImplementedError(f"Iceberg type {t!r}")
 
 
-def schema_to_iceberg(schema: T.StructType) -> dict:
-    ids = _IdGen()
+def schema_to_iceberg(schema: T.StructType, start_id: int = 0) -> dict:
+    """``start_id`` floors the minted field ids — an overwrite of an
+    evolved table mints its new ids ABOVE the table's last-column-id so
+    they never collide with ids recorded in older schemas/manifests."""
+    ids = _IdGen(start_id)
     fields = [
         {
             "id": ids.next(),
@@ -193,6 +196,49 @@ def schema_to_iceberg(schema: T.StructType) -> dict:
         for f in schema.fields
     ]
     return {"type": "struct", "schema-id": 0, "fields": fields, "last-column-id": ids.n}
+
+
+def _optionalize_schema(ice_schema: dict) -> dict:
+    """Written tables declare every column OPTIONAL. Spark DataFrame
+    nullability is plan-derived and transient (Spark itself projects
+    parquet columns as nullable on read), so persisting required-ness
+    from one write's plan would poison later appends whose legal nulls
+    then violate the required constraint. Map keys stay required (spec:
+    map keys are always required)."""
+
+    def conv(t):
+        if isinstance(t, dict) and t.get("type") == "struct":
+            return {
+                **t,
+                "fields": [
+                    {**f, "required": False, "type": conv(f["type"])}
+                    for f in t["fields"]
+                ],
+            }
+        if isinstance(t, dict) and t.get("type") == "list":
+            return {**t, "element-required": False, "element": conv(t["element"])}
+        if isinstance(t, dict) and t.get("type") == "map":
+            return {**t, "value-required": False, "value": conv(t["value"])}
+        return t
+
+    return conv(ice_schema)
+
+
+def _type_sig(t):
+    """Structural type signature with field ids stripped — compares an
+    incoming write schema against the table's current schema."""
+    if isinstance(t, str):
+        return t
+    if t["type"] == "struct":
+        return (
+            "struct",
+            tuple((f["name"], _type_sig(f["type"]), f["required"]) for f in t["fields"]),
+        )
+    if t["type"] == "list":
+        return ("list", _type_sig(t["element"]), t["element-required"])
+    if t["type"] == "map":
+        return ("map", _type_sig(t["key"]), _type_sig(t["value"]), t["value-required"])
+    return ("?", json.dumps(t, sort_keys=True))
 
 
 # ---------------------------------------------------------------------------
@@ -485,14 +531,63 @@ def _live_data_files(meta: dict, table_path: str, snapshot_id: int | None = None
     return [r["path"] for r in data]
 
 
-def _current_schema(meta: dict) -> T.StructType:
+def _current_ice_schema(meta: dict) -> dict:
     sid = meta.get("current-schema-id", 0)
     for s in meta.get("schemas", []):
         if s.get("schema-id") == sid:
-            return _iceberg_type_to_spark(s)
+            return s
     if "schema" in meta:  # v1 layout
-        return _iceberg_type_to_spark(meta["schema"])
+        return meta["schema"]
     raise ValueError("Iceberg metadata has no resolvable schema")
+
+
+def _current_schema(meta: dict) -> T.StructType:
+    return _iceberg_type_to_spark(_current_ice_schema(meta))
+
+
+def _schema_with_field_ids(ice_schema: dict) -> T.StructType:
+    """Spark read/write schema carrying ``parquet.field.id`` metadata —
+    the spec's field-id-based column resolution (Iceberg spec §Column
+    Projection: "Columns in data files are matched by field id"), using
+    Spark's native parquet field-id support
+    (``spark.sql.parquet.fieldId.read/write.enabled``) instead of
+    name matching. Top-level and nested-struct fields carry ids;
+    list/map element ids can't ride Spark StructField metadata, so
+    evolution is supported for struct-shaped columns (documented
+    limitation)."""
+
+    def conv(t, fid=None):
+        if isinstance(t, dict) and t.get("type") == "struct":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        conv(f["type"], f["id"]),
+                        not f["required"],
+                        {"parquet.field.id": f["id"]},
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        return _iceberg_type_to_spark(t)
+
+    return conv(ice_schema)
+
+
+def _files_have_field_ids(paths: list[str]) -> bool:
+    """True when the (sampled) parquet files embed PARQUET:field_id —
+    the gate for id-based column resolution. Files written without ids
+    (this engine pre-evolution, plain Spark writers) must keep NAME
+    matching: under id-matching an id-less file reads as all-null."""
+    import pyarrow.parquet as pq
+
+    for p in paths:
+        sa = pq.ParquetFile(p).schema_arrow
+        if not sa or not all(
+            f.metadata and b"PARQUET:field_id" in f.metadata for f in sa
+        ):
+            return False
+    return True
 
 
 def read_iceberg_py(
@@ -520,11 +615,46 @@ def read_iceberg_py(
     if meta.get("format-version", 1) > 2:
         raise NotImplementedError("Iceberg format v3+ not supported")
     schema = _current_schema(meta)
+    ice = _current_ice_schema(meta)
+    id_schema = _schema_with_field_ids(ice)
+
+    def schema_for(files: list[str]) -> T.StructType:
+        # Field-id column resolution (spec §Column Projection) when the
+        # commit's files embed parquet field ids — renamed columns
+        # resolve by id, columns added after the file was written come
+        # back null (fieldId.read.ignoreMissing). Id-less files (legacy
+        # writers) keep name matching. Sampling one file per commit
+        # group is sound: files of one commit share one writer.
+        if _files_have_field_ids(files[:1]):
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+            return id_schema
+        return schema
+
     data, deletes = _live_files_and_deletes(meta, path, snapshot_id, filters)
     if not data:
         return spark.createDataFrame([], schema)
     if not deletes:
-        out = spark.read.schema(schema).parquet(*[r["path"] for r in data])
+        # split by id-ness (sampled per commit/seq group), one scan per kind
+        by_seq: dict[int, list[str]] = {}
+        for r in data:
+            by_seq.setdefault(r["seq"], []).append(r["path"])
+        kinds: dict[bool, list[str]] = {}
+        for _seq, files in sorted(by_seq.items()):
+            kinds.setdefault(_files_have_field_ids(files[:1]), []).extend(files)
+        outs = []
+        for has_ids, files in sorted(kinds.items()):
+            if has_ids:
+                spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+                )
+            outs.append(
+                spark.read.schema(id_schema if has_ids else schema).parquet(*files)
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionAll(o)
         return _apply_residual(out, filters)
     eq_deletes = [d for d in deletes if d.get("content", 2) == 2]
     pos_deletes = [d for d in deletes if d.get("content") == 1]
@@ -548,7 +678,7 @@ def read_iceberg_py(
         groups.setdefault(r["seq"], []).append(r["path"])
     parts = []
     for seq, files in sorted(groups.items()):
-        df = spark.read.schema(schema).parquet(*files)
+        df = spark.read.schema(schema_for(files)).parquet(*files)
         pos_applicable = [d["path"] for d in pos_deletes if d["seq"] >= seq]
         if pos_applicable:
             # Row identity = (normalized file path, ordinal row index).
@@ -595,9 +725,15 @@ def read_iceberg_py(
 
 def _apply_residual(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
     """Exact post-scan application of the pushed filters (partition
-    pruning is file-granular; the residual keeps row-level semantics)."""
+    pruning is file-granular; the residual keeps row-level semantics).
+    Also strips the parquet.field.id read-schema metadata so the
+    returned frame's schema equals a plain parquet read's."""
     from pyspark.sql import functions as F
 
+    if any(f.metadata for f in df.schema.fields):
+        df = df.select(
+            *[F.col(f.name).alias(f.name, metadata={}) for f in df.schema.fields]
+        )
     if not filters:
         return df
     for col, op, val in filters:
@@ -1010,14 +1146,72 @@ def write_iceberg_py(
     snapshot_id = uuid.uuid4().int % (1 << 62)
     seq = (prior.get("last-sequence-number", 0) if prior else 0) + 1
 
+    # Schema + field ids: appends REUSE the table's current schema (and
+    # its stable field ids — the spec's evolution invariant) rather than
+    # re-deriving ids positionally; creates/overwrites mint fresh ids.
+    if prior is not None and mode == "append":
+        ice_schema = _current_ice_schema(prior)
+        cur_names = [f["name"] for f in ice_schema["fields"]]
+        if sorted(cur_names) != sorted(df.columns):
+            raise ValueError(
+                f"append columns {sorted(df.columns)} do not match the "
+                f"table schema {sorted(cur_names)} — evolve the schema "
+                "first (evolve_iceberg_schema)"
+            )
+        df = df.select(*cur_names)
+        last_column_id = prior.get(
+            "last-column-id", max(f["id"] for f in ice_schema["fields"])
+        )
+        schemas = prior.get("schemas") or [ice_schema]
+        current_schema_id = prior.get("current-schema-id", 0)
+    elif prior is not None:
+        # overwrite of an existing table: same shape reuses the current
+        # schema + ids; a different shape becomes a NEW schema entry
+        # with ids minted above last-column-id (spec: ids are never
+        # reused), keeping older schemas resolvable for old snapshots.
+        cur = _current_ice_schema(prior)
+        fresh = _optionalize_schema(schema_to_iceberg(df.schema))
+        same = [(f["name"], _type_sig(f["type"])) for f in cur["fields"]] == [
+            (f["name"], _type_sig(f["type"])) for f in fresh["fields"]
+        ]
+        if same:
+            ice_schema = cur
+            schemas = prior.get("schemas") or [cur]
+            current_schema_id = prior.get("current-schema-id", 0)
+            last_column_id = prior.get(
+                "last-column-id", max(f["id"] for f in cur["fields"])
+            )
+        else:
+            prev = prior.get("schemas") or []
+            sid = max((s.get("schema-id", 0) for s in prev), default=-1) + 1
+            ice_schema = dict(
+                _optionalize_schema(
+                    schema_to_iceberg(df.schema, start_id=prior.get("last-column-id", 0))
+                ),
+                **{"schema-id": sid},
+            )
+            schemas = prev + [ice_schema]
+            current_schema_id = sid
+            last_column_id = ice_schema["last-column-id"]
+    else:
+        ice_schema = _optionalize_schema(schema_to_iceberg(df.schema))
+        last_column_id = ice_schema["last-column-id"]
+        schemas = [ice_schema]
+        current_schema_id = ice_schema.get("schema-id", 0)
+
     # Stage data files via Spark's parquet writer, move under data/.
     # partitionBy consumes DERIVED columns (_p_<name> — a duplicate for
     # identity, the transform value for hidden partitioning) so the
     # source columns survive in the data files — exactly what native
     # Iceberg writers produce — while the hive dirs tell us each file's
-    # partition tuple.
+    # partition tuple. Every source column carries its Iceberg field id
+    # into the parquet footer (PARQUET:field_id, written by Spark's
+    # fieldId.write path) so readers can resolve columns by id after
+    # renames — spec §Column Projection.
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     staged = df
+    for fld in ice_schema["fields"]:
+        staged = staged.withMetadata(fld["name"], {"parquet.field.id": fld["id"]})
     for t in terms:
         staged = staged.withColumn(f"_p_{t['name']}", t["expr"])
     writer = staged.write.mode("overwrite")
@@ -1030,7 +1224,6 @@ def write_iceberg_py(
 
     parsers = {t["name"]: t["parse"] for t in terms}
 
-    ice_schema = schema_to_iceberg(df.schema)
     schema_field_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     schema_field_types = {f["name"]: f["type"] for f in ice_schema["fields"]}
 
@@ -1140,7 +1333,7 @@ def write_iceberg_py(
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
         "summary": {"operation": "overwrite" if mode == "overwrite" else "append"},
-        "schema-id": 0,
+        "schema-id": current_schema_id,
     }
     version = (_read_version_hint(path) or 0) + 1
     meta = {
@@ -1149,9 +1342,9 @@ def write_iceberg_py(
         "location": path,
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": ice_schema["last-column-id"],
-        "current-schema-id": 0,
-        "schemas": [ice_schema],
+        "last-column-id": last_column_id,
+        "current-schema-id": current_schema_id,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 999 + len(spec_fields),
@@ -1165,6 +1358,109 @@ def write_iceberg_py(
         ),
         "metadata-log": [],
     }
+    meta_file = os.path.join(md, f"v{version}.metadata.json")
+    tmp = meta_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    if os.path.exists(meta_file):
+        os.remove(tmp)
+        raise RuntimeError(f"concurrent Iceberg commit detected at v{version} ({path})")
+    os.rename(tmp, meta_file)
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+
+
+def evolve_iceberg_schema(
+    path: str,
+    *,
+    renames: dict[str, str] | None = None,
+    add_columns: list[tuple[str, object]] | None = None,
+    drop_columns: list[str] | None = None,
+) -> None:
+    """Metadata-only schema evolution commit (Iceberg spec §Schema
+    Evolution): ``renames`` keep the field id (readers resolve old data
+    files by id, so renamed columns keep their values), ``add_columns``
+    mint fresh ids above last-column-id (old files read the new column
+    as null — ids are never reused), ``drop_columns`` remove the field
+    (the data stays in the files but no reader projects it). Top-level
+    columns only; new columns are always optional (v2 has no default
+    values, so a required add would break existing files).
+
+    Appends a NEW schema entry (schema-id = max+1) and flips
+    current-schema-id — existing snapshots keep their original
+    schema-id, exactly how pyiceberg's UpdateSchema commits land.
+    """
+    renames = dict(renames or {})
+    add_columns = list(add_columns or [])
+    drop_columns = list(drop_columns or [])
+    prior = _latest_metadata(path)
+    cur = _current_ice_schema(prior)
+    fields = [dict(f) for f in cur["fields"]]
+    names = {f["name"] for f in fields}
+
+    for old, new in renames.items():
+        if old not in names:
+            raise ValueError(f"rename source column {old!r} not in schema")
+        if new in names and new != old:
+            raise ValueError(f"rename target column {new!r} already exists")
+    part_source_ids = {
+        pf["source-id"]
+        for spec in prior.get("partition-specs", [])
+        for pf in spec.get("fields", [])
+    }
+    for c in drop_columns:
+        f = next((f for f in fields if f["name"] == c), None)
+        if f is None:
+            raise ValueError(f"drop column {c!r} not in schema")
+        if f["id"] in part_source_ids:
+            raise ValueError(f"cannot drop partition source column {c!r}")
+
+    out_fields = []
+    for f in fields:
+        if f["name"] in drop_columns:
+            continue
+        if f["name"] in renames:
+            f = dict(f, name=renames[f["name"]])
+        out_fields.append(f)
+
+    last_id = prior.get("last-column-id", max((f["id"] for f in fields), default=0))
+    ids = _IdGen(last_id)
+    existing = {f["name"] for f in out_fields}
+    for name, dtype in add_columns:
+        if name in existing:
+            raise ValueError(f"add column {name!r} already exists")
+        if isinstance(dtype, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            dtype = _parse_datatype_string(dtype)
+        out_fields.append(
+            {
+                "id": ids.next(),
+                "name": name,
+                "required": False,
+                "type": _spark_type_to_iceberg(dtype, ids),
+            }
+        )
+        existing.add(name)
+
+    prev_schemas = prior.get("schemas") or [cur]
+    sid = max((s.get("schema-id", 0) for s in prev_schemas), default=-1) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": sid,
+        "fields": out_fields,
+        "last-column-id": ids.n,
+    }
+    meta = dict(prior)
+    meta["schemas"] = prev_schemas + [new_schema]
+    meta["current-schema-id"] = sid
+    meta["last-column-id"] = ids.n
+    meta["last-updated-ms"] = int(time.time() * 1000)
+
+    md = _meta_dir(path)
+    version = (_read_version_hint(path) or 0) + 1
     meta_file = os.path.join(md, f"v{version}.metadata.json")
     tmp = meta_file + ".tmp"
     with open(tmp, "w") as f:

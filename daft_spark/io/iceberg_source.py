@@ -100,15 +100,40 @@ class IcebergSource(DataSource):
         return _current_schema(meta)
 
     def reader(self, schema) -> "IcebergReader":
-        return IcebergReader(self.options)
+        return IcebergReader(self.options, schema)
 
 
 class IcebergReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
+        from daft_spark.io.iceberg import (
+            _current_ice_schema,
+            _current_schema,
+            _latest_metadata,
+        )
+
         self.path = options["path"]
         snap = options.get("snapshot_id")
         self.snapshot_id = int(snap) if snap else None
         self.filters: list[tuple] = []
+        # Projection target for field-id column resolution (spec §Column
+        # Projection): (name, field-id) per top-level column of the
+        # CURRENT schema, plus the arrow types Spark expects back.
+        # Resolved once on the driver; the reader pickles to executors.
+        meta = _latest_metadata(self.path)
+        ice = _current_ice_schema(meta)
+        self.proj_fields = [(f["name"], f["id"]) for f in ice["fields"]]
+        self._spark_schema = schema if schema is not None else _current_schema(meta)
+
+    def _target_arrow_schema(self):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return pa.schema(
+            [
+                pa.field(f.name, f.type, nullable=True)
+                for f in to_arrow_schema(self._spark_schema)
+            ]
+        )
 
     def pushFilters(self, filters):
         pruning, unhandled = _translate(filters)
@@ -171,6 +196,41 @@ class IcebergReader(DataSourceReader):
             yield from self._read_one(path, eq_deletes, pos_deletes)
 
     @staticmethod
+    def _file_field_ids(schema) -> dict[int, int]:
+        """{field_id: column_index} when EVERY top-level field of the
+        file carries PARQUET:field_id, else {} (name-based legacy file)."""
+        out: dict[int, int] = {}
+        for i, f in enumerate(schema):
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
+            if fid is None:
+                return {}
+            out[int(fid)] = i
+        return out
+
+    def _project(self, table, target):
+        """Project one data file to the CURRENT schema — by field id
+        when the file embeds ids (renamed columns keep their values), by
+        name otherwise; columns added after the file was written come
+        back null. Row order is untouched, so position deletes still
+        apply by ordinal."""
+        import pyarrow as pa
+
+        ids = self._file_field_ids(table.schema)
+        name2fid = dict(self.proj_fields)
+        n = table.num_rows
+        cols = []
+        for tfield in target:
+            fid = name2fid.get(tfield.name)
+            if ids and fid in ids:
+                col = table.column(ids[fid])
+            elif not ids and tfield.name in table.column_names:
+                col = table.column(tfield.name)
+            else:
+                col = pa.nulls(n, type=tfield.type)
+            cols.append(col.cast(tfield.type))
+        return pa.table(cols, schema=target)
+
+    @staticmethod
     def _encode_keys(table, cols):
         """Null-safe composite key per row as one large_binary array:
         each column cast to its string form, nulls replaced by a
@@ -205,7 +265,8 @@ class IcebergReader(DataSourceReader):
 
         # eq entries may arrive tuple-ized from the partition key
         eq_deletes = [(p, list(cols)) for p, cols in eq_deletes]
-        table = pq.read_table(path)
+        target = self._target_arrow_schema()
+        table = self._project(pq.read_table(path), target)
         n = table.num_rows
         keep = None  # boolean mask, lazily created
         if pos_deletes:
@@ -223,8 +284,25 @@ class IcebergReader(DataSourceReader):
                     idx = pa.array(range(n), type=pa.int64())
                     keep = pc.invert(pc.is_in(idx, value_set=drop))
         if eq_deletes:
+            name2fid = dict(self.proj_fields)
             for dpath, cols in eq_deletes:
-                dt = pq.read_table(dpath, columns=cols)
+                # delete files are projected the same way as data files:
+                # by field id when present (a rename after the delete was
+                # written changes the column NAME, never the id), by name
+                # for legacy files
+                dfull = pq.read_table(dpath)
+                dids = self._file_field_ids(dfull.schema)
+                sel = []
+                for c in cols:
+                    if dids and name2fid.get(c) in dids:
+                        sel.append(dfull.column(dids[name2fid[c]]))
+                    elif c in dfull.column_names:
+                        sel.append(dfull.column(c))
+                    else:
+                        raise ValueError(
+                            f"equality-delete column {c!r} absent from {dpath}"
+                        )
+                dt = pa.table(sel, names=list(cols))
                 if dt.num_rows == 0:
                     continue
                 match = pc.is_in(
@@ -235,12 +313,8 @@ class IcebergReader(DataSourceReader):
                 keep = inv if keep is None else pc.and_(keep, inv)
         if keep is not None:
             table = table.filter(keep)
-        # normalize nullability + drop field metadata: batches of every
-        # file in a task bin must share ONE arrow schema or the arrow
-        # writer back to Spark rejects them (e.g. a file whose column is
-        # all-null vs one where it's non-null)
-        norm = pa.schema(
-            [pa.field(f.name, f.type, nullable=True) for f in table.schema]
-        )
-        table = table.cast(norm)
+        # _project already normalized every file to ONE nullable,
+        # metadata-free target schema — required: batches of every file
+        # in a task bin must share one arrow schema or the arrow writer
+        # back to Spark rejects them
         yield from table.to_batches(max_chunksize=65536)

@@ -630,3 +630,79 @@ def lake_delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "lake_iceberg_schema_evolution",
+    """
+    WITH t AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS balance,
+             CAST(NULL AS VARCHAR) AS tier
+      FROM customer WHERE c_custkey < 400
+      UNION ALL
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE),
+             CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END
+      FROM customer WHERE c_custkey >= 400 AND c_custkey < 800
+    )
+    SELECT coalesce(tier, '(pre-evolution)') AS tier,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE) AS sum_balance
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg schema evolution end-to-end (spec §Schema Evolution +
+    §Column Projection): write a customer slice, RENAME c_acctbal ->
+    balance + DROP c_mktsegment + ADD tier (metadata-only commit,
+    io/iceberg.py evolve_iceberg_schema), append a second slice under
+    the evolved schema, read back. Old files must resolve the renamed
+    column BY FIELD ID (a name-based read returns null balances for
+    them — the sum mismatches) and read the added column as null; the
+    dropped column must not surface. Oracle restates the two slices
+    with the same rename/add applied in SQL."""
+    import shutil
+
+    from daft_spark.io.iceberg import evolve_iceberg_schema, write_iceberg_py
+    from daft_spark.io.lakehouse import read_iceberg
+
+    c = load_table(spark, sf_dir, "customer")
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg", f"cust_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(
+        c.filter(F.col("c_custkey") < 400).select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ),
+        path,
+        mode="overwrite",
+    )
+    evolve_iceberg_schema(
+        path,
+        renames={"c_acctbal": "balance"},
+        add_columns=[("tier", "string")],
+        drop_columns=["c_mktsegment"],
+    )
+    write_iceberg_py(
+        c.filter((F.col("c_custkey") >= 400) & (F.col("c_custkey") < 800)).select(
+            "c_custkey",
+            F.col("c_acctbal").alias("balance"),
+            F.when(F.col("c_acctbal") >= 5000, F.lit("gold"))
+            .otherwise(F.lit("std"))
+            .alias("tier"),
+        ),
+        path,
+        mode="append",
+    )
+    t = read_iceberg(path, spark)
+    assert t.columns == ["c_custkey", "balance", "tier"], t.columns
+    return (
+        t.groupBy(F.coalesce(F.col("tier"), F.lit("(pre-evolution)")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("balance").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_balance"),
+        )
+        .orderBy("tier")
+    )

@@ -112,6 +112,27 @@ class Table:
             raise NotImplementedError(f"table {self.name!r} is read-only")
         self._write(df, mode)
 
+    # schema evolution (backed tables only — set by _iceberg_fs_table)
+    _evolve: Callable[..., None] | None = None
+
+    def _evolve_or_raise(self, **kw) -> None:
+        if self._evolve is None:
+            raise NotImplementedError(
+                f"table {self.name!r} does not support schema evolution"
+            )
+        self._evolve(**kw)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only rename; data files resolve by field id."""
+        self._evolve_or_raise(renames={old: new})
+
+    def add_column(self, name: str, dtype: str) -> None:
+        """Add an optional column (old files read it as null)."""
+        self._evolve_or_raise(add_columns=[(name, dtype)])
+
+    def drop_column(self, name: str) -> None:
+        self._evolve_or_raise(drop_columns=[name])
+
     def __repr__(self) -> str:
         return f"Table({self.name})"
 
@@ -311,7 +332,14 @@ def _iceberg_fs_table(name: str, path: str) -> Table:
 
         write_iceberg_py(df, path, mode=mode)
 
-    return Table(name, _read, _write)
+    def _evolve(**kw) -> None:
+        from daft_spark.io.iceberg import evolve_iceberg_schema
+
+        evolve_iceberg_schema(path, **kw)
+
+    tbl = Table(name, _read, _write)
+    tbl._evolve = _evolve
+    return tbl
 
 
 class IcebergDirectoryCatalog(Catalog):

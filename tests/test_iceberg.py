@@ -907,3 +907,166 @@ def test_iceberg_datasource_plan_cache_staleness(spark, tmp_path):
     # fresh relation always correct
     df2 = spark.read.format("daft_iceberg").option("path", path).load()
     assert df2.count() == 2000
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (spec §Schema Evolution / §Column Projection)
+
+
+def _evo_table(spark, tmp_path):
+    from daft_spark.io.iceberg import write_iceberg_py
+
+    p = str(tmp_path / "evo")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")], "k long, v long, s string"
+    )
+    write_iceberg_py(df, p)
+    return p
+
+
+def test_iceberg_writes_parquet_field_ids(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    p = _evo_table(spark, tmp_path)
+    f = glob.glob(p + "/data/*.parquet")[0]
+    ids = {
+        fl.name: (fl.metadata or {}).get(b"PARQUET:field_id")
+        for fl in pq.ParquetFile(f).schema_arrow
+    }
+    assert ids == {"k": b"1", "v": b"2", "s": b"3"}
+
+
+def test_iceberg_schema_evolution_rename_add_drop(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        evolve_iceberg_schema,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = _evo_table(spark, tmp_path)
+    evolve_iceberg_schema(
+        p, renames={"v": "value"}, add_columns=[("w", "double")], drop_columns=["s"]
+    )
+    out = read_iceberg_py(p, spark).orderBy("k")
+    assert out.columns == ["k", "value", "w"]
+    rows = out.collect()
+    # rename resolves OLD files by field id (values preserved); added
+    # column reads null for files written before the evolution
+    assert [(r["k"], r["value"], r["w"]) for r in rows] == [
+        (1, 10, None),
+        (2, 20, None),
+        (3, 30, None),
+    ]
+    # metadata: new schema entry appended, old schema kept, ids stable
+    meta = _latest_metadata(p)
+    assert meta["current-schema-id"] == 1 and len(meta["schemas"]) == 2
+    cur = meta["schemas"][1]
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name["value"] == 2  # rename kept the id
+    assert by_name["w"] == 4  # add minted a fresh id above last-column-id
+
+    # append with the evolved schema: new file provides w, old files null
+    write_iceberg_py(
+        spark.createDataFrame([(9, 90, 4.5)], "k long, value long, w double"),
+        p,
+        mode="append",
+    )
+    rows2 = read_iceberg_py(p, spark).orderBy("k").collect()
+    assert [(r["k"], r["value"], r["w"]) for r in rows2] == [
+        (1, 10, None),
+        (2, 20, None),
+        (3, 30, None),
+        (9, 90, 4.5),
+    ]
+    # mismatched append is rejected with guidance
+    with pytest.raises(ValueError, match="evolve the schema"):
+        write_iceberg_py(
+            spark.createDataFrame([(9, 90)], "k long, v long"), p, mode="append"
+        )
+
+
+def test_iceberg_schema_evolution_datasource_path(spark, tmp_path):
+    from daft_spark.context import configure
+    from daft_spark.io.iceberg import evolve_iceberg_schema, write_iceberg_py
+
+    p = _evo_table(spark, tmp_path)
+    evolve_iceberg_schema(
+        p, renames={"v": "value"}, add_columns=[("w", "double")], drop_columns=["s"]
+    )
+    write_iceberg_py(
+        spark.createDataFrame([(9, 90, 4.5)], "k long, value long, w double"),
+        p,
+        mode="append",
+    )
+    configure(spark)
+    out = (
+        spark.read.format("daft_iceberg")
+        .option("path", p)
+        .load()
+        .orderBy("k")
+        .collect()
+    )
+    assert [(r["k"], r["value"], r["w"]) for r in out] == [
+        (1, 10, None),
+        (2, 20, None),
+        (3, 30, None),
+        (9, 90, 4.5),
+    ]
+    # filter pushdown on the RENAMED column still prunes + filters
+    hit = (
+        spark.read.format("daft_iceberg")
+        .option("path", p)
+        .load()
+        .filter("value >= 90")
+        .collect()
+    )
+    assert [(r["k"], r["w"]) for r in hit] == [(9, 4.5)]
+
+
+def test_iceberg_evolution_validation_errors(spark, tmp_path):
+    from daft_spark.io.iceberg import evolve_iceberg_schema, write_iceberg_py
+
+    p = str(tmp_path / "evo_part")
+    df = spark.createDataFrame([(1, "x", 5)], "k long, region string, v long")
+    write_iceberg_py(df, p, partition_by=["region"])
+    with pytest.raises(ValueError, match="partition source"):
+        evolve_iceberg_schema(p, drop_columns=["region"])
+    with pytest.raises(ValueError, match="not in schema"):
+        evolve_iceberg_schema(p, renames={"zz": "yy"})
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_iceberg_schema(p, renames={"v": "region"})
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_iceberg_schema(p, add_columns=[("v", "double")])
+
+
+def test_iceberg_overwrite_after_evolution_mints_fresh_ids(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        evolve_iceberg_schema,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = _evo_table(spark, tmp_path)
+    evolve_iceberg_schema(p, renames={"v": "value"})
+    # overwrite with a DIFFERENT shape: new schema entry, ids above all priors
+    write_iceberg_py(
+        spark.createDataFrame([(7, "z")], "a long, b string"), p, mode="overwrite"
+    )
+    meta = _latest_metadata(p)
+    cur = [s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]][0]
+    prior_max = max(
+        f["id"] for s in meta["schemas"][:-1] for f in s["fields"]
+    )
+    assert all(f["id"] > prior_max for f in cur["fields"])
+    rows = read_iceberg_py(p, spark).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(7, "z")]
+    # same-shape overwrite REUSES the current schema (no new entry)
+    n_before = len(_latest_metadata(p)["schemas"])
+    write_iceberg_py(
+        spark.createDataFrame([(8, "y")], "a long, b string"), p, mode="overwrite"
+    )
+    assert len(_latest_metadata(p)["schemas"]) == n_before

@@ -312,3 +312,30 @@ def test_rest_catalog_client_roundtrip(spark, tmp_path):
         assert not cat.has_table("ns.t")
         cat.drop_namespace("ns")
         assert not cat.has_namespace("ns")
+
+
+def test_table_schema_evolution_methods(spark, tmp_path):
+    """Table.rename_column/add_column/drop_column delegate to the
+    Iceberg evolution commit; non-evolvable tables raise."""
+    from daft_spark.io.iceberg import write_iceberg_py
+    from daft_spark.session import Table
+
+    p = str(tmp_path / "evo_tbl")
+    write_iceberg_py(
+        spark.createDataFrame([(1, 10.0, "x"), (2, 20.0, "y")], "k long, bal double, seg string"),
+        p,
+    )
+    t = Table.from_iceberg(p)
+    t.rename_column("bal", "balance")
+    t.add_column("tier", "string")
+    t.drop_column("seg")
+    out = t.read()
+    assert out.columns == ["k", "balance", "tier"]
+    rows = {r["k"]: (r["balance"], r["tier"]) for r in out.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, None)}
+
+    plain = Table.from_df("mem", spark.range(1))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="schema evolution"):
+        plain.rename_column("id", "x")
