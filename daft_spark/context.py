@@ -106,6 +106,12 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.dataSource.register(IcebergSource)
         except Exception:
             pass  # pre-4.1 API
+        try:  # streaming Delta source: readStream.format("daft_delta")
+            from daft_spark.io.delta_source import DeltaStreamSource
+
+            spark.dataSource.register(DeltaStreamSource)
+        except Exception:
+            pass
         try:
             spark._daft_spark_sources_registered = True
         except Exception:

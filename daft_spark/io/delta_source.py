@@ -1,0 +1,192 @@
+"""Streaming Delta SOURCE — a Spark Python DataSource (format
+``daft_delta``) that tails a Delta table's JSON commit log:
+offset = log version, micro-batch (start, end] = the files those
+commits added. Pairs with the exactly-once streaming Delta SINK
+(io/delta.py) for end-to-end delta-to-delta pipelines.
+
+Semantics follow the Delta streaming-source contract:
+
+- the FIRST batch covers the table's current snapshot at the starting
+  version (active files after full replay, not raw historical adds —
+  rewritten/removed files never surface);
+- later batches contain only the files newly ADDED by each commit;
+- a commit that REMOVES files (UPDATE/DELETE/overwrite) fails the
+  stream unless ``ignoreChanges`` (deliver its adds anyway) or
+  ``ignoreDeletes`` (skip delete-only commits) is set — the same knobs
+  the Delta connector's streaming source exposes;
+- files carrying deletion vectors are read merge-on-read (the DV
+  bitmap masks deleted ordinals before rows enter the stream).
+
+Reference parity note: the reference engine (Daft) has no streaming —
+this belongs to the free-superset Structured Streaming surface
+(SURVEY §2.8) alongside the streaming Delta sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+def _latest_version(path: str) -> int:
+    from daft_spark.io.delta import _checkpoint_versions, _list_versions
+
+    versions = _list_versions(path) + _checkpoint_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"not a Delta table: {path}")
+    return max(versions)
+
+
+class DeltaStreamSource(DataSource):
+    """``spark.readStream.format("daft_delta").option("path", p)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "daft_delta"
+
+    def schema(self):
+        from daft_spark.io.delta import _replay_log
+
+        schema_json, _parts, _adds = _replay_log(self.options["path"])
+        return StructType.fromJson(json.loads(schema_json))
+
+    def streamReader(self, schema) -> "DeltaStreamReader":
+        return DeltaStreamReader(self.options, schema)
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.ignore_changes = str(options.get("ignorechanges", "")).lower() == "true"
+        self.ignore_deletes = str(options.get("ignoredeletes", "")).lower() == "true"
+        self.schema = schema
+        from daft_spark.io.delta import _replay_log
+
+        _schema_json, self.partition_cols, _adds = _replay_log(self.path)
+
+    # -- offsets ----------------------------------------------------------
+    def initialOffset(self) -> dict:
+        # version -1 => the first batch delivers the snapshot at the
+        # then-latest version (Delta's default startingVersion behavior)
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self.path)}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- planning ----------------------------------------------------------
+    def _snapshot_adds(self, version: int) -> list[tuple[str, dict]]:
+        from daft_spark.io.delta import _replay_log
+
+        _sj, _pc, adds = _replay_log(self.path, version)
+        return sorted(adds.items())
+
+    def _incremental_adds(self, start: int, end: int) -> list[tuple[str, dict]]:
+        from daft_spark.io.delta import _commit_file
+
+        out: list[tuple[str, dict]] = []
+        for v in range(start + 1, end + 1):
+            f = _commit_file(self.path, v)
+            if not os.path.exists(f):
+                continue  # checkpoint-only version
+            adds, removes = [], []
+            with open(f) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        adds.append(action["add"])
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        removes.append(action["remove"])
+            if removes and not (self.ignore_changes or self.ignore_deletes):
+                raise RuntimeError(
+                    f"Delta commit {v} removes data files (UPDATE/DELETE/"
+                    "overwrite); streaming a changed table needs "
+                    "ignoreChanges=true (deliver rewritten adds) or "
+                    "ignoreDeletes=true (skip delete-only commits)"
+                )
+            if removes and self.ignore_deletes and not self.ignore_changes and adds:
+                raise RuntimeError(
+                    f"Delta commit {v} rewrites data files; ignoreDeletes "
+                    "only skips delete-only commits — set ignoreChanges=true"
+                )
+            out.extend((a["path"], a) for a in adds)
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = int(start["version"]), int(end["version"])
+        if ev <= sv:
+            entries: list[tuple[str, dict]] = []
+        elif sv < 0:
+            entries = self._snapshot_adds(ev)
+        else:
+            entries = self._incremental_adds(sv, ev)
+        parts = [
+            InputPartition(
+                (
+                    rel,
+                    json.dumps(add.get("partitionValues") or {}),
+                    json.dumps(add.get("deletionVector"))
+                    if add.get("deletionVector")
+                    else None,
+                )
+            )
+            for rel, add in entries
+        ]
+        # Spark requires >= 1 partition per batch
+        return parts or [InputPartition(None)]
+
+    # -- execution ----------------------------------------------------------
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rel, pvals_json, dv_json = partition.value
+        pvals = json.loads(pvals_json)
+        target = pa.schema(
+            [
+                pa.field(f.name, f.type, nullable=True)
+                for f in to_arrow_schema(self.schema)
+            ]
+        )
+        table = pq.read_table(os.path.join(self.path, rel))
+        if dv_json:
+            from daft_spark.io.delta import _dv_read
+
+            drop = _dv_read(self.path, json.loads(dv_json))
+            if drop:
+                idx = pa.array(range(table.num_rows), type=pa.int64())
+                table = table.filter(
+                    pc.invert(pc.is_in(idx, value_set=pa.array(drop, type=pa.int64())))
+                )
+        n = table.num_rows
+        cols = []
+        for tfield in target:
+            if tfield.name in table.column_names:
+                cols.append(table.column(tfield.name).cast(tfield.type))
+            elif tfield.name in self.partition_cols:
+                # partition columns live in partitionValues (spec: data
+                # files omit them); serialized as strings, null if absent
+                raw = pvals.get(tfield.name)
+                arr = pa.array([raw] * n, type=pa.string())
+                cols.append(arr.cast(tfield.type))
+            else:
+                cols.append(pa.nulls(n, type=tfield.type))
+        yield from pa.table(cols, schema=target).to_batches(max_chunksize=65536)

@@ -706,3 +706,72 @@ def lake_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "lake_time_travel",
+    """
+    WITH v0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey < 600
+    ),
+    v1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey < 1200
+    )
+    SELECT 'delta_v0' AS snap, n, key_sum FROM v0
+    UNION ALL SELECT 'delta_v1', n, key_sum FROM v1
+    UNION ALL SELECT 'iceberg_s0', n, key_sum FROM v0
+    UNION ALL SELECT 'iceberg_s1', n, key_sum FROM v1
+    ORDER BY snap
+    """,
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on BOTH table formats: two commits each, then read
+    version 0 vs current for Delta (log replay up to `version`,
+    io/delta.py) and snapshot 1 vs current for Iceberg (metadata walk
+    pinned to `snapshot_id`, io/iceberg.py). A reader that ignores the
+    pin, replays removes wrongly, or walks the wrong manifest list
+    shows up as the older snapshot leaking newer rows. Reference:
+    read_deltalake(version=...) daft/io/delta_lake/_deltalake.py:22,
+    read_iceberg(snapshot_id=...) daft/io/iceberg/_iceberg.py:130."""
+    import shutil
+
+    from daft_spark.io.delta import read_deltalake_py, write_deltalake_py
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    base = os.path.join(
+        "/tmp/daft_spark_tt", os.path.basename(sf_dir.rstrip("/"))
+    )
+    dpath, ipath = base + "_delta", base + "_ice"
+    shutil.rmtree(dpath, ignore_errors=True)
+    shutil.rmtree(ipath, ignore_errors=True)
+    first = o.filter(F.col("o_orderkey") < 600)
+    second = o.filter((F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 1200))
+    write_deltalake_py(first, dpath)
+    write_deltalake_py(second, dpath, mode="append")
+    write_iceberg_py(first, ipath)
+    snap0 = _latest_metadata(ipath)["current-snapshot-id"]
+    write_iceberg_py(second, ipath, mode="append")
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("snap"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select("snap", "n", "key_sum")
+
+    return (
+        agg(read_deltalake_py(dpath, spark, version=0), "delta_v0")
+        .unionAll(agg(read_deltalake_py(dpath, spark), "delta_v1"))
+        .unionAll(agg(read_iceberg_py(ipath, spark, snapshot_id=snap0), "iceberg_s0"))
+        .unionAll(agg(read_iceberg_py(ipath, spark), "iceberg_s1"))
+        .orderBy("snap")
+    )

@@ -336,3 +336,75 @@ def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # materialize before scratch cleanup
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_delta_source",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events WHERE event_id < 1600
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-to-delta exactly-once pipeline: the STREAMING DELTA SOURCE
+    (io/delta_source.py, format daft_delta — offset = log version,
+    first batch = table snapshot, later batches = newly added files)
+    feeds the txn-stamped streaming Delta SINK. The source table gets a
+    second commit BETWEEN two availableNow drains sharing one
+    checkpoint, so the run exercises snapshot delivery, offset
+    checkpointing, AND incremental tailing; double-delivery or a lost
+    commit shows as a hash mismatch against the oracle's restatement
+    from raw parquet."""
+    import shutil
+    import tempfile
+
+    from daft_spark.context import configure
+    from daft_spark.io.delta import read_deltalake_py, write_deltalake_py
+    from daft_spark.io.readers import load_table
+    from daft_spark.streaming import write_stream_delta
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_delta_src_")
+    src_tbl = os.path.join(scratch, "src")
+    dst_tbl = os.path.join(scratch, "dst")
+    ckpt = os.path.join(scratch, "ckpt")
+    write_deltalake_py(ev.filter(F.col("event_id") < 800), src_tbl)
+
+    def drain():
+        s = spark.readStream.format("daft_delta").option("path", src_tbl).load()
+        q = write_stream_delta(
+            s, dst_tbl, ckpt, app_id="stream_delta_source", available_now=True
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise AssertionError("stream_delta_source did not drain in 300s")
+        except Exception:
+            q.stop()
+            raise
+
+    drain()  # snapshot batch: events < 800
+    write_deltalake_py(
+        ev.filter((F.col("event_id") >= 800) & (F.col("event_id") < 1600)),
+        src_tbl,
+        mode="append",
+    )
+    drain()  # incremental batch: only the new commit's files
+    out = (
+        read_deltalake_py(dst_tbl, spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before scratch cleanup
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

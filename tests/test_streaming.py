@@ -288,3 +288,98 @@ def test_delta_txn_survives_checkpoint(spark, tmp_path):
         mode="append", txn=("app", 3),
     )
     assert read_deltalake_py(tbl, spark).count() == 120
+
+
+# ---------------------------------------------------------------------------
+# streaming Delta SOURCE (io/delta_source.py, format daft_delta)
+
+
+def _drain_to_parquet(spark, src_path, out_path, ck_path, **opts):
+    from daft_spark.context import configure
+
+    configure(spark)
+    reader = spark.readStream.format("daft_delta").option("path", src_path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ck_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+
+def test_delta_stream_source_snapshot_then_incremental(spark, tmp_path):
+    from daft_spark.io.delta import write_deltalake_py
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_deltalake_py(df, src)
+    write_deltalake_py(df.withColumn("k", F.col("k") + 100), src, mode="append")
+    _drain_to_parquet(spark, src, out, ck)
+    got = {r["k"] for r in spark.read.parquet(out).collect()}
+    assert got == set(range(10)) | {k + 100 for k in range(10)}
+    # resume: a third commit delivers ONLY its own rows
+    write_deltalake_py(df.withColumn("k", F.col("k") + 200), src, mode="append")
+    _drain_to_parquet(spark, src, out, ck)
+    got2 = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert len(got2) == 30 and got2[-1] == 209
+
+
+def test_delta_stream_source_partitioned_restores_partition_cols(spark, tmp_path):
+    from daft_spark.io.delta import write_deltalake_py
+
+    src = str(tmp_path / "srcp")
+    out = str(tmp_path / "outp")
+    ck = str(tmp_path / "ckp")
+    df = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    write_deltalake_py(df, src, partition_by=["g"])
+    _drain_to_parquet(spark, src, out, ck)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 8
+    assert {(r["k"], r["g"]) for r in rows} == {(i, str(i % 2)) for i in range(8)}
+
+
+def test_delta_stream_source_applies_deletion_vectors(spark, tmp_path):
+    from daft_spark.io.delta import delete_deltalake_dv_py, write_deltalake_py
+
+    src = str(tmp_path / "srcdv")
+    out = str(tmp_path / "outdv")
+    ck = str(tmp_path / "ckdv")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_deltalake_py(df, src)
+    delete_deltalake_dv_py(src, spark, "k >= 7")
+    # snapshot batch (start after the DV commit): deleted rows masked
+    _drain_to_parquet(spark, src, out, ck)
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(7))
+
+
+def test_delta_stream_source_remove_commit_policy(spark, tmp_path):
+    from daft_spark.io.delta import delete_deltalake_py, write_deltalake_py
+    from daft_spark.io.delta_source import DeltaStreamReader
+
+    src = str(tmp_path / "srcrm")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_deltalake_py(df, src)
+    snapshot_v = 0
+    # copy-on-write DELETE rewrites files => remove + add in one commit
+    delete_deltalake_py(src, spark, "k >= 5")
+    r = DeltaStreamReader({"path": src}, None)
+    with pytest.raises(RuntimeError, match="ignoreChanges"):
+        r._incremental_adds(snapshot_v, snapshot_v + 1)
+    # ignoreDeletes alone refuses a REWRITE commit (it has adds too)
+    r2 = DeltaStreamReader({"path": src, "ignoredeletes": "true"}, None)
+    with pytest.raises(RuntimeError, match="ignoreChanges"):
+        r2._incremental_adds(snapshot_v, snapshot_v + 1)
+    # ignoreChanges delivers the rewritten adds
+    r3 = DeltaStreamReader({"path": src, "ignorechanges": "true"}, None)
+    adds = r3._incremental_adds(snapshot_v, snapshot_v + 1)
+    assert len(adds) >= 1
