@@ -296,3 +296,57 @@ def sql_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("o_orderstatus")
         )
+
+
+@register(
+    "sql_unity_catalog",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS balance
+    FROM customer WHERE c_custkey < 1500
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def sql_unity_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSS Unity Catalog REST protocol end-to-end (reference client
+    daft/catalog/__unity/_client.py — /api/2.1/unity-catalog, paged
+    catalogs/schemas/tables listing, tables/{full_name} retrieve,
+    temporary-table-credentials before reading storage_location as
+    Delta): an in-process bearer-token-authenticated server fronts a
+    filesystem warehouse; Catalog.from_unity("http://...", token=...)
+    creates catalog.schema namespaces and a MANAGED DELTA table over
+    the wire, lists it back with a 1-row page size (forcing real
+    next_page_token pagination), and reads it through the two-step
+    retrieve + temp-credentials load. The oracle restates the aggregate
+    from raw parquet — a protocol fault (lost table, wrong
+    storage_location, auth bypass) surfaces as a hash mismatch."""
+    import shutil
+
+    from daft_spark.io.readers import load_table
+    from daft_spark.io.unity_rest import UnityCatalogServer
+    from daft_spark.session import Catalog
+
+    wh = os.path.join(
+        "/tmp/daft_spark_unity_wh", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).filter(F.col("c_custkey") < 1500)
+    with UnityCatalogServer(wh, token="s3cret") as srv:
+        cat = Catalog.from_unity(srv.uri, token="s3cret", name="unitycat")
+        cat.create_namespace("main.sales")
+        cat.create_table("main.sales.cust_slice", c)
+        # paged listing must reassemble the full identifier list
+        if cat.list_tables("main.sales") != ["main.sales.cust_slice"]:
+            raise AssertionError(f"Unity listTables wrong: {cat.list_tables()}")
+        back = cat.read_table("main.sales.cust_slice")
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("c_acctbal").cast("double"), 2).alias("balance"),
+            )
+            .orderBy("c_mktsegment")
+        )

@@ -196,7 +196,18 @@ class Catalog:
         Catalog._unsupported("Glue", "org.apache.iceberg.spark.SparkCatalog + glue")
 
     @staticmethod
-    def from_unity(*_a, **_k):
+    def from_unity(endpoint=None, token: str | None = None, name: str = "unity") -> "Catalog":
+        """reference Catalog.from_unity (daft/catalog/__unity/_catalog.py).
+        Accepts an ``http(s)://`` endpoint of an OSS Unity Catalog
+        server (the /api/2.1/unity-catalog REST protocol the
+        reference's client speaks — daft/catalog/__unity/_client.py:107)
+        with optional bearer ``token``. For a Spark-side Unity catalog
+        plugin, attach via spark.sql.catalog.<name> confs and use
+        Catalog.from_spark('<name>') instead."""
+        if isinstance(endpoint, str) and endpoint.startswith(("http://", "https://")):
+            from daft_spark.io.unity_rest import UnityRestCatalog
+
+            return UnityRestCatalog(endpoint, token=token, name=name)
         Catalog._unsupported("Unity", "io.unitycatalog.spark.UCSingleCatalog")
 
     @staticmethod
