@@ -1118,28 +1118,36 @@ def write_iceberg_py(
     if prior is not None and mode == "ignore":
         return
 
+    # An append with no explicit partition_by ADOPTS the table's default
+    # spec (the spec is table state, not a per-write argument — real
+    # writers behave this way, and it is what makes partition evolution
+    # usable: evolve once, keep appending).
+    adopted_fields: list[dict] | None = None
+    if partition_by is None and prior is not None and mode == "append":
+        adopted_fields = _default_spec(prior).get("fields", [])
+        id2name = _field_names_by_id(prior)
+        partition_by = [_term_from_spec_field(f, id2name) for f in adopted_fields]
     partition_by = list(partition_by or [])
     field_types = {f.name: f.dataType for f in df.schema.fields}
     terms = [_parse_partition_term(t, field_types) for t in partition_by]
     for t in terms:
         if t["source"] not in field_types:
             raise ValueError(f"partition source column {t['source']!r} not in schema")
+    if adopted_fields is not None:
+        # keep the table's spec-field names (they can differ from the
+        # derived ones, e.g. after a source-column rename)
+        for t, f in zip(terms, adopted_fields):
+            t["name"] = f["name"]
     part_fields = [(t["name"], t["avro_t"]) for t in terms]
     if prior is not None and mode == "append":
-        prior_spec = next(
-            (
-                s
-                for s in prior.get("partition-specs", [])
-                if s["spec-id"] == prior.get("default-spec-id", 0)
-            ),
-            {"fields": []},
-        )
+        prior_spec = _default_spec(prior)
         prior_pairs = [(f["name"], f["transform"]) for f in prior_spec.get("fields", [])]
         new_pairs = [(t["name"], t["transform"]) for t in terms]
         if prior_pairs != new_pairs:
             raise ValueError(
                 f"partition spec {new_pairs} does not match the table's "
-                f"existing spec {prior_pairs}"
+                f"default spec {prior_pairs} — evolve it first "
+                "(evolve_iceberg_partition_spec)"
             )
 
     now_ms = int(time.time() * 1000)
@@ -1274,15 +1282,13 @@ def write_iceberg_py(
             )
     shutil.rmtree(staging, ignore_errors=True)
 
-    spec_fields = [
-        {
-            "name": t["name"],
-            "transform": t["transform"],
-            "source-id": schema_field_ids[t["source"]],
-            "field-id": 1000 + i,
-        }
-        for i, t in enumerate(terms)
-    ]
+    # Spec catalog: reuse an identical existing spec (its id and field
+    # ids) or mint the next spec-id; ALL specs stay in the metadata so
+    # older manifests — written under earlier specs — remain resolvable
+    # (partition evolution, spec §Partition Evolution).
+    spec_id, spec_fields, all_specs, last_pid = _assign_partition_spec(
+        terms, schema_field_ids, (prior or {}).get("partition-specs", [])
+    )
     manifest_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
     write_ocf(
         manifest_path,
@@ -1291,7 +1297,7 @@ def write_iceberg_py(
         metadata={
             "schema": json.dumps(ice_schema),
             "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": "0",
+            "partition-spec-id": str(spec_id),
             "format-version": "2",
             "content": "data",
         },
@@ -1300,7 +1306,7 @@ def write_iceberg_py(
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -1335,7 +1341,6 @@ def write_iceberg_py(
         "summary": {"operation": "overwrite" if mode == "overwrite" else "append"},
         "schema-id": current_schema_id,
     }
-    version = (_read_version_hint(path) or 0) + 1
     meta = {
         "format-version": 2,
         "table-uuid": prior["table-uuid"] if prior else str(uuid.uuid4()),
@@ -1345,9 +1350,9 @@ def write_iceberg_py(
         "last-column-id": last_column_id,
         "current-schema-id": current_schema_id,
         "schemas": schemas,
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "last-partition-id": 999 + len(spec_fields),
+        "default-spec-id": spec_id,
+        "partition-specs": all_specs,
+        "last-partition-id": max(last_pid, (prior or {}).get("last-partition-id", 999)),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snapshot_id,
@@ -1358,18 +1363,7 @@ def write_iceberg_py(
         ),
         "metadata-log": [],
     }
-    meta_file = os.path.join(md, f"v{version}.metadata.json")
-    tmp = meta_file + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    if os.path.exists(meta_file):
-        os.remove(tmp)
-        raise RuntimeError(f"concurrent Iceberg commit detected at v{version} ({path})")
-    os.rename(tmp, meta_file)
-    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
-    with open(hint_tmp, "w") as f:
-        f.write(str(version))
-    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    _publish_metadata(path, meta)
 
 
 def evolve_iceberg_schema(
@@ -1458,7 +1452,122 @@ def evolve_iceberg_schema(
     meta["current-schema-id"] = sid
     meta["last-column-id"] = ids.n
     meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(path, meta)
 
+
+def _default_spec(meta: dict) -> dict:
+    sid = meta.get("default-spec-id", 0)
+    for s in meta.get("partition-specs", []):
+        if s.get("spec-id", 0) == sid:
+            return s
+    return {"spec-id": sid, "fields": []}
+
+
+def _term_from_spec_field(fld: dict, id2name: dict[int, str]) -> str:
+    """Render a partition-spec field back into a partition_by term
+    (used when an append adopts the table's default spec)."""
+    import re
+
+    src = id2name.get(fld["source-id"])
+    if src is None:
+        raise ValueError(
+            f"partition source field id {fld['source-id']} not in the current schema"
+        )
+    tr = fld["transform"]
+    if tr == "identity":
+        return src
+    m = re.match(r"(bucket|truncate)\[(\d+)\]$", tr)
+    if m:
+        return f"{m.group(1)}({m.group(2)}, {src})"
+    if tr in ("day", "month", "year"):
+        return f"{tr}s({src})"
+    raise NotImplementedError(f"partition transform {tr!r}")
+
+
+def _parse_spec_term(term: str, ice_fields: list[dict]) -> dict:
+    """_parse_partition_term's metadata-only sibling: validates a
+    partition term against the ICEBERG schema (no DataFrame in hand)
+    and returns {name, transform, source} for spec construction."""
+    import re
+
+    types = {f["name"]: f["type"] for f in ice_fields if isinstance(f["type"], str)}
+
+    def base(col):
+        t = types.get(col)
+        if t is None:
+            raise ValueError(f"partition source column {col!r} not in schema")
+        return t
+
+    m = re.match(r"\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", term)
+    if m:
+        kind, arg, col = m.group(1), int(m.group(2)), m.group(3)
+        t = base(col)
+        if kind == "bucket":
+            if t not in ("int", "long", "date", "string", "binary") and not t.startswith(
+                "timestamp"
+            ):
+                raise NotImplementedError(f"bucket on {col!r} of type {t}")
+            return {"name": f"{col}_bucket", "transform": f"bucket[{arg}]", "source": col}
+        if t not in ("int", "long", "string"):
+            raise NotImplementedError(f"truncate on {col!r} of type {t}")
+        return {"name": f"{col}_trunc", "transform": f"truncate[{arg}]", "source": col}
+    m = re.match(r"\s*(days?|months?|years?)\s*\(\s*(\w+)\s*\)\s*$", term)
+    if m:
+        kind, col = m.group(1).rstrip("s"), m.group(2)
+        t = base(col)
+        if t != "date" and not t.startswith("timestamp"):
+            raise NotImplementedError(f"{kind} transform on {col!r} of type {t}")
+        return {"name": f"{col}_{kind}", "transform": kind, "source": col}
+    col = term.strip()
+    t = base(col)
+    if t not in ("string", "int", "long", "boolean"):
+        raise NotImplementedError(
+            f"identity partitioning on column {col!r} of type {t} is not "
+            "supported (string/int/long/boolean only)"
+        )
+    return {"name": col, "transform": "identity", "source": col}
+
+
+def _assign_partition_spec(terms, schema_field_ids, prior_specs):
+    """(spec_id, spec_fields, all_specs, last_partition_id) for a write
+    or evolution. An existing spec with the same field list is reused
+    verbatim; otherwise a new spec-id is minted, and each field reuses
+    the field-id of an equivalent (source-id, transform) field from ANY
+    older spec — the spec's partition-field-id rules (ids are never
+    reused for different fields, always reused for the same one)."""
+    candidate = [
+        (t["name"], t["transform"], schema_field_ids[t["source"]]) for t in terms
+    ]
+    prior_specs = list(prior_specs or [])
+    last = max(
+        (f["field-id"] for sp in prior_specs for f in sp.get("fields", [])),
+        default=999,
+    )
+    for s in prior_specs:
+        have = [(f["name"], f["transform"], f["source-id"]) for f in s.get("fields", [])]
+        if have == candidate:
+            return s.get("spec-id", 0), s.get("fields", []), prior_specs, max(999, last)
+    by_key: dict[tuple, int] = {}
+    for sp in prior_specs:
+        for f in sp.get("fields", []):
+            by_key.setdefault((f["source-id"], f["transform"]), f["field-id"])
+    fields = []
+    for name, transform, source_id in candidate:
+        fid = by_key.get((source_id, transform))
+        if fid is None:
+            last += 1
+            fid = last
+        fields.append(
+            {"name": name, "transform": transform, "source-id": source_id, "field-id": fid}
+        )
+    spec_id = max((s.get("spec-id", 0) for s in prior_specs), default=-1) + 1
+    return spec_id, fields, prior_specs + [{"spec-id": spec_id, "fields": fields}], last
+
+
+def _publish_metadata(path: str, meta: dict) -> None:
+    """Write v(N+1).metadata.json and rotate version-hint.text (atomic
+    rename = publish; an existing file at the new version is a
+    concurrent commit)."""
     md = _meta_dir(path)
     version = (_read_version_hint(path) or 0) + 1
     meta_file = os.path.join(md, f"v{version}.metadata.json")
@@ -1473,6 +1582,37 @@ def evolve_iceberg_schema(
     with open(hint_tmp, "w") as f:
         f.write(str(version))
     os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+
+
+def evolve_iceberg_partition_spec(path: str, partition_by: list[str] | None) -> None:
+    """Metadata-only PARTITION EVOLUTION commit (Iceberg spec
+    §Partition Evolution): the new spec becomes the default for FUTURE
+    writes; existing data files keep their original spec — each
+    manifest records its partition_spec_id and the scan planner prunes
+    every manifest with ITS OWN spec (_live_files_and_deletes), so old
+    and new layouts coexist in one table. Equivalent (source-id,
+    transform) fields keep their field-id across specs; new fields mint
+    ids above last-partition-id. No-op when the default spec already
+    matches. Reference: pyiceberg-managed tables evolve specs this way
+    and daft plans through the resulting metadata
+    (daft/io/iceberg/_iceberg.py:130)."""
+    prior = _latest_metadata(path)
+    cur = _current_ice_schema(prior)
+    terms = [_parse_spec_term(t, cur["fields"]) for t in (partition_by or [])]
+    schema_field_ids = {f["name"]: f["id"] for f in cur["fields"]}
+    spec_id, _fields, all_specs, last_pid = _assign_partition_spec(
+        terms, schema_field_ids, prior.get("partition-specs", [])
+    )
+    if spec_id == prior.get("default-spec-id", 0) and all_specs == prior.get(
+        "partition-specs", []
+    ):
+        return
+    meta = dict(prior)
+    meta["partition-specs"] = all_specs
+    meta["default-spec-id"] = spec_id
+    meta["last-partition-id"] = max(prior.get("last-partition-id", 999), last_pid)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(path, meta)
 
 
 def _parquet_rows(path: str) -> int:
@@ -1627,19 +1767,7 @@ def _commit_delete_manifest(
     meta["snapshot-log"] = list(prior.get("snapshot-log", [])) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
     ]
-    version = (_read_version_hint(path) or 0) + 1
-    meta_file = os.path.join(md, f"v{version}.metadata.json")
-    tmp = meta_file + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    if os.path.exists(meta_file):
-        os.remove(tmp)
-        raise RuntimeError(f"concurrent Iceberg commit detected at v{version} ({path})")
-    os.rename(tmp, meta_file)
-    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}")
-    with open(hint_tmp, "w") as f:
-        f.write(str(version))
-    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    _publish_metadata(path, meta)
 
 
 def position_delete_iceberg_py(path: str, spark: SparkSession, where: str) -> None:

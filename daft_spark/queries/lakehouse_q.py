@@ -775,3 +775,63 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(agg(read_iceberg_py(ipath, spark), "iceberg_s1"))
         .orderBy("snap")
     )
+
+
+@register(
+    "lake_iceberg_partition_evolution",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 1200
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION EVOLUTION (spec §Partition Evolution): the
+    table starts unpartitioned, evolve_iceberg_partition_spec flips the
+    default spec to identity(o_orderstatus) metadata-only, and the next
+    append ADOPTS it — so one table holds manifests under two specs.
+    The scan planner resolves each manifest's partition tuples with ITS
+    OWN spec-id (io/iceberg.py _live_files_and_deletes): asserted here
+    by filtering on the evolved column — old-spec files can't be tuple-
+    pruned (all kept), new-spec files scan only the matching hive dir.
+    The oracle restates the union from raw parquet; a reader that
+    applies the wrong spec to old manifests loses or duplicates rows.
+    Reference: pyiceberg-evolved tables plan through the same metadata
+    (daft/io/iceberg/_iceberg.py:130)."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        evolve_iceberg_partition_spec,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg",
+        f"orders_pevo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 600), path)
+    evolve_iceberg_partition_spec(path, ["o_orderstatus"])
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 1200)),
+        path, mode="append",
+    )
+    # per-manifest spec resolution: new-spec files prune to one hive
+    # dir, old-spec files (no partition tuple) all survive the filter
+    probe = read_iceberg_py(path, spark, filters=[("o_orderstatus", "=", "O")])
+    part_files = [f for f in probe.inputFiles() if "/data/o_orderstatus=" in f]
+    if not part_files or not all("o_orderstatus=O" in f for f in part_files):
+        raise AssertionError(f"evolved-spec pruning failed; scanned {part_files}")
+    return (
+        read_iceberg_py(path, spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

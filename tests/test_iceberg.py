@@ -371,11 +371,22 @@ def test_identity_partitioned_write_and_read(spark, tmp_path):
     with open(meta) as f:
         spec = _json.load(f)["partition-specs"][0]["fields"]
     assert [(s["name"], s["transform"]) for s in spec] == [("o_orderstatus", "identity")]
-    # appending with a different spec is rejected
+    # appending with an explicit DIFFERENT spec is rejected; omitting
+    # partition_by adopts the table's default spec (the spec is table
+    # state, not a per-write argument)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="partition spec"):
-        write_iceberg_py(o.limit(5), path, mode="append")
+        write_iceberg_py(o.limit(5), path, mode="append", partition_by=[])
+    before = read_iceberg_py(path, spark).count()
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 1400) & (F.col("o_orderkey") < 1450)),
+        path, mode="append",
+    )
+    adopted = read_iceberg_py(path, spark)
+    assert adopted.count() == before + o.filter(
+        (F.col("o_orderkey") >= 1400) & (F.col("o_orderkey") < 1450)
+    ).count()
 
 
 def test_iceberg_equality_deletes_merge_on_read(spark, tmp_path):
@@ -1070,3 +1081,108 @@ def test_iceberg_overwrite_after_evolution_mints_fresh_ids(spark, tmp_path):
         spark.createDataFrame([(8, "y")], "a long, b string"), p, mode="overwrite"
     )
     assert len(_latest_metadata(p)["schemas"]) == n_before
+
+
+# ---------------------------------------------------------------------------
+# partition evolution (spec §Partition Evolution)
+
+
+def test_partition_evolution_old_and_new_specs_coexist(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        evolve_iceberg_partition_spec,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "pe")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(10)], "k long, g string, v double"
+    )
+    # v1 of the table: unpartitioned
+    write_iceberg_py(df, p)
+    evolve_iceberg_partition_spec(p, ["g"])
+    meta = _latest_metadata(p)
+    assert meta["default-spec-id"] == 1
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+    # append adopts the evolved spec -> hive layout for NEW files only
+    df2 = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(10, 20)],
+        "k long, g string, v double",
+    )
+    write_iceberg_py(df2, p, mode="append")
+    assert any(d.startswith("g=") for d in os.listdir(p + "/data"))
+    back = read_iceberg_py(p, spark)
+    assert back.count() == 20
+    assert {r["k"] for r in back.collect()} == set(range(20))
+    # manifests record their own spec ids
+    meta = _latest_metadata(p)
+    from daft_spark.io.avro import read_ocf
+    from daft_spark.io.iceberg import current_snapshot
+
+    _, _, manifests = read_ocf(current_snapshot(meta)["manifest-list"])
+    assert sorted(m["partition_spec_id"] for m in manifests) == [0, 1]
+    # pruning on the evolved column keeps ALL old-spec files (no tuple
+    # to prune on) but only matching new-spec files
+    pruned = read_iceberg_py(p, spark, filters=[("g", "=", "a")])
+    got = {r["k"] for r in pruned.collect()}
+    assert got == {i for i in range(20) if i % 2 == 0}
+    new_files = [f for f in pruned.inputFiles() if "/data/g=" in f]
+    assert new_files and all("g=a" in f for f in new_files)
+
+
+def test_partition_evolution_field_id_reuse_and_noop(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        evolve_iceberg_partition_spec,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "pe2")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(6)], "k long, g string, v double"
+    )
+    write_iceberg_py(df, p, partition_by=["g"])
+    v0_specs = _latest_metadata(p)["partition-specs"]
+    # no-op evolution: same spec, no new metadata entry
+    evolve_iceberg_partition_spec(p, ["g"])
+    assert _latest_metadata(p)["partition-specs"] == v0_specs
+    # widen the spec: g keeps its field-id, the bucket field mints a new one
+    evolve_iceberg_partition_spec(p, ["g", "bucket(4, k)"])
+    meta = _latest_metadata(p)
+    new_spec = [s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]][0]
+    by_name = {f["name"]: f for f in new_spec["fields"]}
+    assert by_name["g"]["field-id"] == v0_specs[0]["fields"][0]["field-id"]
+    assert by_name["k_bucket"]["field-id"] == meta["last-partition-id"]
+    # evolving BACK to a previously-seen spec reuses its spec-id
+    evolve_iceberg_partition_spec(p, ["g"])
+    assert _latest_metadata(p)["default-spec-id"] == v0_specs[0]["spec-id"]
+    # partition source columns still cannot be dropped
+    from daft_spark.io.iceberg import evolve_iceberg_schema
+
+    with pytest.raises(ValueError, match="partition source"):
+        evolve_iceberg_schema(p, drop_columns=["g"])
+
+
+def test_partition_evolution_time_travel_keeps_old_reads(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        evolve_iceberg_partition_spec,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "pe3")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(8)], "k long, g string"
+    )
+    write_iceberg_py(df, p, partition_by=["g"])
+    snap0 = _latest_metadata(p)["current-snapshot-id"]
+    evolve_iceberg_partition_spec(p, [])
+    write_iceberg_py(
+        spark.createDataFrame([(100, "c")], "k long, g string"), p, mode="append"
+    )
+    # the pinned old snapshot still resolves its spec and prunes on it
+    old = read_iceberg_py(p, spark, snapshot_id=snap0, filters=[("g", "=", "a")])
+    assert {r["k"] for r in old.collect()} == {0, 2, 4, 6}
+    assert read_iceberg_py(p, spark).count() == 9
