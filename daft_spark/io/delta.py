@@ -40,8 +40,15 @@ the spec's RoaringBitmapArray portable format + the DV file framing
 version/size/CRC32) without rewriting data, and the reader drops the
 positions via _metadata.row_index anti-join.
 
-Out of scope (raise cleanly): column mapping, other v3 reader
-features, multi-part checkpoints, v2 checkpoints.
+Column mapping (PROTOCOL.md §Column Mapping) is SUPPORTED for read /
+append / schema evolution: set_column_mapping_delta_py upgrades a
+table in place (physical names = current names, the delta-spark
+upgrade convention), evolve_delta_schema renames/adds/drops logical
+columns metadata-only, readers resolve data files by physicalName and
+key partition values by physical name. DML on mapped tables is gated.
+
+Out of scope (raise cleanly): other v3 reader features, multi-part
+checkpoints, v2 checkpoints, nested-column mapping.
 
 At 100 TB the log replay is driver-side metadata work (KBs per commit);
 the data path is an ordinary multi-file parquet scan with the usual
@@ -57,7 +64,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_delta_log"
 _MAX_SUPPORTED = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -168,13 +175,15 @@ def _check_protocol(p: dict) -> None:
     v = p.get("minReaderVersion", 1)
     if v <= _MAX_SUPPORTED["minReaderVersion"]:
         return
+    if v == 2:
+        return  # legacy columnMapping reader version (no feature lists)
     feats = set(p.get("readerFeatures") or [])
-    if v <= 3 and feats <= {"deletionVectors"}:
+    if v <= 3 and feats <= {"deletionVectors", "columnMapping"}:
         return
     raise NotImplementedError(
         f"Delta minReaderVersion {v} with readerFeatures {sorted(feats)} is "
-        "not supported by this pure-Python reader (only deletionVectors); "
-        "use delta-spark"
+        "not supported by this pure-Python reader (deletionVectors + "
+        "columnMapping only); use delta-spark"
     )
 
 
@@ -187,15 +196,20 @@ def _read_checkpoint(table_path: str, version: int):
     rows = pq.read_table(path).to_pylist()
     schema_json: str | None = None
     partition_cols: list[str] = []
+    configuration: dict = {}
+    protocol: dict = dict(_MAX_SUPPORTED)
     active: dict[str, dict] = {}
     for row in rows:
         p = row.get("protocol")
         if p:
-            _check_protocol(p)
+            protocol = {k: v for k, v in p.items() if v is not None}
+            _check_protocol(protocol)
         md = row.get("metaData")
         if md:
             schema_json = md["schemaString"]
             partition_cols = list(md.get("partitionColumns") or [])
+            cfg = md.get("configuration") or {}
+            configuration = dict(cfg) if not isinstance(cfg, dict) else cfg
         add = row.get("add")
         if add:
             pv = add.get("partitionValues") or {}
@@ -207,15 +221,15 @@ def _read_checkpoint(table_path: str, version: int):
                 "size": add.get("size") or 0,
                 "modificationTime": add.get("modificationTime") or 0,
             }
-    return schema_json, partition_cols, active
+    return schema_json, partition_cols, active, configuration, protocol
 
 
-def _replay_log(table_path: str, version: int | None = None):
-    """Return (schema_json, partition_cols, active add actions) after
-    replaying the log up to and including ``version`` (default:
-    latest). Replay starts from the newest checkpoint at or below the
-    target version when one exists (JSON commits older than the
-    checkpoint may have been vacuumed)."""
+def _replay_log_full(table_path: str, version: int | None = None):
+    """Return (schema_json, partition_cols, active adds, configuration,
+    protocol) after replaying the log up to and including ``version``
+    (default: latest). Replay starts from the newest checkpoint at or
+    below the target version when one exists (JSON commits older than
+    the checkpoint may have been vacuumed)."""
     versions = _list_versions(table_path)
     ckpts = _checkpoint_versions(table_path)
     if not versions and not ckpts:
@@ -229,11 +243,15 @@ def _replay_log(table_path: str, version: int | None = None):
         )
     schema_json: str | None = None
     partition_cols: list[str] = []
+    configuration: dict = {}
+    protocol: dict = dict(_MAX_SUPPORTED)
     active: dict[str, dict] = {}
     start_after = -1
     usable = [c for c in ckpts if c <= target]
     if usable:
-        schema_json, partition_cols, active = _read_checkpoint(table_path, usable[-1])
+        schema_json, partition_cols, active, configuration, protocol = _read_checkpoint(
+            table_path, usable[-1]
+        )
         start_after = usable[-1]
     for v in versions:
         if v <= start_after or v > target:
@@ -245,17 +263,62 @@ def _replay_log(table_path: str, version: int | None = None):
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    _check_protocol(action["protocol"])
+                    protocol = action["protocol"]
+                    _check_protocol(protocol)
                 elif "metaData" in action:
                     schema_json = action["metaData"]["schemaString"]
                     partition_cols = list(action["metaData"].get("partitionColumns") or [])
+                    configuration = action["metaData"].get("configuration") or {}
                 elif "add" in action:
                     active[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
     if schema_json is None:
         raise ValueError(f"Delta log under {table_path} has no metaData action")
-    return schema_json, partition_cols, {k: active[k] for k in sorted(active)}
+    return (
+        schema_json,
+        partition_cols,
+        {k: active[k] for k in sorted(active)},
+        configuration,
+        protocol,
+    )
+
+
+def _replay_log(table_path: str, version: int | None = None):
+    """(schema_json, partition_cols, active adds) — the 3-tuple most
+    callers want; _replay_log_full adds configuration + protocol."""
+    schema_json, partition_cols, adds, _cfg, _proto = _replay_log_full(
+        table_path, version
+    )
+    return schema_json, partition_cols, adds
+
+
+def _mapping_info(schema_json: str, config: dict):
+    """(mode, logical->physical, physical->logical) for a column-mapped
+    table (PROTOCOL.md §Column Mapping); mode None when disabled.
+    Physical names come from each field's delta.columnMapping.
+    physicalName metadata. Resolution is by physical NAME for both
+    modes — delta-spark writes physicalName annotations in id mode too,
+    and this writer always does. Nested mapped columns are gated."""
+    mode = (config or {}).get("delta.columnMapping.mode")
+    if mode in (None, "", "none"):
+        return None, {}, {}
+    if mode not in ("name", "id"):
+        raise NotImplementedError(f"delta.columnMapping.mode {mode!r} is not supported")
+    l2p: dict[str, str] = {}
+    p2l: dict[str, str] = {}
+    for f in json.loads(schema_json)["fields"]:
+        if not isinstance(f.get("type"), str):
+            raise NotImplementedError(
+                "column mapping over nested columns is not supported by this "
+                "pure-Python reader"
+            )
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        l2p[f["name"]] = phys
+        p2l[phys] = f["name"]
+    return mode, l2p, p2l
 
 
 def read_deltalake_py(
@@ -272,11 +335,38 @@ def read_deltalake_py(
     combination, unioned."""
     from pyspark.sql import functions as F
 
-    schema_json, partition_cols, adds = _replay_log(path, version)
+    schema_json, partition_cols, adds, config, _proto = _replay_log_full(path, version)
     schema = StructType.fromJson(json.loads(schema_json))
+    mode, l2p, p2l = _mapping_info(schema_json, config)
+    # a clean logical schema (mapping annotations stripped) for results
+    schema = StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in schema.fields]
+    )
+    # metaData tracks partition columns by PHYSICAL name on mapped
+    # tables (spec: partition values use physical names); normalize to
+    # (logical, physical) pairs, tolerating logical-keyed metadata too
+    part_pairs = [
+        (p2l.get(c, c), l2p.get(p2l.get(c, c), c)) for c in partition_cols
+    ]
+    partition_cols = [lg for lg, _ph in part_pairs]
+    phys_name = {lg: ph for lg, ph in part_pairs}
     if not adds:
         return spark.createDataFrame([], schema)
     dv_frame = _dv_positions_frame(spark, path, adds)
+
+    def _physize(st: StructType) -> StructType:
+        if mode is None:
+            return st
+        return StructType(
+            [StructField(l2p.get(f.name, f.name), f.dataType, True) for f in st.fields]
+        )
+
+    def _logicalize(df, st: StructType):
+        if mode is None:
+            return df
+        return df.select(
+            *[F.col(l2p.get(f.name, f.name)).alias(f.name) for f in st.fields]
+        )
 
     def _strip_dv(df):
         """Anti-join the deletion-vector positions by (normalized file
@@ -296,19 +386,22 @@ def read_deltalake_py(
         ).drop("__fp", "__pos")
 
     if not partition_cols:
-        scan = spark.read.schema(schema).parquet(*[os.path.join(path, f) for f in adds])
-        return _strip_dv(scan)
+        scan = spark.read.schema(_physize(schema)).parquet(
+            *[os.path.join(path, f) for f in adds]
+        )
+        return _logicalize(_strip_dv(scan), schema)
 
     part_types = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
     phys = StructType([f for f in schema.fields if f.name not in partition_cols])
     groups: dict[tuple, list[str]] = {}
     for rel, add in adds.items():
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in partition_cols)
+        # mapped tables key partitionValues by physical name
+        key = tuple(pv.get(phys_name[c], pv.get(c)) for c in partition_cols)
         groups.setdefault(key, []).append(os.path.join(path, rel))
     parts = []
     for key, files in sorted(groups.items()):
-        df = _strip_dv(spark.read.schema(phys).parquet(*files))
+        df = _logicalize(_strip_dv(spark.read.schema(_physize(phys)).parquet(*files)), phys)
         for c, raw in zip(partition_cols, key):
             # Delta serializes partition values as strings (null -> absent)
             df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
@@ -407,6 +500,7 @@ def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> No
     stay time-travelable."""
     from pyspark.sql import functions as F
 
+    _gate_column_mapping(path)
     schema_json, partition_cols, adds = _replay_log(path)
     schema = StructType.fromJson(json.loads(schema_json))
     if not adds:
@@ -543,6 +637,7 @@ def update_deltalake_dv_py(
     the public Delta PROTOCOL.md deletion-vector rules."""
     from pyspark.sql import functions as F
 
+    _gate_column_mapping(path)
     schema_json, partition_cols, adds = _replay_log(path)
     schema = StructType.fromJson(json.loads(schema_json))
     if not adds:
@@ -713,7 +808,27 @@ def write_deltalake_py(
     version = (max(versions + ckpts) + 1) if exists else 0
     partition_by = list(partition_by or [])
     if exists:
-        _, prior_parts, _ = _replay_log(path)
+        from pyspark.sql import functions as F
+
+        prior_schema_json, prior_parts, _adds, prior_cfg, _proto = _replay_log_full(path)
+        map_mode, l2p, _p2l = _mapping_info(prior_schema_json, prior_cfg)
+        if map_mode is not None:
+            # column-mapped tables: stage files under PHYSICAL names and
+            # key partitionValues by them (PROTOCOL.md column-mapping
+            # writer requirements); the logical schema stays in metaData
+            if mode == "overwrite":
+                raise NotImplementedError(
+                    "overwrite of a column-mapped Delta table is not supported"
+                )
+            logical = [f["name"] for f in json.loads(prior_schema_json)["fields"]]
+            if sorted(df.columns) != sorted(logical):
+                raise ValueError(
+                    f"append columns {sorted(df.columns)} do not match the "
+                    f"mapped table schema {sorted(logical)} — evolve it first "
+                    "(evolve_delta_schema)"
+                )
+            df = df.select(*[F.col(c).alias(l2p[c]) for c in logical])
+            partition_by = [l2p.get(c, c) for c in partition_by]
         if mode == "append" and prior_parts != partition_by:
             raise ValueError(
                 f"partition columns {partition_by} do not match the table's "
@@ -837,7 +952,9 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    schema_json, partition_cols, adds = _replay_log(table_path, version)
+    schema_json, partition_cols, adds, configuration, protocol = _replay_log_full(
+        table_path, version
+    )
     if any(a.get("deletionVector") for a in adds.values()):
         # The classic checkpoint schema here has no deletionVector
         # column; writing one would silently resurrect deleted rows for
@@ -845,8 +962,14 @@ def _write_checkpoint(table_path: str, version: int) -> None:
         # source of truth until the DVs are compacted away by a
         # rewriting commit (overwrite/CoW DML).
         return
+    ck_protocol = {
+        "minReaderVersion": protocol.get("minReaderVersion", 1),
+        "minWriterVersion": protocol.get("minWriterVersion", 2),
+        "readerFeatures": protocol.get("readerFeatures"),
+        "writerFeatures": protocol.get("writerFeatures"),
+    }
     rows: list[dict] = [
-        {"protocol": dict(_MAX_SUPPORTED), "metaData": None, "add": None},
+        {"protocol": ck_protocol, "metaData": None, "add": None},
         {
             "protocol": None,
             "metaData": {
@@ -854,7 +977,7 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_json,
                 "partitionColumns": partition_cols,
-                "configuration": {},
+                "configuration": dict(configuration or {}),
                 "createdTime": int(time.time() * 1000),
             },
             "add": None,
@@ -894,7 +1017,12 @@ def _write_checkpoint(table_path: str, version: int) -> None:
             (
                 "protocol",
                 pa.struct(
-                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
                 ),
             ),
             (
@@ -939,6 +1067,199 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     os.rename(tmp, last)
 
 
+def _commit_actions(table_path: str, version: int, actions: list[dict]) -> None:
+    """Atomically publish one commit (write-temp-then-rename)."""
+    tmp = os.path.join(_log_path(table_path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    final = _commit_file(table_path, version)
+    if os.path.exists(final):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent Delta commit detected at version {version} ({table_path})"
+        )
+    os.rename(tmp, final)
+
+
+def _gate_column_mapping(table_path: str) -> None:
+    schema_json, _pc, _adds, cfg, _proto = _replay_log_full(table_path)
+    if _mapping_info(schema_json, cfg)[0] is not None:
+        raise NotImplementedError(
+            "DML on a column-mapped Delta table is not supported by this "
+            "pure-Python writer (read/append/schema evolution only)"
+        )
+
+
+def set_column_mapping_delta_py(path: str, mode: str = "name") -> None:
+    """Enable COLUMN MAPPING on an existing table (Delta PROTOCOL.md
+    §Column Mapping) in one commit: the protocol upgrades to the legacy
+    columnMapping versions (minReader 2 / minWriter 5 — or keeps the
+    feature lists and adds ``columnMapping`` when the table already
+    uses table features), and metaData is rewritten with every
+    top-level field annotated with ``delta.columnMapping.id`` +
+    ``physicalName``. Existing columns keep their current name as the
+    physical name — the delta-spark upgrade convention, so existing
+    data files stay readable without rewrite; columns added later mint
+    ``col-<uuid>`` physical names. ``partitionColumns`` values are the
+    physical names (the log tracks partition values by physical name).
+    Reference reads mapped tables through delta-rs
+    (daft/io/delta_lake/_deltalake.py)."""
+    if mode not in ("name", "id"):
+        raise ValueError(f"unsupported column mapping mode {mode!r}")
+    schema_json, partition_cols, _adds, cfg, proto = _replay_log_full(path)
+    if _mapping_info(schema_json, cfg)[0] is not None:
+        return  # already enabled
+    fields = json.loads(schema_json)["fields"]
+    out_fields = []
+    for i, f in enumerate(fields):
+        if not isinstance(f.get("type"), str):
+            raise NotImplementedError(
+                "column mapping over nested columns is not supported"
+            )
+        md = dict(f.get("metadata") or {})
+        md["delta.columnMapping.id"] = i + 1
+        md["delta.columnMapping.physicalName"] = f["name"]
+        out_fields.append(dict(f, metadata=md))
+    new_cfg = dict(cfg)
+    new_cfg["delta.columnMapping.mode"] = mode
+    new_cfg["delta.columnMapping.maxColumnId"] = str(len(fields))
+    new_proto = {
+        "minReaderVersion": max(2, proto.get("minReaderVersion", 1)),
+        "minWriterVersion": max(5, proto.get("minWriterVersion", 2)),
+    }
+    if proto.get("readerFeatures") is not None or proto.get("writerFeatures") is not None:
+        # feature-list protocol (3,7): add columnMapping to both lists
+        new_proto["minReaderVersion"] = max(3, new_proto["minReaderVersion"])
+        new_proto["minWriterVersion"] = max(7, new_proto["minWriterVersion"])
+        new_proto["readerFeatures"] = sorted(
+            set(proto.get("readerFeatures") or []) | {"columnMapping"}
+        )
+        new_proto["writerFeatures"] = sorted(
+            set(proto.get("writerFeatures") or []) | {"columnMapping"}
+        )
+    now_ms = int(time.time() * 1000)
+    version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
+    _commit_actions(
+        path,
+        version,
+        [
+            {"protocol": new_proto},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps({"type": "struct", "fields": out_fields}),
+                    "partitionColumns": partition_cols,
+                    "configuration": new_cfg,
+                    "createdTime": now_ms,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPGRADE COLUMN MAPPING",
+                    "engineInfo": "daft_spark pure-python delta writer",
+                }
+            },
+        ],
+    )
+
+
+def evolve_delta_schema(
+    path: str,
+    *,
+    renames: dict[str, str] | None = None,
+    add_columns: list[tuple[str, str]] | None = None,
+    drop_columns: list[str] | None = None,
+) -> None:
+    """Metadata-only Delta schema evolution — the rename/add/drop
+    operations PROTOCOL.md permits once column mapping is enabled
+    (set_column_mapping_delta_py). Renames and drops change LOGICAL
+    names only: physical names and mapping ids in the data files never
+    change, so old files keep resolving (the Delta analogue of
+    evolve_iceberg_schema's field-id contract). ``add_columns`` take
+    Delta JSON type strings ("long", "string", "double", ...) and mint
+    ids above maxColumnId with fresh col-<uuid> physical names — old
+    files read them as null."""
+    renames = dict(renames or {})
+    add_columns = list(add_columns or [])
+    drop_columns = list(drop_columns or [])
+    schema_json, partition_cols, _adds, cfg, _proto = _replay_log_full(path)
+    mode, _l2p, _p2l = _mapping_info(schema_json, cfg)
+    if mode is None:
+        raise NotImplementedError(
+            "Delta schema evolution requires column mapping "
+            "(set_column_mapping_delta_py)"
+        )
+    fields = [dict(f) for f in json.loads(schema_json)["fields"]]
+    names = {f["name"] for f in fields}
+    for old, new in renames.items():
+        if old not in names:
+            raise ValueError(f"rename source column {old!r} not in schema")
+        if new in names and new != old:
+            raise ValueError(f"rename target column {new!r} already exists")
+    part_phys = set(partition_cols)
+    for c in drop_columns:
+        f = next((f for f in fields if f["name"] == c), None)
+        if f is None:
+            raise ValueError(f"drop column {c!r} not in schema")
+        if (f.get("metadata") or {}).get("delta.columnMapping.physicalName", c) in part_phys:
+            raise ValueError(f"cannot drop partition column {c!r}")
+    out_fields = []
+    for f in fields:
+        if f["name"] in drop_columns:
+            continue
+        if f["name"] in renames:
+            f = dict(f, name=renames[f["name"]])
+        out_fields.append(f)
+    max_id = int(cfg.get("delta.columnMapping.maxColumnId", len(fields)))
+    existing = {f["name"] for f in out_fields}
+    for name, type_str in add_columns:
+        if name in existing:
+            raise ValueError(f"add column {name!r} already exists")
+        max_id += 1
+        out_fields.append(
+            {
+                "name": name,
+                "type": type_str,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": max_id,
+                    "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+                },
+            }
+        )
+        existing.add(name)
+    new_cfg = dict(cfg)
+    new_cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+    now_ms = int(time.time() * 1000)
+    version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
+    _commit_actions(
+        path,
+        version,
+        [
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps({"type": "struct", "fields": out_fields}),
+                    "partitionColumns": partition_cols,
+                    "configuration": new_cfg,
+                    "createdTime": now_ms,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CHANGE COLUMN",
+                    "engineInfo": "daft_spark pure-python delta writer",
+                }
+            },
+        ],
+    )
+
+
 def delete_deltalake_py(path: str, spark: SparkSession, condition: str) -> None:
     """Copy-on-write DELETE: rows matching the SQL ``condition`` are
     removed by rewriting the table — the new commit retires every prior
@@ -949,6 +1270,7 @@ def delete_deltalake_py(path: str, spark: SparkSession, condition: str) -> None:
     not TRUE). Prior versions stay time-travelable."""
     from pyspark.sql import functions as F
 
+    _gate_column_mapping(path)
     _schema_json, partition_cols, _adds = _replay_log(path)
     t = read_deltalake_py(path, spark)
     cond = F.expr(condition)
@@ -966,6 +1288,7 @@ def update_deltalake_py(
     time-travelable."""
     from pyspark.sql import functions as F
 
+    _gate_column_mapping(path)
     _schema_json, partition_cols, _adds = _replay_log(path)
     t = read_deltalake_py(path, spark)
     for c in set_exprs:

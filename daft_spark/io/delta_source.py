@@ -67,9 +67,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(options.get("ignorechanges", "")).lower() == "true"
         self.ignore_deletes = str(options.get("ignoredeletes", "")).lower() == "true"
         self.schema = schema
-        from daft_spark.io.delta import _replay_log
+        from daft_spark.io.delta import _mapping_info, _replay_log_full
 
-        _schema_json, self.partition_cols, _adds = _replay_log(self.path)
+        schema_json, part_cols, _adds, cfg, _proto = _replay_log_full(self.path)
+        # column-mapped tables: data files + partitionValues use
+        # physical names; the stream emits logical columns
+        _mode, self.l2p, p2l = _mapping_info(schema_json, cfg)
+        self.partition_cols = [p2l.get(c, c) for c in part_cols]
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -179,12 +183,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         n = table.num_rows
         cols = []
         for tfield in target:
-            if tfield.name in table.column_names:
-                cols.append(table.column(tfield.name).cast(tfield.type))
+            phys = self.l2p.get(tfield.name, tfield.name)
+            if phys in table.column_names:
+                cols.append(table.column(phys).cast(tfield.type))
             elif tfield.name in self.partition_cols:
                 # partition columns live in partitionValues (spec: data
-                # files omit them); serialized as strings, null if absent
-                raw = pvals.get(tfield.name)
+                # files omit them; mapped tables key them by physical
+                # name); serialized as strings, null if absent
+                raw = pvals.get(phys, pvals.get(tfield.name))
                 arr = pa.array([raw] * n, type=pa.string())
                 cols.append(arr.cast(tfield.type))
             else:

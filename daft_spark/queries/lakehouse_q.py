@@ -835,3 +835,66 @@ def lake_iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "lake_delta_column_mapping",
+    """
+    SELECT c_nationkey AS nation,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS balance
+    FROM customer WHERE c_custkey < 1000
+    GROUP BY c_nationkey ORDER BY nation
+    """,
+)
+def lake_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING end-to-end (PROTOCOL.md §Column Mapping):
+    enable mapping on an existing table (protocol minReader 2 /
+    minWriter 5; physicalName = pre-upgrade name so old files stay
+    readable), rename two columns metadata-only (evolve_delta_schema),
+    then append — the new files carry PHYSICAL column names while both
+    eras read back under the renamed logical schema. A reader that
+    resolves by logical name after the rename loses the appended
+    files' values (they're stored under the old physical name), which
+    the oracle's restatement from raw parquet would expose. Reference
+    reads mapped tables through delta-rs
+    (daft/io/delta_lake/_deltalake.py:22)."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        evolve_delta_schema,
+        read_deltalake_py,
+        set_column_mapping_delta_py,
+        write_deltalake_py,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_delta",
+        f"cust_colmap_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_deltalake_py(c.filter(F.col("c_custkey") < 500), path)
+    set_column_mapping_delta_py(path)
+    evolve_delta_schema(
+        path, renames={"c_nationkey": "nation", "c_acctbal": "balance"}
+    )
+    write_deltalake_py(
+        c.filter((F.col("c_custkey") >= 500) & (F.col("c_custkey") < 1000))
+        .withColumnRenamed("c_nationkey", "nation")
+        .withColumnRenamed("c_acctbal", "balance"),
+        path,
+        mode="append",
+    )
+    return (
+        read_deltalake_py(path, spark)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("balance").cast("double"), 2).alias("balance"),
+        )
+        .orderBy("nation")
+        .select("nation", "n", "balance")
+    )

@@ -351,3 +351,149 @@ def test_dv_update_merge_on_read(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="SET columns"):
         update_deltalake_dv_py(path, spark, "v > 0", {"nope": "1"})
+
+
+# ---------------------------------------------------------------------------
+# column mapping (PROTOCOL.md §Column Mapping)
+
+
+def test_column_mapping_rename_keeps_old_files_readable(spark, tmp_path):
+    from daft_spark.io.delta import (
+        evolve_delta_schema,
+        read_deltalake_py,
+        set_column_mapping_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "cm")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    write_deltalake_py(df, p)
+    set_column_mapping_delta_py(p)
+    # enabling twice is a no-op
+    n_versions = len(os.listdir(p + "/_delta_log"))
+    set_column_mapping_delta_py(p)
+    assert len(os.listdir(p + "/_delta_log")) == n_versions
+    # rename: logical name changes, OLD data files keep their values
+    evolve_delta_schema(p, renames={"v": "value"})
+    back = read_deltalake_py(p, spark)
+    assert back.columns == ["k", "value"]
+    assert back.agg(F.sum("value")).first()[0] == sum(i * 2.0 for i in range(10))
+    # append AFTER the rename writes physical names -> both eras read
+    df2 = spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("value")
+    )
+    write_deltalake_py(df2, p, mode="append")
+    back = read_deltalake_py(p, spark)
+    assert back.count() == 15
+    assert back.agg(F.sum("value")).first()[0] == sum(i * 2.0 for i in range(15))
+    # data files on disk carry the PHYSICAL column name (v), not value
+    import pyarrow.parquet as pq
+
+    newest = max(
+        (f for f in os.listdir(p) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(p, f)),
+    )
+    assert "v" in pq.read_schema(os.path.join(p, newest)).names
+
+
+def test_column_mapping_add_drop_and_gates(spark, tmp_path):
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        delete_deltalake_py,
+        evolve_delta_schema,
+        read_deltalake_py,
+        set_column_mapping_delta_py,
+        update_deltalake_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "cm2")
+    df = spark.range(6).select(F.col("id").alias("k"), F.lit("x").alias("s"))
+    write_deltalake_py(df, p)
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        evolve_delta_schema(p, renames={"s": "t"})
+    set_column_mapping_delta_py(p)
+    # add: old files read the new column as null; drop: column vanishes
+    evolve_delta_schema(p, add_columns=[("extra", "long")], drop_columns=["s"])
+    back = read_deltalake_py(p, spark)
+    assert back.columns == ["k", "extra"]
+    assert back.filter(F.col("extra").isNull()).count() == 6
+    # appends must match the evolved logical schema
+    write_deltalake_py(
+        spark.range(6, 8).select(F.col("id").alias("k"), F.col("id").alias("extra")),
+        p, mode="append",
+    )
+    got = {(r["k"], r["extra"]) for r in read_deltalake_py(p, spark).collect()}
+    assert got == {(i, None) for i in range(6)} | {(6, 6), (7, 7)}
+    # DML and overwrite are gated on mapped tables
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        delete_deltalake_py(p, spark, "k = 1")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        delete_deltalake_dv_py(p, spark, "k = 1")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        update_deltalake_py(p, spark, {"k": "k + 1"})
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        write_deltalake_py(df, p, mode="overwrite")
+
+
+def test_column_mapping_partitioned_and_checkpoint(spark, tmp_path):
+    from daft_spark.io.delta import (
+        _write_checkpoint,
+        evolve_delta_schema,
+        read_deltalake_py,
+        set_column_mapping_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "cmp")
+    df = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    write_deltalake_py(df, p, partition_by=["g"])
+    set_column_mapping_delta_py(p)
+    evolve_delta_schema(p, renames={"g": "grp", "k": "key"})
+    back = read_deltalake_py(p, spark)
+    assert sorted(back.columns) == ["grp", "key"]
+    assert {(r["key"], r["grp"]) for r in back.collect()} == {
+        (i, str(i % 2)) for i in range(8)
+    }
+    # append with the NEW logical partition name lands in physical dirs
+    write_deltalake_py(
+        spark.createDataFrame([(100, "0")], "key long, grp string"),
+        p, mode="append", partition_by=["grp"],
+    )
+    assert read_deltalake_py(p, spark).count() == 9
+    # a checkpoint must carry configuration + protocol through replay
+    from daft_spark.io.delta import _list_versions
+
+    _write_checkpoint(p, max(_list_versions(p)))
+    import shutil as _sh
+
+    for v in _list_versions(p):  # vacuum the JSON prefix entirely
+        os.remove(os.path.join(p, "_delta_log", f"{v:020d}.json"))
+    back2 = read_deltalake_py(p, spark)
+    assert sorted(back2.columns) == ["grp", "key"]
+    assert back2.count() == 9
+
+
+def test_column_mapping_streaming_source(spark, tmp_path):
+    from daft_spark.io.delta import (
+        evolve_delta_schema,
+        set_column_mapping_delta_py,
+        write_deltalake_py,
+    )
+    from tests.test_streaming import _drain_to_parquet
+
+    src = str(tmp_path / "cms")
+    out = str(tmp_path / "cmso")
+    ck = str(tmp_path / "cmsc")
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit("a").alias("s"))
+    write_deltalake_py(df, src)
+    set_column_mapping_delta_py(src)
+    evolve_delta_schema(src, renames={"s": "tag"})
+    _drain_to_parquet(spark, src, out, ck)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["k"] for r in rows) == list(range(5))
+    assert all(r["tag"] == "a" for r in rows)
