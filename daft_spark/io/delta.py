@@ -1260,6 +1260,120 @@ def evolve_delta_schema(
     )
 
 
+def optimize_deltalake_py(
+    path: str, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """OPTIMIZE (bin-packing compaction): per partition, data files
+    smaller than ``target_file_bytes`` are greedily binned up to the
+    target and each bin of 2+ files is rewritten as ONE file. The
+    commit retires the bin's files and adds the replacement with
+    ``dataChange=false`` on BOTH actions — the Delta contract that
+    tells streaming sources the commit rearranges existing rows rather
+    than changing data (io/delta_source.py skips such commits).
+    Files carrying deletion vectors are materialized on the way
+    (tombstoned rows dropped, the replacement file has no DV) — the
+    compaction that retires DV debt. Returns {"removed": n, "added": m}.
+    The reference has no OPTIMIZE (delta-rs exposes it out-of-band);
+    this follows PROTOCOL.md's dataChange semantics.
+
+    Scale note: each bin is rewritten by a Spark job over just that
+    bin's files; the driver only carries file metadata."""
+    from pyspark.sql import functions as F
+
+    _schema_json, _partition_cols, adds, _cfg, _proto = _replay_log_full(path)
+    by_part: dict[tuple, list[tuple[str, dict]]] = {}
+    for rel, add in adds.items():
+        if int(add.get("size") or 0) >= target_file_bytes:
+            continue
+        pv = add.get("partitionValues") or {}
+        by_part.setdefault(tuple(sorted(pv.items())), []).append((rel, add))
+    bins: list[list[tuple[str, dict]]] = []
+    for _pv, files in sorted(by_part.items()):
+        cur: list[tuple[str, dict]] = []
+        cur_sz = 0
+        for rel, add in sorted(files):
+            sz = int(add.get("size") or 0)
+            if cur and cur_sz + sz > target_file_bytes:
+                bins.append(cur)
+                cur, cur_sz = [], 0
+            cur.append((rel, add))
+            cur_sz += sz
+        bins.append(cur)
+    bins = [b for b in bins if len(b) >= 2]
+    if not bins:
+        return {"removed": 0, "added": 0}
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    removed = added = 0
+    for bin_files in bins:
+        rels = [rel for rel, _a in bin_files]
+        dv_adds = {rel: a for rel, a in bin_files if a.get("deletionVector")}
+        scan = spark.read.parquet(*[os.path.join(path, r) for r in rels])
+        if dv_adds:
+            dv_frame = _dv_positions_frame(spark, path, dv_adds)
+            tagged = scan.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                    "__fp"
+                ),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            scan = tagged.join(
+                F.broadcast(dv_frame), ["__fp", "__pos"], "left_anti"
+            ).drop("__fp", "__pos")
+        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        scan.coalesce(1).write.mode("overwrite").parquet(staging)
+        part_dir = os.path.dirname(rels[0])
+        name = f"part-opt-{uuid.uuid4().hex}.parquet"
+        rel_out = os.path.join(part_dir, name) if part_dir else name
+        dst = os.path.join(path, rel_out)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        src = next(
+            os.path.join(staging, f)
+            for f in sorted(os.listdir(staging))
+            if f.endswith(".parquet")
+        )
+        shutil.move(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        for rel, _a in bin_files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+            removed += 1
+        actions.append(
+            {
+                "add": {
+                    "path": rel_out,
+                    "partitionValues": bin_files[0][1].get("partitionValues") or {},
+                    "size": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+        added += 1
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"targetSize": str(target_file_bytes)},
+                "engineInfo": "daft_spark pure-python delta writer",
+            }
+        }
+    )
+    version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
+    _commit_actions(path, version, actions)
+    return {"removed": removed, "added": added}
+
+
 def delete_deltalake_py(path: str, spark: SparkSession, condition: str) -> None:
     """Copy-on-write DELETE: rows matching the SQL ``condition`` are
     removed by rewriting the table — the new commit retires every prior

@@ -110,7 +110,12 @@ class DeltaStreamReader(DataSourceStreamReader):
                         continue
                     action = json.loads(line)
                     if "add" in action:
-                        adds.append(action["add"])
+                        # dataChange=false adds are rearrangements of
+                        # existing data (OPTIMIZE compaction) — already
+                        # delivered, never re-emitted (the Delta
+                        # streaming-source contract)
+                        if action["add"].get("dataChange", True):
+                            adds.append(action["add"])
                     elif "remove" in action and action["remove"].get(
                         "dataChange", True
                     ):

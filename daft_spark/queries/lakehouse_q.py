@@ -898,3 +898,62 @@ def lake_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nation")
         .select("nation", "n", "balance")
     )
+
+
+@register(
+    "lake_delta_optimize",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 1800
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE compaction (optimize_deltalake_py): three small
+    append commits are bin-packed into fewer files in one
+    dataChange=false commit (the PROTOCOL.md semantics that keep
+    streaming sources from re-delivering rearranged rows, asserted in
+    test_delta.py). Asserted here: the live file set SHRINKS while the
+    table content is byte-identical to the oracle's restatement — a
+    compactor that drops or duplicates rows across bin boundaries
+    fails the hash. At 100 TB compaction is what keeps a
+    frequently-appended table's file count (and thus scan planning
+    cost) bounded. The reference exposes compaction via delta-rs
+    out-of-band; this is the in-engine equivalent."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        optimize_deltalake_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    path = os.path.join(
+        "/tmp/daft_spark_delta",
+        f"orders_opt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for lo in (0, 600, 1200):
+        write_deltalake_py(
+            o.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + 600)),
+            path, mode="append" if lo else "error",
+        )
+    before = len(read_deltalake_py(path, spark).inputFiles())
+    stats = optimize_deltalake_py(path, spark)
+    back = read_deltalake_py(path, spark)
+    if stats["removed"] < 2 or len(back.inputFiles()) >= before:
+        raise AssertionError(
+            f"OPTIMIZE did not shrink the live file set: {stats}, "
+            f"{before} -> {len(back.inputFiles())}"
+        )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -497,3 +497,88 @@ def test_column_mapping_streaming_source(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert sorted(r["k"] for r in rows) == list(range(5))
     assert all(r["tag"] == "a" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE compaction
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    from daft_spark.io.delta import (
+        optimize_deltalake_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "opt")
+    for lo in range(0, 30, 10):  # three small commits
+        write_deltalake_py(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")),
+            p, mode="append" if lo else "error",
+        )
+    files_before = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    stats = optimize_deltalake_py(p, spark)
+    assert stats["removed"] >= 2 and stats["added"] >= 1
+    assert stats["added"] < stats["removed"]
+    back = read_deltalake_py(p, spark)
+    assert sorted(r["k"] for r in back.collect()) == list(range(30))
+    # the live file set shrank even though retired files stay on disk
+    assert len(back.inputFiles()) < len(files_before)
+    # idempotent: a second pass finds nothing (or only the one big file)
+    assert optimize_deltalake_py(p, spark)["removed"] == 0
+    # time travel BEFORE the optimize still sees the old layout
+    old = read_deltalake_py(p, spark, version=2)
+    assert sorted(r["k"] for r in old.collect()) == list(range(30))
+
+
+def test_optimize_partitioned_and_dv_materialization(spark, tmp_path):
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        optimize_deltalake_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "optp")
+    for lo in (0, 8):
+        write_deltalake_py(
+            spark.range(lo, lo + 8).select(
+                F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g")
+            ),
+            p, mode="append" if lo else "error", partition_by=["g"],
+        )
+    delete_deltalake_dv_py(p, spark, "k >= 12")
+    stats = optimize_deltalake_py(p, spark)
+    assert stats["removed"] >= 2
+    back = read_deltalake_py(p, spark)
+    rows = {(r["k"], r["g"]) for r in back.collect()}
+    assert rows == {(i, str(i % 2)) for i in range(12)}
+    # compaction materialized the DVs: no live add carries one
+    from daft_spark.io.delta import _replay_log
+
+    _s, _pc, adds = _replay_log(p)
+    assert not any(a.get("deletionVector") for a in adds.values())
+    # partition dirs preserved
+    assert all("/g=" in f or "g=" in f for f in back.inputFiles())
+
+
+def test_optimize_commit_is_invisible_to_streaming(spark, tmp_path):
+    from daft_spark.io.delta import optimize_deltalake_py, write_deltalake_py
+    from tests.test_streaming import _drain_to_parquet
+
+    src = str(tmp_path / "opts")
+    out = str(tmp_path / "optso")
+    ck = str(tmp_path / "optsc")
+    for lo in (0, 5):
+        write_deltalake_py(
+            spark.range(lo, lo + 5).select(F.col("id").alias("k")),
+            src, mode="append" if lo else "error",
+        )
+    _drain_to_parquet(spark, src, out, ck)
+    optimize_deltalake_py(src, spark)  # dataChange=false commit
+    write_deltalake_py(
+        spark.range(10, 15).select(F.col("id").alias("k")), src, mode="append"
+    )
+    _drain_to_parquet(spark, src, out, ck)  # must NOT redeliver 0-9
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(15))
