@@ -1374,6 +1374,51 @@ def optimize_deltalake_py(
     return {"removed": removed, "added": added}
 
 
+def vacuum_deltalake_py(
+    path: str, retention_ms: int = 7 * 24 * 3600 * 1000, dry_run: bool = False
+) -> list[str]:
+    """VACUUM: physically delete data files no longer referenced by the
+    CURRENT table version whose tombstone (remove.deletionTimestamp,
+    falling back to file mtime for untracked orphans) is older than
+    ``retention_ms`` — the Delta maintenance op that actually reclaims
+    storage after OPTIMIZE/DELETE/overwrite. Time travel to versions
+    needing the removed files breaks afterwards, exactly the documented
+    VACUUM trade-off. DV files referenced by live adds survive. Returns
+    the deleted (or would-delete, with ``dry_run``) relative paths."""
+    _schema_json, _pc, adds, _cfg, _proto = _replay_log_full(path)
+    live = set(adds)
+    removed_at: dict[str, int] = {}
+    for v in _list_versions(path):
+        with open(_commit_file(path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    removed_at[action["remove"]["path"]] = int(
+                        action["remove"].get("deletionTimestamp") or 0
+                    )
+    now_ms = int(time.time() * 1000)
+    out: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != _LOG_DIR and not d.startswith(".staging-")]
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue  # DV .bin files etc. are never vacuum targets
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, path)
+            if rel in live:
+                continue
+            cutoff = removed_at.get(rel, int(os.path.getmtime(full) * 1000))
+            if now_ms - cutoff < retention_ms:
+                continue
+            out.append(rel)
+            if not dry_run:
+                os.remove(full)
+    return sorted(out)
+
+
 def delete_deltalake_py(path: str, spark: SparkSession, condition: str) -> None:
     """Copy-on-write DELETE: rows matching the SQL ``condition`` are
     removed by rewriting the table — the new commit retires every prior

@@ -1845,3 +1845,76 @@ def position_delete_iceberg_py(path: str, spark: SparkSession, where: str) -> No
         (s for s in prior.get("schemas", []) if s.get("schema-id") == sid), None
     )
     _commit_delete_manifest(path, prior, entries, schema_json=json.dumps(cur or {}))
+
+
+def expire_iceberg_snapshots(
+    path: str,
+    *,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> dict:
+    """Snapshot EXPIRATION (the spec's snapshot-retention maintenance,
+    pyiceberg/Spark ``expireSnapshots``): drops snapshots beyond
+    ``keep_last`` and/or older than ``older_than_ms`` from the metadata
+    (the current snapshot is always kept), then deletes every
+    manifest list, manifest, and data/delete file referenced ONLY by
+    expired snapshots. Returns counts. Without this, a
+    frequently-committed 100 TB table accretes unbounded metadata and
+    unreachable data files. Time travel to an expired snapshot_id
+    raises afterwards — the retention contract."""
+    if keep_last is None and older_than_ms is None:
+        raise ValueError("expire_iceberg_snapshots needs keep_last and/or older_than_ms")
+    meta = _latest_metadata(path)
+    snaps = list(meta.get("snapshots", []))
+    current = meta.get("current-snapshot-id")
+    by_time = sorted(snaps, key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]))
+    keep_ids = {current}
+    if keep_last is not None:
+        keep_ids.update(s["snapshot-id"] for s in by_time[-max(1, keep_last):])
+    if older_than_ms is not None:
+        keep_ids.update(
+            s["snapshot-id"] for s in snaps if s.get("timestamp-ms", 0) >= older_than_ms
+        )
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+
+    def refs(snapshot) -> tuple[str, set[str], set[str]]:
+        """(manifest-list path, manifest paths, data/delete file paths)."""
+        mlist = _to_local(snapshot["manifest-list"], path)
+        manifests: set[str] = set()
+        files: set[str] = set()
+        _, _, entries = read_ocf(mlist)
+        for m in entries:
+            mp = _to_local(m["manifest_path"], path)
+            manifests.add(mp)
+            _, _, mentries = read_ocf(mp)
+            for e in mentries:
+                files.add(_to_local(e["data_file"]["file_path"], path))
+        return mlist, manifests, files
+
+    kept_manifests: set[str] = set()
+    kept_files: set[str] = set()
+    for s in snaps:
+        if s["snapshot-id"] in keep_ids:
+            _ml, ms, fs = refs(s)
+            kept_manifests |= ms
+            kept_files |= fs
+    deleted = 0
+    for s in expired:
+        mlist, ms, fs = refs(s)
+        for f in (fs - kept_files) | (ms - kept_manifests) | {mlist}:
+            if os.path.exists(f):
+                os.remove(f)
+                deleted += 1
+        kept_manifests |= ms  # never double-count across expired snaps
+        kept_files |= fs
+
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    new_meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e.get("snapshot-id") in keep_ids
+    ]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(path, new_meta)
+    return {"expired_snapshots": len(expired), "deleted_files": deleted}

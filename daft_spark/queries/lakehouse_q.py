@@ -957,3 +957,86 @@ def lake_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "lake_maintenance",
+    """
+    WITH cur AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 900
+    )
+    SELECT 'delta_vacuumed' AS tbl, n, key_sum FROM cur
+    UNION ALL SELECT 'iceberg_expired', n, key_sum FROM cur
+    ORDER BY tbl
+    """,
+)
+def lake_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage maintenance on BOTH formats — what keeps a
+    frequently-committed 100 TB table's metadata and dead storage
+    bounded. Delta: overwrite retires the first commit's files, VACUUM
+    (retention 0) physically deletes them (asserted: retired parquet
+    gone from disk, live read intact). Iceberg: the same overwrite
+    pattern, then expire_iceberg_snapshots(keep_last=1) prunes the old
+    snapshot from metadata AND deletes its now-unreferenced data files
+    + manifests (asserted: time travel to the expired id raises). The
+    oracle restates the surviving state; a maintenance pass that
+    deletes a LIVE file surfaces as missing rows, one that keeps dead
+    metadata surfaces in the assertions."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        read_deltalake_py,
+        vacuum_deltalake_py,
+        write_deltalake_py,
+    )
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        expire_iceberg_snapshots,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    base = os.path.join(
+        "/tmp/daft_spark_maint", os.path.basename(sf_dir.rstrip("/"))
+    )
+    dpath, ipath = base + "_delta", base + "_ice"
+    shutil.rmtree(dpath, ignore_errors=True)
+    shutil.rmtree(ipath, ignore_errors=True)
+    stale = o.filter(F.col("o_orderkey") < 300)
+    cur = o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 900))
+
+    write_deltalake_py(stale, dpath)
+    write_deltalake_py(cur, dpath, mode="overwrite")
+    gone = vacuum_deltalake_py(dpath, retention_ms=0)
+    disk = [
+        f for root, _d, fs in os.walk(dpath) if "_delta_log" not in root
+        for f in fs if f.endswith(".parquet")
+    ]
+    dlive = read_deltalake_py(dpath, spark)
+    if not gone or len(disk) != len(dlive.inputFiles()):
+        raise AssertionError(f"VACUUM left dead files: deleted={len(gone)}, disk={len(disk)}")
+
+    write_iceberg_py(stale, ipath)
+    snap0 = _latest_metadata(ipath)["current-snapshot-id"]
+    write_iceberg_py(cur, ipath, mode="overwrite")
+    stats = expire_iceberg_snapshots(ipath, keep_last=1)
+    if stats["expired_snapshots"] != 1 or stats["deleted_files"] < 1:
+        raise AssertionError(f"expire did nothing: {stats}")
+    try:
+        read_iceberg_py(ipath, spark, snapshot_id=snap0)
+        raise AssertionError("expired snapshot still time-travelable")
+    except ValueError:
+        pass
+    ilive = read_iceberg_py(ipath, spark)
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("tbl"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select("tbl", "n", "key_sum")
+
+    return agg(dlive, "delta_vacuumed").unionAll(agg(ilive, "iceberg_expired")).orderBy("tbl")

@@ -582,3 +582,37 @@ def test_optimize_commit_is_invisible_to_streaming(spark, tmp_path):
     _drain_to_parquet(spark, src, out, ck)  # must NOT redeliver 0-9
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert got == list(range(15))
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
+    from daft_spark.io.delta import (
+        optimize_deltalake_py,
+        read_deltalake_py,
+        vacuum_deltalake_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "vac")
+    for lo in (0, 10):
+        write_deltalake_py(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")),
+            p, mode="append" if lo else "error",
+        )
+    optimize_deltalake_py(p, spark)  # retires the two small files
+    on_disk = lambda: [
+        f for root, _d, fs in os.walk(p) if "_delta_log" not in root
+        for f in fs if f.endswith(".parquet")
+    ]
+    before = len(on_disk())
+    live = len(read_deltalake_py(p, spark).inputFiles())
+    assert before > live  # OPTIMIZE left retired files on disk
+    # within retention: nothing deleted; dry_run lists candidates
+    assert vacuum_deltalake_py(p, retention_ms=10**12, dry_run=True) == []
+    would = vacuum_deltalake_py(p, retention_ms=0, dry_run=True)
+    assert len(would) == before - live and len(on_disk()) == before
+    gone = vacuum_deltalake_py(p, retention_ms=0)
+    assert gone == would and len(on_disk()) == live
+    # current version reads intact after vacuum
+    assert sorted(
+        r["k"] for r in read_deltalake_py(p, spark).collect()
+    ) == list(range(20))

@@ -1186,3 +1186,41 @@ def test_partition_evolution_time_travel_keeps_old_reads(spark, tmp_path):
     old = read_iceberg_py(p, spark, snapshot_id=snap0, filters=[("g", "=", "a")])
     assert {r["k"] for r in old.collect()} == {0, 2, 4, 6}
     assert read_iceberg_py(p, spark).count() == 9
+
+
+def test_expire_snapshots_prunes_metadata_and_files(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        expire_iceberg_snapshots,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "exp")
+    df = lambda lo: spark.range(lo, lo + 5).select(F.col("id").alias("k"))
+    write_iceberg_py(df(0), p)
+    snap0 = _latest_metadata(p)["current-snapshot-id"]
+    write_iceberg_py(df(5), p, mode="overwrite")  # orphanes snap0's file
+    write_iceberg_py(df(10), p, mode="append")
+    count_files = lambda: len(
+        [f for f in os.listdir(p + "/data") if f.endswith(".parquet")]
+    )
+    files_before = count_files()
+    snap0_files = len(read_iceberg_py(p, spark, snapshot_id=snap0).inputFiles())
+    with pytest.raises(ValueError):
+        expire_iceberg_snapshots(p)  # needs a retention policy
+    stats = expire_iceberg_snapshots(p, keep_last=2)
+    assert stats["expired_snapshots"] == 1 and stats["deleted_files"] >= 2
+    # snap0's data files are gone; kept snapshots' files survive
+    assert count_files() == files_before - snap0_files
+    meta = _latest_metadata(p)
+    assert len(meta["snapshots"]) == 2
+    assert all(e["snapshot-id"] != snap0 for e in meta["snapshot-log"])
+    # current read intact; time travel to the expired snapshot raises
+    assert sorted(r["k"] for r in read_iceberg_py(p, spark).collect()) == list(
+        range(5, 15)
+    )
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_py(p, spark, snapshot_id=snap0).collect()
+    # expiring again is a no-op
+    assert expire_iceberg_snapshots(p, keep_last=2)["expired_snapshots"] == 0
