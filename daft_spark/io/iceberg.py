@@ -634,6 +634,18 @@ def read_iceberg_py(
     data, deletes = _live_files_and_deletes(meta, path, snapshot_id, filters)
     if not data:
         return spark.createDataFrame([], schema)
+    out = _merged_scan(spark, meta, schema, id_schema, data, deletes, schema_for)
+    return _apply_residual(out, filters)
+
+
+def _merged_scan(spark, meta, schema, id_schema, data, deletes, schema_for):
+    """Union of per-sequence-group scans with v2 merge-on-read delete
+    application (equality: strictly-older rule; position: same-or-older
+    rule, matched on normalized path + _metadata.row_index). Factored
+    so compaction (rewrite_iceberg_data_files) can scan an arbitrary
+    SUBSET of data files under the same semantics as a table read."""
+    from pyspark.sql import functions as F
+
     if not deletes:
         # split by id-ness (sampled per commit/seq group), one scan per kind
         by_seq: dict[int, list[str]] = {}
@@ -655,7 +667,7 @@ def read_iceberg_py(
         out = outs[0]
         for o in outs[1:]:
             out = out.unionAll(o)
-        return _apply_residual(out, filters)
+        return out
     eq_deletes = [d for d in deletes if d.get("content", 2) == 2]
     pos_deletes = [d for d in deletes if d.get("content") == 1]
     eq_cols: list[str] = []
@@ -720,7 +732,7 @@ def read_iceberg_py(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return _apply_residual(out, filters)
+    return out
 
 
 def _apply_residual(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
@@ -1918,3 +1930,311 @@ def expire_iceberg_snapshots(
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     _publish_metadata(path, new_meta)
     return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+
+def _avro_part_fields(entry_schema: dict) -> list[tuple[str, str]]:
+    """Recover the (name, avro type) partition fields embedded in a
+    manifest's entry schema — lets compaction write replacement
+    manifests whose partition struct matches the source spec exactly."""
+    for f in entry_schema["fields"]:
+        if f["name"] != "data_file":
+            continue
+        for g in f["type"]["fields"]:
+            if g["name"] == "partition":
+                out = []
+                for pf in g["type"]["fields"]:
+                    t = pf["type"]
+                    if isinstance(t, list):
+                        t = next(x for x in t if x != "null")
+                    out.append((pf["name"], t))
+                return out
+    return []
+
+
+def rewrite_iceberg_data_files(
+    path: str, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """COMPACTION (the spec's ``replace`` snapshot; Iceberg's
+    RewriteDataFiles maintenance action): per (spec, partition tuple),
+    live data files smaller than ``target_file_bytes`` are greedily
+    binned and each bin of 2+ files rewritten as ONE file. Pending
+    equality/position deletes are MATERIALIZED into the rewrite (the
+    same merge-on-read scan a table read performs — _merged_scan), so
+    the replacement file carries no delete debt; untouched files keep
+    their original data sequence numbers via explicit per-entry
+    sequence numbers in the rewritten survivor manifests (inheritance
+    never mis-stamps them). Old snapshots keep reading the old layout;
+    expire_iceberg_snapshots reclaims it. Returns
+    {"removed", "added", "manifests_rewritten"}.
+
+    Stale delete files whose targets were all compacted stay in the
+    delete manifests (they match nothing) until snapshots expire —
+    the same residue real compaction leaves until
+    RewritePositionDeleteFiles runs."""
+    from pyspark.sql import functions as F
+
+    meta = _latest_metadata(path)
+    if meta.get("format-version", 1) > 2:
+        raise NotImplementedError("Iceberg format v3+ not supported")
+    snap = current_snapshot(meta)
+    if snap is None:
+        return {"removed": 0, "added": 0, "manifests_rewritten": 0}
+    schema = _current_schema(meta)
+    ice = _current_ice_schema(meta)
+    id_schema = _schema_with_field_ids(ice)
+    _live, deletes = _live_files_and_deletes(meta, path)
+    _, _, manifests = read_ocf(_to_local(snap["manifest-list"], path))
+    data_manifests: list[tuple[dict, dict, list]] = []
+    carried: list[dict] = []  # delete manifests pass through verbatim
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            carried.append(m)
+            continue
+        esch, _md, entries = read_ocf(_to_local(m["manifest_path"], path))
+        data_manifests.append((m, esch, entries))
+
+    # candidate bins: live small files grouped by (spec id, partition tuple)
+    groups: dict[tuple, list[dict]] = {}
+    for mi, (m, _esch, entries) in enumerate(data_manifests):
+        mseq = m.get("sequence_number", 0)
+        for e in entries:
+            if e["status"] == 2 or e["data_file"].get("content", 0) != 0:
+                continue
+            f = e["data_file"]
+            seq = e.get("sequence_number")
+            key = (
+                m.get("partition_spec_id", 0),
+                json.dumps(f.get("partition") or {}, sort_keys=True, default=str),
+            )
+            groups.setdefault(key, []).append(
+                {
+                    "mi": mi,
+                    "file_path": f["file_path"],
+                    "path": _to_local(f["file_path"], path),
+                    "seq": mseq if seq is None else seq,
+                    "size": int(f.get("file_size_in_bytes") or 0),
+                    "partition": dict(f.get("partition") or {}),
+                }
+            )
+    bins: list[tuple[tuple, list[dict]]] = []
+    for key, recs in sorted(groups.items()):
+        small = sorted(
+            (r for r in recs if r["size"] < target_file_bytes),
+            key=lambda r: r["path"],
+        )
+        cur: list[dict] = []
+        sz = 0
+        for r in small:
+            if cur and sz + r["size"] > target_file_bytes:
+                bins.append((key, cur))
+                cur, sz = [], 0
+            cur.append(r)
+            sz += r["size"]
+        if cur:
+            bins.append((key, cur))
+    bins = [(k, b) for k, b in bins if len(b) >= 2]
+    if not bins:
+        return {"removed": 0, "added": 0, "manifests_rewritten": 0}
+
+    def schema_for(files: list[str]) -> T.StructType:
+        if _files_have_field_ids(files[:1]):
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+            return id_schema
+        return schema
+
+    md = _meta_dir(path)
+    now_ms = int(time.time() * 1000)
+    snapshot_id = uuid.uuid4().int % (1 << 62)
+    seq = meta.get("last-sequence-number", 0) + 1
+    schema_field_ids = {f["name"]: f["id"] for f in ice["fields"]}
+    schema_field_types = {f["name"]: f["type"] for f in ice["fields"]}
+
+    replaced: set[str] = set()
+    new_entries_by_spec: dict[int, list[dict]] = {}
+    part_fields_by_spec: dict[int, list[tuple[str, str]]] = {}
+    for (spec_id, _pv_json), bin_recs in bins:
+        replaced.update(r["file_path"] for r in bin_recs)
+        part_fields_by_spec.setdefault(
+            spec_id, _avro_part_fields(data_manifests[bin_recs[0]["mi"]][1])
+        )
+        df = _merged_scan(
+            spark,
+            meta,
+            schema,
+            id_schema,
+            [{"path": r["path"], "seq": r["seq"], "size": r["size"]} for r in bin_recs],
+            deletes,
+            schema_for,
+        )
+        df = _apply_residual(df, None)  # strip read-schema field-id metadata
+        staged = df
+        for fld in ice["fields"]:
+            staged = staged.withMetadata(fld["name"], {"parquet.field.id": fld["id"]})
+        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        staged.coalesce(1).write.mode("overwrite").parquet(staging)
+        rel_dir = os.path.dirname(os.path.relpath(bin_recs[0]["path"], path))
+        name = f"{uuid.uuid4().hex}-compacted.parquet"
+        dst = os.path.join(path, rel_dir, name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        src = next(
+            os.path.join(staging, f)
+            for f in sorted(os.listdir(staging))
+            if f.endswith(".parquet")
+        )
+        shutil.move(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        vcounts, ncounts, lower, upper = _parquet_column_stats(
+            dst, schema_field_ids, schema_field_types
+        )
+        new_entries_by_spec.setdefault(spec_id, []).append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherit the new manifest's
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": bin_recs[0]["partition"],
+                    "record_count": _parquet_rows(dst),
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "value_counts": vcounts,
+                    "null_value_counts": ncounts,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                    "equality_ids": None,
+                },
+            }
+        )
+
+    new_manifests: list[dict] = []
+    specs_by_id = {
+        s.get("spec-id", 0): s.get("fields", [])
+        for s in meta.get("partition-specs", [])
+    }
+    for spec_id, entries in sorted(new_entries_by_spec.items()):
+        mpath = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
+        write_ocf(
+            mpath,
+            _manifest_entry_schema(part_fields_by_spec[spec_id]),
+            entries,
+            metadata={
+                "schema": json.dumps(ice),
+                "partition-spec": json.dumps(specs_by_id.get(spec_id, [])),
+                "partition-spec-id": str(spec_id),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        new_manifests.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+
+    rewritten = 0
+    for m, esch, entries in data_manifests:
+        touched = any(
+            e["status"] != 2 and e["data_file"]["file_path"] in replaced
+            for e in entries
+        )
+        if not touched:
+            carried.append(m)
+            continue
+        rewritten += 1
+        mseq = m.get("sequence_number", 0)
+        survivors = []
+        for e in entries:
+            if e["status"] == 2 or e["data_file"]["file_path"] in replaced:
+                continue
+            eseq = e.get("sequence_number")
+            eseq = mseq if eseq is None else eseq
+            fseq = e.get("file_sequence_number")
+            survivors.append(
+                dict(
+                    e,
+                    status=0,  # EXISTING
+                    sequence_number=eseq,  # explicit: inheritance from the
+                    file_sequence_number=mseq if fseq is None else fseq,
+                    # new manifest's seq would mis-stamp old files
+                )
+            )
+        if not survivors:
+            continue  # every entry replaced: the manifest drops out
+        mpath = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
+        write_ocf(
+            mpath,
+            esch,
+            survivors,
+            metadata={
+                "schema": json.dumps(ice),
+                "partition-spec": json.dumps(
+                    specs_by_id.get(m.get("partition_spec_id", 0), [])
+                ),
+                "partition-spec-id": str(m.get("partition_spec_id", 0)),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        carried.append(
+            dict(
+                m,
+                manifest_path=mpath,
+                manifest_length=os.path.getsize(mpath),
+                sequence_number=seq,
+                min_sequence_number=min(s["sequence_number"] for s in survivors),
+                added_snapshot_id=snapshot_id,
+                added_data_files_count=0,
+                existing_data_files_count=len(survivors),
+                deleted_data_files_count=0,
+                added_rows_count=0,
+                existing_rows_count=sum(
+                    s["data_file"]["record_count"] for s in survivors
+                ),
+                deleted_rows_count=0,
+            )
+        )
+
+    all_manifests = new_manifests + carried
+    mlist_path = os.path.join(md, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
+    write_ocf(
+        mlist_path, _MANIFEST_FILE_SCHEMA, all_manifests, metadata={"format-version": "2"}
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "replace"},
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    _publish_metadata(path, new_meta)
+    return {
+        "removed": len(replaced),
+        "added": sum(len(v) for v in new_entries_by_spec.values()),
+        "manifests_rewritten": rewritten,
+    }

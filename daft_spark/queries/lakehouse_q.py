@@ -1040,3 +1040,71 @@ def lake_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("tbl", "n", "key_sum")
 
     return agg(dlive, "delta_vacuumed").unionAll(agg(ilive, "iceberg_expired")).orderBy("tbl")
+
+
+@register(
+    "lake_iceberg_compaction",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey < 1800 AND o_totalprice >= 50000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg COMPACTION (rewrite_iceberg_data_files — the spec's
+    ``replace`` snapshot, Iceberg's RewriteDataFiles): three small
+    append commits plus a PENDING equality delete are compacted into
+    fewer files; the rewrite MATERIALIZES the delete through the same
+    merge-on-read scan a table read uses, and survivor manifests carry
+    explicit per-entry sequence numbers so untouched files keep their
+    delete-application semantics. Asserted: the live file set shrinks
+    and the compacted read equals the oracle's restatement — a rewrite
+    that double-applies or loses the delete, or mis-stamps sequence
+    numbers, fails the hash. At 100 TB compaction bounds manifest and
+    small-file growth the same way Delta's OPTIMIZE does
+    (lake_delta_optimize)."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        delete_iceberg_py,
+        read_iceberg_py,
+        rewrite_iceberg_data_files,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg",
+        f"orders_compact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for lo in (0, 600, 1200):
+        write_iceberg_py(
+            o.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + 600)),
+            path, mode="append" if lo else "error",
+        )
+    delete_iceberg_py(
+        o.filter((F.col("o_orderkey") < 1800) & (F.col("o_totalprice") < 50000))
+        .select("o_orderkey"),
+        path, equality_by=["o_orderkey"],
+    )
+    before = len(read_iceberg_py(path, spark).inputFiles())
+    stats = rewrite_iceberg_data_files(path, spark)
+    back = read_iceberg_py(path, spark)
+    if stats["removed"] < 2 or len(back.inputFiles()) >= before:
+        raise AssertionError(
+            f"compaction did not shrink the live file set: {stats}, "
+            f"{before} -> {len(back.inputFiles())}"
+        )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1224,3 +1224,65 @@ def test_expire_snapshots_prunes_metadata_and_files(spark, tmp_path):
         read_iceberg_py(p, spark, snapshot_id=snap0).collect()
     # expiring again is a no-op
     assert expire_iceberg_snapshots(p, keep_last=2)["expired_snapshots"] == 0
+
+
+def test_rewrite_data_files_compacts_and_materializes_deletes(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        delete_iceberg_py,
+        position_delete_iceberg_py,
+        read_iceberg_py,
+        rewrite_iceberg_data_files,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "rw")
+    mk = lambda lo: spark.range(lo, lo + 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+    )
+    for lo in (0, 10, 20):
+        write_iceberg_py(mk(lo), p, mode="append" if lo else "error")
+    # pending deletes of both kinds get materialized by the rewrite
+    delete_iceberg_py(
+        spark.createDataFrame([(5,)], "k long"), p, equality_by=["k"]
+    )
+    position_delete_iceberg_py(p, spark, "k = 12")
+    snap_before = _latest_metadata(p)["current-snapshot-id"]
+    files_before = len(read_iceberg_py(p, spark).inputFiles())
+    stats = rewrite_iceberg_data_files(p, spark)
+    assert stats["removed"] >= 2 and stats["added"] >= 1
+    assert stats["added"] < stats["removed"]
+    back = read_iceberg_py(p, spark)
+    expect = {i for i in range(30)} - {5, 12}
+    assert {r["k"] for r in back.collect()} == expect
+    assert len(back.inputFiles()) < files_before
+    # old snapshot still reads the pre-compaction layout
+    old = read_iceberg_py(p, spark, snapshot_id=snap_before)
+    assert {r["k"] for r in old.collect()} == expect
+    # idempotent second pass (everything fits one file now)
+    assert rewrite_iceberg_data_files(p, spark)["removed"] == 0
+
+
+def test_rewrite_data_files_partitioned_respects_tuples(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        read_iceberg_py,
+        rewrite_iceberg_data_files,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "rwp")
+    mk = lambda lo: spark.range(lo, lo + 8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    write_iceberg_py(mk(0), p, partition_by=["g"])
+    write_iceberg_py(mk(8), p, mode="append")
+    stats = rewrite_iceberg_data_files(p, spark)
+    assert stats["removed"] >= 2
+    back = read_iceberg_py(p, spark)
+    assert {(r["k"], r["g"]) for r in back.collect()} == {
+        (i, str(i % 2)) for i in range(16)
+    }
+    # partition pruning still works over the compacted files
+    pruned = read_iceberg_py(p, spark, filters=[("g", "=", "1")])
+    assert {r["k"] for r in pruned.collect()} == {i for i in range(16) if i % 2}
+    assert all("g=1" in f for f in pruned.inputFiles())
