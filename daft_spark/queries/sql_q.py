@@ -350,3 +350,61 @@ def sql_unity_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("c_mktsegment")
         )
+
+
+@register(
+    "sql_glue_catalog",
+    """
+    SELECT s_nationkey AS nation,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS balance
+    FROM supplier
+    GROUP BY s_nationkey ORDER BY nation
+    """,
+)
+def sql_glue_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS Glue Data Catalog protocol end-to-end (reference
+    daft/catalog/__glue.py — boto3/botocore Glue client, table dispatch
+    on Parameters.table_type=ICEBERG via metadata_location): the REAL
+    AWS SDK core (botocore) signs requests with SigV4 against an
+    in-process Glue server that VERIFIES every signature by recomputing
+    it per the public SigV4 spec — a two-implementation cross-check of
+    the auth path — and serves the AWS JSON 1.1 wire protocol
+    (X-Amz-Target ops, __type error envelopes, NextToken pagination).
+    Catalog.from_glue creates a database (warehouse LocationUri), an
+    ICEBERG table under it, and reads it back through GetTable ->
+    metadata_location -> the pure-Python Iceberg scan. The oracle
+    restates the aggregate from raw parquet."""
+    import shutil
+
+    from daft_spark.io.glue_rest import GlueCatalogServer
+    from daft_spark.io.readers import load_table
+    from daft_spark.session import Catalog
+
+    wh = os.path.join(
+        "/tmp/daft_spark_glue_wh", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    with GlueCatalogServer(wh) as srv:
+        cat = Catalog.from_glue(
+            "gluecat", endpoint_url=srv.uri,
+            aws_access_key_id=srv.access_key,
+            aws_secret_access_key=srv.secret_key,
+        )
+        cat.create_namespace("sales")
+        cat.create_table("sales.suppliers", s)
+        if cat.list_tables("sales") != ["sales.suppliers"]:
+            raise AssertionError(f"Glue listTables wrong: {cat.list_tables()}")
+        back = cat.read_table("sales.suppliers")
+        return (
+            back.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("s_acctbal").cast("double"), 2).alias("balance"),
+            )
+            .orderBy("s_nationkey")
+            .select(F.col("s_nationkey").alias("nation"), "n", "balance")
+        )

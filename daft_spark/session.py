@@ -192,8 +192,42 @@ class Catalog:
         )
 
     @staticmethod
-    def from_glue(*_a, **_k):
-        Catalog._unsupported("Glue", "org.apache.iceberg.spark.SparkCatalog + glue")
+    def from_glue(
+        name: str = "glue",
+        *,
+        client=None,
+        session=None,
+        endpoint_url: str | None = None,
+        region_name: str = "us-east-1",
+        aws_access_key_id: str | None = None,
+        aws_secret_access_key: str | None = None,
+    ) -> "Catalog":
+        """reference Catalog.from_glue (daft/catalog/__glue.py:48,110,
+        118 — from_client/from_session over a boto3/botocore Glue
+        client). Accepts a ready botocore ``client``, a botocore
+        ``session`` (``create_client`` is called with the remaining
+        kwargs), or raw connection kwargs (endpoint_url + credentials —
+        a botocore session is created). boto3 is not required; the
+        Spark-side Glue catalog plugin remains available via
+        spark.sql.catalog confs + Catalog.from_spark."""
+        from daft_spark.io.glue_rest import GlueRestCatalog
+
+        if client is not None:
+            return GlueRestCatalog(client, name)
+        if session is None and endpoint_url is None:
+            Catalog._unsupported("Glue", "org.apache.iceberg.spark.SparkCatalog + glue")
+        if session is None:
+            import botocore.session
+
+            session = botocore.session.get_session()
+        client = session.create_client(
+            "glue",
+            region_name=region_name,
+            endpoint_url=endpoint_url,
+            aws_access_key_id=aws_access_key_id,
+            aws_secret_access_key=aws_secret_access_key,
+        )
+        return GlueRestCatalog(client, name)
 
     @staticmethod
     def from_unity(endpoint=None, token: str | None = None, name: str = "unity") -> "Catalog":
