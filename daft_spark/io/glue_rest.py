@@ -57,14 +57,25 @@ def _sigv4_signature(
 ) -> str:
     """Recompute the SigV4 signature for a received request (the
     server-side half of the spec's signing process)."""
+    from urllib.parse import quote
+
     canonical_headers = "".join(
         f"{h}:{' '.join(headers.get(h, '').split())}\n" for h in signed_headers
+    )
+    # canonical query: the spec sorts the (already percent-encoded)
+    # k=v pairs; the wire order is unconstrained
+    canonical_query = "&".join(sorted(query.split("&"))) if query else ""
+    # canonical URI: non-S3 services DOUBLE-encode each path segment
+    # (the wire path is once-encoded; encoding it again matches the
+    # spec's "URI-encode each segment twice" rule)
+    canonical_path = "/" + "/".join(
+        quote(seg, safe="") for seg in (path or "/").split("/")[1:]
     )
     canonical = "\n".join(
         [
             method,
-            path or "/",
-            query,
+            canonical_path,
+            canonical_query,
             canonical_headers,
             ";".join(signed_headers),
             hashlib.sha256(body).hexdigest(),

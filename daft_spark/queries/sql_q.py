@@ -408,3 +408,58 @@ def sql_glue_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("s_nationkey")
             .select(F.col("s_nationkey").alias("nation"), "n", "balance")
         )
+
+
+@register(
+    "sql_s3tables_catalog",
+    """
+    SELECT n_regionkey AS region,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey ORDER BY region
+    """,
+)
+def sql_s3tables_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amazon S3 Tables protocol end-to-end (reference
+    daft/catalog/__s3tables.py — botocore s3tables client bound to a
+    table-bucket ARN): the REAL AWS SDK core signs REST-JSON requests
+    (GET querystrings exercise SigV4 canonical-query sorting; the
+    ARN-bearing path exercises the double-encoding rule) against an
+    in-process server that verifies every signature and enforces the
+    service's versionToken compare-and-swap on
+    UpdateTableMetadataLocation. create_table runs the real commit
+    flow: CreateTable(ICEBERG) -> write Iceberg metadata into the
+    service-assigned warehouseLocation -> publish via
+    UpdateTableMetadataLocation; the read walks metadataLocation with
+    the pure-Python Iceberg scan. Oracle restates from raw parquet."""
+    import shutil
+
+    from daft_spark.io.readers import load_table
+    from daft_spark.io.s3tables_rest import S3TablesCatalogServer
+    from daft_spark.session import Catalog
+
+    wh = os.path.join(
+        "/tmp/daft_spark_s3t_wh", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    with S3TablesCatalogServer(wh) as srv:
+        cat = Catalog.from_s3tables(
+            srv.bucket_arn, endpoint_url=srv.uri,
+            aws_access_key_id=srv.access_key,
+            aws_secret_access_key=srv.secret_key,
+        )
+        cat.create_namespace("geo")
+        cat.create_table("geo.nations", n)
+        if cat.list_tables("geo.n") != ["geo.nations"]:
+            raise AssertionError(f"S3Tables listTables wrong: {cat.list_tables()}")
+        back = cat.read_table("geo.nations")
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_nationkey").alias("key_sum"),
+            )
+            .orderBy("n_regionkey")
+            .select(F.col("n_regionkey").alias("region"), "n", "key_sum")
+        )

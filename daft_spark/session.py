@@ -245,8 +245,46 @@ class Catalog:
         Catalog._unsupported("Unity", "io.unitycatalog.spark.UCSingleCatalog")
 
     @staticmethod
-    def from_s3tables(*_a, **_k):
-        Catalog._unsupported("S3Tables", "software.amazon.s3tables.iceberg.S3TablesCatalog")
+    def from_s3tables(
+        table_bucket_arn: str | None = None,
+        *,
+        client=None,
+        session=None,
+        endpoint_url: str | None = None,
+        region_name: str = "us-east-1",
+        aws_access_key_id: str | None = None,
+        aws_secret_access_key: str | None = None,
+        name: str = "s3tables",
+    ) -> "Catalog":
+        """reference Catalog.from_s3tables (daft/catalog/__s3tables.py:
+        119,128 — from_client/from_session over a boto3/botocore
+        s3tables client bound to a table-bucket ARN). Accepts a ready
+        botocore ``client``, a botocore ``session``, or raw connection
+        kwargs; boto3 is not required."""
+        from daft_spark.io.s3tables_rest import S3TablesRestCatalog
+
+        if not table_bucket_arn:
+            Catalog._unsupported(
+                "S3Tables", "software.amazon.s3tables.iceberg.S3TablesCatalog"
+            )
+        if client is not None:
+            return S3TablesRestCatalog(table_bucket_arn, client, name)
+        if session is None and endpoint_url is None:
+            Catalog._unsupported(
+                "S3Tables", "software.amazon.s3tables.iceberg.S3TablesCatalog"
+            )
+        if session is None:
+            import botocore.session
+
+            session = botocore.session.get_session()
+        client = session.create_client(
+            "s3tables",
+            region_name=region_name,
+            endpoint_url=endpoint_url,
+            aws_access_key_id=aws_access_key_id,
+            aws_secret_access_key=aws_secret_access_key,
+        )
+        return S3TablesRestCatalog(table_bucket_arn, client, name)
 
     @staticmethod
     def from_postgres(*_a, **_k):
