@@ -595,6 +595,7 @@ def read_iceberg_py(
     spark: SparkSession,
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg v1/v2 table (partitioned or not) by walking its
     metadata tree; ``snapshot_id`` time-travels.
@@ -614,6 +615,10 @@ def read_iceberg_py(
     meta = _latest_metadata(path)
     if meta.get("format-version", 1) > 2:
         raise NotImplementedError("Iceberg format v3+ not supported")
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        snapshot_id = resolve_iceberg_ref(meta, ref)
     schema = _current_schema(meta)
     ice = _current_ice_schema(meta)
     id_schema = _schema_with_field_ids(ice)
@@ -1374,6 +1379,8 @@ def write_iceberg_py(
             + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}]
         ),
         "metadata-log": [],
+        # named refs persist across commits (they pin their snapshots)
+        "refs": (prior.get("refs", {}) if prior else {}),
     }
     _publish_metadata(path, meta)
 
@@ -1881,6 +1888,10 @@ def expire_iceberg_snapshots(
     current = meta.get("current-snapshot-id")
     by_time = sorted(snaps, key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]))
     keep_ids = {current}
+    # named refs (tags/branches) protect their snapshots (spec §Refs)
+    keep_ids.update(
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    )
     if keep_last is not None:
         keep_ids.update(s["snapshot-id"] for s in by_time[-max(1, keep_last):])
     if older_than_ms is not None:
@@ -2238,3 +2249,58 @@ def rewrite_iceberg_data_files(
         "added": sum(len(v) for v in new_entries_by_spec.values()),
         "manifests_rewritten": rewritten,
     }
+
+
+def set_iceberg_ref(
+    path: str,
+    name: str,
+    *,
+    ref_type: str = "tag",
+    snapshot_id: int | None = None,
+    max_ref_age_ms: int | None = None,
+) -> None:
+    """Named REFS (Iceberg spec §Snapshot References): a ``tag`` pins a
+    snapshot id permanently, a ``branch`` names a movable head — the
+    read options the reference exposes on Iceberg tables
+    (daft/catalog/__glue.py GlueIcebergTable._read_options:
+    snapshot_id/branch/tag). Defaults to the current snapshot.
+    Metadata-only commit into the ``refs`` map; referenced snapshots
+    are protected from expire_iceberg_snapshots."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref type must be 'tag' or 'branch', got {ref_type!r}")
+    meta = _latest_metadata(path)
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    if sid is None or all(s["snapshot-id"] != sid for s in meta.get("snapshots", [])):
+        raise ValueError(f"snapshot {sid} not found")
+    entry: dict = {"snapshot-id": sid, "type": ref_type}
+    if max_ref_age_ms is not None:
+        entry["max-ref-age-ms"] = int(max_ref_age_ms)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = entry
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(path, new_meta)
+
+
+def drop_iceberg_ref(path: str, name: str) -> None:
+    meta = _latest_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not found")
+    del refs[name]
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(path, new_meta)
+
+
+def resolve_iceberg_ref(meta: dict, ref: str) -> int:
+    """ref name -> snapshot id ("main" is the spec's implicit branch
+    for the current snapshot when no explicit ref shadows it)."""
+    refs = meta.get("refs") or {}
+    if ref in refs:
+        return refs[ref]["snapshot-id"]
+    if ref == "main" and meta.get("current-snapshot-id") not in (None, -1):
+        return meta["current-snapshot-id"]
+    raise ValueError(f"ref {ref!r} not found (have {sorted(refs)})")

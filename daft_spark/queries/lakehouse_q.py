@@ -1108,3 +1108,73 @@ def lake_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "lake_iceberg_refs",
+    """
+    WITH v0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey < 500
+    ),
+    head AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    )
+    SELECT 'branch_audit' AS ref, n, key_sum FROM v0
+    UNION ALL SELECT 'main', n, key_sum FROM head
+    UNION ALL SELECT 'tag_v1', n, key_sum FROM v0
+    ORDER BY ref
+    """,
+)
+def lake_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NAMED REFS (spec §Snapshot References; the reference
+    exposes branch/tag read options on Iceberg tables —
+    daft/catalog/__glue.py GlueIcebergTable._read_options): tag `v1`
+    and branch `audit` pin the first snapshot, an overwrite moves main
+    past it, and all three refs read side by side. Refs also PROTECT
+    their snapshots from expire_iceberg_snapshots (asserted: keep_last=1
+    expires nothing while the refs stand). A reader that resolves refs
+    against the wrong snapshot, or loses refs across commits (they must
+    persist through the overwrite's metadata rebuild), shows as a hash
+    mismatch."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        expire_iceberg_snapshots,
+        read_iceberg_py,
+        set_iceberg_ref,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg",
+        f"orders_refs_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 500), path)
+    set_iceberg_ref(path, "v1", ref_type="tag")
+    set_iceberg_ref(path, "audit", ref_type="branch")
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500)),
+        path, mode="overwrite",
+    )
+    if expire_iceberg_snapshots(path, keep_last=1)["expired_snapshots"] != 0:
+        raise AssertionError("refs failed to protect their snapshots")
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("ref"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select("ref", "n", "key_sum")
+
+    return (
+        agg(read_iceberg_py(path, spark, ref="audit"), "branch_audit")
+        .unionAll(agg(read_iceberg_py(path, spark, ref="main"), "main"))
+        .unionAll(agg(read_iceberg_py(path, spark, ref="v1"), "tag_v1"))
+        .orderBy("ref")
+    )

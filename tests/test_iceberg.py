@@ -1286,3 +1286,44 @@ def test_rewrite_data_files_partitioned_respects_tuples(spark, tmp_path):
     pruned = read_iceberg_py(p, spark, filters=[("g", "=", "1")])
     assert {r["k"] for r in pruned.collect()} == {i for i in range(16) if i % 2}
     assert all("g=1" in f for f in pruned.inputFiles())
+
+
+def test_iceberg_refs_tags_and_branches(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        drop_iceberg_ref,
+        expire_iceberg_snapshots,
+        read_iceberg_py,
+        set_iceberg_ref,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "refs")
+    mk = lambda lo: spark.range(lo, lo + 5).select(F.col("id").alias("k"))
+    write_iceberg_py(mk(0), p)
+    set_iceberg_ref(p, "v1", ref_type="tag")
+    write_iceberg_py(mk(5), p, mode="overwrite")
+    set_iceberg_ref(p, "audit", ref_type="branch")
+    write_iceberg_py(mk(10), p, mode="append")
+    # tag pins the first snapshot; branch pins the second; main = head
+    assert {r["k"] for r in read_iceberg_py(p, spark, ref="v1").collect()} == set(range(5))
+    assert {r["k"] for r in read_iceberg_py(p, spark, ref="audit").collect()} == set(range(5, 10))
+    assert {r["k"] for r in read_iceberg_py(p, spark, ref="main").collect()} == set(range(5, 15))
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_py(p, spark, ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg_py(p, spark, snapshot_id=1, ref="v1")
+    with pytest.raises(ValueError):
+        set_iceberg_ref(p, "bad", snapshot_id=123456)
+    # refs PROTECT their snapshots from expiration
+    stats = expire_iceberg_snapshots(p, keep_last=1)
+    assert stats["expired_snapshots"] == 0  # all three are ref'd or current
+    drop_iceberg_ref(p, "v1")
+    stats = expire_iceberg_snapshots(p, keep_last=1)
+    assert stats["expired_snapshots"] == 1  # the tagged one is now expirable
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_py(p, spark, ref="v1")
+    # the branch survives
+    assert read_iceberg_py(p, spark, ref="audit").count() == 5
+    meta = _latest_metadata(p)
+    assert meta["refs"]["audit"]["type"] == "branch"
