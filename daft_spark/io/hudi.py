@@ -81,12 +81,16 @@ def _instants(path: str) -> list[tuple[str, str]]:
     return sorted(out)
 
 
-def _live_files(path: str) -> list[str]:
+def _live_files(path: str, as_of: str | None = None) -> list[str]:
     """Latest base file per file group after replaying the timeline.
     Partitioned tables record partition-relative paths in their write
-    stats, so replay is layout-agnostic."""
+    stats, so replay is layout-agnostic. ``as_of`` stops the replay at
+    that instant timestamp (inclusive) — Hudi's as.of.instant
+    time-travel read semantics."""
     groups: dict[str, tuple[str, str]] = {}  # fileId -> (instant, relpath)
     for ts, action in _instants(path):
+        if as_of is not None and ts > str(as_of):
+            continue
         with open(os.path.join(_timeline_dir(path), f"{ts}.{action}")) as f:
             commit = json.load(f)
         for file_ids in commit.get("partitionToReplaceFileIds", {}).values():
@@ -115,15 +119,27 @@ def _table_partition_cols(path: str) -> list[str]:
     return []
 
 
-def read_hudi_py(path: str, spark: SparkSession) -> DataFrame:
+def hudi_timeline(path: str) -> list[tuple[str, str]]:
+    """The completed (instant_ts, action) timeline — what a caller pins
+    ``as_of`` to (Hudi's commit timeline surface)."""
+    return _instants(path)
+
+
+def read_hudi_py(path: str, spark: SparkSession, as_of: str | None = None) -> DataFrame:
     """Read a copy-on-write Hudi table (unpartitioned or partitioned)
     by replaying its timeline. The result is a plain multi-file parquet
-    scan — partition columns live in the data files, per Hudi layout."""
+    scan — partition columns live in the data files, per Hudi layout.
+    ``as_of`` time-travels to the state at that instant timestamp
+    (inclusive) — the as.of.instant option of Hudi's Spark reader; the
+    reference reads Hudi through hudi-rs (daft/io/hudi/_hudi.py)."""
     if not os.path.isdir(_timeline_dir(path)):
         raise FileNotFoundError(f"not a Hudi table (no {_HOODIE}/ under {path})")
-    files = _live_files(path)
+    files = _live_files(path, as_of)
     if not files:
-        raise ValueError(f"Hudi table at {path} has no completed commits")
+        raise ValueError(
+            f"Hudi table at {path} has no completed commits"
+            + (f" at or before instant {as_of}" if as_of is not None else "")
+        )
     return spark.read.parquet(*files)
 
 

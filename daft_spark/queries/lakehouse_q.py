@@ -1178,3 +1178,68 @@ def lake_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(agg(read_iceberg_py(path, spark, ref="v1"), "tag_v1"))
         .orderBy("ref")
     )
+
+
+@register(
+    "lake_time_travel_hudi_paimon",
+    """
+    WITH v0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey < 400
+    ),
+    head AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT 'hudi_asof' AS snap, n, key_sum FROM v0
+    UNION ALL SELECT 'hudi_head', n, key_sum FROM head
+    UNION ALL SELECT 'paimon_s1', n, key_sum FROM v0
+    UNION ALL SELECT 'paimon_head', n, key_sum FROM head
+    ORDER BY snap
+    """,
+)
+def lake_time_travel_hudi_paimon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the OTHER two formats (completing the
+    lake_time_travel pair): Hudi pins the timeline replay to an instant
+    (read_hudi_py(as_of=...) — the as.of.instant semantics of Hudi's
+    reader; instants surfaced by hudi_timeline), Paimon pins the
+    snapshot id (read_paimon_py(snapshot=...) — snapshot/snapshot-<id>
+    pointer walk). A replay that leaks later file slices into the
+    pinned view, or resolves the wrong base manifest list, shows as a
+    hash mismatch against the per-slice oracles."""
+    import shutil
+
+    from daft_spark.io.hudi import hudi_timeline, read_hudi_py, write_hudi_py
+    from daft_spark.io.paimon import read_paimon_py, write_paimon_py
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    base = os.path.join(
+        "/tmp/daft_spark_tt2", os.path.basename(sf_dir.rstrip("/"))
+    )
+    hpath, ppath = base + "_hudi", base + "_paimon"
+    shutil.rmtree(hpath, ignore_errors=True)
+    shutil.rmtree(ppath, ignore_errors=True)
+    first = o.filter(F.col("o_orderkey") < 400)
+    second = o.filter((F.col("o_orderkey") >= 400) & (F.col("o_orderkey") < 1000))
+    write_hudi_py(first, hpath)
+    t0 = hudi_timeline(hpath)[-1][0]
+    write_hudi_py(second, hpath, mode="append")
+    write_paimon_py(first, ppath)
+    write_paimon_py(second, ppath, mode="append")
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("snap"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select("snap", "n", "key_sum")
+
+    return (
+        agg(read_hudi_py(hpath, spark, as_of=t0), "hudi_asof")
+        .unionAll(agg(read_hudi_py(hpath, spark), "hudi_head"))
+        .unionAll(agg(read_paimon_py(ppath, spark, snapshot=1), "paimon_s1"))
+        .unionAll(agg(read_paimon_py(ppath, spark), "paimon_head"))
+        .orderBy("snap")
+    )

@@ -174,3 +174,22 @@ def test_hudi_upsert_preserves_partition_layout(spark, tmp_path):
     assert dirs == {"grp=a", "grp=b", "grp=c"}
     with pytest.raises(ValueError, match="partition"):
         write_hudi_py(inc, path, mode="upsert", record_key="id", partition_by=["v"])
+
+
+def test_hudi_as_of_time_travel(spark, tmp_path):
+    from daft_spark.io.hudi import hudi_timeline, read_hudi_py, write_hudi_py
+
+    p = str(tmp_path / "tt")
+    df1 = spark.range(10).select(F.col("id").alias("k"), F.lit("a").alias("s"))
+    write_hudi_py(df1, p)
+    t0 = hudi_timeline(p)[-1][0]
+    # an upsert rewrites file groups; as_of must ignore the later slices
+    upd = spark.range(5).select(F.col("id").alias("k"), F.lit("B").alias("s"))
+    write_hudi_py(upd, p, mode="upsert", record_key="k")
+    old = read_hudi_py(p, spark, as_of=t0)
+    assert old.count() == 10 and old.filter(F.col("s") == "B").count() == 0
+    cur = read_hudi_py(p, spark)
+    assert cur.count() == 10 and cur.filter(F.col("s") == "B").count() == 5
+    # pinning before the first instant has no state
+    with pytest.raises(ValueError, match="no completed commits"):
+        read_hudi_py(p, spark, as_of="0")
