@@ -114,6 +114,16 @@ class IcebergReader(DataSourceReader):
         self.path = options["path"]
         snap = options.get("snapshot_id")
         self.snapshot_id = int(snap) if snap else None
+        # named-ref pinning (tag/branch — spec §Snapshot References):
+        # .option("ref", "v1") resolves at plan time on the driver
+        ref = options.get("ref")
+        if ref:
+            from daft_spark.io.iceberg import _latest_metadata as _lm
+            from daft_spark.io.iceberg import resolve_iceberg_ref
+
+            if self.snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            self.snapshot_id = resolve_iceberg_ref(_lm(self.path), ref)
         self.filters: list[tuple] = []
         # Projection target for field-id column resolution (spec §Column
         # Projection): (name, field-id) per top-level column of the

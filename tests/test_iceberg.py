@@ -1327,3 +1327,29 @@ def test_iceberg_refs_tags_and_branches(spark, tmp_path):
     assert read_iceberg_py(p, spark, ref="audit").count() == 5
     meta = _latest_metadata(p)
     assert meta["refs"]["audit"]["type"] == "branch"
+
+
+def test_iceberg_datasource_ref_and_snapshot_options(spark, tmp_path):
+    from daft_spark.context import configure
+    from daft_spark.io.iceberg import set_iceberg_ref, write_iceberg_py
+
+    configure(spark)
+    p = str(tmp_path / "dsrefs")
+    write_iceberg_py(
+        spark.range(5).select(F.col("id").alias("k")), p
+    )
+    set_iceberg_ref(p, "v1", ref_type="tag")
+    write_iceberg_py(
+        spark.range(5, 12).select(F.col("id").alias("k")), p, mode="overwrite"
+    )
+    head = spark.read.format("daft_iceberg").option("path", p).load()
+    assert head.count() == 7
+    pinned = (
+        spark.read.format("daft_iceberg").option("path", p).option("ref", "v1").load()
+    )
+    assert sorted(r["k"] for r in pinned.collect()) == list(range(5))
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("daft_iceberg").option("path", p)
+            .option("ref", "v1").option("snapshot_id", "1").load().count()
+        )
