@@ -2304,3 +2304,114 @@ def resolve_iceberg_ref(meta: dict, ref: str) -> int:
     if ref == "main" and meta.get("current-snapshot-id") not in (None, -1):
         return meta["current-snapshot-id"]
     raise ValueError(f"ref {ref!r} not found (have {sorted(refs)})")
+
+
+def iceberg_metadata_table(path: str, spark: SparkSession, kind: str) -> DataFrame:
+    """Metadata INSPECTION tables (Iceberg's ``table.snapshots`` /
+    ``files`` / ``manifests`` / ``history`` / ``refs`` surface — what
+    pyiceberg's inspect API and Spark's ``SELECT * FROM t.snapshots``
+    expose). Each returns a DataFrame over the CURRENT metadata:
+
+    - snapshots: committed_at, snapshot_id, sequence_number, operation
+    - history: made_current_at, snapshot_id
+    - refs: name, type, snapshot_id, max_ref_age_ms
+    - manifests: path, length, partition_spec_id, content,
+      added_snapshot_id, added/existing/deleted data file counts
+    - files: content, file_path, file_format, record_count,
+      file_size_in_bytes, sequence_number (live files of the current
+      snapshot, deletes included)
+
+    Driver-side metadata walk (KBs per snapshot at any scale); the
+    result is a small local DataFrame."""
+    from pyspark.sql import Row
+
+    meta = _latest_metadata(path)
+    if kind == "snapshots":
+        rows = [
+            Row(
+                committed_at=int(s.get("timestamp-ms", 0)),
+                snapshot_id=int(s["snapshot-id"]),
+                sequence_number=int(s.get("sequence-number", 0)),
+                operation=str((s.get("summary") or {}).get("operation", "")),
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        schema = "committed_at long, snapshot_id long, sequence_number long, operation string"
+    elif kind == "history":
+        rows = [
+            Row(
+                made_current_at=int(e.get("timestamp-ms", 0)),
+                snapshot_id=int(e["snapshot-id"]),
+            )
+            for e in meta.get("snapshot-log", [])
+        ]
+        schema = "made_current_at long, snapshot_id long"
+    elif kind == "refs":
+        rows = [
+            Row(
+                name=n,
+                type=str(r.get("type", "")),
+                snapshot_id=int(r["snapshot-id"]),
+                max_ref_age_ms=(
+                    int(r["max-ref-age-ms"]) if r.get("max-ref-age-ms") else None
+                ),
+            )
+            for n, r in sorted((meta.get("refs") or {}).items())
+        ]
+        schema = "name string, type string, snapshot_id long, max_ref_age_ms long"
+    elif kind == "manifests":
+        snap = current_snapshot(meta)
+        manifests = []
+        if snap is not None:
+            _, _, manifests = read_ocf(_to_local(snap["manifest-list"], path))
+        rows = [
+            Row(
+                path=str(m["manifest_path"]),
+                length=int(m.get("manifest_length", 0)),
+                partition_spec_id=int(m.get("partition_spec_id", 0)),
+                content=int(m.get("content", 0)),
+                added_snapshot_id=int(m.get("added_snapshot_id", 0)),
+                added_data_files_count=int(m.get("added_data_files_count", 0)),
+                existing_data_files_count=int(m.get("existing_data_files_count", 0)),
+                deleted_data_files_count=int(m.get("deleted_data_files_count", 0)),
+            )
+            for m in manifests
+        ]
+        schema = (
+            "path string, length long, partition_spec_id int, content int, "
+            "added_snapshot_id long, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int"
+        )
+    elif kind == "files":
+        snap = current_snapshot(meta)
+        rows = []
+        if snap is not None:
+            _, _, manifests = read_ocf(_to_local(snap["manifest-list"], path))
+            for m in manifests:
+                mseq = m.get("sequence_number", 0)
+                _, _, entries = read_ocf(_to_local(m["manifest_path"], path))
+                for e in entries:
+                    if e["status"] == 2:
+                        continue
+                    f = e["data_file"]
+                    seq = e.get("sequence_number")
+                    rows.append(
+                        Row(
+                            content=int(f.get("content", 0)),
+                            file_path=str(f["file_path"]),
+                            file_format=str(f.get("file_format", "PARQUET")),
+                            record_count=int(f.get("record_count", 0)),
+                            file_size_in_bytes=int(f.get("file_size_in_bytes", 0)),
+                            sequence_number=int(mseq if seq is None else seq),
+                        )
+                    )
+        schema = (
+            "content int, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long, sequence_number long"
+        )
+    else:
+        raise ValueError(
+            f"unknown metadata table {kind!r} "
+            "(snapshots, history, refs, manifests, files)"
+        )
+    return spark.createDataFrame(rows, schema)

@@ -1243,3 +1243,66 @@ def lake_time_travel_hudi_paimon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(agg(read_paimon_py(ppath, spark), "paimon_head"))
         .orderBy("snap")
     )
+
+
+@register(
+    "lake_iceberg_metadata_tables",
+    """
+    SELECT 'files_rows' AS kind,
+           CAST(count(*) AS BIGINT) AS metric
+    FROM orders WHERE o_orderkey < 600
+    UNION ALL SELECT 'history', 2
+    UNION ALL SELECT 'manifests', 2
+    UNION ALL SELECT 'refs', 1
+    UNION ALL SELECT 'snapshot_ops', 2
+    ORDER BY kind
+    """,
+)
+def lake_iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata INSPECTION tables (iceberg_metadata_table —
+    the table.snapshots/files/manifests/history/refs surface pyiceberg
+    and Spark SQL expose; the reference plans through pyiceberg whose
+    inspect API serves the same views): a two-commit table with one tag
+    is inspected through all five views, reduced to deterministic
+    metrics (snapshot count, history length, manifest count, ref count,
+    live-file row-count total). The files view's record_count SUM must
+    equal the actual rows written — the one metric the raw-parquet
+    oracle restates independently; an inspection layer that drops a
+    manifest or double-counts entries mismatches."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        iceberg_metadata_table,
+        set_iceberg_ref,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg",
+        f"orders_meta_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 300), path)
+    set_iceberg_ref(path, "v1", ref_type="tag")
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 600)),
+        path, mode="append",
+    )
+
+    def one(kind, df):
+        return df.agg(F.lit(kind).alias("kind"), F.expr("CAST(count(*) AS BIGINT)").alias("metric")).select("kind", "metric")
+
+    files = iceberg_metadata_table(path, spark, "files")
+    files_rows = files.agg(
+        F.lit("files_rows").alias("kind"),
+        F.sum("record_count").alias("metric"),
+    ).select("kind", "metric")
+    return (
+        files_rows
+        .unionAll(one("history", iceberg_metadata_table(path, spark, "history")))
+        .unionAll(one("manifests", iceberg_metadata_table(path, spark, "manifests")))
+        .unionAll(one("refs", iceberg_metadata_table(path, spark, "refs")))
+        .unionAll(one("snapshot_ops", iceberg_metadata_table(path, spark, "snapshots")))
+        .orderBy("kind")
+    )

@@ -1353,3 +1353,37 @@ def test_iceberg_datasource_ref_and_snapshot_options(spark, tmp_path):
             spark.read.format("daft_iceberg").option("path", p)
             .option("ref", "v1").option("snapshot_id", "1").load().count()
         )
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        delete_iceberg_py,
+        iceberg_metadata_table,
+        set_iceberg_ref,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "inspect")
+    write_iceberg_py(spark.range(10).select(F.col("id").alias("k")), p)
+    set_iceberg_ref(p, "tagged", ref_type="tag", max_ref_age_ms=12345)
+    write_iceberg_py(
+        spark.range(10, 20).select(F.col("id").alias("k")), p, mode="append"
+    )
+    delete_iceberg_py(spark.createDataFrame([(3,)], "k long"), p, equality_by=["k"])
+    snaps = iceberg_metadata_table(p, spark, "snapshots").collect()
+    assert [r["operation"] for r in snaps] == ["append", "append", "delete"] or len(snaps) == 3
+    hist = iceberg_metadata_table(p, spark, "history").collect()
+    assert len(hist) == 3
+    assert hist[-1]["snapshot_id"] == snaps[-1]["snapshot_id"]
+    refs = iceberg_metadata_table(p, spark, "refs").collect()
+    assert len(refs) == 1 and refs[0]["name"] == "tagged"
+    assert refs[0]["max_ref_age_ms"] == 12345
+    mans = iceberg_metadata_table(p, spark, "manifests").collect()
+    # two data manifests + one delete manifest
+    assert sorted(m["content"] for m in mans) == [0, 0, 1]
+    files = iceberg_metadata_table(p, spark, "files")
+    data_rows = files.filter(F.col("content") == 0).agg(F.sum("record_count")).first()[0]
+    assert data_rows == 20  # record counts are pre-delete (MoR)
+    assert files.filter(F.col("content") == 2).count() >= 1  # the eq-delete file
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_metadata_table(p, spark, "bogus")
