@@ -777,6 +777,7 @@ def write_deltalake_py(
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
     txn: tuple[str, int] | None = None,
+    _extra_actions: list[dict] | None = None,
 ) -> None:
     """Write ``df`` as a Delta commit: parquet data files + one atomic
     JSON log entry. Modes: append, overwrite, error, ignore.
@@ -807,6 +808,7 @@ def write_deltalake_py(
         return
     version = (max(versions + ckpts) + 1) if exists else 0
     partition_by = list(partition_by or [])
+    prior_cfg: dict = {}
     if exists:
         from pyspark.sql import functions as F
 
@@ -889,7 +891,8 @@ def write_deltalake_py(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    # table properties (CDF flag etc.) survive overwrites
+                    "configuration": prior_cfg,
                     "createdTime": now_ms,
                 }
             }
@@ -907,6 +910,8 @@ def write_deltalake_py(
                 }
             )
     actions.extend(adds)
+    if _extra_actions:
+        actions.extend(_extra_actions)  # e.g. cdc actions (same commit)
     if txn is not None:
         actions.append(
             {
@@ -1430,11 +1435,20 @@ def delete_deltalake_py(path: str, spark: SparkSession, condition: str) -> None:
     from pyspark.sql import functions as F
 
     _gate_column_mapping(path)
-    _schema_json, partition_cols, _adds = _replay_log(path)
+    _schema_json, partition_cols, _adds, cfg, _proto = _replay_log_full(path)
     t = read_deltalake_py(path, spark)
     cond = F.expr(condition)
     keep = t.filter(~cond.eqNullSafe(F.lit(True)))
-    write_deltalake_py(keep, path, mode="overwrite", partition_by=partition_cols)
+    extra = None
+    if _cdf_enabled(cfg):
+        deleted = t.filter(cond.eqNullSafe(F.lit(True))).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        extra = [_write_cdc_file(path, deleted, partition_cols)]
+    write_deltalake_py(
+        keep, path, mode="overwrite", partition_by=partition_cols,
+        _extra_actions=extra,
+    )
 
 
 def update_deltalake_py(
@@ -1448,7 +1462,7 @@ def update_deltalake_py(
     from pyspark.sql import functions as F
 
     _gate_column_mapping(path)
-    _schema_json, partition_cols, _adds = _replay_log(path)
+    _schema_json, partition_cols, _adds, cfg, _proto = _replay_log_full(path)
     t = read_deltalake_py(path, spark)
     for c in set_exprs:
         if c not in t.columns:
@@ -1462,4 +1476,207 @@ def update_deltalake_py(
             for c in t.columns
         ]
     )
-    write_deltalake_py(updated, path, mode="overwrite", partition_by=partition_cols)
+    extra = None
+    if _cdf_enabled(cfg):
+        pre = t.filter(cond).withColumn("_change_type", F.lit("update_preimage"))
+        post = t.filter(cond).select(
+            *[
+                F.expr(str(set_exprs[c])).alias(c) if c in set_exprs else F.col(c)
+                for c in t.columns
+            ]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        extra = [_write_cdc_file(path, pre.unionAll(post), partition_cols)]
+    write_deltalake_py(
+        updated, path, mode="overwrite", partition_by=partition_cols,
+        _extra_actions=extra,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (PROTOCOL.md §Add CDC File / Change Data Files)
+
+
+def _cdf_enabled(cfg: dict) -> bool:
+    return str((cfg or {}).get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def enable_cdf_delta_py(path: str) -> None:
+    """Enable the CHANGE DATA FEED on an existing table: one
+    metadata-only commit setting ``delta.enableChangeDataFeed=true``
+    and raising minWriterVersion to 4 (the legacy changeDataFeed writer
+    version; feature-list tables get the ``changeDataFeed`` writer
+    feature instead). From then on DML commits carry explicit ``cdc``
+    actions under ``_change_data/`` and ``table_changes_delta_py``
+    serves per-version row-level changes."""
+    schema_json, partition_cols, _adds, cfg, proto = _replay_log_full(path)
+    if _cdf_enabled(cfg):
+        return
+    if partition_cols:
+        raise NotImplementedError(
+            "change data feed on partitioned tables is not supported by "
+            "this pure-Python writer (cdc files would need partitioned "
+            "layout + partitionValues)"
+        )
+    new_cfg = dict(cfg)
+    new_cfg["delta.enableChangeDataFeed"] = "true"
+    new_proto = dict(proto)
+    if proto.get("writerFeatures") is not None:
+        new_proto["writerFeatures"] = sorted(
+            set(proto["writerFeatures"]) | {"changeDataFeed"}
+        )
+    else:
+        new_proto["minWriterVersion"] = max(4, proto.get("minWriterVersion", 2))
+    now_ms = int(time.time() * 1000)
+    version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
+    _commit_actions(
+        path,
+        version,
+        [
+            {"protocol": new_proto},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": partition_cols,
+                    "configuration": new_cfg,
+                    "createdTime": now_ms,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET TBLPROPERTIES",
+                    "engineInfo": "daft_spark pure-python delta writer",
+                }
+            },
+        ],
+    )
+
+
+def _write_cdc_file(path: str, cdc_df: DataFrame, partition_cols: list[str]) -> dict:
+    """Stage one change-data parquet (table columns + _change_type)
+    under _change_data/ and return its ``cdc`` action (dataChange=false
+    — CDC rows restate a change, they are not new data)."""
+    if partition_cols:
+        raise NotImplementedError("cdc files on partitioned tables")
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    cdc_df.coalesce(1).write.mode("overwrite").parquet(staging)
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    rel = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex}.parquet")
+    src = next(
+        os.path.join(staging, f)
+        for f in sorted(os.listdir(staging))
+        if f.endswith(".parquet")
+    )
+    shutil.move(src, os.path.join(path, rel))
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "cdc": {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "dataChange": False,
+        }
+    }
+
+
+def table_changes_delta_py(
+    path: str,
+    spark: SparkSession,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED read (the readChangeFeed/table_changes surface):
+    row-level changes between two versions (inclusive), each stamped
+    with _change_type / _commit_version / _commit_timestamp. Per the
+    spec's reader requirements: a commit WITH cdc actions serves
+    exactly those files; a commit without them reconstructs — adds with
+    dataChange=true are inserts, removes with dataChange=true are
+    deletes (read from the still-on-disk retired files, the reason
+    VACUUM retention exists). dataChange=false commits (OPTIMIZE)
+    produce no changes. Requires delta.enableChangeDataFeed=true."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType
+
+    schema_json, partition_cols, _adds, cfg, _proto = _replay_log_full(path)
+    if not _cdf_enabled(cfg):
+        raise ValueError(
+            "change data feed is not enabled on this table "
+            "(enable_cdf_delta_py / delta.enableChangeDataFeed)"
+        )
+    if partition_cols:
+        raise NotImplementedError("table_changes on partitioned tables")
+    schema = StructType.fromJson(json.loads(schema_json))
+    cdc_schema = StructType(
+        list(schema.fields)
+        + [StructField("_change_type", StringType())]
+    )
+    end = ending_version
+    versions = [
+        v for v in _list_versions(path)
+        if v >= starting_version and (end is None or v <= end)
+    ]
+    parts = []
+    for v in versions:
+        cdc_files: list[str] = []
+        adds: list[str] = []
+        removes: list[str] = []
+        ts = 0
+        with open(_commit_file(path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdc_files.append(os.path.join(path, action["cdc"]["path"]))
+                elif "add" in action and action["add"].get("dataChange", True):
+                    adds.append(os.path.join(path, action["add"]["path"]))
+                elif "remove" in action and action["remove"].get("dataChange", True):
+                    removes.append(os.path.join(path, action["remove"]["path"]))
+                elif "commitInfo" in action:
+                    ts = int(action["commitInfo"].get("timestamp") or 0)
+        if cdc_files:
+            df = spark.read.schema(cdc_schema).parquet(*cdc_files)
+        else:
+            pieces = []
+            if adds:
+                pieces.append(
+                    spark.read.schema(schema).parquet(*adds)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            if removes:
+                missing = [r for r in removes if not os.path.exists(r)]
+                if missing:
+                    raise FileNotFoundError(
+                        f"change feed at version {v} needs vacuumed files {missing[:3]}"
+                    )
+                pieces.append(
+                    spark.read.schema(schema).parquet(*removes)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            if not pieces:
+                continue
+            df = pieces[0]
+            for p_ in pieces[1:]:
+                df = df.unionAll(p_)
+        parts.append(
+            df.withColumn("_commit_version", F.lit(v).cast("long"))
+            .withColumn("_commit_timestamp", F.lit(ts).cast("long"))
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(cdc_schema.fields)
+                + [
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", LongType()),
+                ]
+            ),
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    return out

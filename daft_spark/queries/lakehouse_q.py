@@ -1306,3 +1306,77 @@ def lake_iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("snapshot_ops", iceberg_metadata_table(path, spark, "snapshots")))
         .orderBy("kind")
     )
+
+
+@register(
+    "lake_delta_cdf",
+    """
+    WITH live AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1200
+    )
+    SELECT 'delete' AS change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM live WHERE o_totalprice < 50000
+    UNION ALL
+    SELECT 'insert', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200
+    UNION ALL
+    SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM live WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM live WHERE o_totalprice >= 200000
+    ORDER BY change_type
+    """,
+)
+def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED (PROTOCOL.md §Change Data Files; the
+    readChangeFeed/table_changes surface): enable_cdf_delta_py flips
+    delta.enableChangeDataFeed (writer v4), after which DELETE and
+    UPDATE commits write explicit cdc files under _change_data/
+    (dataChange=false) while plain appends reconstruct as inserts from
+    their add actions — and table_changes_delta_py serves the
+    per-version row-level feed. The oracle restates each change class
+    independently from raw parquet (the delete predicate's matches, the
+    appended slice, the update predicate's pre/post sets); a feed that
+    double-counts the rewrite's add/remove storm instead of honoring
+    the cdc actions inflates every class."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        delete_deltalake_py,
+        enable_cdf_delta_py,
+        table_changes_delta_py,
+        update_deltalake_py,
+        write_deltalake_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = os.path.join(
+        "/tmp/daft_spark_delta",
+        f"orders_cdf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_deltalake_py(o.filter(F.col("o_orderkey") < 800), path)  # v0
+    enable_cdf_delta_py(path)  # v1
+    write_deltalake_py(  # v2: inserts
+        o.filter((F.col("o_orderkey") >= 800) & (F.col("o_orderkey") < 1200)),
+        path, mode="append",
+    )
+    delete_deltalake_py(path, spark, "o_totalprice < 50000")  # v3: cdc
+    update_deltalake_py(  # v4: cdc pre+post
+        path, spark, {"o_totalprice": "o_totalprice + 1"},
+        "o_totalprice >= 200000",
+    )
+    return (
+        table_changes_delta_py(path, spark, starting_version=2)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )

@@ -616,3 +616,70 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
     assert sorted(
         r["k"] for r in read_deltalake_py(p, spark).collect()
     ) == list(range(20))
+
+
+# ---------------------------------------------------------------------------
+# change data feed (PROTOCOL.md §Change Data Files)
+
+
+def test_cdf_dml_and_reconstruction(spark, tmp_path):
+    from daft_spark.io.delta import (
+        delete_deltalake_py,
+        enable_cdf_delta_py,
+        table_changes_delta_py,
+        update_deltalake_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "cdf")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    write_deltalake_py(df, p)  # v0
+    with pytest.raises(ValueError, match="not enabled"):
+        table_changes_delta_py(p, spark)
+    enable_cdf_delta_py(p)  # v1 (metadata-only, no changes)
+    enable_cdf_delta_py(p)  # idempotent
+    write_deltalake_py(
+        spark.range(10, 13).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")),
+        p, mode="append",
+    )  # v2: inserts (no cdc needed)
+    delete_deltalake_py(p, spark, "k >= 11")  # v3: cdc deletes
+    update_deltalake_py(p, spark, {"v": "v + 100"}, "k < 2")  # v4: cdc pre/post
+    ch = table_changes_delta_py(p, spark, starting_version=2)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "insert": 3, "delete": 2, "update_preimage": 2, "update_postimage": 2,
+    }
+    # versions stamp correctly; cdc commits serve ONLY cdc rows
+    v3 = ch.filter(F.col("_commit_version") == 3)
+    assert {r["k"] for r in v3.collect()} == {11, 12}
+    post = ch.filter(F.col("_change_type") == "update_postimage")
+    assert {r["v"] for r in post.collect()} == {100.0, 101.0}
+    # the initial snapshot (v0) reconstructs as inserts when included
+    all_ch = table_changes_delta_py(p, spark, starting_version=0)
+    assert all_ch.filter(
+        (F.col("_commit_version") == 0) & (F.col("_change_type") == "insert")
+    ).count() == 10
+
+
+def test_cdf_optimize_produces_no_changes(spark, tmp_path):
+    from daft_spark.io.delta import (
+        enable_cdf_delta_py,
+        optimize_deltalake_py,
+        table_changes_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "cdfopt")
+    for lo in (0, 5):
+        write_deltalake_py(
+            spark.range(lo, lo + 5).select(F.col("id").alias("k")),
+            p, mode="append" if lo else "error",
+        )
+    enable_cdf_delta_py(p)
+    v_before = 2
+    optimize_deltalake_py(p, spark)  # dataChange=false rearrangement
+    ch = table_changes_delta_py(p, spark, starting_version=v_before + 1)
+    assert ch.count() == 0
