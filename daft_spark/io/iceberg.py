@@ -1108,7 +1108,11 @@ def _parse_partition_term(term: str, field_types: dict) -> dict:
 
 
 def write_iceberg_py(
-    df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    _upsert_by: list[str] | None = None,
 ) -> None:
     """Write ``df`` as one Iceberg v2 commit: parquet data files, one
     manifest, a manifest list, metadata.json v(N+1), then rotate
@@ -1341,6 +1345,80 @@ def write_iceberg_py(
         if prior_snap is not None:
             _, _, prev = read_ocf(_to_local(prior_snap["manifest-list"], path))
             manifests.extend(prev)  # untouched prior manifests carry over
+
+    if _upsert_by:
+        # single-commit UPSERT (the Flink CDC shape): an equality-delete
+        # manifest shares this snapshot's sequence number — the spec's
+        # strictly-older rule deletes every PRIOR row with the key while
+        # the same-sequence inserts above survive their own delete
+        if prior is None or mode != "append":
+            raise ValueError("upsert requires an existing table and mode='append'")
+        eq_cols = list(_upsert_by)
+        missing = [c for c in eq_cols if c not in schema_field_ids]
+        if missing:
+            raise ValueError(f"upsert key columns not in table schema: {missing}")
+        eq_ids = [schema_field_ids[c] for c in eq_cols]
+        dstaging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+        df.select(*eq_cols).distinct().write.mode("overwrite").parquet(dstaging)
+        delete_entries = []
+        for droot, _dd, dfiles in os.walk(dstaging):
+            for f in sorted(dfiles):
+                if not f.endswith(".parquet"):
+                    continue
+                dname = f"{uuid.uuid4().hex}-deletes.parquet"
+                ddst = os.path.join(data_dir, dname)
+                shutil.move(os.path.join(droot, f), ddst)
+                delete_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 2,  # EQUALITY_DELETES
+                            "file_path": ddst,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": _parquet_rows(ddst),
+                            "file_size_in_bytes": os.path.getsize(ddst),
+                            "equality_ids": eq_ids,
+                        },
+                    }
+                )
+        shutil.rmtree(dstaging, ignore_errors=True)
+        dspec_id, all_specs = _unpartitioned_spec_id({"partition-specs": all_specs})
+        dm_path = os.path.join(md, f"{uuid.uuid4().hex}-m0.avro")
+        write_ocf(
+            dm_path,
+            _manifest_entry_schema([]),
+            delete_entries,
+            metadata={
+                "schema": json.dumps(ice_schema),
+                "partition-spec": json.dumps([]),
+                "partition-spec-id": str(dspec_id),
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        manifests.append(
+            {
+                "manifest_path": dm_path,
+                "manifest_length": os.path.getsize(dm_path),
+                "partition_spec_id": dspec_id,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": len(delete_entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in delete_entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
 
     mlist_path = os.path.join(md, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro")
     write_ocf(
@@ -2415,3 +2493,17 @@ def iceberg_metadata_table(path: str, spark: SparkSession, kind: str) -> DataFra
             "(snapshots, history, refs, manifests, files)"
         )
     return spark.createDataFrame(rows, schema)
+
+
+def upsert_iceberg_py(df: DataFrame, path: str, equality_by: list[str]) -> None:
+    """Row-level MoR UPSERT in ONE snapshot (the commit shape Flink's
+    Iceberg CDC sink produces): an equality-delete file over ``df``'s
+    ``equality_by`` keys and ``df``'s rows as new data files share a
+    single commit and data sequence number. The spec's strictly-older
+    rule (equality deletes apply only to files with a SMALLER sequence)
+    deletes every prior row with a matching key while the same-commit
+    inserts survive — so a reader never sees the intermediate
+    deleted-but-not-reinserted state a two-commit upsert would expose.
+    Nothing is rewritten; rewrite_iceberg_data_files later materializes
+    the delete debt."""
+    write_iceberg_py(df, path, mode="append", _upsert_by=equality_by)

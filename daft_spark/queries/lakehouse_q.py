@@ -1380,3 +1380,73 @@ def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "lake_iceberg_upsert",
+    """
+    WITH updated AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice * 2 AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey < 200
+    ),
+    kept AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 900
+    ),
+    inserted AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey >= 900 AND o_orderkey < 1100
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(price) AS DOUBLE), 2) AS price_sum,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM (SELECT * FROM updated UNION ALL SELECT * FROM kept
+          UNION ALL SELECT * FROM inserted)
+    """,
+)
+def lake_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg single-commit MoR UPSERT (upsert_iceberg_py — the
+    Flink CDC sink's commit shape: one snapshot carrying BOTH an
+    equality-delete manifest and the new data manifest at the same
+    sequence number; the spec's strictly-older rule deletes prior key
+    matches while the same-commit inserts survive). The upsert batch
+    doubles the price of existing keys <200 and inserts fresh keys
+    900-1100; the oracle restates updated+kept+inserted independently.
+    A two-commit upsert that exposed the deleted-gap state, or a
+    same-sequence delete that killed its own inserts, mismatches.
+    Exactly-one-snapshot is asserted."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        read_iceberg_py,
+        upsert_iceberg_py,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg",
+        f"orders_upsert_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 900), path)
+    batch = (
+        o.filter(F.col("o_orderkey") < 200)
+        .withColumn("price", F.col("price") * 2)
+        .unionAll(
+            o.filter((F.col("o_orderkey") >= 900) & (F.col("o_orderkey") < 1100))
+        )
+    )
+    before = len(_latest_metadata(path)["snapshots"])
+    upsert_iceberg_py(batch, path, equality_by=["o_orderkey"])
+    if len(_latest_metadata(path)["snapshots"]) != before + 1:
+        raise AssertionError("upsert was not a single snapshot")
+    return read_iceberg_py(path, spark).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).alias("price_sum"),
+        F.sum("o_orderkey").alias("key_sum"),
+    ).select("n", "price_sum", "key_sum")

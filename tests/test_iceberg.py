@@ -1387,3 +1387,74 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     assert files.filter(F.col("content") == 2).count() >= 1  # the eq-delete file
     with pytest.raises(ValueError, match="unknown metadata table"):
         iceberg_metadata_table(p, spark, "bogus")
+
+
+def test_iceberg_single_commit_upsert(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        read_iceberg_py,
+        upsert_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "ups")
+    base = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(8)], "k long, s string"
+    )
+    write_iceberg_py(base, p)
+    snaps_before = len(_latest_metadata(p)["snapshots"])
+    up = spark.createDataFrame(
+        [(2, "new2"), (5, "new5"), (100, "new100")], "k long, s string"
+    )
+    upsert_iceberg_py(up, p, equality_by=["k"])
+    # exactly ONE new snapshot (atomic upsert)
+    meta = _latest_metadata(p)
+    assert len(meta["snapshots"]) == snaps_before + 1
+    got = {r["k"]: r["s"] for r in read_iceberg_py(p, spark).collect()}
+    assert got == {
+        **{i: f"old{i}" for i in range(8) if i not in (2, 5)},
+        2: "new2", 5: "new5", 100: "new100",
+    }
+    # time travel to the base snapshot is intact
+    snap0 = meta["snapshots"][0]["snapshot-id"]
+    assert read_iceberg_py(p, spark, snapshot_id=snap0).count() == 8
+    # repeated upsert keeps converging (latest wins)
+    upsert_iceberg_py(
+        spark.createDataFrame([(2, "final2")], "k long, s string"), p, ["k"]
+    )
+    got2 = {r["k"]: r["s"] for r in read_iceberg_py(p, spark).collect()}
+    assert got2[2] == "final2" and len(got2) == 9
+    # key-column validation + new-table gate
+    with pytest.raises(ValueError, match="not in table schema"):
+        upsert_iceberg_py(up, p, equality_by=["nope"])
+    with pytest.raises(ValueError, match="existing table"):
+        upsert_iceberg_py(up, str(tmp_path / "fresh"), equality_by=["k"])
+
+
+def test_iceberg_upsert_on_partitioned_table(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        read_iceberg_py,
+        upsert_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "upsp")
+    base = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(8)], "k long, g string, v double"
+    )
+    write_iceberg_py(base, p, partition_by=["g"])
+    # upsert adopts the default spec; the global delete rides the
+    # unpartitioned spec
+    upsert_iceberg_py(
+        spark.createDataFrame([(0, "a", 100.0), (9, "b", 9.0)],
+                              "k long, g string, v double"),
+        p, equality_by=["k"],
+    )
+    got = {r["k"]: r["v"] for r in read_iceberg_py(p, spark).collect()}
+    assert got[0] == 100.0 and got[9] == 9.0 and len(got) == 9
+    # compaction materializes the upsert's delete debt
+    from daft_spark.io.iceberg import rewrite_iceberg_data_files
+
+    rewrite_iceberg_data_files(p, spark)
+    got2 = {r["k"]: r["v"] for r in read_iceberg_py(p, spark).collect()}
+    assert got2 == got
