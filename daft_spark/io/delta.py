@@ -1680,3 +1680,132 @@ def table_changes_delta_py(
     for p_ in parts[1:]:
         out = out.unionAll(p_)
     return out
+
+
+def merge_deltalake_py(
+    path: str,
+    spark: SparkSession,
+    source: DataFrame,
+    on: str,
+    *,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: bool | str = False,
+    when_not_matched_insert: bool | dict[str, str] = True,
+) -> None:
+    """MERGE INTO (the Delta upsert statement), copy-on-write. ``on``
+    is a SQL condition over aliases ``t`` (target) and ``s`` (source);
+    matched target rows are deleted when ``when_matched_delete`` (True,
+    or a SQL condition over t/s) fires, else updated per
+    ``when_matched_update`` (column -> SQL expr over t/s); unmatched
+    source rows are inserted (``when_not_matched_insert``: True inserts
+    the source's target-schema columns, a dict maps target column ->
+    expr over s). Unmatched target rows pass through. Like Delta, a
+    target row matching MULTIPLE source rows is an error (the
+    nondeterministic-merge guard). One commit; with the change data
+    feed enabled it carries exact cdc rows (delete / update pre+post /
+    insert). Prior versions stay time-travelable."""
+    from pyspark.sql import functions as F
+
+    _gate_column_mapping(path)
+    _schema_json, partition_cols, _adds, cfg, _proto = _replay_log_full(path)
+    t = read_deltalake_py(path, spark)
+    tcols = list(t.columns)
+    t = t.withColumn("__tid", F.monotonically_increasing_id()).alias("t")
+    s = source.withColumn("__smatch", F.lit(1)).alias("s")
+    cond = F.expr(on)
+    joined = t.join(s, cond, "left")
+    dups = (
+        joined.filter(F.col("s.__smatch").isNotNull())
+        .groupBy("t.__tid")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            "MERGE: a target row matched multiple source rows (merge would "
+            "be nondeterministic) — deduplicate the source on the join keys"
+        )
+    matched = F.col("s.__smatch").isNotNull()
+    if when_matched_delete is True:
+        del_cond = F.lit(True)
+    elif when_matched_delete:
+        del_cond = F.expr(str(when_matched_delete)).eqNullSafe(F.lit(True))
+    else:
+        del_cond = F.lit(False)
+
+    def tgt(c):
+        return F.col(f"t.{c}")
+
+    upd = dict(when_matched_update or {})
+    bad = set(upd) - set(tcols)
+    if bad:
+        raise ValueError(f"MERGE update targets not in table schema: {sorted(bad)}")
+    update_applies = matched & ~del_cond & F.lit(bool(upd))
+    kept = joined.filter(~(matched & del_cond)).select(
+        *[
+            F.when(update_applies, F.expr(upd[c])).otherwise(tgt(c)).alias(c)
+            if c in upd
+            else tgt(c).alias(c)
+            for c in tcols
+        ]
+    )
+    pieces = [kept]
+    ins = None
+    if when_not_matched_insert:
+        unmatched_s = source.alias("s").join(
+            read_deltalake_py(path, spark).alias("t"), cond, "left_anti"
+        )
+        if when_not_matched_insert is True:
+            missing = [c for c in tcols if c not in unmatched_s.columns]
+            if missing:
+                raise ValueError(
+                    f"MERGE insert needs source columns {missing} (or pass an "
+                    "insert mapping)"
+                )
+            ins = unmatched_s.select(*tcols)
+        else:
+            imap = dict(when_not_matched_insert)
+            bad = set(imap) - set(tcols)
+            if bad:
+                raise ValueError(f"MERGE insert targets not in schema: {sorted(bad)}")
+            ttypes = {
+                f.name: f.dataType
+                for f in StructType.fromJson(json.loads(_schema_json)).fields
+            }
+            ins = unmatched_s.select(
+                *[
+                    (F.expr(imap[c]) if c in imap else F.lit(None))
+                    .cast(ttypes[c])
+                    .alias(c)
+                    for c in tcols
+                ]
+            )
+        pieces.append(ins)
+    out = pieces[0]
+    for p_ in pieces[1:]:
+        out = out.unionAll(p_)
+
+    extra = None
+    if _cdf_enabled(cfg):
+        deleted = joined.filter(matched & del_cond).select(
+            *[tgt(c).alias(c) for c in tcols]
+        ).withColumn("_change_type", F.lit("delete"))
+        pre = joined.filter(update_applies).select(
+            *[tgt(c).alias(c) for c in tcols]
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        post = joined.filter(update_applies).select(
+            *[
+                F.expr(upd[c]).alias(c) if c in upd else tgt(c).alias(c)
+                for c in tcols
+            ]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        cdc = deleted.unionAll(pre).unionAll(post)
+        if ins is not None:
+            cdc = cdc.unionAll(ins.withColumn("_change_type", F.lit("insert")))
+        extra = [_write_cdc_file(path, cdc, partition_cols)]
+    write_deltalake_py(
+        out, path, mode="overwrite", partition_by=partition_cols,
+        _extra_actions=extra,
+    )

@@ -1450,3 +1450,79 @@ def lake_iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("price"), 2).alias("price_sum"),
         F.sum("o_orderkey").alias("key_sum"),
     ).select("n", "price_sum", "key_sum")
+
+
+@register(
+    "lake_delta_merge",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey < 800
+    ),
+    source AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 1200
+    ),
+    merged AS (
+      -- matched & price<100000 deleted; matched else updated (price*3);
+      -- unmatched target kept; unmatched source inserted
+      SELECT t.o_orderkey, t.o_orderstatus,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN t.price * 3
+                  ELSE t.price END AS price
+      FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT (s.o_orderkey IS NOT NULL AND s.price < 100000)
+      UNION ALL
+      SELECT s.o_orderkey, s.o_orderstatus, s.price
+      FROM source s LEFT JOIN target t ON t.o_orderkey = s.o_orderkey
+      WHERE t.o_orderkey IS NULL
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(price) AS DOUBLE), 2) AS price_sum
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta MERGE INTO (merge_deltalake_py — update + delete + insert
+    clauses in ONE copy-on-write commit, with Delta's
+    multiple-source-match guard): target = keys <800, source = keys
+    400-1200; matched rows with source price <100000 are DELETED,
+    other matches get price tripled, unmatched source rows INSERT. The
+    oracle restates the merge relationally (left join + anti join); a
+    merge that applies clauses in the wrong precedence, loses unmatched
+    targets, or double-inserts mismatches."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        merge_deltalake_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_delta",
+        f"orders_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_deltalake_py(o.filter(F.col("o_orderkey") < 800), path)
+    source = o.filter((F.col("o_orderkey") >= 400) & (F.col("o_orderkey") < 1200))
+    merge_deltalake_py(
+        path, spark, source, "t.o_orderkey = s.o_orderkey",
+        when_matched_update={"price": "t.price * 3"},
+        when_matched_delete="s.price < 100000",
+    )
+    return (
+        read_deltalake_py(path, spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

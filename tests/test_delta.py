@@ -683,3 +683,86 @@ def test_cdf_optimize_produces_no_changes(spark, tmp_path):
     optimize_deltalake_py(p, spark)  # dataChange=false rearrangement
     ch = table_changes_delta_py(p, spark, starting_version=v_before + 1)
     assert ch.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO
+
+
+def test_merge_update_delete_insert(spark, tmp_path):
+    from daft_spark.io.delta import (
+        merge_deltalake_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "merge")
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    write_deltalake_py(target, p)
+    source = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "C", -1.0), (9, "i", 9.0)], "k long, s string, v double"
+    )
+    merge_deltalake_py(
+        p, spark, source, "t.k = s.k",
+        when_matched_update={"s": "s.s", "v": "s.v"},
+        when_matched_delete="s.v < 0",
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in read_deltalake_py(p, spark).collect()}
+    assert got == {
+        1: ("a", 1.0),          # unmatched target kept
+        2: ("B", 20.0),         # matched -> updated
+        4: ("d", 4.0),
+        9: ("i", 9.0),          # unmatched source -> inserted
+    }                            # 3 deleted (s.v < 0)
+    # multi-match guard
+    dup_source = spark.createDataFrame(
+        [(2, "x", 0.0), (2, "y", 0.0)], "k long, s string, v double"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_deltalake_py(p, spark, dup_source, "t.k = s.k",
+                           when_matched_update={"v": "s.v"})
+    # insert mapping + no-insert variants
+    merge_deltalake_py(
+        p, spark,
+        spark.createDataFrame([(50, 500.0)], "k long, v double"),
+        "t.k = s.k",
+        when_not_matched_insert={"k": "s.k", "v": "s.v"},
+    )
+    got2 = {r["k"]: (r["s"], r["v"]) for r in read_deltalake_py(p, spark).collect()}
+    assert got2[50] == (None, 500.0)
+
+
+def test_merge_emits_cdf(spark, tmp_path):
+    from daft_spark.io.delta import (
+        enable_cdf_delta_py,
+        merge_deltalake_py,
+        table_changes_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "mergecdf")
+    write_deltalake_py(
+        spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double"), p
+    )
+    enable_cdf_delta_py(p)
+    merge_deltalake_py(
+        p, spark,
+        spark.createDataFrame([(2, 20.0), (3, -1.0), (7, 7.0)], "k long, v double"),
+        "t.k = s.k",
+        when_matched_update={"v": "s.v"},
+        when_matched_delete="s.v < 0",
+    )
+    ch = table_changes_delta_py(p, spark, starting_version=2)
+    by = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in ch.collect()
+    }
+    assert by == {
+        ("delete", 3): 3.0,
+        ("update_preimage", 2): 2.0,
+        ("update_postimage", 2): 20.0,
+        ("insert", 7): 7.0,
+    }
