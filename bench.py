@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pipeline",
     "dedup_resolve",
+    "dedup_embedding_resolve",
     "text_quality",
     "sim_topk_cosine",
 ]
