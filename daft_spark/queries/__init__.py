@@ -58,6 +58,14 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # round-6 dedup/cluster rework and the Iceberg/Hudi/Paimon/streaming
 # fixes — then the stale set last driver-verified in r1/r2 (led by
 # agg_string_collect per the r5 boundary note).
+# ROUND-8 ROTATION NOTE: ~24 queries landed AFTER the frozen r7 window
+# and must lead the next rotation — lake_time_travel(+_hudi_paimon),
+# stream_delta_source, stream_delta_sink, lake_delta_{column_mapping,
+# optimize,cdf,merge}, lake_maintenance, lake_iceberg_{schema_evolution,
+# partition_evolution,stats? (already in), compaction,refs,
+# metadata_tables,upsert}, sql_{unity,glue,s3tables}_catalog,
+# dedup_embedding_{resolve,lsh}, io_text_roundtrip follow-ons. All are
+# oracle-green in pytest this round.
 # Round-7 rotation (frozen at round start per the r6 verdict's hygiene
 # note — no additions after this commit land in the 50-row window):
 # first the 8 round-6 queries the driver never saw (added after the r6
