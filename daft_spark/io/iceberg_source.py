@@ -43,6 +43,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     GreaterThan,
@@ -101,6 +102,9 @@ class IcebergSource(DataSource):
 
     def reader(self, schema) -> "IcebergReader":
         return IcebergReader(self.options, schema)
+
+    def streamReader(self, schema) -> "IcebergStreamReader":
+        return IcebergStreamReader(self.options, schema)
 
 
 class IcebergReader(DataSourceReader):
@@ -328,3 +332,134 @@ class IcebergReader(DataSourceReader):
         # in a task bin must share one arrow schema or the arrow writer
         # back to Spark rejects them
         yield from table.to_batches(max_chunksize=65536)
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    """Streaming Iceberg source (``spark.readStream.format(
+    "daft_iceberg")``), following the Iceberg Spark connector's
+    streaming semantics: offset = the table's last sequence number,
+    the FIRST batch is the table's current snapshot (live files with
+    merge-on-read deletes applied — delegated to the batch reader's
+    planner), later batches contain only the files ADDED by each
+    append snapshot. ``replace`` snapshots (compaction) are data
+    rearrangements and are skipped; ``overwrite``/``delete`` snapshots
+    fail the stream unless ``streaming-skip-overwrite-snapshots`` /
+    ``streaming-skip-delete-snapshots`` is set — the same knobs the
+    real connector exposes. Executor-side reads reuse the batch
+    reader's field-id projection path, so schema evolution mid-stream
+    resolves renamed columns by id."""
+
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.skip_overwrite = (
+            str(options.get("streaming-skip-overwrite-snapshots", "")).lower() == "true"
+        )
+        self.skip_delete = (
+            str(options.get("streaming-skip-delete-snapshots", "")).lower() == "true"
+        )
+        # the executor-side delegate: only partition.value + the pinned
+        # projection fields travel; per-batch planning stays driver-side
+        self._batch = IcebergReader({"path": self.path}, schema)
+
+    # -- offsets ----------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"seq": -1}
+
+    def latestOffset(self) -> dict:
+        from daft_spark.io.iceberg import _latest_metadata
+
+        return {"seq": _latest_metadata(self.path).get("last-sequence-number", 0)}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- planning ----------------------------------------------------------
+    def _appended_files(self, start: int, end: int) -> list[tuple[str, int]]:
+        """(path, size) of data files ADDED by snapshots with sequence
+        number in (start, end], honoring the skip/fail options."""
+        from daft_spark.io.avro import read_ocf
+        from daft_spark.io.iceberg import _latest_metadata, _to_local
+
+        meta = _latest_metadata(self.path)
+        out: list[tuple[str, int]] = []
+        for snap in sorted(
+            meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
+        ):
+            seq = snap.get("sequence-number", 0)
+            if not (start < seq <= end):
+                continue
+            op = (snap.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction rearranges existing rows
+            if op == "overwrite":
+                if not self.skip_overwrite:
+                    raise RuntimeError(
+                        f"Iceberg snapshot {snap['snapshot-id']} overwrites data; "
+                        "streaming past it needs streaming-skip-overwrite-snapshots=true"
+                    )
+                continue  # the option skips the whole snapshot
+            if op == "delete":
+                if not self.skip_delete:
+                    raise RuntimeError(
+                        f"Iceberg snapshot {snap['snapshot-id']} deletes rows; "
+                        "streaming past it needs streaming-skip-delete-snapshots=true"
+                    )
+                continue
+            sid = snap["snapshot-id"]
+            _, _, manifests = read_ocf(_to_local(snap["manifest-list"], self.path))
+            for m in manifests:
+                if m.get("content", 0) != 0 or m.get("added_snapshot_id") != sid:
+                    continue
+                _, _, entries = read_ocf(_to_local(m["manifest_path"], self.path))
+                for e in entries:
+                    f = e["data_file"]
+                    if e["status"] == 1 and f.get("content", 0) == 0:
+                        out.append(
+                            (
+                                _to_local(f["file_path"], self.path),
+                                int(f.get("file_size_in_bytes") or 0),
+                            )
+                        )
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        from daft_spark.io.iceberg import _latest_metadata, current_snapshot
+
+        sv, ev = int(start["seq"]), int(end["seq"])
+        if ev <= sv:
+            return [InputPartition(([], [], []))]
+        if sv < 0:
+            # snapshot batch: the state at sequence ev — delegate to the
+            # batch planner pinned to that snapshot (deletes applied)
+            meta = _latest_metadata(self.path)
+            snap = None
+            for s in meta.get("snapshots", []):
+                if s.get("sequence-number", 0) <= ev and (
+                    snap is None
+                    or s.get("sequence-number", 0) > snap.get("sequence-number", 0)
+                ):
+                    snap = s
+            if snap is None:
+                return [InputPartition(([], [], []))]
+            planner = IcebergReader(
+                {"path": self.path, "snapshot_id": str(snap["snapshot-id"])}, None
+            )
+            return list(planner.partitions())
+        files = self._appended_files(sv, ev)
+        target = 128 * 1024 * 1024
+        parts: list[InputPartition] = []
+        bin_files: list[str] = []
+        bin_bytes = 0
+        for p, size in sorted(files):
+            if bin_files and bin_bytes + size > target:
+                parts.append(InputPartition((bin_files, [], [])))
+                bin_files, bin_bytes = [], 0
+            bin_files.append(p)
+            bin_bytes += size
+        if bin_files:
+            parts.append(InputPartition((bin_files, [], [])))
+        return parts or [InputPartition(([], [], []))]
+
+    # -- execution ----------------------------------------------------------
+    def read(self, partition: InputPartition):
+        yield from self._batch.read(partition)

@@ -408,3 +408,78 @@ def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # materialize before scratch cleanup
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_iceberg_source",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events WHERE event_id < 1600
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-to-Delta exactly-once pipeline: the STREAMING ICEBERG
+    SOURCE (iceberg_source.IcebergStreamReader, readStream.format(
+    "daft_iceberg") — offset = table sequence number, first batch =
+    current snapshot via the batch planner, later batches = each append
+    snapshot's added files; replace snapshots skipped,
+    overwrite/delete snapshots gated behind the connector's
+    streaming-skip options) feeds the txn-stamped streaming Delta sink.
+    The source table gets a second Iceberg commit BETWEEN two
+    availableNow drains sharing one checkpoint; lost or double-
+    delivered snapshots show as a hash mismatch against the oracle's
+    restatement from raw parquet."""
+    import shutil
+    import tempfile
+
+    from daft_spark.context import configure
+    from daft_spark.io.delta import read_deltalake_py
+    from daft_spark.io.iceberg import write_iceberg_py
+    from daft_spark.io.readers import load_table
+    from daft_spark.streaming import write_stream_delta
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_iceberg_src_")
+    src_tbl = os.path.join(scratch, "src")
+    dst_tbl = os.path.join(scratch, "dst")
+    ckpt = os.path.join(scratch, "ckpt")
+    write_iceberg_py(ev.filter(F.col("event_id") < 800), src_tbl)
+
+    def drain():
+        s = spark.readStream.format("daft_iceberg").option("path", src_tbl).load()
+        q = write_stream_delta(
+            s, dst_tbl, ckpt, app_id="stream_iceberg_source", available_now=True
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise AssertionError("stream_iceberg_source did not drain in 300s")
+        except Exception:
+            q.stop()
+            raise
+
+    drain()  # snapshot batch: events < 800
+    write_iceberg_py(
+        ev.filter((F.col("event_id") >= 800) & (F.col("event_id") < 1600)),
+        src_tbl,
+        mode="append",
+    )
+    drain()  # incremental batch: only the appended snapshot's files
+    out = (
+        read_deltalake_py(dst_tbl, spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before scratch cleanup
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

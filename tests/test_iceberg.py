@@ -1458,3 +1458,87 @@ def test_iceberg_upsert_on_partitioned_table(spark, tmp_path):
     rewrite_iceberg_data_files(p, spark)
     got2 = {r["k"]: r["v"] for r in read_iceberg_py(p, spark).collect()}
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# streaming Iceberg source (readStream.format("daft_iceberg"))
+
+
+def _drain_iceberg_stream(spark, src, out, ck, **opts):
+    from daft_spark.context import configure
+
+    configure(spark)
+    reader = spark.readStream.format("daft_iceberg").option("path", src)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "iceberg stream did not drain"
+
+
+def test_iceberg_stream_snapshot_then_incremental(spark, tmp_path):
+    from daft_spark.io.iceberg import write_iceberg_py
+
+    src = str(tmp_path / "isrc")
+    out = str(tmp_path / "iout")
+    ck = str(tmp_path / "ick")
+    mk = lambda lo: spark.range(lo, lo + 6).select(F.col("id").alias("k"))
+    write_iceberg_py(mk(0), src)
+    write_iceberg_py(mk(6), src, mode="append")
+    _drain_iceberg_stream(spark, src, out, ck)
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == list(range(12))
+    # resume: only the NEW append's rows stream
+    write_iceberg_py(mk(12), src, mode="append")
+    _drain_iceberg_stream(spark, src, out, ck)
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(18))
+
+
+def test_iceberg_stream_snapshot_applies_deletes_and_skips_replace(spark, tmp_path):
+    from daft_spark.io.iceberg import (
+        delete_iceberg_py,
+        rewrite_iceberg_data_files,
+        write_iceberg_py,
+    )
+
+    src = str(tmp_path / "isrc2")
+    out = str(tmp_path / "iout2")
+    ck = str(tmp_path / "ick2")
+    mk = lambda lo: spark.range(lo, lo + 6).select(F.col("id").alias("k"))
+    write_iceberg_py(mk(0), src)
+    delete_iceberg_py(spark.createDataFrame([(2,)], "k long"), src, ["k"])
+    # snapshot batch applies the MoR delete
+    _drain_iceberg_stream(spark, src, out, ck)
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == [0, 1, 3, 4, 5]
+    # a replace (compaction) snapshot streams NOTHING; later appends do
+    write_iceberg_py(mk(6), src, mode="append")
+    rewrite_iceberg_data_files(src, spark)
+    write_iceberg_py(mk(12), src, mode="append")
+    _drain_iceberg_stream(spark, src, out, ck)
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 3, 4, 5] + list(range(6, 18))
+
+
+def test_iceberg_stream_delete_snapshot_policy(spark, tmp_path):
+    from daft_spark.io.iceberg import delete_iceberg_py, write_iceberg_py
+    from daft_spark.io.iceberg_source import IcebergStreamReader
+
+    src = str(tmp_path / "isrc3")
+    mk = lambda lo: spark.range(lo, lo + 4).select(F.col("id").alias("k"))
+    write_iceberg_py(mk(0), src)  # seq 1
+    delete_iceberg_py(spark.createDataFrame([(1,)], "k long"), src, ["k"])  # seq 2
+    write_iceberg_py(mk(4), src, mode="append")  # seq 3
+    r = IcebergStreamReader({"path": src}, None)
+    with pytest.raises(RuntimeError, match="streaming-skip-delete-snapshots"):
+        r._appended_files(1, 3)
+    r2 = IcebergStreamReader(
+        {"path": src, "streaming-skip-delete-snapshots": "true"}, None
+    )
+    files = r2._appended_files(1, 3)
+    assert files and all(p.endswith(".parquet") for p, _s in files)
