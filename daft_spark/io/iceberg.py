@@ -1113,7 +1113,8 @@ def write_iceberg_py(
     mode: str = "append",
     partition_by: list[str] | None = None,
     _upsert_by: list[str] | None = None,
-) -> None:
+    _publish: bool = True,
+) -> dict | None:
     """Write ``df`` as one Iceberg v2 commit: parquet data files, one
     manifest, a manifest list, metadata.json v(N+1), then rotate
     version-hint.text (atomic rename = publish). ``partition_by``
@@ -1460,7 +1461,17 @@ def write_iceberg_py(
         # named refs persist across commits (they pin their snapshots)
         "refs": (prior.get("refs", {}) if prior else {}),
     }
+    if not _publish:
+        # REST-catalog commit flow: data/manifests are staged in shared
+        # storage, but the METADATA swap belongs to the catalog — hand
+        # back what an updateTable commit needs instead of publishing
+        return {
+            "snapshot": snapshot,
+            "prior_snapshot_id": (prior or {}).get("current-snapshot-id"),
+            "metadata": meta,
+        }
     _publish_metadata(path, meta)
+    return None
 
 
 def evolve_iceberg_schema(

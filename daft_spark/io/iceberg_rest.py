@@ -18,12 +18,15 @@ external service:
   LoadTableResult (metadata-location + metadata); reads run the
   pure-Python metadata walk from that location.
 
-Scope: the read/discovery surface plus simple create/drop is complete;
-the multi-operation ``updateTable`` commit protocol (requirements +
-updates) is NOT implemented — the server answers 400 for it, and table
-writes go through the filesystem writer against the location the
-catalog returned (valid for a same-host warehouse, which is the only
-deployment an in-process server has).
+Scope: read/discovery, create/drop, AND (r7) the multi-operation
+``updateTable`` commit protocol: the server validates requirements
+(assert-table-uuid, assert-ref-snapshot-id) against its CURRENT
+metadata and applies updates (add-snapshot, set-snapshot-ref,
+set-properties) — the catalog-arbitrated metadata swap. Table handles
+returned by the client stage data/manifests to the table location and
+move the pointer ONLY through commit_table, so a concurrent commit
+fails the requirement with 409 CommitFailedException instead of
+losing an update.
 """
 
 from __future__ import annotations
@@ -197,11 +200,106 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(200, {"metadata-location": None, "metadata": {"location": loc}})
             return self._send(200, {"metadata": {"location": loc}})
         if kind == "table":
-            return self._error(
-                400,
-                "updateTable (commit) is not implemented by this server; "
-                "write through the returned location",
-                "CommitFailedException",
+            # CommitTableRequest: validate requirements against the
+            # CURRENT metadata, apply the updates, publish v(N+1) —
+            # the catalog-arbitrated metadata swap of the spec's
+            # commit protocol (data/manifests already sit in shared
+            # storage; only the pointer move is the catalog's job)
+            ns, name = arg
+            ident = ".".join(ns + [name])
+            if not cat.has_table(ident):
+                return self._error(404, f"table {ident} not found", "NoSuchTableException")
+            from daft_spark.io.iceberg import (
+                _latest_metadata,
+                _meta_dir,
+                _publish_metadata,
+            )
+
+            tpath = cat._path(ident)
+            meta = _latest_metadata(tpath)
+            body = self._body()
+            for req in body.get("requirements") or []:
+                rtype = req.get("type")
+                if rtype == "assert-table-uuid":
+                    if meta.get("table-uuid") != req.get("uuid"):
+                        return self._error(
+                            409, "table uuid changed", "CommitFailedException"
+                        )
+                elif rtype == "assert-ref-snapshot-id":
+                    ref = req.get("ref", "main")
+                    cur = (
+                        meta.get("current-snapshot-id")
+                        if ref == "main"
+                        else (meta.get("refs") or {}).get(ref, {}).get("snapshot-id")
+                    )
+                    if cur in (None, -1):
+                        cur = None
+                    if cur != req.get("snapshot-id"):
+                        return self._error(
+                            409,
+                            f"ref {ref!r} moved: expected {req.get('snapshot-id')}, "
+                            f"found {cur} (concurrent commit)",
+                            "CommitFailedException",
+                        )
+                else:
+                    return self._error(
+                        400, f"unsupported requirement {rtype!r}", "BadRequestException"
+                    )
+            new_meta = dict(meta)
+            for upd in body.get("updates") or []:
+                utype = upd.get("action")
+                if utype == "add-snapshot":
+                    snap = upd["snapshot"]
+                    new_meta["snapshots"] = new_meta.get("snapshots", []) + [snap]
+                    new_meta["last-sequence-number"] = max(
+                        new_meta.get("last-sequence-number", 0),
+                        snap.get("sequence-number", 0),
+                    )
+                    new_meta["last-updated-ms"] = snap.get("timestamp-ms")
+                elif utype == "set-snapshot-ref":
+                    ref = upd.get("ref-name", "main")
+                    sid = upd["snapshot-id"]
+                    if not any(
+                        s["snapshot-id"] == sid for s in new_meta.get("snapshots", [])
+                    ):
+                        return self._error(
+                            400, f"snapshot {sid} unknown", "BadRequestException"
+                        )
+                    if ref == "main":
+                        new_meta["current-snapshot-id"] = sid
+                        new_meta["snapshot-log"] = new_meta.get("snapshot-log", []) + [
+                            {
+                                "snapshot-id": sid,
+                                "timestamp-ms": new_meta.get("last-updated-ms"),
+                            }
+                        ]
+                    else:
+                        refs = dict(new_meta.get("refs") or {})
+                        refs[ref] = {
+                            "snapshot-id": sid,
+                            "type": upd.get("type", "branch"),
+                        }
+                        new_meta["refs"] = refs
+                elif utype == "set-properties":
+                    props = dict(new_meta.get("properties") or {})
+                    props.update(upd.get("updates") or {})
+                    new_meta["properties"] = props
+                else:
+                    return self._error(
+                        400, f"unsupported update {utype!r}", "BadRequestException"
+                    )
+            _publish_metadata(tpath, new_meta)
+            md = _meta_dir(tpath)
+            versions = sorted(
+                int(f[1 : -len(".metadata.json")])
+                for f in os.listdir(md)
+                if f.startswith("v")
+                and f.endswith(".metadata.json")
+                and f[1 : -len(".metadata.json")].isdigit()
+            )
+            loc = os.path.join(md, f"v{versions[-1]}.metadata.json")
+            return self._send(
+                200, {"metadata-location": loc, "metadata": new_meta}
             )
         return self._error(404, f"no route for {self.path}", "NotFoundException")
 
@@ -376,12 +474,68 @@ class IcebergRestCatalog(Catalog):
             self._raise(code, payload, f"load table {identifier}")
         return payload
 
+    def commit_table(self, identifier, requirements: list, updates: list) -> dict:
+        """The spec's multi-operation updateTable commit: POST
+        requirements + updates; the SERVER validates the requirements
+        against its current metadata and publishes the new version —
+        the catalog-arbitrated swap that makes concurrent writers safe.
+        409 CommitFailedException surfaces as RestError."""
+        ns, name = self._split(identifier)
+        code, payload = _http(
+            "POST",
+            f"{self._base}/v1/namespaces/{_ns_to_url(ns)}/tables/{quote(name, safe='')}",
+            {
+                "identifier": {"namespace": ns, "name": name},
+                "requirements": requirements,
+                "updates": updates,
+            },
+        )
+        if code != 200:
+            self._raise(code, payload, f"commit table {identifier}")
+        return payload
+
     def get_table(self, identifier):
         res = self.load_table_result(identifier)
         loc = res["metadata-location"]
         # <table>/metadata/<file>.metadata.json -> <table>
         tpath = os.path.dirname(os.path.dirname(loc))
-        return _iceberg_fs_table(str(_ident(identifier)), tpath)
+        tbl = _iceberg_fs_table(str(_ident(identifier)), tpath)
+
+        def _rest_write(df, mode="append"):
+            # data + manifests stage to the (shared) table location; the
+            # metadata pointer moves through the commit protocol with an
+            # assert-ref-snapshot-id requirement, so a concurrent commit
+            # turns into 409 instead of a lost update
+            if mode != "append":
+                raise ValueError(
+                    "REST-committed table writes support mode='append' only"
+                )
+            from daft_spark.io.iceberg import write_iceberg_py
+
+            staged = write_iceberg_py(df, tpath, mode="append", _publish=False)
+            snap = staged["snapshot"]
+            self.commit_table(
+                identifier,
+                requirements=[
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": staged["prior_snapshot_id"],
+                    }
+                ],
+                updates=[
+                    {"action": "add-snapshot", "snapshot": snap},
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "snapshot-id": snap["snapshot-id"],
+                        "type": "branch",
+                    },
+                ],
+            )
+
+        tbl._write = _rest_write
+        return tbl
 
     def read_table(self, identifier):
         return self.get_table(identifier).read()

@@ -259,17 +259,18 @@ def test_rest_catalog_protocol_endpoints(spark, tmp_path):
         # HEAD probe
         head = urllib.request.Request(srv.uri + "/v1/namespaces/a%1Fb", method="HEAD")
         assert urllib.request.urlopen(head).status == 204
-        # commit protocol is explicitly gated
+        # commit protocol: unknown table is 404; an unsupported update
+        # action on a real table is 400 (never silently ignored)
         post = urllib.request.Request(
-            srv.uri + "/v1/namespaces/a%1Fb/tables/t",
+            srv.uri + "/v1/namespaces/a%1Fb/tables/missing",
             data=b"{}", method="POST",
             headers={"Content-Type": "application/json"},
         )
         try:
             urllib.request.urlopen(post)
-            raise AssertionError("expected 400")
+            raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
-            assert e.code == 400
+            assert e.code == 404
 
 
 def test_rest_catalog_client_roundtrip(spark, tmp_path):
@@ -641,3 +642,46 @@ def test_s3tables_pagination_and_dotted_namespaces(spark, tmp_path):
         assert cat.list_tables("a.b.t") == ["a.b.t1", "a.b.t2"]
         assert cat.list_tables("a.b.t2") == ["a.b.t2"]
         assert cat.read_table("a.b.t2").count() == 3
+
+
+def test_rest_catalog_commit_protocol(spark, tmp_path):
+    """updateTable: appends route through requirements+updates; a stale
+    assert-ref-snapshot-id is a 409 CommitFailedException."""
+    from daft_spark.io.iceberg import _latest_metadata
+    from daft_spark.io.iceberg_rest import IcebergRestCatalogServer, RestError
+    from daft_spark.session import Catalog
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as srv:
+        cat = Catalog.from_iceberg(srv.uri)
+        cat.create_namespace("ns")
+        cat.create_table("ns.t", df)
+        t = cat.get_table("ns.t")
+        t.write(df.withColumn("k", F.col("k") + 100), mode="append")
+        got = sorted(r["k"] for r in cat.read_table("ns.t").collect())
+        assert got == list(range(10)) + [k + 100 for k in range(10)]
+        # the commit went through the catalog: two snapshots, log grew
+        tpath = srv._httpd.catalog._path("ns.t")
+        meta = _latest_metadata(tpath)
+        assert len(meta["snapshots"]) == 2
+        assert meta["current-snapshot-id"] == meta["snapshots"][-1]["snapshot-id"]
+        # stale requirement -> 409 (concurrent-commit arbitration)
+        with pytest.raises(RestError, match="CommitFailedException"):
+            cat.commit_table(
+                "ns.t",
+                requirements=[{
+                    "type": "assert-ref-snapshot-id", "ref": "main",
+                    "snapshot-id": 12345,
+                }],
+                updates=[],
+            )
+        # non-append writes stay gated on the REST handle
+        with pytest.raises(ValueError, match="append"):
+            t.write(df, mode="overwrite")
+        # unsupported requirement types are rejected, not ignored
+        with pytest.raises(RestError, match="unsupported requirement"):
+            cat.commit_table(
+                "ns.t",
+                requirements=[{"type": "assert-last-assigned-field-id", "id": 1}],
+                updates=[],
+            )
