@@ -47,8 +47,14 @@ upgrade convention), evolve_delta_schema renames/adds/drops logical
 columns metadata-only, readers resolve data files by physicalName and
 key partition values by physical name. DML on mapped tables is gated.
 
-Out of scope (raise cleanly): other v3 reader features, multi-part
-checkpoints, v2 checkpoints, nested-column mapping.
+Checkpoint READ covers every spec layout: classic single-file,
+legacy multi-part (<v>.checkpoint.<o>.<p>.parquet, complete sets
+only), and V2 (<v>.checkpoint.<uuid>.{json,parquet} manifests with
+sidecar files under _delta_log/_sidecars/). The writer emits classic
+checkpoints, which every Delta reader accepts.
+
+Out of scope (raise cleanly): other v3 reader features,
+nested-column mapping.
 
 At 100 TB the log replay is driver-side metadata work (KBs per commit);
 the data path is an ordinary multi-file parquet scan with the usual
@@ -89,16 +95,10 @@ def _current_protocol(table_path: str) -> dict:
     ckpts = _checkpoint_versions(table_path)
     start_after = -1
     if ckpts:
-        import pyarrow.parquet as pq
-
-        p = os.path.join(
-            _log_path(table_path), f"{ckpts[-1]:020d}.checkpoint.parquet"
-        )
-        t = pq.read_table(p)
-        if "protocol" in t.column_names:
-            for row in t.column("protocol").to_pylist():
-                if row and row.get("minReaderVersion") is not None:
-                    proto = {k: v for k, v in row.items() if v is not None}
+        for row in _checkpoint_rows(table_path, ckpts[-1]):
+            p = row.get("protocol")
+            if p and p.get("minReaderVersion") is not None:
+                proto = {k: v for k, v in p.items() if v is not None}
         start_after = ckpts[-1]
     for v in _list_versions(table_path):
         if v <= start_after:
@@ -157,15 +157,48 @@ def _list_versions(table_path: str) -> list[int]:
     return sorted(out)
 
 
-def _checkpoint_versions(table_path: str) -> list[int]:
+def _checkpoint_files(table_path: str) -> dict[int, tuple[str, list[str]]]:
+    """version -> (kind, files) for every discoverable checkpoint:
+    ``classic`` (<v>.checkpoint.parquet), ``multipart`` (the legacy
+    <v>.checkpoint.<o>.<p>.parquet series, complete sets only) and
+    ``v2`` (<v>.checkpoint.<uuid>.{json,parquet} manifests with
+    _sidecars/). A v2/classic checkpoint wins over a partial multipart
+    set at the same version."""
+    import re
+
     log = _log_path(table_path)
     if not os.path.isdir(log):
-        return []
-    out = []
+        return {}
+    classic: dict[int, str] = {}
+    v2: dict[int, str] = {}
+    multi: dict[int, dict[int, tuple[int, str]]] = {}
     for f in os.listdir(log):
-        if f.endswith(".checkpoint.parquet") and f.split(".", 1)[0].isdigit():
-            out.append(int(f.split(".", 1)[0]))
-    return sorted(out)
+        m = re.fullmatch(r"(\d+)\.checkpoint\.parquet", f)
+        if m:
+            classic[int(m.group(1))] = f
+            continue
+        m = re.fullmatch(r"(\d+)\.checkpoint\.(\d+)\.(\d+)\.parquet", f)
+        if m:
+            v, o, p_ = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            multi.setdefault(v, {})[o] = (p_, f)
+            continue
+        m = re.fullmatch(r"(\d+)\.checkpoint\.[0-9a-fA-F-]{8,}\.(json|parquet)", f)
+        if m:
+            v2[int(m.group(1))] = f
+    out: dict[int, tuple[str, list[str]]] = {}
+    for v, parts in multi.items():
+        total = next(iter(parts.values()))[0]
+        if len(parts) == total and set(parts) == set(range(1, total + 1)):
+            out[v] = ("multipart", [parts[i][1] for i in range(1, total + 1)])
+    for v, f in classic.items():
+        out[v] = ("classic", [f])
+    for v, f in v2.items():
+        out[v] = ("v2", [f])
+    return out
+
+
+def _checkpoint_versions(table_path: str) -> list[int]:
+    return sorted(_checkpoint_files(table_path))
 
 
 def _check_protocol(p: dict) -> None:
@@ -187,13 +220,51 @@ def _check_protocol(p: dict) -> None:
     )
 
 
-def _read_checkpoint(table_path: str, version: int):
-    """Load replay state (schema_json, partition_cols, active adds) from
-    a classic single-file parquet checkpoint."""
+def _checkpoint_rows(table_path: str, version: int) -> list[dict]:
+    """Action rows of the checkpoint at ``version``, whatever its
+    layout: classic single-file, legacy MULTI-PART (all parts unioned —
+    the spec lets actions land in any part), or V2 (manifest json/
+    parquet holding checkpointMetadata + non-file actions plus
+    sidecarFile pointers into _delta_log/_sidecars/, whose parquet
+    carries the add/remove actions)."""
     import pyarrow.parquet as pq
 
-    path = os.path.join(_log_path(table_path), f"{version:020d}.checkpoint.parquet")
-    rows = pq.read_table(path).to_pylist()
+    log = _log_path(table_path)
+    kind, files = _checkpoint_files(table_path)[version]
+    if kind in ("classic", "multipart"):
+        rows: list[dict] = []
+        for f in files:
+            rows.extend(pq.read_table(os.path.join(log, f)).to_pylist())
+        return rows
+    # v2 manifest
+    manifest = os.path.join(log, files[0])
+    if manifest.endswith(".json"):
+        rows = []
+        with open(manifest) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+    else:
+        rows = pq.read_table(manifest).to_pylist()
+    out: list[dict] = []
+    for row in rows:
+        sidecar = row.get("sidecarFile")
+        if sidecar and sidecar.get("path"):
+            sp = os.path.join(log, "_sidecars", os.path.basename(sidecar["path"]))
+            out.extend(pq.read_table(sp).to_pylist())
+        elif row.get("checkpointMetadata"):
+            continue  # v2 marker action, no replay state
+        else:
+            out.append(row)
+    return out
+
+
+def _read_checkpoint(table_path: str, version: int):
+    """Load replay state (schema_json, partition_cols, active adds,
+    configuration, protocol) from the checkpoint at ``version`` (any
+    spec layout — see _checkpoint_rows)."""
+    rows = _checkpoint_rows(table_path, version)
     schema_json: str | None = None
     partition_cols: list[str] = []
     configuration: dict = {}

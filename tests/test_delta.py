@@ -766,3 +766,122 @@ def test_merge_emits_cdf(spark, tmp_path):
         ("update_postimage", 2): 20.0,
         ("insert", 7): 7.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# checkpoint layout coverage: multi-part + v2 (read side)
+
+
+def _rewrite_classic_checkpoint(tbl, splitter):
+    """Replace the classic checkpoint with an alternative spec layout
+    built by ``splitter(rows, log_dir, version)``; vacuum the JSON
+    prefix so replay MUST start from the new layout."""
+    import pyarrow.parquet as pq
+
+    from daft_spark.io.delta import _list_versions, _write_checkpoint
+
+    v = max(_list_versions(tbl))
+    _write_checkpoint(tbl, v)
+    log = os.path.join(tbl, "_delta_log")
+    classic = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    rows = pq.read_table(classic)
+    splitter(rows, log, v)
+    os.remove(classic)
+    for ver in _list_versions(tbl):
+        if ver <= v:
+            os.remove(os.path.join(log, f"{ver:020d}.json"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": rows.num_rows}, f)
+    return v
+
+
+def test_multipart_checkpoint_read(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from daft_spark.io.delta import read_deltalake_py, write_deltalake_py
+
+    tbl = str(tmp_path / "mp")
+    for lo in (0, 10, 20):
+        write_deltalake_py(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")),
+            tbl, mode="append" if lo else "error",
+        )
+
+    def split(rows, log, v):
+        # legacy layout: <v>.checkpoint.<o>.<p>.parquet, actions spread
+        # across the parts in any way
+        mid = rows.num_rows // 2
+        pq.write_table(rows.slice(0, mid), os.path.join(log, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+        pq.write_table(rows.slice(mid), os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+
+    _rewrite_classic_checkpoint(tbl, split)
+    got = read_deltalake_py(tbl, spark)
+    assert sorted(r["k"] for r in got.collect()) == list(range(30))
+    # later commits replay on top of the multipart checkpoint
+    write_deltalake_py(
+        spark.range(30, 35).select(F.col("id").alias("k")), tbl, mode="append"
+    )
+    assert read_deltalake_py(tbl, spark).count() == 35
+
+
+def test_multipart_checkpoint_incomplete_set_ignored(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from daft_spark.io.delta import _checkpoint_versions, write_deltalake_py
+
+    tbl = str(tmp_path / "mpbad")
+    write_deltalake_py(spark.range(5).select(F.col("id").alias("k")), tbl)
+    import pyarrow as pa
+
+    log = os.path.join(tbl, "_delta_log")
+    # only part 1 of 3 exists -> the set must NOT be discovered
+    pq.write_table(
+        pa.table({"x": [1]}),
+        os.path.join(log, f"{0:020d}.checkpoint.{1:010d}.{3:010d}.parquet"),
+    )
+    assert _checkpoint_versions(tbl) == []
+
+
+def test_v2_checkpoint_read_json_manifest_with_sidecars(spark, tmp_path):
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from daft_spark.io.delta import read_deltalake_py, write_deltalake_py
+
+    tbl = str(tmp_path / "v2ck")
+    for lo in (0, 8):
+        write_deltalake_py(
+            spark.range(lo, lo + 8).select(F.col("id").alias("k")),
+            tbl, mode="append" if lo else "error",
+        )
+
+    def to_v2(rows, log, v):
+        # spec layout: manifest <v>.checkpoint.<uuid>.json carries the
+        # non-file actions + sidecarFile pointers; adds live in
+        # _delta_log/_sidecars/<uuid>.parquet
+        data = rows.to_pylist()
+        adds = [r for r in data if r.get("add")]
+        others = [r for r in data if not r.get("add")]
+        os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+        side = f"{_uuid.uuid4()}.parquet"
+        add_schema = pa.schema([rows.schema.field("add")])
+        pq.write_table(
+            pa.table([pa.array([r["add"] for r in adds], type=rows.schema.field("add").type)], schema=add_schema),
+            os.path.join(log, "_sidecars", side),
+        )
+        manifest = os.path.join(log, f"{v:020d}.checkpoint.{_uuid.uuid4()}.json")
+        with open(manifest, "w") as f:
+            f.write(json.dumps({"checkpointMetadata": {"version": v}}) + "\n")
+            for r in others:
+                f.write(json.dumps({k: val for k, val in r.items() if val is not None}) + "\n")
+            f.write(json.dumps({"sidecarFile": {"path": side}}) + "\n")
+
+    _rewrite_classic_checkpoint(tbl, to_v2)
+    got = read_deltalake_py(tbl, spark)
+    assert sorted(r["k"] for r in got.collect()) == list(range(16))
+    write_deltalake_py(
+        spark.range(16, 20).select(F.col("id").alias("k")), tbl, mode="append"
+    )
+    assert read_deltalake_py(tbl, spark).count() == 20
