@@ -72,6 +72,7 @@ def read_iceberg(
     spark: SparkSession | None = None,
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """reference read_iceberg (daft/io/iceberg/_iceberg.py:130) ->
     Iceberg catalog table read when a catalog is configured; for a
@@ -90,8 +91,12 @@ def read_iceberg(
     if os.path.isdir(os.path.join(table, "metadata")):
         from daft_spark.io.iceberg import read_iceberg_py
 
-        return read_iceberg_py(table, spark, snapshot_id=snapshot_id, filters=filters)
+        return read_iceberg_py(
+            table, spark, snapshot_id=snapshot_id, filters=filters, ref=ref
+        )
     try:
+        if ref is not None:
+            return spark.read.option("branch", ref).table(table)
         if snapshot_id is not None:
             return spark.read.option("snapshot-id", snapshot_id).table(table)
         return spark.table(table)
@@ -103,19 +108,27 @@ def read_iceberg(
         ) from e
 
 
-def read_hudi(path: str, spark: SparkSession | None = None, **options) -> DataFrame:
+def read_hudi(
+    path: str,
+    spark: SparkSession | None = None,
+    as_of: str | None = None,
+    **options,
+) -> DataFrame:
     """reference read_hudi (daft/io/hudi/_hudi.py:18) -> the Hudi Spark
     connector when present; for a local copy-on-write table directory
     (has .hoodie/), the pure-Python timeline replay
     (daft_spark.io.hudi) — mirroring the reference, which also reads
-    Hudi without a connector."""
+    Hudi without a connector. ``as_of`` pins the timeline to an instant
+    (the as.of.instant read option)."""
     import os
 
     spark = _session(spark)
     if os.path.isdir(os.path.join(path, ".hoodie")):
         from daft_spark.io.hudi import read_hudi_py
 
-        return read_hudi_py(path, spark)
+        return read_hudi_py(path, spark, as_of=as_of)
+    if as_of is not None:
+        options = dict(options, **{"as.of.instant": as_of})
     return _format_read(spark, "hudi", path, "org.apache.hudi:hudi-spark-bundle_2.13", options)
 
 
