@@ -392,6 +392,17 @@ def _mapping_info(schema_json: str, config: dict):
     return mode, l2p, p2l
 
 
+def _pv_sorted(groups: dict) -> list:
+    """Partition-value groups in deterministic order. Keys are tuples
+    of str-or-None (Delta serializes partition values as strings; null
+    -> absent/None) — plain sorted() raises TypeError on a None vs str
+    comparison, so nulls order first explicitly."""
+    return sorted(
+        groups.items(),
+        key=lambda kv: tuple((v is None, v or "") for v in kv[0]),
+    )
+
+
 def read_deltalake_py(
     path: str, spark: SparkSession, version: int | None = None
 ) -> DataFrame:
@@ -471,7 +482,7 @@ def read_deltalake_py(
         key = tuple(pv.get(phys_name[c], pv.get(c)) for c in partition_cols)
         groups.setdefault(key, []).append(os.path.join(path, rel))
     parts = []
-    for key, files in sorted(groups.items()):
+    for key, files in _pv_sorted(groups):
         df = _logicalize(_strip_dv(spark.read.schema(_physize(phys)).parquet(*files)), phys)
         for c, raw in zip(partition_cols, key):
             # Delta serializes partition values as strings (null -> absent)
@@ -604,7 +615,7 @@ def _dv_matched_rows(
     from pyspark.sql import functions as F
 
     matched = None
-    for key, files in sorted(groups.items()):
+    for key, files in _pv_sorted(groups):
         df = spark.read.schema(phys).parquet(*files).select(
             "*",
             F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
@@ -1515,7 +1526,7 @@ def delete_deltalake_py(path: str, spark: SparkSession, condition: str) -> None:
         deleted = t.filter(cond.eqNullSafe(F.lit(True))).withColumn(
             "_change_type", F.lit("delete")
         )
-        extra = [_write_cdc_file(path, deleted, partition_cols)]
+        extra = _write_cdc_file(path, deleted, partition_cols)
     write_deltalake_py(
         keep, path, mode="overwrite", partition_by=partition_cols,
         _extra_actions=extra,
@@ -1556,7 +1567,7 @@ def update_deltalake_py(
                 for c in t.columns
             ]
         ).withColumn("_change_type", F.lit("update_postimage"))
-        extra = [_write_cdc_file(path, pre.unionAll(post), partition_cols)]
+        extra = _write_cdc_file(path, pre.unionAll(post), partition_cols)
     write_deltalake_py(
         updated, path, mode="overwrite", partition_by=partition_cols,
         _extra_actions=extra,
@@ -1582,12 +1593,6 @@ def enable_cdf_delta_py(path: str) -> None:
     schema_json, partition_cols, _adds, cfg, proto = _replay_log_full(path)
     if _cdf_enabled(cfg):
         return
-    if partition_cols:
-        raise NotImplementedError(
-            "change data feed on partitioned tables is not supported by "
-            "this pure-Python writer (cdc files would need partitioned "
-            "layout + partitionValues)"
-        )
     new_cfg = dict(cfg)
     new_cfg["delta.enableChangeDataFeed"] = "true"
     new_proto = dict(proto)
@@ -1625,31 +1630,55 @@ def enable_cdf_delta_py(path: str) -> None:
     )
 
 
-def _write_cdc_file(path: str, cdc_df: DataFrame, partition_cols: list[str]) -> dict:
-    """Stage one change-data parquet (table columns + _change_type)
-    under _change_data/ and return its ``cdc`` action (dataChange=false
-    — CDC rows restate a change, they are not new data)."""
-    if partition_cols:
-        raise NotImplementedError("cdc files on partitioned tables")
+def _write_cdc_file(path: str, cdc_df: DataFrame, partition_cols: list[str]) -> list[dict]:
+    """Stage change-data parquet files (table columns + _change_type)
+    under _change_data/ and return their ``cdc`` actions
+    (dataChange=false — CDC rows restate a change, they are not new
+    data). Partitioned tables follow the data-file rules: hive-layout
+    dirs under _change_data/, partition columns dropped from the files
+    and carried in each action's partitionValues."""
+    from urllib.parse import unquote
+
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    cdc_df.coalesce(1).write.mode("overwrite").parquet(staging)
+    writer = cdc_df.coalesce(1).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
     os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
-    rel = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex}.parquet")
-    src = next(
-        os.path.join(staging, f)
-        for f in sorted(os.listdir(staging))
-        if f.endswith(".parquet")
-    )
-    shutil.move(src, os.path.join(path, rel))
+    actions: list[dict] = []
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                    )
+            name = f"cdc-{uuid.uuid4().hex}.parquet"
+            rel = (
+                os.path.join("_change_data", rel_dir, name)
+                if rel_dir != "."
+                else os.path.join("_change_data", name)
+            )
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, f), dst)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
     shutil.rmtree(staging, ignore_errors=True)
-    return {
-        "cdc": {
-            "path": rel,
-            "partitionValues": {},
-            "size": os.path.getsize(os.path.join(path, rel)),
-            "dataChange": False,
-        }
-    }
+    return actions
 
 
 def table_changes_delta_py(
@@ -1676,13 +1705,41 @@ def table_changes_delta_py(
             "change data feed is not enabled on this table "
             "(enable_cdf_delta_py / delta.enableChangeDataFeed)"
         )
-    if partition_cols:
-        raise NotImplementedError("table_changes on partitioned tables")
     schema = StructType.fromJson(json.loads(schema_json))
     cdc_schema = StructType(
         list(schema.fields)
         + [StructField("_change_type", StringType())]
     )
+    # Partitioned tables: data AND cdc files omit the partition columns
+    # (spec: cdc files follow the data-file rules); values come from
+    # each action's partitionValues, typed from their string form.
+    part_types = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
+    data_fields = [f for f in schema.fields if f.name not in partition_cols]
+    file_schema = StructType(data_fields)
+    file_cdc_schema = StructType(
+        data_fields + [StructField("_change_type", StringType())]
+    )
+
+    def _restore(entries, fschema, change_type=None):
+        """[(abs_path, pvals)] -> DataFrame in cdc_schema column order
+        with partition columns restored per partition-value group."""
+        groups: dict[tuple, list[str]] = {}
+        for p_, pv in entries:
+            key = tuple((pv or {}).get(c) for c in partition_cols)
+            groups.setdefault(key, []).append(p_)
+        outs = []
+        for key, files in _pv_sorted(groups):
+            df = spark.read.schema(fschema).parquet(*files)
+            if change_type is not None:
+                df = df.withColumn("_change_type", F.lit(change_type))
+            for c, raw in zip(partition_cols, key):
+                df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
+            outs.append(df.select(*[f.name for f in cdc_schema.fields]))
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionAll(o)
+        return res
+
     end = ending_version
     versions = [
         v for v in _list_versions(path)
@@ -1690,9 +1747,9 @@ def table_changes_delta_py(
     ]
     parts = []
     for v in versions:
-        cdc_files: list[str] = []
-        adds: list[str] = []
-        removes: list[str] = []
+        cdc_entries: list[tuple[str, dict]] = []
+        add_entries: list[tuple[str, dict]] = []
+        removes: list[tuple[str, dict | None]] = []  # (rel, partitionValues?)
         ts = 0
         with open(_commit_file(path, v)) as f:
             for line in f:
@@ -1701,32 +1758,62 @@ def table_changes_delta_py(
                     continue
                 action = json.loads(line)
                 if "cdc" in action:
-                    cdc_files.append(os.path.join(path, action["cdc"]["path"]))
+                    cdc_entries.append(
+                        (
+                            os.path.join(path, action["cdc"]["path"]),
+                            action["cdc"].get("partitionValues") or {},
+                        )
+                    )
                 elif "add" in action and action["add"].get("dataChange", True):
-                    adds.append(os.path.join(path, action["add"]["path"]))
-                elif "remove" in action and action["remove"].get("dataChange", True):
-                    removes.append(os.path.join(path, action["remove"]["path"]))
+                    add_entries.append(
+                        (
+                            os.path.join(path, action["add"]["path"]),
+                            action["add"].get("partitionValues") or {},
+                        )
+                    )
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    removes.append(
+                        (action["remove"]["path"], action["remove"].get("partitionValues"))
+                    )
                 elif "commitInfo" in action:
                     ts = int(action["commitInfo"].get("timestamp") or 0)
-        if cdc_files:
-            df = spark.read.schema(cdc_schema).parquet(*cdc_files)
+        if cdc_entries:
+            df = _restore(cdc_entries, file_cdc_schema)
         else:
             pieces = []
-            if adds:
-                pieces.append(
-                    spark.read.schema(schema).parquet(*adds)
-                    .withColumn("_change_type", F.lit("insert"))
-                )
+            if add_entries:
+                pieces.append(_restore(add_entries, file_schema, "insert"))
             if removes:
-                missing = [r for r in removes if not os.path.exists(r)]
+                missing = [
+                    r for r, _pv in removes
+                    if not os.path.exists(os.path.join(path, r))
+                ]
                 if missing:
                     raise FileNotFoundError(
                         f"change feed at version {v} needs vacuumed files {missing[:3]}"
                     )
-                pieces.append(
-                    spark.read.schema(schema).parquet(*removes)
-                    .withColumn("_change_type", F.lit("delete"))
-                )
+                # remove actions may omit partitionValues (the field is
+                # optional); recover them from the table state the
+                # commit retired (replay at v-1)
+                prior_adds = None
+                rentries = []
+                for rel, pv in removes:
+                    if pv is None and partition_cols:
+                        if prior_adds is None:
+                            _sj, _pc, prior_adds, _cfg, _pr = _replay_log_full(
+                                path, v - 1
+                            )
+                        prior = prior_adds.get(rel)
+                        if prior is None:
+                            raise ValueError(
+                                f"change feed at version {v}: removed file "
+                                f"{rel!r} not present at version {v - 1}"
+                            )
+                        pv = prior.get("partitionValues") or {}
+                    rentries.append((os.path.join(path, rel), pv or {}))
+                pieces.append(_restore(rentries, file_schema, "delete"))
             if not pieces:
                 continue
             df = pieces[0]
@@ -1875,7 +1962,7 @@ def merge_deltalake_py(
         cdc = deleted.unionAll(pre).unionAll(post)
         if ins is not None:
             cdc = cdc.unionAll(ins.withColumn("_change_type", F.lit("insert")))
-        extra = [_write_cdc_file(path, cdc, partition_cols)]
+        extra = _write_cdc_file(path, cdc, partition_cols)
     write_deltalake_py(
         out, path, mode="overwrite", partition_by=partition_cols,
         _extra_actions=extra,

@@ -258,6 +258,29 @@ def test_delta_deletion_vectors_merge_on_read(spark, tmp_path):
     assert read_deltalake_py(path, spark).count() == exp2.count() + 25
 
 
+def test_delta_null_partition_value_roundtrip(spark, tmp_path):
+    """A NULL in the partition column itself (hive
+    __HIVE_DEFAULT_PARTITION__ dir, partitionValues null) must survive
+    write -> read and DV DELETE. Regression: the partition-group sort
+    compared None against str and raised TypeError."""
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id long, grp string"
+    )
+    path = str(tmp_path / "nullpart")
+    write_deltalake_py(df, path, mode="overwrite", partition_by=["grp"])
+    got = sorted((r["id"], r["grp"]) for r in read_deltalake_py(path, spark).collect())
+    assert got == [(1, "a"), (2, None), (3, "b"), (4, None)]
+    delete_deltalake_dv_py(path, spark, "id = 4")
+    got = sorted((r["id"], r["grp"]) for r in read_deltalake_py(path, spark).collect())
+    assert got == [(1, "a"), (2, None), (3, "b")]
+
+
 def test_delta_dv_partitioned_and_null_semantics(spark, tmp_path):
     """DVs on a partitioned table (positions tracked per physical file
     under hive dirs) + three-valued predicate: NULL-condition rows
@@ -885,3 +908,69 @@ def test_v2_checkpoint_read_json_manifest_with_sidecars(spark, tmp_path):
         spark.range(16, 20).select(F.col("id").alias("k")), tbl, mode="append"
     )
     assert read_deltalake_py(tbl, spark).count() == 20
+
+
+def test_cdf_partitioned_table(spark, tmp_path):
+    """CDF on a PARTITIONED table (incl. a NULL partition value): cdc
+    files land under _change_data/<hive dirs>/ with the partition
+    columns dropped and carried in partitionValues; table_changes
+    restores them typed. Reconstruction commits (append = inserts,
+    overwrite = deletes + inserts) recover remove-side partition values
+    from the prior version's state."""
+    from daft_spark.io.delta import (
+        delete_deltalake_py,
+        enable_cdf_delta_py,
+        merge_deltalake_py,
+        table_changes_delta_py,
+        update_deltalake_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "cdfpart")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "a", 4.0)],
+        "k long, grp string, v double",
+    )
+    write_deltalake_py(df, p, mode="overwrite", partition_by=["grp"])  # v0
+    enable_cdf_delta_py(p)  # v1
+    # v2: append -> reconstruction inserts (partition values from adds)
+    write_deltalake_py(
+        spark.createDataFrame([(5, None, 5.0)], "k long, grp string, v double"),
+        p, mode="append", partition_by=["grp"],
+    )
+    delete_deltalake_py(p, spark, "k = 4")  # v3: cdc delete (grp='a')
+    update_deltalake_py(p, spark, {"v": "v + 10"}, "grp is null")  # v4: pre/post
+    merge_deltalake_py(
+        p, spark,
+        spark.createDataFrame([(1, "a", 100.0), (9, "z", 9.0)],
+                              "k long, grp string, v double"),
+        on="t.k = s.k",
+        when_matched_update={"v": "s.v"},
+    )  # v5: cdc update pre/post + insert
+    ch = table_changes_delta_py(p, spark, starting_version=2)
+    rows = {
+        (r["_commit_version"], r["_change_type"], r["k"], r["grp"], r["v"])
+        for r in ch.collect()
+    }
+    assert rows == {
+        (2, "insert", 5, None, 5.0),
+        (3, "delete", 4, "a", 4.0),
+        (4, "update_preimage", 3, None, 3.0),
+        (4, "update_preimage", 5, None, 5.0),
+        (4, "update_postimage", 3, None, 13.0),
+        (4, "update_postimage", 5, None, 15.0),
+        (5, "update_preimage", 1, "a", 1.0),
+        (5, "update_postimage", 1, "a", 100.0),
+        (5, "insert", 9, "z", 9.0),
+    }
+    # overwrite -> reconstruction: removes read from retired files with
+    # partition values recovered from the v5 state
+    write_deltalake_py(
+        spark.createDataFrame([(7, "c", 7.0)], "k long, grp string, v double"),
+        p, mode="overwrite", partition_by=["grp"],
+    )  # v6
+    v6 = table_changes_delta_py(p, spark, starting_version=6)
+    got = {(r["_change_type"], r["k"], r["grp"]) for r in v6.collect()}
+    assert ("insert", 7, "c") in got
+    assert ("delete", 3, None) in got and ("delete", 1, "a") in got
+    assert sum(1 for t, _k, _g in got if t == "delete") == 5
