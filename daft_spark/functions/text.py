@@ -185,3 +185,141 @@ def tokenize_decode(col: Column, tokenizer: str = "cl100k_base"):
         return pd.Series([enc.decode(list(x)) if x is not None else None for x in s])
 
     return _dec(col)
+
+
+# ---------------------------------------------------------------------------
+# Document-quality rule sets (Gopher / C4) + repetition + PII
+#
+# Published heuristics from the Gopher (Rae et al. 2021, Appendix A1.1)
+# and C4 (Raffel et al. 2020, §2.2) corpus-cleaning pipelines,
+# re-expressed as pure Column expressions (no Python UDFs) so they fuse
+# into whole-stage codegen and hold at 100 TB. Each returns a struct of
+# per-rule booleans plus the overall keep/drop decision so pipelines
+# can both filter and audit WHICH rule fired.
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def lines(col: Column) -> Column:
+    """Physical lines of the document (newline split)."""
+    return F.split(col, "\n")
+
+
+def duplicate_line_fraction(col: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line —
+    Gopher's repetition signal at line granularity:
+    1 - distinct_lines / lines."""
+    ls = lines(col)
+    return F.lit(1.0) - (
+        F.size(F.array_distinct(ls)).cast("double")
+        / F.greatest(F.size(ls).cast("double"), F.lit(1.0))
+    )
+
+
+def gopher_rules(
+    col: Column, min_words: int = 50, max_words: int = 100_000
+) -> Column:
+    """Gopher document-quality rules as a struct of booleans:
+
+    - word_count_ok: word count in [min_words, max_words]
+    - mean_word_length_ok: mean word length in [3, 10]
+    - symbol_ratio_ok: (# chars + '...' runs) / words <= 0.1
+    - bullet_ok: <= 90% of lines start with a bullet marker
+    - ellipsis_ok: <= 30% of lines end with an ellipsis
+    - alpha_ok: >= 80% of words contain at least one letter
+    - stopword_ok: document contains >= 2 distinct Gopher stopwords
+    - keep: all of the above
+    """
+    toks = words(col)
+    n_words = F.size(toks).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1.0))
+    mwl = mean_word_length(col)
+    hashes = F.length(F.translate(col, "#", "")).cast("double")
+    n_hash = F.length(col).cast("double") - hashes
+    n_ellipsis = F.regexp_count(col, F.lit(r"\.\.\.")).cast("double")
+    ls = lines(col)
+    n_lines = F.greatest(F.size(ls).cast("double"), F.lit(1.0))
+    bullet_lines = F.size(
+        F.filter(ls, lambda l: l.rlike(r"^(•|- |\* )"))
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(ls, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    rules = {
+        "word_count_ok": (n_words >= float(min_words)) & (n_words <= float(max_words)),
+        "mean_word_length_ok": (mwl >= 3.0) & (mwl <= 10.0),
+        "symbol_ratio_ok": ((n_hash + n_ellipsis) / safe_words) <= 0.1,
+        "bullet_ok": (bullet_lines / n_lines) <= 0.9,
+        "ellipsis_ok": (ellipsis_lines / n_lines) <= 0.3,
+        "alpha_ok": (alpha_words / safe_words) >= 0.8,
+        "stopword_ok": stop_hits >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return F.struct(
+        *[c.alias(name) for name, c in rules.items()], keep.alias("keep")
+    )
+
+
+def c4_rules(col: Column) -> Column:
+    """C4 document-cleaning rules as a struct of booleans:
+
+    - no_curly_brace: document contains no '{' (code removal)
+    - no_lorem_ipsum: no 'lorem ipsum' placeholder text
+    - min_sentences_ok: >= 3 sentence terminators
+    - terminal_punct_frac: fraction of lines ending in terminal
+      punctuation (C4 keeps only such lines; surfaced as a ratio)
+    - keep: the three boolean rules
+    """
+    low = F.lower(col)
+    no_curly = ~low.contains("{")
+    no_lorem = ~low.contains("lorem ipsum")
+    sentences = F.regexp_count(col, F.lit("[.!?]"))
+    ls = lines(col)
+    n_lines = F.greatest(F.size(ls).cast("double"), F.lit(1.0))
+    terminal = F.size(F.filter(ls, lambda l: l.rlike("[.!?]$"))).cast("double")
+    keep = no_curly & no_lorem & (sentences >= 3)
+    return F.struct(
+        no_curly.alias("no_curly_brace"),
+        no_lorem.alias("no_lorem_ipsum"),
+        (sentences >= 3).alias("min_sentences_ok"),
+        (terminal / n_lines).alias("terminal_punct_frac"),
+        keep.alias("keep"),
+    )
+
+
+# PII patterns: RE2-compatible (the same literal pattern runs in Spark's
+# Java regex and the DuckDB oracle's RE2) — no lookarounds, no \b-free
+# ambiguity beyond what both engines share.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-category PII match counts (email, ipv4, phone,
+    ssn) — the audit side of a scrubbing pipeline."""
+    return F.struct(
+        *[
+            F.regexp_count(col, F.lit(pat)).alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def redact_pii(col: Column, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement``. Order matters:
+    ssn/phone run before ipv4 so digit runs are claimed by the most
+    specific pattern first (ipv4 would otherwise eat 123-45 fragments
+    left by partial overlaps)."""
+    out = col
+    for name in ("email", "ssn", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], replacement)
+    return out

@@ -670,3 +670,54 @@ def near_dup_resolve(
     return duplicate_clusters(
         df, star.unionAll(rep_pairs), id_col, max_iterations=max_iterations
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination check: flag every corpus document
+    sharing at least one k-token shingle with an evaluation benchmark
+    (the n-gram-overlap contamination rule of published LLM training
+    pipelines — GPT-3 Appendix C / PaLM use 8-13-gram variants of
+    exactly this test). Returns (id_col, n_overlap, contaminated) —
+    n_overlap counts the DISTINCT shared shingles.
+
+    Scale shape: eval benchmarks are tiny next to a 100 TB corpus, so
+    the benchmark side reduces to a DISTINCT set of 64-bit shingle
+    hashes and BROADCASTS; the corpus side explodes to (id, hash)
+    keys-only rows (the shingle_hashes codegen path, unfolded to the
+    full 64 bits so collision-induced false positives are ~n/2^64) and
+    left-semi-joins executor-side. No corpus-side payload shuffle; the
+    only exchange is the per-doc count keyed by id."""
+
+    def _hashes(df: DataFrame) -> DataFrame:
+        toks = _spread(df).select(
+            F.col(id_col).alias("__id"), tokens_of(F.col(text_col)).alias("__ts")
+        )
+        ex = toks.select("__id", "__ts", F.posexplode("__ts").alias("__p", "__t"))
+        neigh = [
+            F.coalesce(F.get("__ts", F.col("__p") + j), F.lit(""))
+            for j in range(1, shingle_k)
+        ]
+        return ex.select("__id", F.xxhash64(F.col("__t"), *neigh).alias("__h"))
+
+    bmark_set = _hashes(bench).select("__h").distinct()
+    per_doc = (
+        _hashes(docs)
+        .join(F.broadcast(bmark_set), "__h", "left_semi")
+        .groupBy("__id")
+        .agg(F.count_distinct("__h").alias("__n"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("__id", id_col), [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -64,8 +64,11 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # optimize,cdf,merge}, lake_maintenance, lake_iceberg_{schema_evolution,
 # partition_evolution,stats? (already in), compaction,refs,
 # metadata_tables,upsert}, sql_{unity,glue,s3tables}_catalog,
-# dedup_embedding_{resolve,lsh}, io_text_roundtrip follow-ons. All are
-# oracle-green in pytest this round.
+# dedup_embedding_{resolve,lsh}, io_text_roundtrip follow-ons, and the
+# late-r7 corpus-pipeline set: text_gopher_rules, text_c4_rules,
+# text_pii_scrub, text_repetition, dedup_contamination, plus
+# lake_delta_cdf re-verification (partitioned-table cdc landed after
+# its row). All are oracle-green in pytest this round.
 # Round-7 rotation (frozen at round start per the r6 verdict's hygiene
 # note — no additions after this commit land in the 50-row window):
 # first the 8 round-6 queries the driver never saw (added after the r6

@@ -434,3 +434,46 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ge_095"),
         )
     )
+
+
+@register(
+    "dedup_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)+1),
+                i -> t[i] || chr(31) || coalesce(t[i+1],'') || chr(31) || coalesce(t[i+2],''))) AS s
+      FROM toks),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 41 = 0),
+    hits AS (
+      SELECT d.doc_id, count(DISTINCT d.g) AS n_overlap
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh) d
+      JOIN bench USING (g)
+      GROUP BY d.doc_id)
+    SELECT s.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 Appendix C / PaLM n-gram
+    overlap rule): every document sharing a 3-token shingle with the
+    'benchmark' slice (doc_id % 41 == 0 — stands in for an eval set)
+    is flagged, with the count of distinct shared shingles. The
+    benchmark side broadcasts as a distinct 64-bit hash set; the oracle
+    recomputes the overlap exactly over the string shingles."""
+    from daft_spark.operators.dedup import benchmark_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    return benchmark_contamination(d, bench, "text", "doc_id", shingle_k=3).orderBy(
+        "doc_id"
+    )

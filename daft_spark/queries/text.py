@@ -226,3 +226,283 @@ def text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sw_bucket", F.round(stopword_ratio(F.col("text")), 2)
     )
     return d.groupBy("sw_bucket").agg(F.count(F.lit(1)).alias("n")).orderBy("sw_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 document-quality rules, repetition, PII, contamination.
+#
+# The synthetic corpus is punctuation-free word salad, so these queries
+# first derive an ENRICHED document deterministically from (text,
+# doc_id) — the identical derivation in Spark and the DuckDB oracle
+# (the established fixture pattern: the derivation is part of the query
+# contract, the rule engine is what's under test).
+
+
+def _enrich(d):
+    """text + deterministic structural blocks keyed by doc_id: bullets,
+    ellipses, lorem-ipsum, code braces, markdown hashes, PII strings,
+    duplicated lines, and a terminal three-sentence closer."""
+    did = F.col("doc_id")
+
+    def when_mod(m, s):
+        return F.when(did % m == 0, F.lit(s)).otherwise(F.lit(""))
+
+    return d.withColumn(
+        "doc2",
+        F.concat(
+            F.col("text"),
+            when_mod(3, "\n• bullet item one\n• bullet item two"),
+            when_mod(4, "\nto be continued..."),
+            when_mod(5, "\nlorem ipsum dolor sit amet"),
+            when_mod(9, "\nfunction() { return 0; }"),
+            when_mod(7, "\n### header ###"),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit("\ncontact user"),
+                    did.cast("string"),
+                    F.lit("@example.com ip 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".77 call +555 123-4567 ssn 123-45-6789"),
+                ),
+            ).otherwise(F.lit("")),
+            when_mod(6, "\nrepeated line\nrepeated line"),
+            F.lit("\nThis is a closing sentence. It has three parts. Done?"),
+        ),
+    )
+
+
+# The same derivation as a DuckDB CTE (chr(10) newlines, chr(8226) = •).
+_ENRICH_SQL = """
+  SELECT *, text
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(8226) || ' bullet item one' || chr(10) || chr(8226) || ' bullet item two' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet' ELSE '' END
+    || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'function() { return 0; }' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '### header ###' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77 call +555 123-4567 ssn 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'repeated line' || chr(10) || 'repeated line' ELSE '' END
+    || chr(10) || 'This is a closing sentence. It has three parts. Done?' AS doc2
+  FROM documents
+"""
+
+_TOKS2_SQL = "regexp_extract_all(lower(doc2), '[a-z0-9]+')"
+_LINES2_SQL = "string_split(doc2, chr(10))"
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH e AS ({_ENRICH_SQL}),
+    m AS (
+      SELECT lang,
+        {_TOKS2_SQL} AS toks,
+        {_LINES2_SQL} AS ls,
+        CAST(coalesce(list_sum(list_transform({_TOKS2_SQL}, x -> length(x))), 0) AS DOUBLE)
+          / greatest(len({_TOKS2_SQL}), 1) AS mwl,
+        CAST(length(doc2) - length(replace(doc2, '#', ''))
+             + len(regexp_extract_all(doc2, '\\.\\.\\.')) AS DOUBLE) AS n_sym,
+        doc2
+      FROM e),
+    r AS (
+      SELECT lang,
+        len(toks) >= 30 AND len(toks) <= 100000 AS word_count_ok,
+        mwl >= 3.0 AND mwl <= 10.0 AS mean_word_length_ok,
+        n_sym / greatest(len(toks), 1) <= 0.1 AS symbol_ratio_ok,
+        CAST(len(list_filter(ls, x -> regexp_matches(x, '^({chr(8226)}|- |\\* )'))) AS DOUBLE)
+          / greatest(len(ls), 1) <= 0.9 AS bullet_ok,
+        CAST(len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|{chr(8230)})$'))) AS DOUBLE)
+          / greatest(len(ls), 1) <= 0.3 AS ellipsis_ok,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / greatest(len(toks), 1) >= 0.8 AS alpha_ok,
+        len(list_intersect(list_distinct(toks),
+            ['the','be','to','of','and','that','have','with'])) >= 2 AS stopword_ok
+      FROM m)
+    SELECT lang,
+      CAST(sum(CASE WHEN word_count_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count_ok,
+      CAST(sum(CASE WHEN mean_word_length_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl_ok,
+      CAST(sum(CASE WHEN symbol_ratio_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_ok,
+      CAST(sum(CASE WHEN bullet_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_ok,
+      CAST(sum(CASE WHEN ellipsis_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_ok,
+      CAST(sum(CASE WHEN alpha_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
+      CAST(sum(CASE WHEN stopword_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok,
+      CAST(sum(CASE WHEN word_count_ok AND mean_word_length_ok AND symbol_ratio_ok
+                     AND bullet_ok AND ellipsis_ok AND alpha_ok AND stopword_ok
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      CAST(count(*) AS BIGINT) AS n_docs
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (Rae et al. 2021, A1.1) document-quality rules over the
+    enriched corpus: per-language counts of documents passing each rule
+    and all rules. Pure Column expressions (functions/text.py
+    gopher_rules) — the oracle restates every rule formula in SQL."""
+    from daft_spark.functions.text import gopher_rules
+
+    d = _enrich(_docs(spark, sf_dir)).select(
+        "lang", gopher_rules(F.col("doc2"), min_words=30).alias("g")
+    )
+
+    def n_of(field, alias):
+        return (
+            F.sum(F.when(F.col(f"g.{field}"), 1).otherwise(0))
+            .cast("long")
+            .alias(alias)
+        )
+
+    return (
+        d.groupBy("lang")
+        .agg(
+            n_of("word_count_ok", "n_word_count_ok"),
+            n_of("mean_word_length_ok", "n_mwl_ok"),
+            n_of("symbol_ratio_ok", "n_symbol_ok"),
+            n_of("bullet_ok", "n_bullet_ok"),
+            n_of("ellipsis_ok", "n_ellipsis_ok"),
+            n_of("alpha_ok", "n_alpha_ok"),
+            n_of("stopword_ok", "n_stopword_ok"),
+            n_of("keep", "n_keep"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_c4_rules",
+    f"""
+    WITH e AS ({_ENRICH_SQL}),
+    r AS (
+      SELECT lang,
+        NOT contains(lower(doc2), '{{') AS no_curly,
+        NOT contains(lower(doc2), 'lorem ipsum') AS no_lorem,
+        len(regexp_extract_all(doc2, '[.!?]')) >= 3 AS min_sent,
+        CAST(len(list_filter({_LINES2_SQL}, x -> regexp_matches(x, '[.!?]$'))) AS DOUBLE)
+          / greatest(len({_LINES2_SQL}), 1) AS term_frac
+      FROM e)
+    SELECT lang,
+      CAST(sum(CASE WHEN no_curly THEN 1 ELSE 0 END) AS BIGINT) AS n_no_curly,
+      CAST(sum(CASE WHEN no_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lorem,
+      CAST(sum(CASE WHEN min_sent THEN 1 ELSE 0 END) AS BIGINT) AS n_min_sentences,
+      avg(term_frac) AS avg_terminal_frac,
+      CAST(sum(CASE WHEN no_curly AND no_lorem AND min_sent THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      CAST(count(*) AS BIGINT) AS n_docs
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (Raffel et al. 2020, 2.2) cleaning rules over the enriched
+    corpus: curly-brace / lorem-ipsum / sentence-count filters plus the
+    terminal-punctuation line ratio, aggregated per language."""
+    from daft_spark.functions.text import c4_rules
+
+    d = _enrich(_docs(spark, sf_dir)).select(
+        "lang", c4_rules(F.col("doc2")).alias("c")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("c.no_curly_brace"), 1).otherwise(0))
+            .cast("long").alias("n_no_curly"),
+            F.sum(F.when(F.col("c.no_lorem_ipsum"), 1).otherwise(0))
+            .cast("long").alias("n_no_lorem"),
+            F.sum(F.when(F.col("c.min_sentences_ok"), 1).otherwise(0))
+            .cast("long").alias("n_min_sentences"),
+            F.avg(F.col("c.terminal_punct_frac")).alias("avg_terminal_frac"),
+            F.sum(F.when(F.col("c.keep"), 1).otherwise(0))
+            .cast("long").alias("n_keep"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# PII patterns restated for the oracle (RE2 == Java semantics for these
+# character-class patterns); the redaction chain applies in the same
+# order with DuckDB's 'g' flag (replace-all, Spark's default).
+_PII_SQL = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone": "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}",
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+}
+_REDACT_SQL = "doc2"
+for _name in ("email", "ssn", "phone", "ipv4"):
+    _REDACT_SQL = (
+        f"regexp_replace({_REDACT_SQL}, '{_PII_SQL[_name]}', '[PII]', 'g')"
+    )
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH e AS ({_ENRICH_SQL})
+    SELECT source,
+      CAST(sum(len(regexp_extract_all(doc2, '{_PII_SQL["email"]}'))) AS BIGINT) AS n_email,
+      CAST(sum(len(regexp_extract_all(doc2, '{_PII_SQL["ipv4"]}'))) AS BIGINT) AS n_ipv4,
+      CAST(sum(len(regexp_extract_all(doc2, '{_PII_SQL["phone"]}'))) AS BIGINT) AS n_phone,
+      CAST(sum(len(regexp_extract_all(doc2, '{_PII_SQL["ssn"]}'))) AS BIGINT) AS n_ssn,
+      CAST(sum(length(doc2) - length({_REDACT_SQL})) AS BIGINT) AS redacted_delta
+    FROM e GROUP BY source ORDER BY source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit per source: per-category match
+    counts (pii_counts) and the total character delta after redact_pii
+    — the oracle recomputes both with the identical patterns and
+    replacement chain, so a pattern or ordering drift hash-mismatches."""
+    from daft_spark.functions.text import pii_counts, redact_pii
+
+    d = _enrich(_docs(spark, sf_dir)).select(
+        "source",
+        pii_counts(F.col("doc2")).alias("p"),
+        (F.length("doc2") - F.length(redact_pii(F.col("doc2")))).alias("delta"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum("p.email").cast("long").alias("n_email"),
+            F.sum("p.ipv4").cast("long").alias("n_ipv4"),
+            F.sum("p.phone").cast("long").alias("n_phone"),
+            F.sum("p.ssn").cast("long").alias("n_ssn"),
+            F.sum("delta").cast("long").alias("redacted_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH e AS ({_ENRICH_SQL}),
+    m AS (
+      SELECT lang,
+        1.0 - CAST(len(list_distinct({_LINES2_SQL})) AS DOUBLE)
+              / greatest(len({_LINES2_SQL}), 1) AS dup_frac
+      FROM e)
+    SELECT lang,
+      avg(dup_frac) AS avg_dup_line_frac,
+      CAST(sum(CASE WHEN dup_frac > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_dups,
+      CAST(count(*) AS BIGINT) AS n_docs
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signal: per-language mean duplicate-line
+    fraction and how many documents contain any duplicated line."""
+    from daft_spark.functions.text import duplicate_line_fraction
+
+    d = _enrich(_docs(spark, sf_dir)).select(
+        "lang", duplicate_line_fraction(F.col("doc2")).alias("dup_frac")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.avg("dup_frac").alias("avg_dup_line_frac"),
+            F.sum(F.when(F.col("dup_frac") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_dups"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -405,3 +405,18 @@ def test_q5_lineitem_first_join_is_broadcast(spark):
     assert li, plan
     above = [ln for ln in reversed(lines[: li[0]]) if "Join" in ln]
     assert above and "BroadcastHashJoin" in above[0], plan
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """benchmark_contamination: the benchmark shingle set must
+    BROADCAST into a LeftSemi hash join (keys-only corpus explode, no
+    payload shuffle of the corpus side against the benchmark)."""
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.dedup import benchmark_contamination
+    from daft_spark.io.readers import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = benchmark_contamination(d, d.filter(F.col("doc_id") % 41 == 0))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
