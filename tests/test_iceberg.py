@@ -1542,3 +1542,76 @@ def test_iceberg_stream_delete_snapshot_policy(spark, tmp_path):
     )
     files = r2._appended_files(1, 3)
     assert files and all(p.endswith(".parquet") for p, _s in files)
+
+
+def test_iceberg_feature_composition_stress(spark, tmp_path):
+    """Stacked-feature interaction test: identity partitioning ->
+    schema evolution (rename/add) -> evolved append -> tag -> equality
+    delete -> partition evolution (bucket) -> new-spec append ->
+    position delete -> compaction -> expiration. The table must read
+    correctly after every step, the tag must keep serving the
+    pre-delete state throughout, and compaction must not change
+    results. Interactions (old-spec manifests under a new default
+    spec, field-id resolution of pre-evolution files during the
+    merged-scan compaction, delete sequence ordering across specs)
+    only surface when the features stack."""
+    from daft_spark.io.iceberg import (
+        delete_iceberg_py,
+        evolve_iceberg_partition_spec,
+        evolve_iceberg_schema,
+        expire_iceberg_snapshots,
+        position_delete_iceberg_py,
+        read_iceberg_py,
+        rewrite_iceberg_data_files,
+        set_iceberg_ref,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "stress")
+    write_iceberg_py(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+            "k long, cat string, v long",
+        ),
+        p, mode="overwrite", partition_by=["cat"],
+    )
+    evolve_iceberg_schema(p, renames={"v": "val"}, add_columns=[("w", "double")])
+    write_iceberg_py(
+        spark.createDataFrame([(5, "c", 50, 1.5)], "k long, cat string, val long, w double"),
+        p, mode="append", partition_by=["cat"],
+    )
+    set_iceberg_ref(p, "pre-delete", ref_type="tag")
+    pre_delete_state = [
+        (1, "a", 10, None), (2, "a", 20, None), (3, "b", 30, None),
+        (4, "b", 40, None), (5, "c", 50, 1.5),
+    ]
+
+    def state(**kw):
+        return [
+            (r["k"], r["cat"], r["val"], r["w"])
+            for r in read_iceberg_py(p, spark, **kw).orderBy("k").collect()
+        ]
+
+    assert state() == pre_delete_state
+    delete_iceberg_py(spark.createDataFrame([(2,)], "k long"), p, equality_by=["k"])
+    assert state() == [x for x in pre_delete_state if x[0] != 2]
+    # partition evolution: future appends bucket on k, old files keep
+    # their identity(cat) spec
+    evolve_iceberg_partition_spec(p, ["bucket(4, k)"])
+    write_iceberg_py(
+        spark.createDataFrame([(6, "c", 60, 2.5)], "k long, cat string, val long, w double"),
+        p, mode="append",  # adopts the new default spec
+    )
+    position_delete_iceberg_py(p, spark, "k = 3")
+    expect = [(1, "a", 10, None), (4, "b", 40, None), (5, "c", 50, 1.5), (6, "c", 60, 2.5)]
+    assert state() == expect
+    # the tag still serves the pre-delete, pre-evolution-append state
+    assert state(ref="pre-delete") == pre_delete_state
+    # compaction materializes the deletes without changing results
+    res = rewrite_iceberg_data_files(p, spark, target_file_bytes=1 << 30)
+    assert res["removed"] >= 2
+    assert state() == expect
+    # expiration keeps the current snapshot and the tagged one
+    expire_iceberg_snapshots(p, keep_last=1)
+    assert state() == expect
+    assert state(ref="pre-delete") == pre_delete_state
