@@ -106,6 +106,11 @@ _MODULE_ALIASES = {
     "audio_metadata": ("daft_spark.multimodal.av", "audio_metadata"),
     "resample": ("daft_spark.multimodal.av", "resample"),
     "llm_generate": ("daft_spark.multimodal.llm", "llm_generate"),
+    "embed_text": ("daft_spark.multimodal.llm", "embed_text"),
+    "embed_image": ("daft_spark.multimodal.llm", "embed_image"),
+    "classify_text": ("daft_spark.multimodal.llm", "classify_text"),
+    "classify_image": ("daft_spark.multimodal.llm", "classify_image"),
+    "prompt": ("daft_spark.multimodal.llm", "prompt"),
     "download": ("daft_spark.multimodal.url", "download"),
     "upload": ("daft_spark.multimodal.url", "upload"),
     "run_process": ("daft_spark.functions.process", "run_process"),

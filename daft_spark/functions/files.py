@@ -114,3 +114,48 @@ def image_file_metadata(col) -> Column:
     struct's metadata fields (size + mime; pixel dims need a codec)."""
     return F.struct(file_size(_c(col)).alias("size"),
                     guess_mime_type(_c(col)).alias("mime"))
+
+
+def hdf5_file(col, verify: bool = False, io_config=None) -> Column:
+    """reference file_.py:80 hdf5_file — typed HDF5 file reference.
+    The struct plumbing is real; content verification needs h5py
+    (absent from this container), so verify=True is gated."""
+    if verify:
+        try:
+            import h5py  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "hdf5_file(verify=True) requires the h5py package"
+            ) from e
+    return _typed_file(col, "hdf5")
+
+
+def _hdf5_gate(name: str):
+    try:
+        import h5py  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            f"{name} requires the h5py package (reference functions/hdf5.py "
+            "reads HDF5 groups/attributes through h5py)"
+        ) from e
+
+
+def hdf5_keys(col, group: str = "/") -> Column:
+    """reference hdf5.py:36 hdf5_keys — object names under a group.
+    h5py-gated: no HDF5 runtime exists in this container."""
+    _hdf5_gate("hdf5_keys")
+    raise NotImplementedError("unreachable without h5py")  # pragma: no cover
+
+
+def hdf5_metadata(col, group: str = "/") -> Column:
+    """reference hdf5.py:81 hdf5_metadata — per-object metadata
+    (kind/shape/dtype) under a group. h5py-gated."""
+    _hdf5_gate("hdf5_metadata")
+    raise NotImplementedError("unreachable without h5py")  # pragma: no cover
+
+
+def hdf5_attrs(col, h5path: str = "/") -> Column:
+    """reference hdf5.py:114 hdf5_attrs — attribute dict at a path.
+    h5py-gated."""
+    _hdf5_gate("hdf5_attrs")
+    raise NotImplementedError("unreachable without h5py")  # pragma: no cover

@@ -165,3 +165,128 @@ def classify_text(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def embed_image(
+    df: DataFrame,
+    image_col: str,
+    out_col: str = "embedding",
+    provider_factory: Callable[[], object] = HashEmbedProvider,
+    provider: "str | object | None" = None,
+) -> DataFrame:
+    """Batched image embedding (reference embed_image, ai/:157).
+    Input is the binary image column (decoded pixels are the gated
+    multimodal/image.py stage); output array<float>. No vision runtime
+    exists in this container, so the default provider derives a
+    deterministic unit vector from the image BYTES — the pipeline
+    plumbing (per-executor singleton, Arrow batching, schema) is the
+    real thing and a real provider drops in via ``provider=``."""
+    provider_factory = _resolve_factory(provider, "get_image_embedder", provider_factory)
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, `{out_col}` array<float>"
+    key = f"iembed:{provider_factory.__module__}.{provider_factory.__qualname__}"
+
+    def _as_text(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, (bytes, bytearray)):
+            import hashlib
+
+            return hashlib.sha256(bytes(v)).hexdigest()
+        return str(v)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _singleton(key, provider_factory)
+        for pdf in batches:
+            pdf[out_col] = model.embed([_as_text(v) for v in pdf[image_col]])
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def classify_image(
+    df: DataFrame,
+    image_col: str,
+    labels: list[str],
+    out_col: str = "label",
+    provider_factory: Callable[[], object] | None = None,
+    provider: "str | object | None" = None,
+) -> DataFrame:
+    """Batched zero-shot image classification (reference
+    classify_image, ai/:329): most-probable label per image. Default
+    deterministic provider scores hash-derived image vectors against
+    label embeddings — same contract as classify_text."""
+    if provider is not None:
+        provider_factory = _resolve_factory(
+            provider, "get_image_classifier", provider_factory
+        )
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, `{out_col}` string"
+    factory = provider_factory or HashEmbedProvider
+    key = f"iclf:{factory.__module__}.{factory.__qualname__}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        model = _singleton(key, factory)
+        label_vecs = model.embed(labels)
+        for pdf in batches:
+            texts = [
+                hashlib.sha256(bytes(v)).hexdigest()
+                if isinstance(v, (bytes, bytearray))
+                else str(v or "")
+                for v in pdf[image_col]
+            ]
+            vecs = model.embed(texts)
+            preds = []
+            for v in vecs:
+                scores = [sum(a * b for a, b in zip(v, lv)) for lv in label_vecs]
+                preds.append(labels[max(range(len(labels)), key=scores.__getitem__)])
+            pdf[out_col] = preds
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def prompt(
+    df: DataFrame,
+    message_cols: "list[str] | str",
+    out_col: str = "response",
+    system_message: str | None = None,
+    provider_factory: Callable[[], object] = EchoProvider,
+    provider: "str | object | None" = None,
+    batch_size: int | None = None,
+) -> DataFrame:
+    """Batched multi-message prompting (reference prompt, ai/:453):
+    each row's message columns concatenate (system message first) into
+    one model prompt; output is the response string. The reference's
+    structured-output/multimodal message handling belongs to the real
+    provider; the dataframe contract (message assembly, batching,
+    1:1 cardinality) is what this operator owns."""
+    provider_factory = _resolve_factory(provider, "get_prompter", provider_factory)
+    cols = [message_cols] if isinstance(message_cols, str) else list(message_cols)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"prompt message columns not in frame: {missing}")
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, `{out_col}` string"
+    key = f"prompt:{provider_factory.__module__}.{provider_factory.__qualname__}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _singleton(key, provider_factory)
+        for pdf in batches:
+            prompts = []
+            for i in range(len(pdf)):
+                parts = [] if system_message is None else [system_message]
+                parts.extend(str(pdf[c].iloc[i]) for c in cols)
+                prompts.append("\n".join(parts))
+            if batch_size:
+                outs: list[str] = []
+                for i in range(0, len(prompts), batch_size):
+                    outs.extend(model.generate(prompts[i : i + batch_size]))
+            else:
+                outs = model.generate(prompts)
+            pdf[out_col] = outs
+            yield pdf
+
+    return df.mapInPandas(run, schema)

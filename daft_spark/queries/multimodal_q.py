@@ -159,3 +159,87 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fr = video_frames(b, "path", "payload", sample_every=10, deterministic_fake=True)
     return fr.groupBy("path").agg(F.count(F.lit(1)).alias("n_frames")).orderBy("path")
+
+
+@register(
+    "mm_prompt",
+    """
+    SELECT doc_id,
+           'echo:' || reverse(substr('classify the document' || chr(10) || text, 1, 48)) AS response
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prompt operator (reference ai/prompt :453): system message +
+    per-row message columns assembled into one model call. The
+    deterministic EchoProvider (echo: + reversed 48-char prefix) is
+    restated EXACTLY by the oracle, so message assembly, ordering and
+    1:1 cardinality all hash-match."""
+    from daft_spark.multimodal.llm import prompt
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = prompt(d, ["text"], system_message="classify the document")
+    return p.select("doc_id", "response").orderBy("doc_id")
+
+
+@register(
+    "mm_embed_image",
+    """
+    WITH h AS (SELECT doc_id, sha256(sha256(text)) AS hx FROM documents),
+    b AS (SELECT doc_id, list_transform(range(1, 17), i ->
+           (strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) AS bs FROM h),
+    v AS (SELECT doc_id, list_transform(bs, x -> (x / 255.0) * 2 - 1) AS raw FROM b),
+    n AS (SELECT doc_id, raw,
+                 sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM v)
+    SELECT doc_id, 16 AS dim,
+           raw[1] / nrm AS v_first, raw[8] / nrm AS v_mid, raw[16] / nrm AS v_last
+    FROM n ORDER BY doc_id
+    """,
+)
+def mm_embed_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embed_image operator (reference ai/embed_image :157) over binary
+    payloads (utf8 document bytes stand in for image bytes — the codec
+    stage is the gated fake). The deterministic provider chain
+    (bytes -> sha256 hex -> sha256 digest -> 16-dim unit vector) is
+    restated EXACTLY by the oracle via hex-nibble arithmetic, so this
+    is a value-level check of the whole mapInPandas path, not just an
+    invariant."""
+    from daft_spark.multimodal.llm import embed_image
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("img")
+    )
+    e = embed_image(d, "img")
+    return e.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("v_first"),
+        F.element_at("embedding", 8).cast("double").alias("v_mid"),
+        F.element_at("embedding", 16).cast("double").alias("v_last"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mm_classify_image",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS labels_valid
+    FROM documents
+    """,
+    comparable=False,
+)
+def mm_classify_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classify_image operator (reference ai/classify_image :329):
+    every document classified into a fixed label set; invariant checked
+    = cardinality preserved and every prediction is a valid label."""
+    from daft_spark.multimodal.llm import classify_image
+
+    labels = ["nature", "city", "people"]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("img")
+    )
+    c = classify_image(d, "img", labels)
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min(F.col("label").isin(labels)).alias("labels_valid"),
+    )

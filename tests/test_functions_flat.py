@@ -157,3 +157,26 @@ def test_spark_fallthrough_computes(spark):
     df = spark.createDataFrame([("AbC",)], "s string")
     assert df.select(fns.lower("s")).collect()[0][0] == "abc"
     assert df.select(fns.arccos(F.lit(1.0))).collect()[0][0] == 0.0
+
+
+def test_flat_namespace_resolves_every_reference_export_live():
+    """Enumerate the reference's flat functions __all__ LIVE and
+    resolve every name — static name lists drift when the reference
+    grows (the ai/hdf5 families did exactly that)."""
+    import re
+
+    src = open("/root/reference/daft/functions/__init__.py").read()
+    m = re.search(r"__all__\s*=\s*\[(.*?)\]", src, re.S)
+    assert m, "reference functions __all__ not found"
+    names = set(re.findall(r'"([A-Za-z_0-9]+)"', m.group(1)))
+    assert len(names) > 250
+    missing = sorted(n for n in names if not hasattr(fns, n))
+    assert not missing, f"unresolved reference function names: {missing}"
+
+
+def test_hdf5_family_gated_on_h5py():
+    from daft_spark.functions.files import hdf5_attrs, hdf5_keys, hdf5_metadata
+
+    for fn in (hdf5_keys, hdf5_metadata, hdf5_attrs):
+        with pytest.raises(ImportError, match="h5py"):
+            fn("path")

@@ -141,3 +141,34 @@ def test_stub_gates_raise_without_fake(spark, docs):
         decode_image(b, "payload")
     with pytest.raises(NotImplementedError):
         video_metadata(b, "doc_id", "payload")
+
+
+def test_embed_image_classify_image_prompt(spark):
+    """AI-function surface (reference ai/: embed_image :157,
+    classify_image :329, prompt :453): deterministic providers keep the
+    whole pipeline executable — per-executor singleton, Arrow batches,
+    1:1 cardinality, stable outputs across runs."""
+    from daft_spark.multimodal.llm import classify_image, embed_image, prompt
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imgbytes-a"), "what is this?"),
+         (2, bytearray(b"imgbytes-b"), "and this?")],
+        "id long, img binary, q string",
+    )
+    emb = embed_image(df, "img").orderBy("id").collect()
+    assert len(emb) == 2 and len(emb[0]["embedding"]) == 16
+    # determinism: same bytes -> same vector
+    again = embed_image(df, "img").orderBy("id").collect()
+    assert [r["embedding"] for r in again] == [r["embedding"] for r in emb]
+    assert emb[0]["embedding"] != emb[1]["embedding"]
+
+    cls = classify_image(df, "img", ["cat", "dog", "car"]).orderBy("id").collect()
+    assert all(r["label"] in {"cat", "dog", "car"} for r in cls)
+
+    pr = prompt(df, ["q"], system_message="sys").orderBy("id").collect()
+    assert all(r["response"].startswith("echo:") for r in pr)
+    # message assembly: system message participates in the prompt
+    pr2 = prompt(df, ["q"]).orderBy("id").collect()
+    assert pr[0]["response"] != pr2[0]["response"]
+    with pytest.raises(ValueError, match="not in frame"):
+        prompt(df, ["missing"])
