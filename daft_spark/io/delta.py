@@ -918,6 +918,19 @@ def write_deltalake_py(
                 f"partition columns {partition_by} do not match the table's "
                 f"existing partitioning {prior_parts}"
             )
+        if mode == "append" and map_mode is None:
+            # Delta schema enforcement: extra columns are rejected
+            # (delta-spark raises unless mergeSchema; silently dropping
+            # them on the pinned-schema read would lose data). Missing
+            # columns are fine — the reader fills nulls, the spec's
+            # nullable-column semantics.
+            table_cols = {f["name"] for f in json.loads(prior_schema_json)["fields"]}
+            extra = [c for c in df.columns if c not in table_cols]
+            if extra:
+                raise ValueError(
+                    f"append columns {extra} are not in the table schema "
+                    f"{sorted(table_cols)}; overwrite to change the schema"
+                )
 
     # Stage data files with Spark's parquet writer, then move them into
     # the table root under unique names (Delta data files are immutable
@@ -1368,6 +1381,20 @@ def optimize_deltalake_py(
     from pyspark.sql import functions as F
 
     _schema_json, _partition_cols, adds, _cfg, _proto = _replay_log_full(path)
+    # Pin each bin read to the table's PHYSICAL file schema: files
+    # written before a schema evolution lack later columns, and an
+    # unpinned multi-file read would adopt one file's schema and
+    # silently drop the others' columns from the rewrite.
+    _mode, _l2p, _p2l = _mapping_info(_schema_json, _cfg)
+    _part_logical = {_p2l.get(c, c) for c in (_partition_cols or [])}
+    _phys_fields = []
+    for f_ in StructType.fromJson(json.loads(_schema_json)).fields:
+        if f_.name in _part_logical:
+            continue  # partition columns are not in the data files
+        _phys_fields.append(
+            StructField(_l2p.get(f_.name, f_.name), f_.dataType, True)
+        )
+    _file_schema = StructType(_phys_fields)
     by_part: dict[tuple, list[tuple[str, dict]]] = {}
     for rel, add in adds.items():
         if int(add.get("size") or 0) >= target_file_bytes:
@@ -1396,7 +1423,9 @@ def optimize_deltalake_py(
     for bin_files in bins:
         rels = [rel for rel, _a in bin_files]
         dv_adds = {rel: a for rel, a in bin_files if a.get("deletionVector")}
-        scan = spark.read.parquet(*[os.path.join(path, r) for r in rels])
+        scan = spark.read.schema(_file_schema).parquet(
+            *[os.path.join(path, r) for r in rels]
+        )
         if dv_adds:
             dv_frame = _dv_positions_frame(spark, path, dv_adds)
             tagged = scan.select(

@@ -974,3 +974,53 @@ def test_cdf_partitioned_table(spark, tmp_path):
     assert ("insert", 7, "c") in got
     assert ("delete", 3, None) in got and ("delete", 1, "a") in got
     assert sum(1 for t, _k, _g in got if t == "delete") == 5
+
+
+def test_append_rejects_extra_columns(spark, tmp_path):
+    """Delta schema enforcement: appending a frame with columns the
+    table schema lacks must FAIL (the pinned-schema read would silently
+    drop the extra data); missing nullable columns append fine and read
+    as null."""
+    from daft_spark.io.delta import read_deltalake_py, write_deltalake_py
+
+    p = str(tmp_path / "enforce")
+    write_deltalake_py(
+        spark.createDataFrame([(1, "a")], "id long, s string"), p, mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        write_deltalake_py(
+            spark.createDataFrame([(2, "b", 9.5)], "id long, s string, extra double"),
+            p, mode="append",
+        )
+    write_deltalake_py(spark.createDataFrame([(3,)], "id long"), p, mode="append")
+    got = sorted(tuple(r) for r in read_deltalake_py(p, spark).collect())
+    assert got == [(1, "a"), (3, None)]
+
+
+def test_optimize_pins_schema_across_evolution(spark, tmp_path):
+    """OPTIMIZE over a column-mapped table whose bins mix files written
+    before and after an add-column evolution must keep the later
+    column (regression: the unpinned multi-file read adopted one
+    file's schema and dropped the other's column from the rewrite)."""
+    from daft_spark.io.delta import (
+        evolve_delta_schema,
+        optimize_deltalake_py,
+        read_deltalake_py,
+        set_column_mapping_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "optevo")
+    write_deltalake_py(
+        spark.createDataFrame([(1, "a")], "id long, s string"), p, mode="overwrite"
+    )
+    set_column_mapping_delta_py(p)
+    evolve_delta_schema(p, add_columns=[("w", "double")])
+    write_deltalake_py(
+        spark.createDataFrame([(2, "b", 2.5)], "id long, s string, w double"),
+        p, mode="append",
+    )
+    res = optimize_deltalake_py(p, spark, target_file_bytes=1 << 30)
+    assert res["removed"] >= 2 and res["added"] == 1
+    got = sorted(tuple(r) for r in read_deltalake_py(p, spark).collect())
+    assert got == [(1, "a", None), (2, "b", 2.5)]
