@@ -198,6 +198,24 @@ def write_hudi_py(
         raise FileExistsError(f"Hudi table already exists at {path}")
     if exists and mode == "ignore":
         return
+    if exists and mode == "append":
+        # Schema enforcement: the reader hands live files to one
+        # unpinned multi-file parquet scan, so a file with drifted
+        # columns would silently widen/narrow the table depending on
+        # which footer Spark samples. Reject any column-set mismatch
+        # (real Hudi reconciles schemas through its commit metadata;
+        # this bounded writer keeps them uniform instead).
+        import pyarrow.parquet as pq
+
+        live = _live_files(path)
+        if live:
+            table_cols = set(pq.ParquetFile(live[0]).schema_arrow.names)
+            if set(df.columns) != table_cols:
+                raise ValueError(
+                    f"append columns {sorted(df.columns)} do not match the "
+                    f"Hudi table schema {sorted(table_cols)}; use "
+                    'mode="overwrite" to change the schema'
+                )
 
     instant = time.strftime("%Y%m%d%H%M%S") + f"{int(time.time() * 1000) % 1000:03d}"
     prior_instants = _instants(path)

@@ -193,3 +193,28 @@ def test_hudi_as_of_time_travel(spark, tmp_path):
     # pinning before the first instant has no state
     with pytest.raises(ValueError, match="no completed commits"):
         read_hudi_py(p, spark, as_of="0")
+
+
+def test_hudi_append_rejects_schema_drift(spark, tmp_path):
+    """Appends with extra OR missing columns are rejected: the reader's
+    multi-file parquet scan needs uniform file schemas (an unpinned
+    scan samples one footer, silently dropping drifted columns)."""
+    import pytest
+
+    from daft_spark.io.hudi import read_hudi_py, write_hudi_py
+
+    p = str(tmp_path / "drift")
+    write_hudi_py(
+        spark.createDataFrame([(1, "a")], "id long, s string"), p, mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="do not match the Hudi table schema"):
+        write_hudi_py(
+            spark.createDataFrame([(2, "b", 1.5)], "id long, s string, w double"),
+            p, mode="append",
+        )
+    with pytest.raises(ValueError, match="do not match the Hudi table schema"):
+        write_hudi_py(spark.createDataFrame([(3,)], "id long"), p, mode="append")
+    write_hudi_py(
+        spark.createDataFrame([(4, "d")], "id long, s string"), p, mode="append"
+    )
+    assert read_hudi_py(p, spark).count() == 2
