@@ -1526,3 +1526,84 @@ def lake_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "lake_delta_cdf_partitioned",
+    """
+    WITH tagged AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 4 AS VARCHAR) END AS bucket
+      FROM orders
+    ),
+    live AS (SELECT * FROM tagged WHERE o_orderkey < 1200)
+    SELECT 'delete' AS change_type, bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM live WHERE o_totalprice < 50000 GROUP BY bucket
+    UNION ALL
+    SELECT 'insert', bucket, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM tagged WHERE o_orderkey >= 800 AND o_orderkey < 1200 GROUP BY bucket
+    UNION ALL
+    SELECT 'update_postimage', bucket, CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM live WHERE o_totalprice >= 200000 GROUP BY bucket
+    UNION ALL
+    SELECT 'update_preimage', bucket, CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM live WHERE o_totalprice >= 200000 GROUP BY bucket
+    ORDER BY change_type, bucket NULLS FIRST
+    """,
+)
+def lake_delta_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED on a PARTITIONED Delta table (late-r7: cdc
+    files under hive dirs with partitionValues, incl. a NULL partition
+    value): DELETE/UPDATE emit partitioned cdc, appends reconstruct as
+    inserts with partition values restored from their add actions. The
+    oracle restates every change class per partition bucket, so a
+    wrong or lost partition value hash-mismatches."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        delete_deltalake_py,
+        enable_cdf_delta_py,
+        table_changes_delta_py,
+        update_deltalake_py,
+        write_deltalake_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise((F.col("o_orderkey") % 4).cast("string"))
+        .alias("bucket"),
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_delta",
+        f"orders_cdf_part_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_deltalake_py(
+        o.filter(F.col("o_orderkey") < 800), path, partition_by=["bucket"]
+    )  # v0
+    enable_cdf_delta_py(path)  # v1
+    write_deltalake_py(  # v2: inserts (reconstructed from adds)
+        o.filter((F.col("o_orderkey") >= 800) & (F.col("o_orderkey") < 1200)),
+        path, mode="append", partition_by=["bucket"],
+    )
+    delete_deltalake_py(path, spark, "o_totalprice < 50000")  # v3: cdc
+    update_deltalake_py(  # v4: cdc pre+post
+        path, spark, {"o_totalprice": "o_totalprice + 1"},
+        "o_totalprice >= 200000",
+    )
+    return (
+        table_changes_delta_py(path, spark, starting_version=2)
+        .groupBy(F.col("_change_type").alias("change_type"), "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("change_type", F.col("bucket").asc_nulls_first())
+    )
