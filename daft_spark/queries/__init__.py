@@ -67,7 +67,9 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # dedup_embedding_{resolve,lsh}, io_text_roundtrip follow-ons, and the
 # late-r7 corpus-pipeline set: text_gopher_rules, text_c4_rules,
 # text_pii_scrub, text_repetition, dedup_contamination, mm_prompt,
-# mm_embed_image (exact sha256-chain oracle), mm_classify_image, plus
+# mm_embed_image (exact sha256-chain oracle), mm_classify_image,
+# pipeline_corpus_curation (whole-pipeline oracle),
+# lake_delta_cdf_partitioned, plus
 # lake_delta_cdf re-verification (partitioned-table cdc landed after
 # its row). All are oracle-green in pytest this round.
 # Round-7 rotation (frozen at round start per the r6 verdict's hygiene

@@ -506,3 +506,124 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_GOPHER_KEEP_SQL = f"""
+      (len({_TOKS2_SQL}) >= 30 AND len({_TOKS2_SQL}) <= 100000)
+      AND (CAST(coalesce(list_sum(list_transform({_TOKS2_SQL}, x -> length(x))), 0) AS DOUBLE)
+           / greatest(len({_TOKS2_SQL}), 1) BETWEEN 3.0 AND 10.0)
+      AND (CAST(length(doc2) - length(replace(doc2, '#', ''))
+                + len(regexp_extract_all(doc2, '\\.\\.\\.')) AS DOUBLE)
+           / greatest(len({_TOKS2_SQL}), 1) <= 0.1)
+      AND (CAST(len(list_filter({_LINES2_SQL}, x -> regexp_matches(x, '^({chr(8226)}|- |\\* )'))) AS DOUBLE)
+           / greatest(len({_LINES2_SQL}), 1) <= 0.9)
+      AND (CAST(len(list_filter({_LINES2_SQL}, x -> regexp_matches(x, '(\\.\\.\\.|{chr(8230)})$'))) AS DOUBLE)
+           / greatest(len({_LINES2_SQL}), 1) <= 0.3)
+      AND (CAST(len(list_filter({_TOKS2_SQL}, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+           / greatest(len({_TOKS2_SQL}), 1) >= 0.8)
+      AND (len(list_intersect(list_distinct({_TOKS2_SQL}),
+               ['the','be','to','of','and','that','have','with'])) >= 2)
+"""
+
+_C4_KEEP_SQL = """
+      NOT contains(lower(doc2), '{')
+      AND NOT contains(lower(doc2), 'lorem ipsum')
+      AND len(regexp_extract_all(doc2, '[.!?]')) >= 3
+"""
+
+_SHINGLE3_SQL = """
+      list_distinct(list_transform(range(1, len(t)+1),
+         i -> t[i] || chr(31) || coalesce(t[i+1],'') || chr(31) || coalesce(t[i+2],'')))
+"""
+
+
+@register(
+    "pipeline_corpus_curation",
+    f"""
+    WITH e AS ({_ENRICH_SQL}),
+    passed AS (
+      SELECT doc_id, lang, text FROM e
+      WHERE ({_GOPHER_KEEP_SQL}) AND ({_C4_KEEP_SQL})),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY text),
+    dsurv AS (SELECT p.* FROM passed p JOIN keepers USING (doc_id)),
+    norm AS (
+      SELECT doc_id, lang, text,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM dsurv),
+    bench_t AS (
+      SELECT string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents WHERE doc_id % 41 = 0),
+    bench_sh AS (SELECT DISTINCT unnest({_SHINGLE3_SQL}) AS g FROM bench_t),
+    cont AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, unnest({_SHINGLE3_SQL}) AS g FROM norm) d
+      JOIN bench_sh USING (g)),
+    clean AS (
+      SELECT n.* FROM norm n LEFT JOIN cont c ON n.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL),
+    s1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pass FROM passed GROUP BY lang),
+    s2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup FROM dsurv GROUP BY lang),
+    s3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_clean,
+                  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS tokens_clean
+           FROM clean GROUP BY lang)
+    SELECT l.lang,
+           coalesce(s1.n_pass, 0) AS n_pass,
+           coalesce(s2.n_dedup, 0) AS n_dedup,
+           coalesce(s3.n_clean, 0) AS n_clean,
+           coalesce(s3.tokens_clean, 0) AS tokens_clean
+    FROM (SELECT DISTINCT lang FROM documents) l
+    LEFT JOIN s1 ON l.lang = s1.lang
+    LEFT JOIN s2 ON l.lang = s2.lang
+    LEFT JOIN s3 ON l.lang = s3.lang
+    ORDER BY l.lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the flagship training-data shape:
+    quality rules (Gopher + C4) -> exact dedup (keep-min over hashed
+    text, keys-only exchange) -> benchmark decontamination (broadcast
+    shingle set) -> per-language survivor counts + token budget. Every
+    stage is the scale-correct operator the individual queries verify;
+    the oracle restates the WHOLE pipeline, so stage wiring (filter
+    before dedup, dedup before decontamination, bench drawn from the
+    full corpus) is part of the checked contract."""
+    from daft_spark.functions.text import c4_rules, gopher_rules, token_count
+    from daft_spark.operators.dedup import benchmark_contamination, exact_dedup
+
+    raw = _docs(spark, sf_dir)
+    bench = raw.filter(F.col("doc_id") % 41 == 0)
+    e = _enrich(raw).select(
+        "doc_id", "lang", "text",
+        gopher_rules(F.col("doc2"), min_words=30).alias("g"),
+        c4_rules(F.col("doc2")).alias("c"),
+    )
+    passed = e.filter(F.col("g.keep") & F.col("c.keep")).select(
+        "doc_id", "lang", "text"
+    )
+    dsurv = exact_dedup(passed, ["text"], "doc_id", keep="min")
+    cont = benchmark_contamination(dsurv, bench, "text", "doc_id", shingle_k=3)
+    clean = dsurv.join(
+        cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    langs = raw.select("lang").distinct()
+    s1 = passed.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_pass"))
+    s2 = dsurv.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_dedup"))
+    s3 = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clean"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("tokens_clean"),
+    )
+    return (
+        langs.join(s1, "lang", "left")
+        .join(s2, "lang", "left")
+        .join(s3, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_pass", F.lit(0)).alias("n_pass"),
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("tokens_clean", F.lit(0)).alias("tokens_clean"),
+        )
+        .orderBy("lang")
+    )
