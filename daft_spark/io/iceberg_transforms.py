@@ -105,10 +105,15 @@ def _to_long_form(v) -> int:
     if isinstance(v, int):
         return v
     if isinstance(v, datetime.datetime):
-        # microseconds from epoch (UTC when aware; as-is when naive)
+        # microseconds from epoch (UTC when aware; as-is when naive).
+        # Exact integer arithmetic: total_seconds() is a double whose
+        # ~2^-24 s resolution at epoch-scale magnitudes truncated some
+        # values one microsecond off — which would flip bucket hashes
+        # and stats bounds.
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        return int((v - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        d = v - datetime.datetime(1970, 1, 1)
+        return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
     if isinstance(v, datetime.date):
         return (v - _EPOCH).days
     raise TypeError(f"no Iceberg long form for {type(v).__name__}")

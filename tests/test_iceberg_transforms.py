@@ -147,3 +147,26 @@ def test_identity_temporal_literal_normalization():
     # incomparable pairs can't prove exclusion -> admit
     assert transform_admits("identity", "2024-01-01", "=", d) is True
     assert transform_admits("identity", 5, "=", "x") is True
+
+
+def test_timestamp_long_form_is_microsecond_exact():
+    """Regression: _to_long_form went through total_seconds() (a
+    double), truncating some values one microsecond off — flipping
+    bucket-transform hashes and stats bounds. Exact integer arithmetic
+    must roundtrip every microsecond, pre- and post-epoch."""
+    import datetime
+    import random
+
+    from daft_spark.io.iceberg_transforms import (
+        _to_long_form,
+        single_value_bytes,
+        single_value_decode,
+    )
+
+    rng = random.Random(7)
+    epoch = datetime.datetime(1970, 1, 1)
+    for _ in range(5000):
+        us = rng.randint(-(2**55), 2**55)
+        v = epoch + datetime.timedelta(microseconds=us)
+        assert _to_long_form(v) == us
+        assert single_value_decode(single_value_bytes(v, "timestamp"), "timestamp") == v
