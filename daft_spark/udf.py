@@ -23,13 +23,55 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf
 
 
-def func(return_dtype: str = "string", **_resource_opts):
+def func(
+    return_dtype: str = "string",
+    max_concurrency: int | None = None,
+    **_resource_opts,
+):
     """Row-wise scalar UDF (reference @daft.func). Arrow-optimized.
-    Resource options (cpus/gpus/max_concurrency) are accepted for API
+
+    ASYNC functions (reference udf/__init__.py:75 — 'Async row-wise')
+    are supported: decorating ``async def`` runs every row of an Arrow
+    batch concurrently on one event loop per batch, bounded by
+    ``max_concurrency`` (the reference's knob; default 64) — the shape
+    for IO-bound row work (HTTP fetches, model endpoints).
+    ``max_concurrency`` on a SYNC function is an error, as in the
+    reference. Other resource options (cpus/gpus) are accepted for API
     compatibility; on Spark they map to task-level scheduling configs,
     not per-UDF settings."""
 
     def deco(fn: Callable):
+        import inspect
+
+        if inspect.iscoroutinefunction(fn):
+            limit = max_concurrency or 64
+
+            def _run_batch(*cols: pd.Series) -> pd.Series:
+                import asyncio
+
+                async def _all():
+                    sem = asyncio.Semaphore(limit)
+
+                    async def one(args):
+                        async with sem:
+                            return await fn(*args)
+
+                    return await asyncio.gather(
+                        *[one(args) for args in zip(*cols)]
+                    )
+
+                out = asyncio.run(_all())
+                idx = cols[0].index if cols else None
+                return pd.Series(out, index=idx, dtype=object)
+
+            wrapped = pandas_udf(_run_batch, returnType=return_dtype)
+            wrapped.__daft_spark_udf__ = "func_async"
+            return wrapped
+        if max_concurrency is not None:
+            raise ValueError(
+                "max_concurrency is only valid for async functions "
+                "(reference @daft.func contract)"
+            )
         wrapped = udf(fn, returnType=return_dtype, useArrow=True)
         wrapped.__daft_spark_udf__ = "func"
         return wrapped

@@ -208,3 +208,30 @@ def test_dataframe_lakehouse_write_methods(spark, tmp_path):
         path = str(tmp_path / fmt)
         getattr(e, f"write_{'deltalake' if fmt == 'delta' else fmt}")(path)
         assert reader(path).count() == 25
+
+
+def test_async_func_udf(spark):
+    """@func over an async def (reference 'Async row-wise' mode):
+    rows of each Arrow batch run concurrently on one event loop,
+    bounded by max_concurrency; results align 1:1. max_concurrency on
+    a sync function raises (the reference contract)."""
+    import pytest
+
+    from daft_spark.udf import func
+
+    @func(return_dtype="long", max_concurrency=8)
+    async def slow_double(x):
+        import asyncio
+
+        await asyncio.sleep(0.001)
+        return x * 2
+
+    df = spark.range(50).select(F.col("id"), slow_double(F.col("id")).alias("d"))
+    rows = {r["id"]: r["d"] for r in df.collect()}
+    assert rows == {i: 2 * i for i in range(50)}
+
+    with pytest.raises(ValueError, match="only valid for async"):
+
+        @func(return_dtype="long", max_concurrency=4)
+        def sync_fn(x):
+            return x
