@@ -1107,11 +1107,29 @@ def _parse_partition_term(term: str, field_types: dict) -> dict:
     }
 
 
+def _parse_sort_term(term: str) -> dict:
+    """One sort_by term — "col", "col desc", "col asc nulls last" —
+    into the spec's sort-field shape (identity transform; spec default
+    null orders: nulls-first for asc, nulls-last for desc)."""
+    parts = term.strip().split()
+    col = parts[0]
+    rest = " ".join(p.lower() for p in parts[1:])
+    direction = "desc" if rest.startswith("desc") else "asc"
+    if "nulls last" in rest:
+        null_order = "nulls-last"
+    elif "nulls first" in rest:
+        null_order = "nulls-first"
+    else:
+        null_order = "nulls-first" if direction == "asc" else "nulls-last"
+    return {"col": col, "direction": direction, "null-order": null_order}
+
+
 def write_iceberg_py(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
     _upsert_by: list[str] | None = None,
     _publish: bool = True,
 ) -> dict | None:
@@ -1123,7 +1141,12 @@ def write_iceberg_py(
     ``months(col)``, ``years(col)``, see _parse_partition_term); data
     files keep the source columns (staged through partitionBy on
     derived columns) and each file's partition tuple is recorded in its
-    manifest entry."""
+    manifest entry. ``sort_by`` (["col", "col desc nulls last", ...])
+    records a SORT ORDER (spec §Sorting) in the table metadata and
+    physically sorts rows within each written file — tightening the
+    per-file lower/upper bounds the stats pruner consults, the reason
+    sorted layouts exist. Prior sort orders are carried forward;
+    equivalent orders reuse their order-id."""
     from urllib.parse import unquote
 
     from pyspark.sql import functions as F
@@ -1244,6 +1267,25 @@ def write_iceberg_py(
         staged = staged.withMetadata(fld["name"], {"parquet.field.id": fld["id"]})
     for t in terms:
         staged = staged.withColumn(f"_p_{t['name']}", t["expr"])
+    sort_terms = [_parse_sort_term(s) for s in (sort_by or [])]
+    for s in sort_terms:
+        if s["col"] not in {f["name"] for f in ice_schema["fields"]}:
+            raise ValueError(f"sort_by column {s['col']!r} not in schema")
+    if sort_terms:
+        def _sort_col(s):
+            c = F.col(s["col"])
+            if s["direction"] == "asc":
+                return c.asc_nulls_first() if s["null-order"] == "nulls-first" else c.asc_nulls_last()
+            return c.desc_nulls_first() if s["null-order"] == "nulls-first" else c.desc_nulls_last()
+
+        sort_cols = [_sort_col(s) for s in sort_terms]
+        if terms:
+            pcols = [F.col(f"_p_{t['name']}") for t in terms]
+            staged = staged.repartition(*pcols).sortWithinPartitions(
+                *[c.asc_nulls_first() for c in pcols], *sort_cols
+            )
+        else:
+            staged = staged.sortWithinPartitions(*sort_cols)
     writer = staged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*[f"_p_{t['name']}" for t in terms])
@@ -1437,6 +1479,29 @@ def write_iceberg_py(
         "summary": {"operation": "overwrite" if mode == "overwrite" else "append"},
         "schema-id": current_schema_id,
     }
+    # Sort orders are table state: carry prior orders forward; a
+    # sort_by matching an existing order reuses its id, a new shape
+    # appends with the next id and becomes the default.
+    sort_orders = list((prior or {}).get("sort-orders") or [{"order-id": 0, "fields": []}])
+    sort_order_id = (prior or {}).get("default-sort-order-id", 0)
+    if sort_terms:
+        want = [
+            {
+                "transform": "identity",
+                "source-id": schema_field_ids[s["col"]],
+                "direction": s["direction"],
+                "null-order": s["null-order"],
+            }
+            for s in sort_terms
+        ]
+        match = next(
+            (o for o in sort_orders if o.get("fields") == want), None
+        )
+        if match is not None:
+            sort_order_id = match["order-id"]
+        else:
+            sort_order_id = max(o.get("order-id", 0) for o in sort_orders) + 1
+            sort_orders.append({"order-id": sort_order_id, "fields": want})
     meta = {
         "format-version": 2,
         "table-uuid": prior["table-uuid"] if prior else str(uuid.uuid4()),
@@ -1449,8 +1514,8 @@ def write_iceberg_py(
         "default-spec-id": spec_id,
         "partition-specs": all_specs,
         "last-partition-id": max(last_pid, (prior or {}).get("last-partition-id", 999)),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": sort_order_id,
+        "sort-orders": sort_orders,
         "current-snapshot-id": snapshot_id,
         "snapshots": ((prior.get("snapshots", []) if prior else []) + [snapshot]),
         "snapshot-log": (

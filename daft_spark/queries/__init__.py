@@ -69,7 +69,7 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # text_pii_scrub, text_repetition, dedup_contamination, mm_prompt,
 # mm_embed_image (exact sha256-chain oracle), mm_classify_image,
 # pipeline_corpus_curation (whole-pipeline oracle),
-# lake_delta_cdf_partitioned, plus
+# lake_delta_cdf_partitioned, lake_iceberg_sorted (sort orders), plus
 # lake_delta_cdf re-verification (partitioned-table cdc landed after
 # its row). All are oracle-green in pytest this round.
 # Round-7 rotation (frozen at round start per the r6 verdict's hygiene

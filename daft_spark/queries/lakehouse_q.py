@@ -1607,3 +1607,60 @@ def lake_delta_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", F.col("bucket").asc_nulls_first())
     )
+
+
+@register(
+    "lake_iceberg_sorted",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey < 1200 ORDER BY o_orderkey
+    """,
+)
+def lake_iceberg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SORT ORDERS (spec §Sorting; late r7): sort_by records
+    the order in table metadata (order-id 1, identity/asc/nulls-first)
+    and physically sorts rows within each written file, so the
+    range-layout files carry tight o_orderkey bounds — asserted: the
+    metadata carries the sort order AND a range filter still prunes
+    files. The query returns the filtered slice against a plain SQL
+    oracle, so the sorted write path is value-verified end to end."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        _live_files_and_deletes,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg",
+        f"orders_sorted_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(
+        o.repartitionByRange(8, "o_orderkey"),
+        path, mode="overwrite", sort_by=["o_orderkey"],
+    )
+    meta = _latest_metadata(path)
+    order = next(
+        s for s in meta["sort-orders"]
+        if s["order-id"] == meta["default-sort-order-id"]
+    )
+    if not order["fields"] or order["fields"][0]["direction"] != "asc":
+        raise AssertionError(f"sort order not recorded: {meta['sort-orders']}")
+    total, _ = _live_files_and_deletes(meta, path, None, None)
+    kept, _ = _live_files_and_deletes(
+        meta, path, None, [("o_orderkey", "<", 1200)]
+    )
+    max_key = o.agg(F.max("o_orderkey")).first()[0]
+    if max_key >= 3000 and not (0 < len(kept) < len(total)):
+        raise AssertionError(
+            f"sorted-layout pruning failed: kept {len(kept)}/{len(total)}"
+        )
+    return (
+        read_iceberg_py(path, spark, filters=[("o_orderkey", "<", 1200)])
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
+        .orderBy("o_orderkey")
+    )

@@ -1615,3 +1615,58 @@ def test_iceberg_feature_composition_stress(spark, tmp_path):
     expire_iceberg_snapshots(p, keep_last=1)
     assert state() == expect
     assert state(ref="pre-delete") == pre_delete_state
+
+
+def test_iceberg_sort_orders(spark, tmp_path):
+    """sort_by records a spec §Sorting order in table metadata (carried
+    forward across commits; equivalent orders reuse their id) and
+    physically sorts rows within written files — tightening the
+    per-file stats bounds the pruner consults."""
+    import pyarrow.parquet as pq
+
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "sorted")
+    df = spark.range(1000).select(
+        (999 - F.col("id")).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_iceberg_py(df.repartition(4), p, mode="overwrite", sort_by=["k"])
+    meta = _latest_metadata(p)
+    assert meta["default-sort-order-id"] == 1
+    assert meta["sort-orders"][1]["fields"] == [
+        {"transform": "identity", "source-id": 1,
+         "direction": "asc", "null-order": "nulls-first"}
+    ]
+    # rows inside each data file are sorted by k
+    data_dir = os.path.join(p, "data")
+    files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        ks = pq.read_table(os.path.join(data_dir, f), columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
+    # append with the same order reuses id 1; with none keeps default
+    write_iceberg_py(
+        spark.range(1000, 1100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        p, mode="append", sort_by=["k"],
+    )
+    meta = _latest_metadata(p)
+    assert meta["default-sort-order-id"] == 1 and len(meta["sort-orders"]) == 2
+    assert read_iceberg_py(p, spark).count() == 1100
+    # a different shape appends a NEW order id
+    write_iceberg_py(
+        spark.range(2000, 2010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        p, mode="append", sort_by=["v desc", "k"],
+    )
+    meta = _latest_metadata(p)
+    assert meta["default-sort-order-id"] == 2 and len(meta["sort-orders"]) == 3
+    assert meta["sort-orders"][2]["fields"][0]["direction"] == "desc"
+    with pytest.raises(ValueError, match="sort_by column"):
+        write_iceberg_py(df, str(tmp_path / "bad"), sort_by=["missing"])
