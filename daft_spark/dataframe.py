@@ -380,13 +380,15 @@ class DataFrame:
         write_deltalake(self._sdf, path, write_mode=mode, partition_by=partition_by)
 
     def write_iceberg(self, table: str, mode: str = "append",
-                      partition_by: list[str] | None = None) -> None:
+                      partition_by: list[str] | None = None,
+                      sort_by: list[str] | None = None) -> None:
         """reference DataFrame.write_iceberg (dataframe.py:1330) —
         catalog tables via writeTo; filesystem paths via the
         pure-python v2 commit writer (io/iceberg.py)."""
         from daft_spark.io.writers import write_iceberg
 
-        write_iceberg(self._sdf, table, write_mode=mode, partition_by=partition_by)
+        write_iceberg(self._sdf, table, write_mode=mode,
+                      partition_by=partition_by, sort_by=sort_by)
 
     def write_hudi(self, path: str, mode: str = "append",
                    partition_by: list[str] | None = None) -> None:

@@ -95,7 +95,8 @@ def write_deltalake(df: DataFrame, path: str, write_mode: str = "append",
 
 
 def write_iceberg(df: DataFrame, table: str, write_mode: str = "append",
-                  partition_by: list[str] | None = None) -> None:
+                  partition_by: list[str] | None = None,
+                  sort_by: list[str] | None = None) -> None:
     """reference write_iceberg (dataframe.py:1330). A catalog table name
     goes through the session's Iceberg catalog (writeTo); a filesystem
     path (absolute, or an existing metadata/ dir) goes through the
@@ -105,7 +106,9 @@ def write_iceberg(df: DataFrame, table: str, write_mode: str = "append",
     if os.path.isabs(table) or os.path.isdir(os.path.join(table, "metadata")):
         from daft_spark.io.iceberg import write_iceberg_py
 
-        write_iceberg_py(df, table, mode=write_mode, partition_by=partition_by)
+        write_iceberg_py(
+            df, table, mode=write_mode, partition_by=partition_by, sort_by=sort_by
+        )
         return
     if write_mode == "append":
         df.writeTo(table).append()
