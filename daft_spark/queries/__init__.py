@@ -71,7 +71,10 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # pipeline_corpus_curation (whole-pipeline oracle),
 # lake_delta_cdf_partitioned, lake_iceberg_sorted (sort orders), plus
 # lake_delta_cdf re-verification (partitioned-table cdc landed after
-# its row). All are oracle-green in pytest this round.
+# its row), and the catalog-family completion set sql_paimon_catalog /
+# sql_postgres_catalog / sql_gravitino_catalog (all seven reference
+# catalog adapters now implemented). All are oracle-green in pytest
+# this round.
 # Round-7 rotation (frozen at round start per the r6 verdict's hygiene
 # note — no additions after this commit land in the 50-row window):
 # first the 8 round-6 queries the driver never saw (added after the r6

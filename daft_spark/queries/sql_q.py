@@ -463,3 +463,177 @@ def sql_s3tables_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n_regionkey")
             .select(F.col("n_regionkey").alias("region"), "n", "key_sum")
         )
+
+
+@register(
+    "sql_paimon_catalog",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(p_retailprice) AS DOUBLE), 2) AS retail
+    FROM part WHERE p_partkey <= 600
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def sql_paimon_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paimon filesystem-warehouse catalog end-to-end (reference
+    Catalog.from_paimon, daft/catalog/__paimon.py — pypaimon's
+    <wh>/<db>.db/<table> layout, which the reference's own file_io
+    listing walks at :202-238): create_namespace + a PRIMARY-KEY table,
+    upsert a slice through the Table handle (merge-on-read,
+    latest-sequence-wins), then read back through catalog resolution.
+    The upsert overwrites half the rows with their own values changed
+    by 0 (p_retailprice + 0), so the merged result must equal the raw
+    slice — the oracle restates it from raw parquet; a broken merge
+    (dup keys, lost rows) breaks count and hash."""
+    import shutil
+
+    from daft_spark.io.readers import load_table
+    from daft_spark.session import Catalog
+
+    wh = os.path.join(
+        "/tmp/daft_spark_paimon_wh", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    ).filter(F.col("p_partkey") <= 600)
+    cat = Catalog.from_paimon(wh, name="pmcat")
+    cat.create_namespace("tpch")
+    tbl = cat.create_table("tpch.parts", p, primary_key=["p_partkey"])
+    # upsert: rewrite the even keys with identical values — exercises
+    # the pk merge path without changing the expected result
+    tbl.write(p.filter(F.col("p_partkey") % 2 == 0), "append")
+    if cat.list_tables() != ["tpch.parts"]:
+        raise AssertionError(f"Paimon listTables wrong: {cat.list_tables()}")
+    if not tbl.is_primary_key_table or tbl.primary_keys != ["p_partkey"]:
+        raise AssertionError("Paimon table introspection wrong")
+    back = cat.read_table("tpch.parts")
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice").cast("double"), 2).alias("retail"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "sql_postgres_catalog",
+    """
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def sql_postgres_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postgres catalog statement surface end-to-end (reference
+    daft/catalog/__postgres.py:176-706 — CREATE SCHEMA / CREATE TABLE
+    DDL, information_schema existence+listing+columns queries, SELECT *
+    reads, sequential append): the exact SQL the reference composes via
+    psycopg.sql runs over a DB-API factory against DuckDB's
+    Postgres-dialect front end. Two tables are created and filled
+    executor-side, re-read through information_schema-derived schemas,
+    and joined. The oracle restates the join from raw parquet — a
+    mistyped column (schema walk), lost rows (append), or misquoted
+    identifier breaks the hash."""
+    import duckdb
+    import shutil
+
+    from daft_spark.io.readers import load_table
+    from daft_spark.session import Catalog
+
+    dbdir = os.path.join(
+        "/tmp/daft_spark_pg_wh", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(dbdir, ignore_errors=True)
+    os.makedirs(dbdir)
+    db = os.path.join(dbdir, "pg.duckdb")
+    cat = Catalog.from_postgres(connect=lambda: duckdb.connect(db), name="pgcat")
+    cat.create_namespace("tpch")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cat.create_table("tpch.nation", n)
+    cat.create_table("tpch.region", r)
+    if cat.list_tables("nation") != ["tpch.nation"]:
+        raise AssertionError(f"Postgres listTables wrong: {cat.list_tables()}")
+    ns = cat.table_schema("tpch.nation")
+    if [f.name for f in ns.fields] != ["n_nationkey", "n_name", "n_regionkey"]:
+        raise AssertionError(f"information_schema.columns walk wrong: {ns}")
+    # the join scans both tables concurrently from separate Python
+    # workers — DuckDB's cross-process concurrency contract is
+    # read-only connections, so the read phase gets its own factory
+    cat_ro = Catalog.from_postgres(
+        connect=lambda: duckdb.connect(db, read_only=True), name="pgcat_ro"
+    )
+    nb = cat_ro.read_table("tpch.nation")
+    rb = cat_ro.read_table("tpch.region")
+    return (
+        nb.join(rb, nb.n_regionkey == rb.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "sql_gravitino_catalog",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS balance
+    FROM customer WHERE c_custkey <= 1200
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def sql_gravitino_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Gravitino REST protocol end-to-end (reference
+    daft/catalog/__gravitino/_client.py — GET routes under
+    /api/metalakes/{ml}/..., identifier-list response shape, 1.0
+    storageLocations resolved through default-location-name, the
+    file:/ -> file:/// URL repair, simple-auth X-Gravitino-User
+    header, ICEBERG format dispatch): an in-process server fronts a
+    filesystem metalake holding an Iceberg table written by the
+    pure-Python writer; Catalog.from_gravitino lists
+    catalog/schema/table over the wire and reads the table back
+    through the Iceberg scan. The oracle restates the aggregate from
+    raw parquet — a protocol fault (wrong storageLocation, auth
+    bypass, broken dispatch) surfaces as a hash mismatch."""
+    import shutil
+
+    from daft_spark.io.gravitino_rest import GravitinoServer
+    from daft_spark.io.iceberg import write_iceberg_py
+    from daft_spark.io.readers import load_table
+    from daft_spark.session import Catalog
+
+    root = os.path.join(
+        "/tmp/daft_spark_grav_ml", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).filter(F.col("c_custkey") <= 1200)
+    os.makedirs(os.path.join(root, "lake", "sales"))
+    write_iceberg_py(c, os.path.join(root, "lake", "sales", "cust_slice"), mode="error")
+    with GravitinoServer(root, "prod_ml", username="daft") as srv:
+        cat = Catalog.from_gravitino(srv.uri, "prod_ml", username="daft")
+        if cat.list_catalogs() != ["lake"]:
+            raise AssertionError(f"Gravitino listCatalogs wrong: {cat.list_catalogs()}")
+        if cat.list_tables("lake.sales") != ["lake.sales.cust_slice"]:
+            raise AssertionError(f"Gravitino listTables wrong: {cat.list_tables()}")
+        back = cat.read_table("lake.sales.cust_slice")
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("c_acctbal").cast("double"), 2).alias("balance"),
+            )
+            .orderBy("c_mktsegment")
+        )

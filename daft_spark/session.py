@@ -101,6 +101,22 @@ class Table:
             "require the 'pyiceberg' package"
         )
 
+    @staticmethod
+    def from_paimon(table) -> "Table":
+        """reference Table.from_paimon (daft/catalog/__init__.py:968).
+        A filesystem table path (directory with schema/) binds to the
+        pure-Python Paimon reader/writer; pypaimon table objects need
+        that package."""
+        import os
+
+        if isinstance(table, str) and os.path.isdir(os.path.join(table, "schema")):
+            return _paimon_fs_table(os.path.basename(table.rstrip("/")), table)
+        raise ImportError(
+            "Table.from_paimon accepts a filesystem Paimon table path "
+            "(directory containing schema/); pypaimon table objects "
+            "require the 'pypaimon' package"
+        )
+
     def read(self) -> DataFrame:
         return self._read()
 
@@ -287,10 +303,66 @@ class Catalog:
         return S3TablesRestCatalog(table_bucket_arn, client, name)
 
     @staticmethod
-    def from_postgres(*_a, **_k):
+    def from_paimon(catalog, name: str = "paimon") -> "Catalog":
+        """reference Catalog.from_paimon (daft/catalog/__paimon.py:25,
+        __init__.py:389 — there wrapping a pypaimon catalog object).
+        Accepts a warehouse DIRECTORY (pypaimon's FileSystemCatalog
+        layout: ``<warehouse>/<db>.db/<table>`` with ``schema/`` marking
+        tables — the same layout the reference's file_io listing walks,
+        __paimon.py:202-238), read/written through the pure-Python
+        Paimon implementation every lake_paimon_* driver row verifies;
+        pypaimon catalog objects need that package."""
+        import os
+
+        if isinstance(catalog, str) and os.path.isdir(catalog):
+            return PaimonDirectoryCatalog(catalog, name)
         raise ImportError(
-            "Postgres attaches via JDBC: spark.read.format('jdbc') (see "
-            "daft_spark.io.readers.read_sql)"
+            "Catalog.from_paimon accepts a filesystem warehouse directory; "
+            "pypaimon catalog objects require the 'pypaimon' package"
+        )
+
+    @staticmethod
+    def from_postgres(connection_string=None, extensions=None, *,
+                      connect=None, name: str | None = None) -> "Catalog":
+        """reference Catalog.from_postgres (daft/catalog/__postgres.py:
+        176 — a catalog whose every operation issues SQL over a psycopg
+        connection: CREATE SCHEMA / CREATE TABLE DDL, information_schema
+        existence + listing queries, SELECT * reads). A
+        ``postgresql://`` connection string needs psycopg (absent from
+        this container). ``connect=`` accepts a zero-argument DB-API
+        connection factory and runs the SAME Postgres-dialect SQL over
+        it — the in-container proof is a DuckDB connection, whose SQL
+        front end accepts the catalog's entire statement surface
+        verbatim (CREATE SCHEMA, information_schema.schemata/tables/
+        columns, quoted identifiers)."""
+        if connect is not None:
+            from daft_spark.io.pg_catalog import DbapiPostgresCatalog
+
+            return DbapiPostgresCatalog(connect, name=name or "postgres")
+        raise ImportError(
+            "Catalog.from_postgres with a connection string requires the "
+            "'psycopg' package; pass connect=<zero-arg DB-API connection "
+            "factory> (e.g. lambda: duckdb.connect(path)) for the "
+            "pure-Python route"
+        )
+
+    @staticmethod
+    def from_gravitino(
+        endpoint: str,
+        metalake_name: str,
+        auth_type: str = "simple",
+        username: str | None = None,
+        password: str | None = None,
+        token: str | None = None,
+    ) -> "Catalog":
+        """reference Catalog.from_gravitino (daft/catalog/__init__.py:
+        271; client daft/catalog/__gravitino/_client.py — the Gravitino
+        REST API under ``/api/metalakes/{metalake}/...``)."""
+        from daft_spark.io.gravitino_rest import GravitinoRestCatalog
+
+        return GravitinoRestCatalog(
+            endpoint, metalake_name, auth_type=auth_type,
+            username=username, password=password, token=token,
         )
 
     # -- interface ---------------------------------------------------------
@@ -533,6 +605,200 @@ class IcebergDirectoryCatalog(Catalog):
         if pattern:
             out = [n for n in out if pattern in n]
         return sorted(out)
+
+
+def _paimon_fs_table(name: str, path: str) -> Table:
+    """Table handle over a filesystem Paimon table (reference
+    PaimonTable, daft/catalog/__paimon.py:248 — there wrapping a
+    pypaimon table object; here the pure-Python reader/writer in
+    io/paimon.py). Exposes the reference's table-introspection
+    properties (primary_keys / partition_keys / is_primary_key_table /
+    bucket_count / table_options) straight from the table's latest
+    schema file."""
+    from daft_spark.io.paimon import _latest_schema
+
+    def _read() -> DataFrame:
+        from daft_spark.context import get_or_create
+        from daft_spark.io.paimon import read_paimon_py
+
+        spark = SparkSession.getActiveSession() or get_or_create()
+        return read_paimon_py(path, spark)
+
+    def _write(df: DataFrame, mode: str) -> None:
+        from daft_spark.io.paimon import write_paimon_py
+
+        schema = _latest_schema(path)
+        write_paimon_py(
+            df, path, mode=mode,
+            partition_by=schema.get("partitionKeys") or [],
+            primary_key=schema.get("primaryKeys") or [],
+        )
+
+    tbl = Table(name, _read, _write)
+    schema = _latest_schema(path)
+    tbl.primary_keys = list(schema.get("primaryKeys") or [])
+    tbl.partition_keys = list(schema.get("partitionKeys") or [])
+    tbl.is_primary_key_table = bool(tbl.primary_keys)
+    tbl.bucket_count = int((schema.get("options") or {}).get("bucket", "-1"))
+    tbl.table_options = dict(schema.get("options") or {})
+    return tbl
+
+
+class PaimonDirectoryCatalog(Catalog):
+    """Filesystem Paimon warehouse (reference Catalog.from_paimon,
+    daft/catalog/__paimon.py:25 — there backed by pypaimon's
+    FileSystemCatalog; here by the pure-Python Paimon implementation in
+    io/paimon.py). Layout is pypaimon's warehouse convention, which the
+    reference's own listing walk encodes
+    (daft/catalog/__paimon.py:202-238 _list_*_via_file_io):
+    ``<warehouse>/<db>.db/<table>`` where a valid table directory
+    contains a ``schema/`` subdirectory; databases are the flat
+    ``<db>.db`` directories. Identifiers follow the reference's
+    ``_to_paimon_ident`` (daft/catalog/__paimon.py:316): ``db.table``,
+    with a 3-part ``catalog.db.table`` stripped to ``db.table``."""
+
+    DB_SUFFIX = ".db"  # pypaimon Catalog.DB_SUFFIX
+
+    def __init__(self, root: str, name: str = "paimon"):
+        import os
+
+        self.name = name
+        self._root = os.path.abspath(root)
+
+    def _split(self, identifier) -> tuple[str, str]:
+        parts = list(_ident(identifier))
+        if len(parts) == 3:  # catalog prefix stripped, reference :322
+            parts = parts[1:]
+        if len(parts) != 2:
+            raise ValueError(
+                f"Paimon table identifier must be 'db.table', got {identifier}"
+            )
+        return parts[0], parts[1]
+
+    def _db_path(self, db: str) -> str:
+        import os
+
+        return os.path.join(self._root, db + self.DB_SUFFIX)
+
+    def _table_path(self, identifier) -> str:
+        import os
+
+        db, tbl = self._split(identifier)
+        return os.path.join(self._db_path(db), tbl)
+
+    @staticmethod
+    def _is_table(path: str) -> bool:
+        import os
+
+        return os.path.isdir(os.path.join(path, "schema"))
+
+    def create_namespace(self, identifier) -> None:
+        import os
+
+        parts = list(_ident(identifier))
+        if len(parts) != 1:
+            raise ValueError(
+                f"Paimon namespace must be a single database name, got {identifier}"
+            )
+        path = self._db_path(parts[0])
+        if os.path.isdir(path):
+            raise ValueError(f"namespace {identifier} already exists in {self.name}")
+        os.makedirs(path)
+
+    def create_table(self, identifier, source, *, partition_by=None,
+                     primary_key=None, **properties) -> Table:
+        """Create and populate a table from a DataFrame (the reference
+        takes a Schema and creates empty via pypaimon; this engine's
+        create-from-DataFrame convention matches IcebergDirectoryCatalog).
+        ``primary_key`` declares a merge-on-read upsert table; reference
+        passes ``primary_keys`` via properties (daft/catalog/
+        __paimon.py:81) — both spellings accepted."""
+        import os
+
+        from daft_spark.io.paimon import write_paimon_py
+
+        path = self._table_path(identifier)
+        if self._is_table(path):
+            raise ValueError(f"table {identifier} already exists in {self.name}")
+        from daft_spark.dataframe import DataFrame as WrappedDF
+
+        if isinstance(source, WrappedDF):
+            source = source.to_spark()
+        if not isinstance(source, DataFrame):
+            raise TypeError(f"cannot create a Paimon table from {type(source)}")
+        primary_key = primary_key or properties.get("primary_keys")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_paimon_py(
+            source, path, mode="error",
+            partition_by=partition_by, primary_key=primary_key,
+        )
+        return _paimon_fs_table(str(_ident(identifier)), path)
+
+    def drop_namespace(self, identifier) -> None:
+        import os
+        import shutil
+
+        parts = list(_ident(identifier))
+        path = self._db_path(parts[0]) if len(parts) == 1 else ""
+        if not path or not os.path.isdir(path):
+            raise NotFoundError(f"namespace {identifier} not found in {self.name}")
+        shutil.rmtree(path)
+
+    def drop_table(self, identifier) -> None:
+        import shutil
+
+        path = self._table_path(identifier)
+        if not self._is_table(path):
+            raise NotFoundError(f"table {identifier} not found in {self.name}")
+        shutil.rmtree(path)
+
+    def get_table(self, identifier) -> Table:
+        path = self._table_path(identifier)
+        if not self._is_table(path):
+            raise NotFoundError(f"table {identifier} not found in {self.name}")
+        db, tbl = self._split(identifier)
+        return _paimon_fs_table(f"{db}.{tbl}", path)
+
+    def has_namespace(self, identifier) -> bool:
+        import os
+
+        parts = list(_ident(identifier))
+        return len(parts) == 1 and os.path.isdir(self._db_path(parts[0]))
+
+    def has_table(self, identifier) -> bool:
+        try:
+            return self._is_table(self._table_path(identifier))
+        except ValueError:
+            return False
+
+    def list_namespaces(self, pattern: str | None = None) -> list[Identifier]:
+        import os
+
+        out = []
+        if os.path.isdir(self._root):
+            for d in sorted(os.listdir(self._root)):
+                if d.endswith(self.DB_SUFFIX) and os.path.isdir(
+                    os.path.join(self._root, d)
+                ):
+                    db = d[: -len(self.DB_SUFFIX)]
+                    # reference filters by startswith (daft/catalog/__paimon.py:212)
+                    if pattern is None or db.startswith(pattern):
+                        out.append(Identifier(db))
+        return out
+
+    def list_tables(self, pattern: str | None = None) -> list[str]:
+        import os
+
+        out = []
+        for ns in self.list_namespaces():
+            db = ns[0]
+            db_path = self._db_path(db)
+            for t in sorted(os.listdir(db_path)):
+                if self._is_table(os.path.join(db_path, t)):
+                    full = f"{db}.{t}"
+                    if pattern is None or full.startswith(pattern):
+                        out.append(full)
+        return out
 
 
 class SparkCatalog(Catalog):
