@@ -84,31 +84,38 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # kafka sentinel offsets; asof fast-path work), then the r2-era stale
 # set (fn_*, mm_*, sql_table_function, sim_ann_ivf_recall) and the
 # r5-era tpch/relational rows so no green row ages past ~3 rounds.
+#
+# Round-8 rotation (FROZEN at round start per the window-freeze
+# discipline — queries registered after this commit queue for r9):
+# first the 36 round-7 queries the driver never saw (the entire Delta
+# DML/maintenance family, the Iceberg advanced family, time travel,
+# the three streaming lake sources/sink, the six catalog adapters,
+# embedding dedup, the corpus-curation rule set + whole-pipeline
+# query, and the mm_prompt/embed_image/classify_image trio — all
+# pytest-oracle-green in r7), then the stalest greens: the agg_*
+# family (last driver-seen r4–r6) and a w_* refresh (last seen r6).
 DRIVER_PRIORITY: list[str] = [
-    # round-6 debt: registered r6 but never driver-seen (8)
-    "io_text_roundtrip", "io_from_pydict_family", "io_hf_mirror",
-    "io_push_sink_roundtrip", "rel_join_right_outer", "rel_join_full_outer",
-    "rel_join_hints", "stream_stream_join",
-    # new round 7 (2)
-    "lake_iceberg_stats_pruned", "sql_rest_catalog",
-    # code changed round 7 (12)
-    "lake_iceberg_pruned", "lake_iceberg_pos_deletes",
-    "lake_iceberg_roundtrip", "lake_iceberg_deletes",
-    "lake_delta_dv", "lake_delta_dml", "io_kafka_bounded",
-    "asof_backward_by", "asof_forward_by", "asof_nearest_by",
-    "asof_backward_global",
-    "dedup_exact",
-    # r2-era stale (14)
-    "fn_strings_regex", "fn_datetime_numeric", "fn_datetime_arith",
-    "fn_json_bitwise", "fn_list_binary_url", "fn_conditional_struct",
-    "fn_hash_invariant", "sql_table_function",
-    "mm_embed_text", "mm_llm_generate", "mm_classify_text",
-    "mm_image_decode", "mm_url_download", "mm_video_frames",
-    "sim_ann_ivf_recall",
-    # r5-era stale tpch/relational (13 -> fills row 50)
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q10",
-    "tpch_q13", "tpch_q17", "tpch_q18", "tpch_q21",
-    "rel_topn", "rel_pivot", "rel_unpivot", "rel_sample_seeded",
+    # round-7 debt: registered post-freeze r7, never driver-seen (36)
+    "lake_delta_merge", "lake_delta_cdf", "lake_delta_cdf_partitioned",
+    "lake_delta_optimize", "lake_delta_column_mapping", "lake_delta_dv_update",
+    "lake_iceberg_schema_evolution", "lake_iceberg_partition_evolution",
+    "lake_iceberg_refs", "lake_iceberg_compaction", "lake_iceberg_upsert",
+    "lake_iceberg_metadata_tables", "lake_iceberg_sorted",
+    "lake_time_travel", "lake_time_travel_hudi_paimon", "lake_maintenance",
+    "stream_delta_sink", "stream_delta_source", "stream_iceberg_source",
+    "sql_unity_catalog", "sql_glue_catalog", "sql_s3tables_catalog",
+    "sql_paimon_catalog", "sql_postgres_catalog", "sql_gravitino_catalog",
+    "dedup_embedding_resolve", "dedup_embedding_lsh", "dedup_contamination",
+    "text_gopher_rules", "text_c4_rules", "text_pii_scrub", "text_repetition",
+    "mm_prompt", "mm_embed_image", "mm_classify_image",
+    "pipeline_corpus_curation",
+    # stalest greens: agg_* last seen r4–r6 (9)
+    "agg_count_modes", "agg_stats", "agg_percentiles", "agg_hll_sketch",
+    "agg_rollup", "agg_cube", "agg_map_groups_zscore",
+    "agg_udaf_weighted_mean", "agg_summarize",
+    # w_* refresh, last seen r6 (5 -> fills row 50)
+    "w_row_number", "w_running_agg", "w_sessionize", "w_min_periods",
+    "w_spark_extras",
 ]
 
 
