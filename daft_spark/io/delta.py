@@ -584,89 +584,74 @@ def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> No
 
     _gate_column_mapping(path)
     schema_json, partition_cols, adds = _replay_log(path)
-    schema = StructType.fromJson(json.loads(schema_json))
     if not adds:
         return
     # Match against the CURRENT state (existing DVs applied) so already-
     # deleted rows don't churn; capture (file, ordinal) via _metadata.
-    dv_frame = _dv_positions_frame(spark, path, adds)
-    part_types = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
-    phys = StructType([f for f in schema.fields if f.name not in partition_cols])
-    groups: dict[tuple, list[str]] = {}
-    for rel, add in adds.items():
-        pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in partition_cols)
-        groups.setdefault(key, []).append(os.path.join(path, rel))
-    matched = _dv_matched_rows(
-        spark, path, condition, partition_cols, part_types, phys, groups, dv_frame
-    )
-    by_file = _dv_positions_by_file(matched)
+    t = _scan_adds_tagged(spark, path, adds, schema_json, partition_cols)
+    matched = t.filter(F.expr(condition).eqNullSafe(F.lit(True)))
+    by_file = _dv_write_distributed(matched, path, adds)
     if not by_file:
         return
     _dv_commit(path, adds, by_file, [], "DELETE", condition)
 
 
-def _dv_matched_rows(
-    spark, path, condition, partition_cols, part_types, phys, groups, dv_frame
-):
-    """CURRENT-state rows matching ``condition`` (existing DVs already
-    applied), tagged with (__fp, __pos) row identity, partition columns
-    restored."""
+def _dv_write_distributed(matched, path: str, adds: dict) -> dict[str, dict]:
+    """Aggregate matched ordinals per file and write each affected
+    file's deletion-vector file FROM THE EXECUTOR TASK holding that
+    file's aggregate (merging any pre-existing DV); the driver collects
+    only (file, descriptor) rows. A DELETE touching every file of a
+    huge table thus routes one metadata-sized row per file through the
+    driver, never the position lists themselves. Requires the table
+    path to be shared storage, which Delta assumes anyway."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    matched = None
-    for key, files in _pv_sorted(groups):
-        df = spark.read.schema(phys).parquet(*files).select(
-            "*",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
-                "__fp"
-            ),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
-        if dv_frame is not None:
-            df = df.join(F.broadcast(dv_frame), ["__fp", "__pos"], "left_anti")
-        for c, raw in zip(partition_cols, key):
-            df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
-        m = df.filter(F.expr(condition).eqNullSafe(F.lit(True)))
-        matched = m if matched is None else matched.unionByName(m)
-    return matched
-
-
-def _dv_positions_by_file(matched) -> dict[str, list[int]]:
-    """Aggregate matched ordinals to per-file sorted lists EXECUTOR-
-    side; the driver sees one row per affected file, not one per
-    deleted row."""
-    from pyspark.sql import functions as F
-
-    return {
-        r["__fp"]: list(r["__positions"])
-        for r in matched.groupBy("__fp")
-        .agg(F.sort_array(F.collect_list("__pos")).alias("__positions"))
-        .collect()
+    old_descs = {
+        os.path.abspath(os.path.join(path, rel)): add["deletionVector"]
+        for rel, add in adds.items()
+        if add.get("deletionVector")
     }
+
+    def _write(batches):
+        for pdf in batches:
+            fps, descs = [], []
+            for fp, positions in zip(pdf["__fp"], pdf["__positions"]):
+                pos = [int(p) for p in positions]
+                old = old_descs.get(fp)
+                if old:
+                    pos += _dv_read(path, old)
+                fps.append(fp)
+                descs.append(json.dumps(_dv_write(path, pos)))
+            yield pd.DataFrame({"__fp": fps, "__desc": descs})
+
+    rows = (
+        matched.groupBy("__fp")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__positions"))
+        .mapInPandas(_write, "__fp string, __desc string")
+        .collect()
+    )
+    return {r["__fp"]: json.loads(r["__desc"]) for r in rows}
 
 
 def _dv_commit(
     path: str,
     adds: dict,
-    by_file: dict[str, list[int]],
+    by_file: dict[str, dict],
     extra_actions: list[dict],
     op: str,
     condition: str,
 ) -> None:
     """One DV commit: protocol upgrade, remove + re-add-with-DV for
-    each affected file (merging pre-existing DVs), then any extra add
-    actions (e.g. UPDATE's rewritten rows)."""
+    each affected file (descriptors pre-written executor-side by
+    _dv_write_distributed, pre-existing DVs already merged), then any
+    extra add actions (e.g. UPDATE's rewritten rows)."""
     now_ms = int(time.time() * 1000)
     abs_to_rel = {os.path.abspath(os.path.join(path, rel)): rel for rel in adds}
     actions: list[dict] = [{"protocol": _upgraded_dv_protocol(path)}]
-    for abs_path, positions in sorted(by_file.items()):
+    for abs_path, desc in sorted(by_file.items()):
         rel = abs_to_rel[abs_path]
         add = adds[rel]
-        old_desc = add.get("deletionVector")
-        if old_desc:
-            positions = positions + _dv_read(path, old_desc)
-        desc = _dv_write(path, positions)
         actions.append(
             {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
         )
@@ -727,18 +712,9 @@ def update_deltalake_dv_py(
     bad = set(set_exprs) - {f.name for f in schema.fields}
     if bad:
         raise ValueError(f"SET columns not in table schema: {sorted(bad)}")
-    dv_frame = _dv_positions_frame(spark, path, adds)
-    part_types = {f.name: f.dataType for f in schema.fields if f.name in partition_cols}
-    phys = StructType([f for f in schema.fields if f.name not in partition_cols])
-    groups: dict[tuple, list[str]] = {}
-    for rel, add in adds.items():
-        pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in partition_cols)
-        groups.setdefault(key, []).append(os.path.join(path, rel))
-    matched = _dv_matched_rows(
-        spark, path, condition, partition_cols, part_types, phys, groups, dv_frame
-    )
-    by_file = _dv_positions_by_file(matched)
+    t = _scan_adds_tagged(spark, path, adds, schema_json, partition_cols)
+    matched = t.filter(F.expr(condition).eqNullSafe(F.lit(True)))
+    by_file = _dv_write_distributed(matched, path, adds)
     if not by_file:
         return
     types_by_name = {f.name: f.dataType for f in schema.fields}
@@ -748,43 +724,9 @@ def update_deltalake_dv_py(
     updated = updated.select(*[f.name for f in schema.fields])
     # Stage the rewritten rows exactly like write_deltalake_py does
     # (hive layout when partitioned), producing the commit's add actions.
-    from urllib.parse import unquote
-
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = updated.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(staging)
     now_ms = int(time.time() * 1000)
     version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
-    new_adds: list[dict] = []
-    for root, _dirs, files in os.walk(staging):
-        for f in sorted(files):
-            if not f.endswith(".parquet"):
-                continue
-            rel_dir = os.path.relpath(root, staging)
-            pvals: dict[str, str] = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-            name = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
-            rel = os.path.join(rel_dir, name) if rel_dir != "." else name
-            dst = os.path.join(path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(os.path.join(root, f), dst)
-            new_adds.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
-    shutil.rmtree(staging, ignore_errors=True)
+    new_adds = _stage_data_files(updated, path, version, partition_cols, now_ms)
     _dv_commit(path, adds, by_file, new_adds, "UPDATE", condition)
 
 
@@ -850,6 +792,165 @@ def last_txn_version(path: str, app_id: str) -> int:
                     if "txn" in a and a["txn"].get("appId") == app_id:
                         best = max(best, int(a["txn"].get("version", -1)))
     return best
+
+
+def _stage_data_files(
+    df: DataFrame,
+    path: str,
+    version: int,
+    partition_by: list[str],
+    now_ms: int,
+) -> list[dict]:
+    """Stage ``df`` with Spark's parquet writer, then move the files
+    into the table root under unique names (Delta data files are
+    immutable and never share names across commits) and return their
+    add actions. Hive layout when ``partition_by`` is set, with the
+    partition columns dropped from the files and carried in each add's
+    partitionValues, per the spec."""
+    from urllib.parse import unquote
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict[str, str] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    # hive layout URL-encodes; null partitions appear as
+                    # __HIVE_DEFAULT_PARTITION__
+                    pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            name = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+            rel = os.path.join(rel_dir, name) if rel_dir != "." else name
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(root, f), dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def _scan_adds_tagged(
+    spark: SparkSession,
+    path: str,
+    adds: dict,
+    schema_json: str,
+    partition_cols: list[str],
+):
+    """DV-applied scan of the given add actions with partition columns
+    restored and (__fp, __pos) row identity attached, or None when
+    ``adds`` is empty. This is the shared substrate of the file-granular
+    DML passes: pass 1 scans all adds to find the files containing
+    changed rows; pass 2 re-scans ONLY the affected adds for the
+    rewrite — delta-spark's two-pass copy-on-write shape."""
+    from pyspark.sql import functions as F
+
+    if not adds:
+        return None
+    schema = StructType.fromJson(json.loads(schema_json))
+    dv_frame = _dv_positions_frame(spark, path, adds)
+    part_types = {
+        f.name: f.dataType for f in schema.fields if f.name in partition_cols
+    }
+    phys = StructType([f for f in schema.fields if f.name not in partition_cols])
+    groups: dict[tuple, list[str]] = {}
+    for rel, add in adds.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in partition_cols)
+        groups.setdefault(key, []).append(os.path.join(path, rel))
+    out = None
+    for key, files in _pv_sorted(groups):
+        df = spark.read.schema(phys).parquet(*files).select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                "__fp"
+            ),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        if dv_frame is not None:
+            df = df.join(F.broadcast(dv_frame), ["__fp", "__pos"], "left_anti")
+        for c, raw in zip(partition_cols, key):
+            df = df.withColumn(c, F.lit(raw).cast(part_types[c]))
+        df = df.select(*[f.name for f in schema.fields], "__fp", "__pos")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _cow_commit(
+    path: str,
+    adds: dict,
+    affected_abs: list[str],
+    rewritten: DataFrame | None,
+    partition_cols: list[str],
+    op: str,
+    params: dict,
+    extra_actions: list[dict] | None,
+    checkpoint_interval: int = 10,
+) -> None:
+    """File-granular copy-on-write commit: retire ONLY the affected
+    files, stage their surviving/updated rows (plus any merge-inserted
+    rows) as new files, and carry every other add action forward
+    untouched via log replay — at scale a DML statement touching 0.1%
+    of a table's files rewrites 0.1% of the table, not all of it.
+    Zero-row staged files are dropped. A no-op statement still commits
+    (commitInfo-only), matching delta-spark's version-per-statement
+    behavior."""
+    import pyarrow.parquet as pq
+
+    now_ms = int(time.time() * 1000)
+    version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
+    add_actions: list[dict] = []
+    if rewritten is not None:
+        for a in _stage_data_files(rewritten, path, version, partition_cols, now_ms):
+            dst = os.path.join(path, a["add"]["path"])
+            if pq.ParquetFile(dst).metadata.num_rows == 0:
+                os.remove(dst)
+                continue
+            add_actions.append(a)
+    abs_to_rel = {os.path.abspath(os.path.join(path, rel)): rel for rel in adds}
+    actions: list[dict] = []
+    for fp in sorted(affected_abs):
+        actions.append(
+            {
+                "remove": {
+                    "path": abs_to_rel[fp],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend(add_actions)
+    actions.extend(extra_actions or [])
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": op,
+                "operationParameters": params,
+                "engineInfo": "daft_spark pure-python delta writer",
+            }
+        }
+    )
+    _commit_actions(path, version, actions)
+    if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+        _write_checkpoint(path, version)
 
 
 def write_deltalake_py(
@@ -932,48 +1033,9 @@ def write_deltalake_py(
                     f"{sorted(table_cols)}; overwrite to change the schema"
                 )
 
-    # Stage data files with Spark's parquet writer, then move them into
-    # the table root under unique names (Delta data files are immutable
-    # and never share names across commits).
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
     os.makedirs(_log_path(path), exist_ok=True)
     now_ms = int(time.time() * 1000)
-    adds = []
-    for root, _dirs, files in os.walk(staging):
-        for f in sorted(files):
-            if not f.endswith(".parquet"):
-                continue
-            rel_dir = os.path.relpath(root, staging)
-            pvals: dict[str, str] = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    # hive layout URL-encodes; null partitions appear as
-                    # __HIVE_DEFAULT_PARTITION__
-                    from urllib.parse import unquote
-
-                    pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-            name = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
-            rel = os.path.join(rel_dir, name) if rel_dir != "." else name
-            dst = os.path.join(path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(os.path.join(root, f), dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
-    shutil.rmtree(staging, ignore_errors=True)
+    adds = _stage_data_files(df, path, version, partition_by, now_ms)
 
     actions: list[dict] = []
     if not exists:
@@ -1536,70 +1598,129 @@ def vacuum_deltalake_py(
 
 
 def delete_deltalake_py(path: str, spark: SparkSession, condition: str) -> None:
-    """Copy-on-write DELETE: rows matching the SQL ``condition`` are
-    removed by rewriting the table — the new commit retires every prior
-    file (remove actions) and adds the surviving rows, exactly the
-    rewrite a DV-less Delta DELETE performs (deletion vectors, the
-    avoid-the-rewrite optimization, stay gated). NULL-condition rows
-    survive (SQL three-valued DELETE keeps rows where the predicate is
-    not TRUE). Prior versions stay time-travelable."""
+    """Copy-on-write DELETE, file-granular: pass 1 scans the table and
+    collects the FILES containing rows where ``condition`` IS TRUE;
+    pass 2 rewrites ONLY those files without the matched rows (merging
+    away any deletion vectors on them). Untouched data files stay
+    byte-identical and their add actions carry forward via log replay —
+    at 100× a DELETE matching 0.1% of files rewrites 0.1% of the table.
+    NULL-condition rows survive (SQL three-valued DELETE keeps rows
+    where the predicate is not TRUE). Prior versions stay
+    time-travelable."""
     from pyspark.sql import functions as F
 
     _gate_column_mapping(path)
-    _schema_json, partition_cols, _adds, cfg, _proto = _replay_log_full(path)
-    t = read_deltalake_py(path, spark)
-    cond = F.expr(condition)
-    keep = t.filter(~cond.eqNullSafe(F.lit(True)))
+    schema_json, partition_cols, adds, cfg, _proto = _replay_log_full(path)
+    t = _scan_adds_tagged(spark, path, adds, schema_json, partition_cols)
+    cond = F.expr(condition).eqNullSafe(F.lit(True))
+    affected = (
+        []
+        if t is None
+        else sorted(
+            r["__fp"] for r in t.filter(cond).select("__fp").distinct().collect()
+        )
+    )
+    if not affected:
+        _cow_commit(
+            path, adds, [], None, partition_cols, "DELETE",
+            {"predicate": condition}, None,
+        )
+        return
+    aff_set = set(affected)
+    aff_adds = {
+        rel: a
+        for rel, a in adds.items()
+        if os.path.abspath(os.path.join(path, rel)) in aff_set
+    }
+    aff = _scan_adds_tagged(spark, path, aff_adds, schema_json, partition_cols)
+    surviving = aff.filter(~cond).drop("__fp", "__pos")
     extra = None
     if _cdf_enabled(cfg):
-        deleted = t.filter(cond.eqNullSafe(F.lit(True))).withColumn(
-            "_change_type", F.lit("delete")
+        deleted = (
+            aff.filter(cond)
+            .drop("__fp", "__pos")
+            .withColumn("_change_type", F.lit("delete"))
         )
         extra = _write_cdc_file(path, deleted, partition_cols)
-    write_deltalake_py(
-        keep, path, mode="overwrite", partition_by=partition_cols,
-        _extra_actions=extra,
+    _cow_commit(
+        path, adds, affected, surviving, partition_cols, "DELETE",
+        {"predicate": condition}, extra,
     )
 
 
 def update_deltalake_py(
     path: str, spark: SparkSession, set_exprs: dict, condition: str = "true"
 ) -> None:
-    """Copy-on-write UPDATE: rows matching ``condition`` get each
-    column in ``set_exprs`` replaced by its SQL expression (evaluated
-    against the pre-update row); all rows are rewritten in one commit,
-    the DV-less Delta UPDATE shape. Prior versions stay
-    time-travelable."""
+    """Copy-on-write UPDATE, file-granular: pass 1 collects the FILES
+    containing rows matching ``condition``; pass 2 rewrites ONLY those
+    files with each ``set_exprs`` column replaced by its SQL expression
+    (evaluated against the pre-update row) on the matching rows.
+    Untouched data files stay byte-identical and their add actions
+    carry forward. Prior versions stay time-travelable."""
     from pyspark.sql import functions as F
 
     _gate_column_mapping(path)
-    _schema_json, partition_cols, _adds, cfg, _proto = _replay_log_full(path)
-    t = read_deltalake_py(path, spark)
+    schema_json, partition_cols, adds, cfg, _proto = _replay_log_full(path)
+    tcols = [f["name"] for f in json.loads(schema_json)["fields"]]
+    # metaData is NOT rewritten by a file-granular commit, so SET
+    # expressions must land in the table's declared column types
+    ttypes = {
+        f.name: f.dataType for f in StructType.fromJson(json.loads(schema_json)).fields
+    }
     for c in set_exprs:
-        if c not in t.columns:
+        if c not in tcols:
             raise ValueError(f"update target column {c!r} not in table schema")
+    t = _scan_adds_tagged(spark, path, adds, schema_json, partition_cols)
     cond = F.expr(condition).eqNullSafe(F.lit(True))
-    updated = t.select(
+    affected = (
+        []
+        if t is None
+        else sorted(
+            r["__fp"] for r in t.filter(cond).select("__fp").distinct().collect()
+        )
+    )
+    if not affected:
+        _cow_commit(
+            path, adds, [], None, partition_cols, "UPDATE",
+            {"predicate": condition}, None,
+        )
+        return
+    aff_set = set(affected)
+    aff_adds = {
+        rel: a
+        for rel, a in adds.items()
+        if os.path.abspath(os.path.join(path, rel)) in aff_set
+    }
+    aff = _scan_adds_tagged(spark, path, aff_adds, schema_json, partition_cols)
+    updated = aff.select(
         *[
-            F.when(cond, F.expr(str(set_exprs[c]))).otherwise(F.col(c)).alias(c)
+            F.when(cond, F.expr(str(set_exprs[c])).cast(ttypes[c]))
+            .otherwise(F.col(c))
+            .alias(c)
             if c in set_exprs
             else F.col(c)
-            for c in t.columns
+            for c in tcols
         ]
     )
     extra = None
     if _cdf_enabled(cfg):
-        pre = t.filter(cond).withColumn("_change_type", F.lit("update_preimage"))
-        post = t.filter(cond).select(
+        pre = (
+            aff.filter(cond)
+            .select(*tcols)
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        post = aff.filter(cond).select(
             *[
-                F.expr(str(set_exprs[c])).alias(c) if c in set_exprs else F.col(c)
-                for c in t.columns
+                F.expr(str(set_exprs[c])).cast(ttypes[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in tcols
             ]
         ).withColumn("_change_type", F.lit("update_postimage"))
         extra = _write_cdc_file(path, pre.unionAll(post), partition_cols)
-    write_deltalake_py(
-        updated, path, mode="overwrite", partition_by=partition_cols,
-        _extra_actions=extra,
+    _cow_commit(
+        path, adds, affected, updated, partition_cols, "UPDATE",
+        {"predicate": condition}, extra,
     )
 
 
@@ -1609,6 +1730,67 @@ def update_deltalake_py(
 
 def _cdf_enabled(cfg: dict) -> bool:
     return str((cfg or {}).get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def restore_deltalake_py(path: str, version: int) -> None:
+    """RESTORE TABLE ... TO VERSION AS OF ``version`` (delta-spark's
+    RESTORE): ONE metadata commit whose remove/add actions flip the
+    current file set back to the target version's — data files still
+    on disk are re-referenced, never rewritten or copied, so a restore
+    of a 100 TB table moves zero data. The target version's metaData
+    (schema, partitioning, configuration) is restated when it differs.
+    History is preserved: the restore is a NEW version on top, and the
+    versions in between stay time-travelable. Restoring past a VACUUM
+    that deleted the target's files fails on read — the documented
+    trade-off delta-spark shares."""
+    schema_json, partition_cols, target_adds, cfg, _proto = _replay_log_full(
+        path, version
+    )
+    cur_schema, cur_parts, cur_adds, _cur_cfg, _ = _replay_log_full(path)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    if schema_json != cur_schema or partition_cols != cur_parts:
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": partition_cols,
+                    "configuration": cfg,
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    for rel in cur_adds:
+        if rel not in target_adds:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for rel, add in target_adds.items():
+        if cur_adds.get(rel) != add:
+            restored = dict(add)
+            restored["modificationTime"] = now_ms
+            restored["dataChange"] = True
+            actions.append({"add": restored})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "engineInfo": "daft_spark pure-python delta writer",
+            }
+        }
+    )
+    new_version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
+    _commit_actions(path, new_version, actions)
 
 
 def enable_cdf_delta_py(path: str) -> None:
@@ -1890,31 +2072,23 @@ def merge_deltalake_py(
     target row matching MULTIPLE source rows is an error (the
     nondeterministic-merge guard). One commit; with the change data
     feed enabled it carries exact cdc rows (delete / update pre+post /
-    insert). Prior versions stay time-travelable."""
+    insert). Prior versions stay time-travelable.
+
+    FILE-GRANULAR copy-on-write (delta-spark's two-pass shape): pass 1
+    inner-joins target and source and folds per-(file, row) match
+    counts to ONE driver row per file containing a fired matched
+    clause; pass 2 rewrites only those files (left-joining the source
+    back for the per-row update/delete) plus new files for the
+    inserts. Every untouched data file stays byte-identical and its
+    add action carries forward via log replay."""
     from pyspark.sql import functions as F
 
     _gate_column_mapping(path)
-    _schema_json, partition_cols, _adds, cfg, _proto = _replay_log_full(path)
-    t = read_deltalake_py(path, spark)
-    tcols = list(t.columns)
-    t = t.withColumn("__tid", F.monotonically_increasing_id()).alias("t")
+    schema_json, partition_cols, adds, cfg, _proto = _replay_log_full(path)
+    tcols = [f["name"] for f in json.loads(schema_json)["fields"]]
+    t = _scan_adds_tagged(spark, path, adds, schema_json, partition_cols)
     s = source.withColumn("__smatch", F.lit(1)).alias("s")
     cond = F.expr(on)
-    joined = t.join(s, cond, "left")
-    dups = (
-        joined.filter(F.col("s.__smatch").isNotNull())
-        .groupBy("t.__tid")
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .count()
-    )
-    if dups:
-        raise ValueError(
-            "MERGE: a target row matched multiple source rows (merge would "
-            "be nondeterministic) — deduplicate the source on the join keys"
-        )
-    matched = F.col("s.__smatch").isNotNull()
     if when_matched_delete is True:
         del_cond = F.lit(True)
     elif when_matched_delete:
@@ -1929,21 +2103,74 @@ def merge_deltalake_py(
     bad = set(upd) - set(tcols)
     if bad:
         raise ValueError(f"MERGE update targets not in table schema: {sorted(bad)}")
+    # metaData is NOT rewritten by a file-granular commit — update
+    # expressions must land in the table's declared column types
+    ttypes = {
+        f.name: f.dataType for f in StructType.fromJson(json.loads(schema_json)).fields
+    }
+    row_changes = del_cond | F.lit(bool(upd))
+
+    # Pass 1: per-file match stats — maxn > 1 is the nondeterministic-
+    # merge guard, chg marks files a matched clause fires in. The
+    # driver sees one row per file with a match, not one per row.
+    affected: list[str] = []
+    if t is not None:
+        stats = (
+            t.alias("t")
+            .join(s, cond, "inner")
+            .select(
+                F.col("t.__fp").alias("__fp"),
+                F.col("t.__pos").alias("__pos"),
+                row_changes.alias("__chg"),
+            )
+            .groupBy("__fp", "__pos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.col("__chg").cast("int")).alias("chg"),
+            )
+            .groupBy("__fp")
+            .agg(F.max("n").alias("maxn"), F.max("chg").alias("chg"))
+            .collect()
+        )
+        if any(r["maxn"] > 1 for r in stats):
+            raise ValueError(
+                "MERGE: a target row matched multiple source rows (merge would "
+                "be nondeterministic) — deduplicate the source on the join keys"
+            )
+        affected = sorted(r["__fp"] for r in stats if r["chg"])
+
+    # Pass 2: rewrite ONLY the affected files.
+    kept = None
+    joined = None
+    matched = F.col("s.__smatch").isNotNull()
     update_applies = matched & ~del_cond & F.lit(bool(upd))
-    kept = joined.filter(~(matched & del_cond)).select(
-        *[
-            F.when(update_applies, F.expr(upd[c])).otherwise(tgt(c)).alias(c)
-            if c in upd
-            else tgt(c).alias(c)
-            for c in tcols
-        ]
-    )
-    pieces = [kept]
+    if affected:
+        aff_set = set(affected)
+        aff_adds = {
+            rel: a
+            for rel, a in adds.items()
+            if os.path.abspath(os.path.join(path, rel)) in aff_set
+        }
+        aff = _scan_adds_tagged(spark, path, aff_adds, schema_json, partition_cols)
+        joined = aff.alias("t").join(s, cond, "left")
+        kept = joined.filter(~(matched & del_cond)).select(
+            *[
+                F.when(update_applies, F.expr(upd[c]).cast(ttypes[c]))
+                .otherwise(tgt(c))
+                .alias(c)
+                if c in upd
+                else tgt(c).alias(c)
+                for c in tcols
+            ]
+        )
     ins = None
     if when_not_matched_insert:
-        unmatched_s = source.alias("s").join(
-            read_deltalake_py(path, spark).alias("t"), cond, "left_anti"
-        )
+        if t is None:
+            unmatched_s = source.alias("s")
+        else:
+            unmatched_s = source.alias("s").join(
+                t.alias("t"), cond, "left_anti"
+            )
         if when_not_matched_insert is True:
             missing = [c for c in tcols if c not in unmatched_s.columns]
             if missing:
@@ -1951,16 +2178,14 @@ def merge_deltalake_py(
                     f"MERGE insert needs source columns {missing} (or pass an "
                     "insert mapping)"
                 )
-            ins = unmatched_s.select(*tcols)
+            ins = unmatched_s.select(
+                *[F.col(c).cast(ttypes[c]).alias(c) for c in tcols]
+            )
         else:
             imap = dict(when_not_matched_insert)
             bad = set(imap) - set(tcols)
             if bad:
                 raise ValueError(f"MERGE insert targets not in schema: {sorted(bad)}")
-            ttypes = {
-                f.name: f.dataType
-                for f in StructType.fromJson(json.loads(_schema_json)).fields
-            }
             ins = unmatched_s.select(
                 *[
                     (F.expr(imap[c]) if c in imap else F.lit(None))
@@ -1969,30 +2194,36 @@ def merge_deltalake_py(
                     for c in tcols
                 ]
             )
-        pieces.append(ins)
-    out = pieces[0]
+    pieces = [p for p in (kept, ins) if p is not None]
+    out = pieces[0] if pieces else None
     for p_ in pieces[1:]:
         out = out.unionAll(p_)
 
     extra = None
     if _cdf_enabled(cfg):
-        deleted = joined.filter(matched & del_cond).select(
-            *[tgt(c).alias(c) for c in tcols]
-        ).withColumn("_change_type", F.lit("delete"))
-        pre = joined.filter(update_applies).select(
-            *[tgt(c).alias(c) for c in tcols]
-        ).withColumn("_change_type", F.lit("update_preimage"))
-        post = joined.filter(update_applies).select(
-            *[
-                F.expr(upd[c]).alias(c) if c in upd else tgt(c).alias(c)
-                for c in tcols
-            ]
-        ).withColumn("_change_type", F.lit("update_postimage"))
-        cdc = deleted.unionAll(pre).unionAll(post)
+        cdc = None
+        if joined is not None:
+            deleted = joined.filter(matched & del_cond).select(
+                *[tgt(c).alias(c) for c in tcols]
+            ).withColumn("_change_type", F.lit("delete"))
+            pre = joined.filter(update_applies).select(
+                *[tgt(c).alias(c) for c in tcols]
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = joined.filter(update_applies).select(
+                *[
+                    F.expr(upd[c]).cast(ttypes[c]).alias(c)
+                    if c in upd
+                    else tgt(c).alias(c)
+                    for c in tcols
+                ]
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            cdc = deleted.unionAll(pre).unionAll(post)
         if ins is not None:
-            cdc = cdc.unionAll(ins.withColumn("_change_type", F.lit("insert")))
-        extra = _write_cdc_file(path, cdc, partition_cols)
-    write_deltalake_py(
-        out, path, mode="overwrite", partition_by=partition_cols,
-        _extra_actions=extra,
+            insc = ins.withColumn("_change_type", F.lit("insert"))
+            cdc = insc if cdc is None else cdc.unionAll(insc)
+        if cdc is not None:
+            extra = _write_cdc_file(path, cdc, partition_cols)
+    _cow_commit(
+        path, adds, affected, out, partition_cols, "MERGE",
+        {"predicate": on}, extra,
     )

@@ -1024,3 +1024,84 @@ def test_optimize_pins_schema_across_evolution(spark, tmp_path):
     assert res["removed"] >= 2 and res["added"] == 1
     got = sorted(tuple(r) for r in read_deltalake_py(p, spark).collect())
     assert got == [(1, "a", None), (2, "b", 2.5)]
+
+
+def test_dml_is_file_granular_cow(spark, tmp_path):
+    """A selective DELETE/UPDATE/MERGE rewrites ONLY the files that
+    contain matched rows: every untouched data file survives the commit
+    byte-identical and its add action carries forward (at 100x a MERGE
+    touching 0.1% of files must not pay a full-table rewrite)."""
+    import hashlib
+    import os
+
+    from daft_spark.io.delta import (
+        _replay_log,
+        delete_deltalake_py,
+        merge_deltalake_py,
+        read_deltalake_py,
+        update_deltalake_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "fgcow")
+    # three appends -> three separate data files with disjoint id ranges
+    for lo in (0, 100, 200):
+        write_deltalake_py(
+            spark.range(lo, lo + 10).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            p, mode="append",
+        )
+    _s, _p, adds0 = _replay_log(p)
+    assert len(adds0) == 3
+
+    def digests():
+        _s, _p, adds = _replay_log(p)
+        return {
+            rel: hashlib.sha256(
+                open(os.path.join(p, rel), "rb").read()
+            ).hexdigest()
+            for rel in adds
+        }
+
+    before = digests()
+
+    # DELETE matching only the first file's range
+    delete_deltalake_py(p, spark, "id < 5")
+    after = digests()
+    untouched = set(before) & set(after)
+    assert len(untouched) == 2, "two files must carry forward"
+    assert all(before[r] == after[r] for r in untouched), "carried files mutated"
+    assert read_deltalake_py(p, spark).count() == 25
+
+    # UPDATE matching only the middle file's range
+    before = digests()
+    update_deltalake_py(p, spark, {"v": "v + 1"}, "id between 100 and 104")
+    after = digests()
+    untouched = set(before) & set(after)
+    assert len(untouched) == 2
+    assert all(before[r] == after[r] for r in untouched)
+    got = {r["id"]: r["v"] for r in read_deltalake_py(p, spark).collect()}
+    assert got[100] == 201 and got[105] == 210 and got[200] == 400
+
+    # MERGE matching only the third file's range (+ one insert)
+    before = digests()
+    src = spark.createDataFrame([(200, 9999), (500, 1000)], "id long, v long")
+    merge_deltalake_py(
+        p, spark, src, "t.id = s.id",
+        when_matched_update={"v": "s.v"}, when_not_matched_insert=True,
+    )
+    after = digests()
+    untouched = set(before) & set(after)
+    assert len(untouched) == 2, "MERGE must rewrite only the matched file"
+    assert all(before[r] == after[r] for r in untouched)
+    got = {r["id"]: r["v"] for r in read_deltalake_py(p, spark).collect()}
+    assert got[200] == 9999 and got[500] == 1000 and got[201] == 402
+    assert len(got) == 26
+
+    # no-op DML still commits (delta's version-per-statement behavior)
+    # and carries every file forward untouched
+    before = digests()
+    delete_deltalake_py(p, spark, "id = -1")
+    after = digests()
+    assert before == after

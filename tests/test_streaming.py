@@ -367,10 +367,13 @@ def test_delta_stream_source_remove_commit_policy(spark, tmp_path):
     from daft_spark.io.delta_source import DeltaStreamReader
 
     src = str(tmp_path / "srcrm")
-    df = spark.range(10).select(F.col("id").alias("k"))
+    # ONE data file holding 0..9 so a partial DELETE is a genuine
+    # REWRITE commit (remove + add); the file-granular CoW DELETE
+    # otherwise produces delete-only commits when every affected file
+    # loses all its rows
+    df = spark.range(10).select(F.col("id").alias("k")).coalesce(1)
     write_deltalake_py(df, src)
     snapshot_v = 0
-    # copy-on-write DELETE rewrites files => remove + add in one commit
     delete_deltalake_py(src, spark, "k >= 5")
     r = DeltaStreamReader({"path": src}, None)
     with pytest.raises(RuntimeError, match="ignoreChanges"):
@@ -383,3 +386,9 @@ def test_delta_stream_source_remove_commit_policy(spark, tmp_path):
     r3 = DeltaStreamReader({"path": src, "ignorechanges": "true"}, None)
     adds = r3._incremental_adds(snapshot_v, snapshot_v + 1)
     assert len(adds) >= 1
+    # a DELETE whose affected files lose ALL rows is a pure-delete
+    # commit: ignoreDeletes alone accepts it (file-granular CoW emits
+    # no adds for empty rewrites)
+    delete_deltalake_py(src, spark, "k < 5")
+    r4 = DeltaStreamReader({"path": src, "ignoredeletes": "true"}, None)
+    assert r4._incremental_adds(1, 2) == []
