@@ -434,6 +434,61 @@ def jaccard_pairs_hashed(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_doc_freq: int = 200,
+) -> DataFrame:
+    """DIRECTIONAL shingle-containment near-dup pairs:
+    c(a in b) = |S(a) ∩ S(b)| / |S(a)| over each document's DISTINCT
+    hashed shingles — the metric that catches a document EMBEDDED in a
+    larger one, which symmetric Jaccard dilutes (the union is dominated
+    by |S(b)|). Quoting/boilerplate-wrapping duplicates are exactly
+    this shape.
+
+    Scale: the pair space comes from an inverted-index self-join on
+    the shingle hash; shingles present in more than ``max_doc_freq``
+    documents are dropped from the index AND from every denominator
+    (the standard stop-shingle cut — without it one boilerplate
+    shingle shared by a million docs makes the join quadratic). The
+    exchange carries (hash, id) pairs only, never text. Returns
+    (id_a, id_b, containment) with id_a != id_b, containment of a
+    inside b, rounded to 6 decimals."""
+    ex = (
+        shingle_hashes(df, text_col, id_col, shingle_k)
+        .select("__id", "__h")
+        .distinct()
+    )
+    rare = (
+        ex.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("__h")
+    )
+    kept = ex.join(rare, "__h")
+    denom = kept.groupBy("__id").agg(F.count(F.lit(1)).alias("__na"))
+    a = kept.select(F.col("__id").alias("id_a"), "__h")
+    b = kept.select(F.col("__id").alias("id_b"), "__h")
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        inter.join(denom.withColumnRenamed("__id", "id_a"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__n") / F.col("__na"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def verify_candidates_jaccard(
     candidates: DataFrame,
     df: DataFrame,

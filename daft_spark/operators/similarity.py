@@ -332,10 +332,15 @@ def embedding_near_dups(
     - Buckets larger than ``max_bucket_size`` (degenerate regions —
       e.g. the all-zeros corner) contribute STAR edges (bucket-min to
       each member) instead of all pairs, bounding any single bucket's
-      cost at O(n) — same recall caveat the text miner documents:
+      cost at O(n). The star path is the text miner's
+      ``_capped_bucket_pairs`` (operators/dedup.py) — a broadcast-
+      representative join that never materializes a whole bucket in
+      one aggregate row — and shares its documented recall caveat:
       members of an oversized bucket link through the representative
       only if the star pairs survive verification.
     """
+    from daft_spark.operators.dedup import _capped_bucket_pairs
+
     per_band = num_planes // bands
     if per_band * bands != num_planes:
         raise ValueError("num_planes must be divisible by bands")
@@ -361,21 +366,7 @@ def embedding_near_dups(
         "__id", F.explode(band_keys).alias("__bk")
     ).select("__id", F.col("__bk.band").alias("__band"), F.col("__bk.key").alias("__key"))
 
-    sizes = buckets.groupBy("__band", "__key").agg(F.count(F.lit(1)).alias("__n"))
-    buckets = buckets.join(sizes, ["__band", "__key"])
-    small = buckets.filter(F.col("__n") <= max_bucket_size)
-    big = buckets.filter(F.col("__n") > max_bucket_size)
-
-    a = small.select("__band", "__key", F.col("__id").alias("id_a"))
-    b = small.select("__band", "__key", F.col("__id").alias("id_b"))
-    cand = a.join(b, ["__band", "__key"]).filter(F.col("id_a") < F.col("id_b"))
-    star = (
-        big.groupBy("__band", "__key")
-        .agg(F.min("__id").alias("id_a"), F.collect_list("__id").alias("__ids"))
-        .select("id_a", F.explode("__ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    cand = cand.select("id_a", "id_b").unionAll(star).distinct()
+    cand = _capped_bucket_pairs(buckets, ["__band", "__key"], max_bucket_size)
 
     va = sig.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
     vb = sig.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))

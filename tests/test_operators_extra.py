@@ -204,5 +204,18 @@ def test_embedding_near_dups_precision_and_star_cap(spark):
     }
     assert starred <= exact
 
+    # the star path is the shared broadcast-representative join
+    # (_capped_bucket_pairs) — no whole-bucket collect_list aggregate
+    # row anywhere in the plan, even with every bucket oversized
+    plan = (
+        embedding_near_dups(
+            emb, 0.3, dim=64, num_planes=32, bands=16, max_bucket_size=1
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "collect_list" not in plan
+
     with pytest.raises(ValueError):
         embedding_near_dups(emb, 0.3, dim=64, num_planes=30, bands=16)
