@@ -93,6 +93,15 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(401, {"code": 1003, "message": "unauthorized"})
             return
         parts = [unquote(p) for p in urlsplit(self.path).path.split("/") if p]
+        # decoded segments become filesystem path components below —
+        # reject traversal ('..', '%2e%2e') and separator smuggling
+        # ('%2f', '%5c') so no request escapes the metalake root
+        if any(
+            seg in (".", "..") or "/" in seg or "\\" in seg or os.sep in seg
+            for seg in parts
+        ):
+            self._send(400, {"code": 1001, "message": "illegal path segment"})
+            return
         # /api/metalakes/{ml}/catalogs[/{c}[/schemas[/{s}/(tables|filesets)[/{t}]]]]
         if len(parts) < 3 or parts[0] != "api" or parts[1] != "metalakes":
             self._send(404, {"code": 1002, "message": "no such route"})
@@ -373,9 +382,21 @@ class GravitinoRestCatalog(Catalog):
             return False
 
     def list_namespaces_str(self, catalog_name: str) -> list[str]:
-        resp = self._request(
-            f"/metalakes/{self._metalake}/catalogs/{catalog_name}/schemas"
-        )
+        try:
+            resp = self._request(
+                f"/metalakes/{self._metalake}/catalogs/{catalog_name}/schemas"
+            )
+        except _HttpError as e:
+            # the reference client catches list failures, warns, and
+            # returns [] so has_namespace stays non-raising for a
+            # missing catalog (the server 404s the /schemas route)
+            import warnings
+
+            warnings.warn(
+                f"failed to list schemas of catalog {catalog_name!r}: {e}",
+                stacklevel=2,
+            )
+            return []
         return [
             f"{catalog_name}.{i['name']}"
             for i in resp.get("identifiers", [])

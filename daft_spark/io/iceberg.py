@@ -1529,11 +1529,17 @@ def write_iceberg_py(
     if not _publish:
         # REST-catalog commit flow: data/manifests are staged in shared
         # storage, but the METADATA swap belongs to the catalog — hand
-        # back what an updateTable commit needs instead of publishing
+        # back what an updateTable commit needs instead of publishing.
+        # new_manifests (the manifest-list entries THIS commit created,
+        # vs the carried prior ones) let the client rebase the snapshot
+        # onto a moved head in its 409 refresh-and-retry loop.
         return {
             "snapshot": snapshot,
             "prior_snapshot_id": (prior or {}).get("current-snapshot-id"),
             "metadata": meta,
+            "new_manifests": [
+                m for m in manifests if m.get("added_snapshot_id") == snapshot_id
+            ],
         }
     _publish_metadata(path, meta)
     return None

@@ -505,7 +505,9 @@ class IcebergRestCatalog(Catalog):
             # data + manifests stage to the (shared) table location; the
             # metadata pointer moves through the commit protocol with an
             # assert-ref-snapshot-id requirement, so a concurrent commit
-            # turns into 409 instead of a lost update
+            # turns into 409 instead of a lost update — and the client
+            # then refreshes and REBASES the staged snapshot onto the
+            # moved head before retrying (real catalogs' retry loop)
             if mode != "append":
                 raise ValueError(
                     "REST-committed table writes support mode='append' only"
@@ -513,29 +515,90 @@ class IcebergRestCatalog(Catalog):
             from daft_spark.io.iceberg import write_iceberg_py
 
             staged = write_iceberg_py(df, tpath, mode="append", _publish=False)
-            snap = staged["snapshot"]
-            self.commit_table(
-                identifier,
-                requirements=[
-                    {
-                        "type": "assert-ref-snapshot-id",
-                        "ref": "main",
-                        "snapshot-id": staged["prior_snapshot_id"],
-                    }
-                ],
-                updates=[
-                    {"action": "add-snapshot", "snapshot": snap},
-                    {
-                        "action": "set-snapshot-ref",
-                        "ref-name": "main",
-                        "snapshot-id": snap["snapshot-id"],
-                        "type": "branch",
-                    },
-                ],
-            )
+            self._commit_staged_with_retry(identifier, tpath, staged)
 
         tbl._write = _rest_write
         return tbl
+
+    def _commit_staged_with_retry(
+        self, identifier, tpath: str, staged: dict, max_retries: int = 5
+    ) -> None:
+        """Commit a staged append snapshot, handling 409
+        CommitFailedException the way real Iceberg clients do: refresh
+        the table from the catalog, REBASE the staged snapshot onto the
+        moved head — new sequence number, manifest list rebuilt as
+        (this commit's new manifests) + (the new head's manifests; the
+        per-entry sequence numbers inherit from the list, so the
+        manifest avro files themselves never rewrite) — and retry the
+        updateTable with the refreshed requirement. Gives up after
+        ``max_retries`` rebases."""
+        import uuid as _uuid
+
+        from daft_spark.io.avro import read_ocf, write_ocf
+        from daft_spark.io.iceberg import _MANIFEST_FILE_SCHEMA, _to_local
+
+        snap = dict(staged["snapshot"])
+        new_manifests = list(staged.get("new_manifests") or [])
+        parent = staged["prior_snapshot_id"]
+        for attempt in range(max_retries + 1):
+            try:
+                self.commit_table(
+                    identifier,
+                    requirements=[
+                        {
+                            "type": "assert-ref-snapshot-id",
+                            "ref": "main",
+                            "snapshot-id": parent,
+                        }
+                    ],
+                    updates=[
+                        {"action": "add-snapshot", "snapshot": snap},
+                        {
+                            "action": "set-snapshot-ref",
+                            "ref-name": "main",
+                            "snapshot-id": snap["snapshot-id"],
+                            "type": "branch",
+                        },
+                    ],
+                )
+                return
+            except RestError as e:
+                if attempt == max_retries or e.code != 409:
+                    raise
+            res = self.load_table_result(identifier)
+            meta = res["metadata"]
+            head_id = meta.get("current-snapshot-id")
+            head = next(
+                (
+                    s
+                    for s in meta.get("snapshots", [])
+                    if s["snapshot-id"] == head_id
+                ),
+                None,
+            )
+            new_seq = int(meta.get("last-sequence-number", 0)) + 1
+            carried = []
+            if head is not None:
+                _, _, carried = read_ocf(_to_local(head["manifest-list"], tpath))
+            rebased = [
+                dict(m, sequence_number=new_seq, min_sequence_number=new_seq)
+                for m in new_manifests
+            ]
+            md = os.path.join(tpath, "metadata")
+            mlist_path = os.path.join(
+                md,
+                f"snap-{snap['snapshot-id']}-{attempt + 2}-{_uuid.uuid4().hex}.avro",
+            )
+            write_ocf(
+                mlist_path,
+                _MANIFEST_FILE_SCHEMA,
+                rebased + list(carried),
+                metadata={"format-version": "2"},
+            )
+            snap = dict(
+                snap, **{"sequence-number": new_seq, "manifest-list": mlist_path}
+            )
+            parent = head_id
 
     def read_table(self, identifier):
         return self.get_table(identifier).read()

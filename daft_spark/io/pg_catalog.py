@@ -178,7 +178,16 @@ class DbapiPostgresCatalog(Catalog):
                 f"PostgreSQL namespace identifier must be a single schema name, "
                 f"got {identifier}"
             )
-        self._execute(f"DROP SCHEMA {_qident(parts[0])}")
+        try:
+            self._execute(f"DROP SCHEMA {_qident(parts[0])}")
+        except Exception as e:
+            # the reference wraps psycopg errors in ValueError
+            # (__postgres.py:305-316) so callers never see
+            # backend-specific exception types (e.g. a duckdb
+            # CatalogException for a missing or non-empty schema)
+            raise ValueError(
+                f"Failed to drop schema {parts[0]!r}: {e}"
+            ) from e
 
     def has_namespace(self, identifier) -> bool:
         parts = list(_ident(identifier))
@@ -303,9 +312,26 @@ class DbapiPostgresCatalog(Catalog):
         .schema, :487 — there joined against pg_attribute for pgvector
         dimensions; vector columns need the pgvector extension)."""
         schema_name, table_name = _split_table_ident(identifier)
-        where = f"table_name = {_qlit(table_name)}"
-        if schema_name:
-            where = f"table_schema = {_qlit(schema_name)} AND " + where
+        if schema_name is None:
+            # Resolve the effective schema FIRST: filtering
+            # information_schema.columns on table_name alone would
+            # interleave rows from same-named tables in different
+            # schemas into one wrong StructType. Prefer 'public' (the
+            # default search_path head), else the first schema owning
+            # the table.
+            srows = self._execute(
+                "SELECT table_schema FROM information_schema.tables "
+                f"WHERE table_name = {_qlit(table_name)} "
+                "ORDER BY (table_schema <> 'public'), table_schema",
+                fetch=True,
+            )
+            if not srows:
+                raise NotFoundError(f"Table {identifier} not found")
+            schema_name = srows[0][0]
+        where = (
+            f"table_schema = {_qlit(schema_name)} AND "
+            f"table_name = {_qlit(table_name)}"
+        )
         rows = self._execute(
             "SELECT column_name, data_type, is_nullable "
             f"FROM information_schema.columns WHERE {where} ORDER BY ordinal_position",

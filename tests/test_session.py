@@ -835,3 +835,135 @@ def test_gravitino_rest_catalog(spark, tmp_path):
         no = Catalog.from_gravitino(srv.uri, "ml1", auth_type="oauth2", token="bad")
         with pytest.raises(Exception, match="401"):
             no.list_catalogs()
+
+
+def test_rest_catalog_commit_conflict_retry(spark, tmp_path):
+    """Two writers staged against the SAME parent snapshot: the second
+    commit 409s and the client's refresh-and-rebase retry loop (the
+    behavior real Iceberg REST clients implement) lands it on the moved
+    head — no lost update, both appends readable, the rebased snapshot
+    carrying the head's manifests plus its own. Then two genuinely
+    concurrent threaded writers both eventually commit."""
+    import threading
+
+    from daft_spark.io.iceberg import _latest_metadata, write_iceberg_py
+    from daft_spark.io.iceberg_rest import IcebergRestCatalogServer
+    from daft_spark.session import Catalog
+
+    base = spark.range(5).select(F.col("id").alias("k"))
+    with IcebergRestCatalogServer(str(tmp_path / "wh")) as srv:
+        cat = Catalog.from_iceberg(srv.uri)
+        cat.create_namespace("ns")
+        cat.create_table("ns.t", base)
+        tpath = srv._httpd.catalog._path("ns.t")
+        s1 = write_iceberg_py(
+            spark.range(100, 105).select(F.col("id").alias("k")),
+            tpath, mode="append", _publish=False,
+        )
+        s2 = write_iceberg_py(
+            spark.range(200, 205).select(F.col("id").alias("k")),
+            tpath, mode="append", _publish=False,
+        )
+        assert s1["prior_snapshot_id"] == s2["prior_snapshot_id"]
+        cat._commit_staged_with_retry("ns.t", tpath, s1)
+        # stale parent -> 409 -> refresh, rebase, retry
+        cat._commit_staged_with_retry("ns.t", tpath, s2)
+        got = sorted(r["k"] for r in cat.read_table("ns.t").collect())
+        assert got == (
+            list(range(5)) + list(range(100, 105)) + list(range(200, 205))
+        )
+        meta = _latest_metadata(tpath)
+        assert len(meta["snapshots"]) == 3
+        seqs = [s["sequence-number"] for s in meta["snapshots"]]
+        assert seqs == sorted(set(seqs)), "sequence numbers must not collide"
+
+        errs = []
+
+        def writer(lo):
+            try:
+                c2 = Catalog.from_iceberg(srv.uri)
+                c2.get_table("ns.t").write(
+                    spark.range(lo, lo + 3).select(F.col("id").alias("k")),
+                    mode="append",
+                )
+            except Exception as e:  # pragma: no cover - assertion below
+                errs.append(e)
+
+        ts = [threading.Thread(target=writer, args=(lo,)) for lo in (300, 400)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        got = sorted(r["k"] for r in cat.read_table("ns.t").collect())
+        assert got == (
+            list(range(5)) + list(range(100, 105)) + list(range(200, 205))
+            + list(range(300, 303)) + list(range(400, 403))
+        )
+
+
+def test_postgres_catalog_error_mapping_and_schema_resolution(spark, tmp_path):
+    """ADVICE r7: drop_namespace wraps raw DB-API errors in ValueError
+    (the reference's psycopg->ValueError mapping), and a 1-part
+    table_schema lookup resolves ONE effective schema instead of
+    interleaving same-named tables from several schemas."""
+    import duckdb
+    import pytest
+
+    from daft_spark.session import Catalog
+
+    db = str(tmp_path / "pg2.duckdb")
+    cat = Catalog.from_postgres(connect=lambda: duckdb.connect(db), name="pg")
+    # missing schema -> ValueError, not a backend exception type
+    with pytest.raises(ValueError, match="Failed to drop schema"):
+        cat.drop_namespace("ghost")
+    # non-empty schema -> ValueError too
+    cat.create_namespace("full")
+    cat.create_table("full.t", spark.createDataFrame([(1,)], "id int"))
+    with pytest.raises(ValueError, match="Failed to drop schema"):
+        cat.drop_namespace("full")
+    # same-named tables in two schemas: 1-part lookup must pick one
+    # schema's columns, never interleave both
+    cat.create_namespace("aaa")
+    cat.create_namespace("bbb")
+    cat.create_table("aaa.dup", spark.createDataFrame([(1,)], "id int"))
+    cat.create_table(
+        "bbb.dup", spark.createDataFrame([("x", "y")], "s string, t string")
+    )
+    struct = cat.table_schema("dup")
+    assert [f.name for f in struct.fields] == ["id"]
+
+
+def test_gravitino_nonraising_has_namespace_and_path_safety(spark, tmp_path):
+    """ADVICE r7: has_namespace/list_namespaces on a missing catalog
+    return False/[] (the reference's non-raising has_* contract), and
+    the in-process server rejects path-traversal segments instead of
+    serving files outside the metalake root."""
+    import urllib.error
+    import urllib.request
+
+    import pytest
+
+    from daft_spark.io.gravitino_rest import GravitinoServer
+    from daft_spark.session import Catalog
+
+    root = str(tmp_path / "ml")
+    (tmp_path / "ml" / "lake" / "tpch").mkdir(parents=True)
+    # a file OUTSIDE the metalake root that traversal must not reach
+    (tmp_path / "secret").mkdir()
+    (tmp_path / "secret" / "x.txt").write_text("leak")
+    with GravitinoServer(root, "ml1", username="admin") as srv:
+        cat = Catalog.from_gravitino(srv.uri, "ml1", username="admin")
+        with pytest.warns(UserWarning, match="failed to list schemas"):
+            assert not cat.has_namespace("nocat.s")
+        with pytest.warns(UserWarning, match="failed to list schemas"):
+            assert cat.list_namespaces("nocat") == []
+        # traversal segments are rejected with 400 before touching disk
+        for evil in ("%2e%2e", "..%2fsecret", "a%2fb"):
+            req = urllib.request.Request(
+                f"{srv.uri}/api/metalakes/ml1/catalogs/{evil}/schemas",
+                headers={"X-Gravitino-User": "admin"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
