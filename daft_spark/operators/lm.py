@@ -1,0 +1,105 @@
+"""Corpus-trained n-gram language-model scoring — the CCNet-style
+perplexity filter of LLM data pipelines (Wenzek et al., "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+score every document by how probable its word sequence is under a
+language model, then keep/bucket documents by perplexity. Real
+pipelines use a pretrained KenLM; this operator trains the LM ON THE
+CORPUS ITSELF (add-k smoothed bigrams), which keeps the whole thing a
+deterministic, exactly-oracle-checkable Spark computation with the
+same distributed shape a KenLM scorer would have.
+
+100 TB posture:
+- Tokenization is one JVM-side ``split`` + ``posexplode``; the token
+  frame carries (doc_id, position, token) only, never the document.
+- Bigram counts are two map-side-combining groupBys over small keys;
+  conditional probabilities attach with shuffle joins keyed on the
+  bigram/prefix — no broadcast of an unbounded vocabulary, no driver
+  collection of counts.
+- The per-bigram log-probability is rounded to 9 decimals and summed
+  as DECIMAL(28,9): the sum is then exact and order-independent, so
+  the score is reproducible across partitionings and engines (plain
+  double summation varies in the last ulps with reduce order).
+
+Reference surface: the reference ships perplexity-style quality
+filtering through its UDF layer (daft/ai/ and the text quality
+examples); this is the built-in, engine-native formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bigram_lm_scores"]
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document add-k bigram LM scores.
+
+    Returns (id_col, n_bigrams, avg_logprob, perplexity) for every
+    document with >= 2 tokens:
+
+    - tokens: ``lower(text)`` split on whitespace
+    - P(w2 | w1) = (c(w1, w2) + k) / (c(w1, ·) + k·V), V = |vocab|
+    - avg_logprob = mean over the document's bigrams of ln P, with
+      each ln P rounded to 9 decimals and the mean computed as an
+      exact decimal sum / count, rounded to 6 decimals
+    - perplexity = round(exp(-avg_logprob), 4)
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "__ord", "__tok"
+            ),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    nxt = toks.select(
+        F.col(id_col),
+        (F.col("__ord") - 1).alias("__ord"),
+        F.col("__tok").alias("__tok2"),
+    )
+    bigrams = toks.join(nxt, [id_col, "__ord"]).select(
+        id_col, F.col("__tok").alias("__w1"), F.col("__tok2").alias("__w2")
+    )
+    # model: bigram counts + prefix totals + vocab size (three
+    # aggregates over keys-only frames; V is a 1-row cross join, the
+    # standard way to attach a scalar without collect())
+    c12 = bigrams.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
+    c1 = bigrams.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = toks.select(F.countDistinct("__tok").alias("__v"))
+    logp = F.round(
+        F.log(
+            (F.col("__c12") + F.lit(k))
+            / (F.col("__c1") + F.lit(k) * F.col("__v"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    scored = (
+        bigrams.join(c12, ["__w1", "__w2"])
+        .join(c1, ["__w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(logp).alias("__lsum"),
+        )
+    )
+    # cast the EXACT decimal sum to double before dividing: decimal
+    # division scale/rounding rules differ across engines, double
+    # division is IEEE-identical everywhere
+    avg_lp = F.round(
+        F.col("__lsum").cast("double") / F.col("n_bigrams"), 6
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        avg_lp.alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 4).alias("perplexity"),
+    )

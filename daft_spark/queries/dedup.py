@@ -477,3 +477,45 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(d, bench, "text", "doc_id", shingle_k=3).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "dedup_shingle_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t)+1),
+                i -> t[i] || chr(31) || coalesce(t[i+1],'') || chr(31)
+                     || coalesce(t[i+2],'')))) AS s
+      FROM toks),
+    rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 200),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+    denom AS (SELECT doc_id, count(*) AS na FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, round(CAST(n AS DOUBLE) / na, 6) AS containment
+    FROM inter JOIN denom ON denom.doc_id = id_a
+    WHERE round(CAST(n AS DOUBLE) / na, 6) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment near-dups (a document embedded
+    in a larger one — the case symmetric Jaccard dilutes), df-capped
+    inverted-index join (operators/dedup.py containment_pairs). The
+    oracle restates the identical padded-shingle tokenization,
+    stop-shingle cut, and ratio in DuckDB, so every stage is
+    value-checked."""
+    from daft_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        threshold=0.8, shingle_k=3, max_doc_freq=200,
+    ).orderBy("id_a", "id_b")

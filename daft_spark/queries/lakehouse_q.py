@@ -1664,3 +1664,47 @@ def lake_iceberg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "lake_delta_restore",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+)
+def lake_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE: base write (v0), append (v1), destructive DELETE
+    (v2), then RESTORE to v1 — one metadata commit re-referencing v1's
+    files, no data movement (io/delta.py restore_deltalake_py). The
+    oracle restates v1's exact state from the source table, so a wrong
+    remove/add flip, lost append, or schema drift mismatches; the query
+    also asserts the restore added a version (history preserved) rather
+    than rewriting one."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        _list_versions,
+        delete_deltalake_py,
+        read_deltalake_py,
+        restore_deltalake_py,
+        write_deltalake_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        "/tmp/daft_spark_delta", f"orders_restore_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_deltalake_py(o.filter(F.col("o_orderkey") < 200), path, mode="overwrite")
+    write_deltalake_py(
+        o.filter((F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 300)),
+        path, mode="append",
+    )
+    delete_deltalake_py(path, spark, "o_orderkey >= 100")
+    restore_deltalake_py(path, version=1)
+    assert max(_list_versions(path)) == 3, "restore must append a version"
+    return read_deltalake_py(path, spark).orderBy("o_orderkey")

@@ -627,3 +627,114 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_lm_perplexity",
+    r"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+             generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS ord
+      FROM documents
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok <> ''),
+    big AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+    sc AS (
+      SELECT big.doc_id,
+             count(*) AS n_bigrams,
+             sum(CAST(round(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)), 9)
+                      AS DECIMAL(28,9))) AS lsum
+      FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY big.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(CAST(lsum AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
+           round(exp(-round(CAST(lsum AS DOUBLE) / n_bigrams, 6)), 4) AS perplexity
+    FROM sc ORDER BY doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring under a corpus-trained add-k
+    bigram LM (operators/lm.py) — the quality-filter stage real LLM
+    pipelines run with KenLM, restated engine-native so the whole
+    model fit + scoring is one oracle-checkable distributed plan."""
+    from daft_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "text_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) WHERE rn <= 30
+    ORDER BY doc_id
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sampling in the DETERMINISTIC md5
+    order (operators/sampling.py) — reproducible across runs,
+    partitionings, and engines, unlike rand(seed)."""
+    from daft_spark.operators.sampling import stratified_sample
+
+    return (
+        stratified_sample(_docs(spark, sf_dir), ["lang"], 30, "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pipeline_token_budget_mix",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-za-z0-9]+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+           CAST(max(cum) AS BIGINT) AS budget_used
+    FROM c WHERE cum <= 2000
+    GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: fill a 2000-token budget per source
+    in the deterministic md5 order (operators/sampling.py
+    token_budget_select) and report the achieved mixture — the
+    composition-assembly step of a training-data pipeline."""
+    from daft_spark.operators.sampling import token_budget_select
+
+    d = _docs(spark, sf_dir).withColumn("n_tok", token_count(F.col("text")))
+    kept = token_budget_select(d, ["source"], "n_tok", 2000, "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+            F.max("__cum").cast("long").alias("budget_used"),
+        )
+        .orderBy("source")
+    )
