@@ -1132,6 +1132,7 @@ def write_iceberg_py(
     sort_by: list[str] | None = None,
     _upsert_by: list[str] | None = None,
     _publish: bool = True,
+    summary_props: dict | None = None,
 ) -> dict | None:
     """Write ``df`` as one Iceberg v2 commit: parquet data files, one
     manifest, a manifest list, metadata.json v(N+1), then rotate
@@ -1476,7 +1477,12 @@ def write_iceberg_py(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
-        "summary": {"operation": "overwrite" if mode == "overwrite" else "append"},
+        # summary is the spec's string map; extra props are how
+        # streaming sinks stamp their batch identity (exactly-once)
+        "summary": {
+            "operation": "overwrite" if mode == "overwrite" else "append",
+            **{str(k): str(v) for k, v in (summary_props or {}).items()},
+        },
         "schema-id": current_schema_id,
     }
     # Sort orders are table state: carry prior orders forward; a
@@ -2411,6 +2417,25 @@ def rewrite_iceberg_data_files(
     }
 
 
+def last_streaming_batch_iceberg(path: str, app_id: str) -> int:
+    """Largest streaming batch id a given app has committed to this
+    table, or -1 — read from the snapshot SUMMARY properties
+    (``streaming-app-id`` / ``streaming-batch-id``), the idempotence
+    record Iceberg streaming sinks keep (Spark's Iceberg sink stores
+    its query/epoch ids the same way). Delta has first-class txn
+    actions for this; in Iceberg the summary map is the spec surface."""
+    meta = _latest_metadata(path)
+    best = -1
+    for s in meta.get("snapshots", []):
+        summ = s.get("summary") or {}
+        if summ.get("streaming-app-id") == app_id:
+            try:
+                best = max(best, int(summ.get("streaming-batch-id", -1)))
+            except (TypeError, ValueError):
+                continue
+    return best
+
+
 def set_iceberg_ref(
     path: str,
     name: str,
@@ -2439,6 +2464,100 @@ def set_iceberg_ref(
     refs[name] = entry
     new_meta = dict(meta)
     new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(path, new_meta)
+
+
+def write_iceberg_branch_py(df: DataFrame, path: str, branch: str) -> None:
+    """Append to a named BRANCH without moving main — the
+    write-audit-publish pattern (stage experimental/audit writes on a
+    branch, validate, then fast-forward main). The append stages
+    exactly like a main append (data files + new manifests in shared
+    storage), then the snapshot is REBASED onto the branch head: its
+    manifest list is rebuilt as (this commit's new manifests) + (the
+    branch head's manifests) under the next table-wide sequence
+    number, and only ``refs[branch]`` moves in the published metadata.
+    Main readers never see the branch's rows; branch readers never see
+    main commits made after the fork. Zero data movement beyond the
+    append itself."""
+    from daft_spark.io.avro import read_ocf, write_ocf
+
+    meta = _latest_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    entry = refs.get(branch)
+    if entry is None or entry.get("type") != "branch":
+        raise ValueError(
+            f"branch {branch!r} not found — create it with "
+            "set_iceberg_ref(path, name, ref_type='branch')"
+        )
+    staged = write_iceberg_py(df, path, mode="append", _publish=False)
+    snap = dict(staged["snapshot"])
+    head_id = entry["snapshot-id"]
+    head = next(
+        s for s in meta.get("snapshots", []) if s["snapshot-id"] == head_id
+    )
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    _, _, carried = read_ocf(_to_local(head["manifest-list"], path))
+    rebased = [
+        dict(m, sequence_number=new_seq, min_sequence_number=new_seq)
+        for m in staged["new_manifests"]
+    ]
+    md = _meta_dir(path)
+    mlist_path = os.path.join(
+        md, f"snap-{snap['snapshot-id']}-b-{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        rebased + list(carried),
+        metadata={"format-version": "2"},
+    )
+    snap.update(
+        {
+            "sequence-number": new_seq,
+            "manifest-list": mlist_path,
+            "parent-snapshot-id": head_id,
+        }
+    )
+    new_meta = dict(meta)
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snap]
+    new_meta["last-sequence-number"] = new_seq
+    new_meta["last-updated-ms"] = snap["timestamp-ms"]
+    refs[branch] = dict(entry, **{"snapshot-id": snap["snapshot-id"]})
+    new_meta["refs"] = refs
+    _publish_metadata(path, new_meta)
+
+
+def fast_forward_iceberg_main(path: str, branch: str) -> None:
+    """Publish a branch: fast-forward main's current snapshot to the
+    branch head (the WAP publish step). Requires main's current
+    snapshot to be an ANCESTOR of the branch head — a true
+    fast-forward; anything else needs a merge/cherry-pick, which this
+    engine does not fake."""
+    meta = _latest_metadata(path)
+    refs = meta.get("refs") or {}
+    entry = refs.get(branch)
+    if entry is None or entry.get("type") != "branch":
+        raise ValueError(f"branch {branch!r} not found")
+    head_id = entry["snapshot-id"]
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    cur = meta.get("current-snapshot-id")
+    ancestor, walk = False, head_id
+    while walk is not None:
+        if walk == cur:
+            ancestor = True
+            break
+        walk = by_id.get(walk, {}).get("parent-snapshot-id")
+    if cur not in (None, -1) and not ancestor:
+        raise ValueError(
+            f"main ({cur}) is not an ancestor of branch {branch!r} head "
+            f"({head_id}) — cannot fast-forward"
+        )
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = head_id
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"snapshot-id": head_id, "timestamp-ms": int(time.time() * 1000)}
+    ]
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     _publish_metadata(path, new_meta)
 

@@ -1708,3 +1708,64 @@ def lake_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     restore_deltalake_py(path, version=1)
     assert max(_list_versions(path)) == 3, "restore must append a version"
     return read_deltalake_py(path, spark).orderBy("o_orderkey")
+
+
+@register(
+    "lake_iceberg_branch_write",
+    """
+    SELECT 'main' AS ref,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey < 500 OR (o_orderkey >= 1000 AND o_orderkey < 1100)
+    UNION ALL
+    SELECT 'wap',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey < 1000
+    ORDER BY ref
+    """,
+)
+def lake_iceberg_branch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg BRANCH WRITES (write-audit-publish): an append lands on
+    branch `wap` without moving main, a later append moves main without
+    touching the branch, and both heads read side by side — branch
+    isolation in BOTH directions, value-checked. io/iceberg.py
+    write_iceberg_branch_py (snapshot rebased onto the branch head's
+    manifest list; only refs[wap] moves)."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        read_iceberg_py,
+        set_iceberg_ref,
+        write_iceberg_branch_py,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg",
+        f"orders_branch_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 500), path)
+    set_iceberg_ref(path, "wap", ref_type="branch")
+    write_iceberg_branch_py(
+        o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)),
+        path, "wap",
+    )
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1100)),
+        path, mode="append",
+    )
+
+    def _agg(df, label):
+        return df.agg(
+            F.lit(label).alias("ref"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select("ref", "n", "key_sum")
+
+    main = _agg(read_iceberg_py(path, spark), "main")
+    wap = _agg(read_iceberg_py(path, spark, ref="wap"), "wap")
+    return main.unionAll(wap).orderBy("ref")

@@ -483,3 +483,56 @@ def stream_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # materialize before scratch cleanup
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_iceberg_sink",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-ICEBERG ingestion with exactly-once appends: each
+    micro-batch is one atomic snapshot stamped with streaming-app-id/
+    streaming-batch-id in the snapshot SUMMARY (the spec surface
+    Iceberg sinks use where Delta has txn actions; replayed batches
+    are recognized and skipped — streaming.write_stream_iceberg). The
+    table is read back through the pure-Python metadata walk and
+    aggregated; the oracle restates the aggregate from raw parquet, so
+    a lost batch or duplicated replay hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from daft_spark.io.iceberg import read_iceberg_py
+    from daft_spark.streaming import write_stream_iceberg
+
+    src = _stream_events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    scratch = tempfile.mkdtemp(prefix="stream_iceberg_sink_")
+    tbl = os.path.join(scratch, "tbl")
+    ckpt = os.path.join(scratch, "ckpt")
+    q = write_stream_iceberg(
+        src, tbl, ckpt, app_id="stream_iceberg_sink", available_now=True
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("stream_iceberg_sink did not drain in 300s")
+    except Exception:
+        q.stop()
+        raise
+    out = (
+        read_iceberg_py(tbl, spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before scratch cleanup
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -279,3 +279,63 @@ def write_stream_delta(
     elif trigger_seconds:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w.start()
+
+
+def write_stream_iceberg(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    app_id: str | None = None,
+    partition_by: list[str] | None = None,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+):
+    """Streaming ingestion into an ICEBERG table with EXACTLY-ONCE
+    appends — the counterpart of write_stream_delta for the other lake
+    format. Delta records idempotence in first-class ``txn`` actions;
+    Iceberg's spec surface for it is the snapshot SUMMARY map, so each
+    micro-batch commit stamps ``streaming-app-id``/``streaming-batch-id``
+    and a replayed batch after crash/restart is recognized by scanning
+    the snapshots and skipped (Spark's Iceberg sink keeps its query and
+    epoch ids the same way). Offsets live in Spark's checkpoint;
+    committed-batch identity lives in the table metadata; either alone
+    prevents duplicates.
+
+    Returns the started StreamingQuery. Same 100 TB shape as the Delta
+    sink: one atomic snapshot per micro-batch, readers see whole
+    batches, per-batch time travel free."""
+    from daft_spark.io.iceberg import (
+        last_streaming_batch_iceberg,
+        write_iceberg_py,
+    )
+
+    app = app_id or f"daft_spark-stream-{os.path.basename(table_path.rstrip('/'))}"
+    parts = list(partition_by or [])
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            if last_streaming_batch_iceberg(table_path, app) >= int(batch_id):
+                return  # replayed micro-batch, already committed
+        except FileNotFoundError:
+            pass  # table does not exist yet — first batch creates it
+        write_iceberg_py(
+            batch_df, table_path, mode="append",
+            partition_by=parts or None,
+            summary_props={
+                "streaming-app-id": app,
+                "streaming-batch-id": str(int(batch_id)),
+            },
+        )
+
+    w = (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()

@@ -1670,3 +1670,49 @@ def test_iceberg_sort_orders(spark, tmp_path):
     assert meta["sort-orders"][2]["fields"][0]["direction"] == "desc"
     with pytest.raises(ValueError, match="sort_by column"):
         write_iceberg_py(df, str(tmp_path / "bad"), sort_by=["missing"])
+
+
+def test_branch_write_isolation_and_fast_forward(spark, tmp_path):
+    """Branch appends are invisible on main and vice versa; the WAP
+    publish fast-forwards main to the branch head when main is still
+    the fork point, and refuses when main has moved past it."""
+    import pytest
+
+    from daft_spark.io.iceberg import (
+        fast_forward_iceberg_main,
+        read_iceberg_py,
+        set_iceberg_ref,
+        write_iceberg_branch_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "wap")
+    base = spark.range(10).select(F.col("id").alias("k"))
+    write_iceberg_py(base, p)
+    with pytest.raises(ValueError, match="branch 'wap' not found"):
+        write_iceberg_branch_py(base, p, "wap")
+    set_iceberg_ref(p, "wap", ref_type="branch")
+    write_iceberg_branch_py(
+        spark.range(100, 105).select(F.col("id").alias("k")), p, "wap"
+    )
+    write_iceberg_branch_py(
+        spark.range(200, 205).select(F.col("id").alias("k")), p, "wap"
+    )
+    assert sorted(r["k"] for r in read_iceberg_py(p, spark).collect()) == list(
+        range(10)
+    )
+    got = sorted(r["k"] for r in read_iceberg_py(p, spark, ref="wap").collect())
+    assert got == list(range(10)) + list(range(100, 105)) + list(range(200, 205))
+    # publish: main is the fork point -> fast-forward succeeds
+    fast_forward_iceberg_main(p, "wap")
+    assert sorted(r["k"] for r in read_iceberg_py(p, spark).collect()) == got
+    # main moves past the branch -> fast-forward must refuse
+    write_iceberg_py(
+        spark.range(300, 302).select(F.col("id").alias("k")), p, mode="append"
+    )
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward_iceberg_main(p, "wap")
+    # a tag is not a branch
+    set_iceberg_ref(p, "v1", ref_type="tag")
+    with pytest.raises(ValueError, match="branch 'v1' not found"):
+        write_iceberg_branch_py(base, p, "v1")

