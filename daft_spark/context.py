@@ -112,6 +112,12 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.dataSource.register(DeltaStreamSource)
         except Exception:
             pass
+        try:  # streaming Paimon source: readStream.format("daft_paimon")
+            from daft_spark.io.paimon_source import PaimonStreamSource
+
+            spark.dataSource.register(PaimonStreamSource)
+        except Exception:
+            pass
         try:
             spark._daft_spark_sources_registered = True
         except Exception:

@@ -286,12 +286,17 @@ def _read_checkpoint(table_path: str, version: int):
             pv = add.get("partitionValues") or {}
             if not isinstance(pv, dict):  # arrow MAP columns read back as tuples
                 pv = dict(pv)
-            active[add["path"]] = {
+            entry = {
                 "path": add["path"],
                 "partitionValues": pv,
                 "size": add.get("size") or 0,
                 "modificationTime": add.get("modificationTime") or 0,
             }
+            dv = add.get("deletionVector")
+            # parquet null-struct rows read back as a dict of Nones
+            if dv and dv.get("storageType"):
+                entry["deletionVector"] = {k: v for k, v in dv.items() if v is not None}
+            active[add["path"]] = entry
     return schema_json, partition_cols, active, configuration, protocol
 
 
@@ -1117,13 +1122,6 @@ def _write_checkpoint(table_path: str, version: int) -> None:
     schema_json, partition_cols, adds, configuration, protocol = _replay_log_full(
         table_path, version
     )
-    if any(a.get("deletionVector") for a in adds.values()):
-        # The classic checkpoint schema here has no deletionVector
-        # column; writing one would silently resurrect deleted rows for
-        # replays that start from it. Skip — the JSON log stays the
-        # source of truth until the DVs are compacted away by a
-        # rewriting commit (overwrite/CoW DML).
-        return
     ck_protocol = {
         "minReaderVersion": protocol.get("minReaderVersion", 1),
         "minWriterVersion": protocol.get("minWriterVersion", 2),
@@ -1146,6 +1144,12 @@ def _write_checkpoint(table_path: str, version: int) -> None:
         },
     ]
     for rel, add in adds.items():
+        # deletionVector rides along per the spec's checkpoint add
+        # schema — without it a checkpointed replay would resurrect
+        # DV-deleted rows (this writer used to SKIP checkpoints while
+        # DVs were active, which let the JSON log grow unboundedly on
+        # tables with long-lived DVs)
+        dv = add.get("deletionVector")
         rows.append(
             {
                 "protocol": None,
@@ -1156,6 +1160,17 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                     "size": int(add.get("size", 0)),
                     "modificationTime": int(add.get("modificationTime", 0)),
                     "dataChange": True,
+                    "deletionVector": (
+                        {
+                            "storageType": dv["storageType"],
+                            "pathOrInlineDv": dv["pathOrInlineDv"],
+                            "offset": dv.get("offset"),
+                            "sizeInBytes": int(dv.get("sizeInBytes", 0)),
+                            "cardinality": int(dv.get("cardinality", 0)),
+                        }
+                        if dv
+                        else None
+                    ),
                 },
             }
         )
@@ -1209,6 +1224,18 @@ def _write_checkpoint(table_path: str, version: int) -> None:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),

@@ -2468,6 +2468,87 @@ def set_iceberg_ref(
     _publish_metadata(path, new_meta)
 
 
+def _rebase_append_snapshot(
+    path: str, snap: dict, new_manifests: list[dict], head: dict | None, new_seq: int
+) -> dict:
+    """Rebuild an APPEND snapshot's manifest list on top of ``head``'s
+    manifests under sequence number ``new_seq`` and return the updated
+    snapshot dict. The manifest avro FILES never rewrite — per-entry
+    sequence numbers inherit from the manifest-list entry, so a rebase
+    is one small avro write. Shared by branch writes, cherry-pick, and
+    the REST client's 409 retry loop."""
+    from daft_spark.io.avro import read_ocf, write_ocf
+
+    carried: list[dict] = []
+    if head is not None:
+        _, _, carried = read_ocf(_to_local(head["manifest-list"], path))
+    rebased = [
+        dict(m, sequence_number=new_seq, min_sequence_number=new_seq)
+        for m in new_manifests
+    ]
+    mlist = os.path.join(
+        _meta_dir(path), f"snap-{snap['snapshot-id']}-r-{uuid.uuid4().hex}.avro"
+    )
+    write_ocf(
+        mlist,
+        _MANIFEST_FILE_SCHEMA,
+        rebased + list(carried),
+        metadata={"format-version": "2"},
+    )
+    out = dict(snap)
+    out["sequence-number"] = new_seq
+    out["manifest-list"] = mlist
+    if head is not None:
+        out["parent-snapshot-id"] = head["snapshot-id"]
+    return out
+
+
+def cherry_pick_iceberg_snapshot(path: str, snapshot_id: int) -> None:
+    """Apply a branch/staged APPEND snapshot onto main as a NEW
+    snapshot (Iceberg's ``cherrypick_snapshot`` — the WAP publish when
+    main has moved past the fork and fast-forward refuses). The source
+    snapshot's OWN manifests (added_snapshot_id == its id) rebase onto
+    main's head; the new snapshot's summary records
+    ``source-snapshot-id``. Only append snapshots cherry-pick — a
+    delete/overwrite re-applied on changed state is not well-defined,
+    and this engine does not fake it."""
+    meta = _latest_metadata(path)
+    src = current_snapshot(meta, snapshot_id)
+    if (src.get("summary") or {}).get("operation") != "append":
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an append — only append "
+            "snapshots can be cherry-picked"
+        )
+    from daft_spark.io.avro import read_ocf
+
+    _, _, entries = read_ocf(_to_local(src["manifest-list"], path))
+    own = [m for m in entries if m.get("added_snapshot_id") == snapshot_id]
+    head = current_snapshot(meta)
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    now_ms = int(time.time() * 1000)
+    snap = dict(
+        src,
+        **{
+            "snapshot-id": uuid.uuid4().int % (1 << 62),
+            "timestamp-ms": now_ms,
+            "summary": {
+                **(src.get("summary") or {}),
+                "source-snapshot-id": str(snapshot_id),
+            },
+        },
+    )
+    snap = _rebase_append_snapshot(path, snap, own, head, new_seq)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snap]
+    new_meta["last-sequence-number"] = new_seq
+    new_meta["current-snapshot-id"] = snap["snapshot-id"]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"snapshot-id": snap["snapshot-id"], "timestamp-ms": now_ms}
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    _publish_metadata(path, new_meta)
+
+
 def write_iceberg_branch_py(df: DataFrame, path: str, branch: str) -> None:
     """Append to a named BRANCH without moving main — the
     write-audit-publish pattern (stage experimental/audit writes on a
@@ -2480,8 +2561,6 @@ def write_iceberg_branch_py(df: DataFrame, path: str, branch: str) -> None:
     Main readers never see the branch's rows; branch readers never see
     main commits made after the fork. Zero data movement beyond the
     append itself."""
-    from daft_spark.io.avro import read_ocf, write_ocf
-
     meta = _latest_metadata(path)
     refs = dict(meta.get("refs") or {})
     entry = refs.get(branch)
@@ -2491,33 +2570,10 @@ def write_iceberg_branch_py(df: DataFrame, path: str, branch: str) -> None:
             "set_iceberg_ref(path, name, ref_type='branch')"
         )
     staged = write_iceberg_py(df, path, mode="append", _publish=False)
-    snap = dict(staged["snapshot"])
-    head_id = entry["snapshot-id"]
-    head = next(
-        s for s in meta.get("snapshots", []) if s["snapshot-id"] == head_id
-    )
+    head = current_snapshot(meta, entry["snapshot-id"])
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
-    _, _, carried = read_ocf(_to_local(head["manifest-list"], path))
-    rebased = [
-        dict(m, sequence_number=new_seq, min_sequence_number=new_seq)
-        for m in staged["new_manifests"]
-    ]
-    md = _meta_dir(path)
-    mlist_path = os.path.join(
-        md, f"snap-{snap['snapshot-id']}-b-{uuid.uuid4().hex}.avro"
-    )
-    write_ocf(
-        mlist_path,
-        _MANIFEST_FILE_SCHEMA,
-        rebased + list(carried),
-        metadata={"format-version": "2"},
-    )
-    snap.update(
-        {
-            "sequence-number": new_seq,
-            "manifest-list": mlist_path,
-            "parent-snapshot-id": head_id,
-        }
+    snap = _rebase_append_snapshot(
+        path, dict(staged["snapshot"]), staged["new_manifests"], head, new_seq
     )
     new_meta = dict(meta)
     new_meta["snapshots"] = list(meta.get("snapshots", [])) + [snap]

@@ -532,10 +532,7 @@ class IcebergRestCatalog(Catalog):
         manifest avro files themselves never rewrite) — and retry the
         updateTable with the refreshed requirement. Gives up after
         ``max_retries`` rebases."""
-        import uuid as _uuid
-
-        from daft_spark.io.avro import read_ocf, write_ocf
-        from daft_spark.io.iceberg import _MANIFEST_FILE_SCHEMA, _to_local
+        from daft_spark.io.iceberg import _rebase_append_snapshot
 
         snap = dict(staged["snapshot"])
         new_manifests = list(staged.get("new_manifests") or [])
@@ -577,27 +574,7 @@ class IcebergRestCatalog(Catalog):
                 None,
             )
             new_seq = int(meta.get("last-sequence-number", 0)) + 1
-            carried = []
-            if head is not None:
-                _, _, carried = read_ocf(_to_local(head["manifest-list"], tpath))
-            rebased = [
-                dict(m, sequence_number=new_seq, min_sequence_number=new_seq)
-                for m in new_manifests
-            ]
-            md = os.path.join(tpath, "metadata")
-            mlist_path = os.path.join(
-                md,
-                f"snap-{snap['snapshot-id']}-{attempt + 2}-{_uuid.uuid4().hex}.avro",
-            )
-            write_ocf(
-                mlist_path,
-                _MANIFEST_FILE_SCHEMA,
-                rebased + list(carried),
-                metadata={"format-version": "2"},
-            )
-            snap = dict(
-                snap, **{"sequence-number": new_seq, "manifest-list": mlist_path}
-            )
+            snap = _rebase_append_snapshot(tpath, snap, new_manifests, head, new_seq)
             parent = head_id
 
     def read_table(self, identifier):

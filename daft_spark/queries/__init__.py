@@ -85,6 +85,15 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # set (fn_*, mm_*, sql_table_function, sim_ann_ivf_recall) and the
 # r5-era tpch/relational rows so no green row ages past ~3 rounds.
 #
+# ROUND-9 ROTATION NOTE: queries registered AFTER the frozen r8 window
+# (all pytest-oracle-green at sf0.001 and sf0.01 this round) must lead
+# the next rotation: text_lm_perplexity (exact LM-fit+score oracle),
+# text_stratified_sample, pipeline_token_budget_mix,
+# dedup_shingle_containment, lake_delta_restore,
+# lake_iceberg_branch_write, stream_iceberg_sink — then refresh the
+# stalest greens per COVERAGE.md's last-green ledger
+# (tools/coverage_rounds.py keeps it machine-checkable).
+#
 # Round-8 rotation (FROZEN at round start per the window-freeze
 # discipline — queries registered after this commit queue for r9):
 # first the 36 round-7 queries the driver never saw (the entire Delta

@@ -536,3 +536,79 @@ def stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # materialize before scratch cleanup
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_paimon_source",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+    FROM events WHERE event_id < 1600
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_paimon_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paimon-to-Delta exactly-once pipeline: the STREAMING PAIMON
+    SOURCE (io/paimon_source.py, readStream.format("daft_paimon") —
+    offset = snapshot id, first batch = current live set, later batches
+    = each APPEND snapshot's delta manifest adds, COMPACT snapshots
+    skipped) feeds the txn-stamped streaming Delta sink. The source
+    table gets a second Paimon commit AND a full compaction between two
+    availableNow drains sharing one checkpoint, so the run exercises
+    snapshot delivery, incremental tailing, AND compaction-invisibility;
+    double delivery (compaction re-emitted) or a lost commit
+    hash-mismatches against the oracle."""
+    import shutil
+    import tempfile
+
+    from daft_spark.context import configure
+    from daft_spark.io.delta import read_deltalake_py
+    from daft_spark.io.paimon import compact_paimon_py, write_paimon_py
+    from daft_spark.io.readers import load_table
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_paimon_src_")
+    src_tbl = os.path.join(scratch, "src")
+    dst_tbl = os.path.join(scratch, "dst")
+    ckpt = os.path.join(scratch, "ckpt")
+    write_paimon_py(ev.filter(F.col("event_id") < 800), src_tbl)
+
+    def drain():
+        from daft_spark.streaming import write_stream_delta
+
+        s = spark.readStream.format("daft_paimon").option("path", src_tbl).load()
+        q = write_stream_delta(
+            s, dst_tbl, ckpt, app_id="stream_paimon_source", available_now=True
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise AssertionError("stream_paimon_source did not drain in 300s")
+        except Exception:
+            q.stop()
+            raise
+
+    drain()  # snapshot batch: events < 800
+    write_paimon_py(
+        ev.filter((F.col("event_id") >= 800) & (F.col("event_id") < 1600)),
+        src_tbl,
+        mode="append",
+    )
+    compact_paimon_py(src_tbl, spark)  # must NOT re-deliver rows
+    drain()  # incremental batch: 800 <= events < 1600, compaction skipped
+    out = (
+        read_deltalake_py(dst_tbl, spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out

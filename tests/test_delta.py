@@ -199,7 +199,8 @@ def test_delta_deletion_vectors_merge_on_read(spark, tmp_path):
     (data files untouched), the reader drops them by row ordinal, a
     second DV delete merges with the first, and later appends are
     unaffected. Protocol upgrades to readerFeatures=[deletionVectors];
-    checkpoints skip while DVs are active."""
+    checkpoints carry the DV descriptors (see
+    test_checkpoint_carries_deletion_vectors)."""
     import json as _json
     import os
 
@@ -1105,3 +1106,36 @@ def test_dml_is_file_granular_cow(spark, tmp_path):
     delete_deltalake_py(p, spark, "id = -1")
     after = digests()
     assert before == after
+
+
+def test_checkpoint_carries_deletion_vectors(spark, tmp_path):
+    """A checkpoint written while DVs are active must carry the DV
+    descriptors (spec checkpoint add schema): after the JSON prefix is
+    removed (vacuumed log), a replay from the checkpoint alone still
+    drops the deleted rows instead of resurrecting them. This writer
+    used to SKIP checkpoints while DVs were active — correct but
+    unbounded log growth on tables with long-lived DVs."""
+    import os
+
+    from daft_spark.io.delta import (
+        _write_checkpoint,
+        delete_deltalake_dv_py,
+        read_deltalake_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "ckdv")
+    write_deltalake_py(
+        spark.range(100).select(F.col("id").alias("k")).coalesce(1), p
+    )
+    delete_deltalake_dv_py(p, spark, "k < 40")
+    _write_checkpoint(p, 1)
+    log = os.path.join(p, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    for f in list(os.listdir(log)):
+        if f.endswith(".json"):
+            v = f.split(".")[0]
+            if v.isdigit() and int(v) <= 1:
+                os.remove(os.path.join(log, f))
+    got = sorted(r["k"] for r in read_deltalake_py(p, spark).collect())
+    assert got == list(range(40, 100))

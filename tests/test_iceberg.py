@@ -1716,3 +1716,52 @@ def test_branch_write_isolation_and_fast_forward(spark, tmp_path):
     set_iceberg_ref(p, "v1", ref_type="tag")
     with pytest.raises(ValueError, match="branch 'v1' not found"):
         write_iceberg_branch_py(base, p, "v1")
+
+
+def test_cherry_pick_publishes_branch_appends_onto_moved_main(spark, tmp_path):
+    """When main has moved past the fork (fast-forward refuses), each
+    branch APPEND cherry-picks onto main as a new snapshot carrying
+    source-snapshot-id — the WAP publish path for diverged state. A
+    non-append snapshot refuses."""
+    import pytest
+
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        cherry_pick_iceberg_snapshot,
+        fast_forward_iceberg_main,
+        read_iceberg_py,
+        set_iceberg_ref,
+        write_iceberg_branch_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "cherry")
+    write_iceberg_py(spark.range(10).select(F.col("id").alias("k")), p)
+    set_iceberg_ref(p, "wap", ref_type="branch")
+    write_iceberg_branch_py(
+        spark.range(100, 103).select(F.col("id").alias("k")), p, "wap"
+    )
+    # main moves past the fork
+    write_iceberg_py(
+        spark.range(200, 205).select(F.col("id").alias("k")), p, mode="append"
+    )
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward_iceberg_main(p, "wap")
+    meta = _latest_metadata(p)
+    branch_head = meta["refs"]["wap"]["snapshot-id"]
+    cherry_pick_iceberg_snapshot(p, branch_head)
+    got = sorted(r["k"] for r in read_iceberg_py(p, spark).collect())
+    assert got == list(range(10)) + list(range(100, 103)) + list(range(200, 205))
+    meta = _latest_metadata(p)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert cur["summary"]["source-snapshot-id"] == str(branch_head)
+    # an overwrite snapshot refuses to cherry-pick
+    write_iceberg_py(
+        spark.range(3).select(F.col("id").alias("k")), p, mode="overwrite"
+    )
+    ow = _latest_metadata(p)["current-snapshot-id"]
+    with pytest.raises(ValueError, match="not an append"):
+        cherry_pick_iceberg_snapshot(p, ow)

@@ -430,3 +430,21 @@ def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
     )
     assert last_streaming_batch_iceberg(p, "app1") == 1
     assert read_iceberg_py(p, spark).count() == 15
+
+
+def test_paimon_stream_source_rejects_pk_tables(spark, tmp_path):
+    """A primary-key Paimon table streams as a changelog, not an append
+    stream — the source must refuse instead of silently dropping
+    retractions."""
+    import pytest
+
+    from daft_spark.io.paimon import write_paimon_py
+    from daft_spark.io.paimon_source import PaimonStreamReader
+
+    p = str(tmp_path / "pk")
+    write_paimon_py(
+        spark.createDataFrame([(1, "a")], "id int, s string"), p,
+        primary_key=["id"],
+    )
+    with pytest.raises(ValueError, match="PRIMARY-KEY"):
+        PaimonStreamReader({"path": p}, None)
