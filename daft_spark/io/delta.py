@@ -898,6 +898,27 @@ def _scan_adds_tagged(
     return out
 
 
+def _affected_scan(
+    spark: SparkSession,
+    path: str,
+    adds: dict,
+    schema_json: str,
+    partition_cols: list[str],
+    affected_abs: list[str],
+):
+    """Pass 2 of file-granular DML: re-scan ONLY the adds whose
+    absolute paths appear in ``affected_abs`` (the __fp values pass 1
+    collected). Keeps the abspath keying in ONE place, matching
+    _cow_commit's abs_to_rel."""
+    aff_set = set(affected_abs)
+    aff_adds = {
+        rel: a
+        for rel, a in adds.items()
+        if os.path.abspath(os.path.join(path, rel)) in aff_set
+    }
+    return _scan_adds_tagged(spark, path, aff_adds, schema_json, partition_cols)
+
+
 def _cow_commit(
     path: str,
     adds: dict,
@@ -1653,13 +1674,7 @@ def delete_deltalake_py(path: str, spark: SparkSession, condition: str) -> None:
             {"predicate": condition}, None,
         )
         return
-    aff_set = set(affected)
-    aff_adds = {
-        rel: a
-        for rel, a in adds.items()
-        if os.path.abspath(os.path.join(path, rel)) in aff_set
-    }
-    aff = _scan_adds_tagged(spark, path, aff_adds, schema_json, partition_cols)
+    aff = _affected_scan(spark, path, adds, schema_json, partition_cols, affected)
     surviving = aff.filter(~cond).drop("__fp", "__pos")
     extra = None
     if _cdf_enabled(cfg):
@@ -1712,13 +1727,7 @@ def update_deltalake_py(
             {"predicate": condition}, None,
         )
         return
-    aff_set = set(affected)
-    aff_adds = {
-        rel: a
-        for rel, a in adds.items()
-        if os.path.abspath(os.path.join(path, rel)) in aff_set
-    }
-    aff = _scan_adds_tagged(spark, path, aff_adds, schema_json, partition_cols)
+    aff = _affected_scan(spark, path, adds, schema_json, partition_cols, affected)
     updated = aff.select(
         *[
             F.when(cond, F.expr(str(set_exprs[c])).cast(ttypes[c]))
@@ -1773,10 +1782,17 @@ def restore_deltalake_py(path: str, version: int) -> None:
     schema_json, partition_cols, target_adds, cfg, _proto = _replay_log_full(
         path, version
     )
-    cur_schema, cur_parts, cur_adds, _cur_cfg, _ = _replay_log_full(path)
+    cur_schema, cur_parts, cur_adds, cur_cfg, _ = _replay_log_full(path)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
-    if schema_json != cur_schema or partition_cols != cur_parts:
+    # configuration is metadata too: a restore past enable_cdf (or any
+    # SET TBLPROPERTIES) must bring the target version's properties
+    # back, exactly as delta-spark's RESTORE does
+    if (
+        schema_json != cur_schema
+        or partition_cols != cur_parts
+        or (cfg or {}) != (cur_cfg or {})
+    ):
         actions.append(
             {
                 "metaData": {
@@ -1789,6 +1805,19 @@ def restore_deltalake_py(path: str, version: int) -> None:
                 }
             }
         )
+
+    def _identity(add: dict) -> tuple:
+        # stable across replay representations: JSON adds keep
+        # dataChange/stats keys, checkpoint-replayed adds are trimmed —
+        # compare only what defines the file's live content
+        dv = add.get("deletionVector") or {}
+        return (
+            add.get("size"),
+            dv.get("pathOrInlineDv"),
+            dv.get("offset"),
+            dv.get("cardinality"),
+        )
+
     for rel in cur_adds:
         if rel not in target_adds:
             actions.append(
@@ -1801,7 +1830,7 @@ def restore_deltalake_py(path: str, version: int) -> None:
                 }
             )
     for rel, add in target_adds.items():
-        if cur_adds.get(rel) != add:
+        if rel not in cur_adds or _identity(cur_adds[rel]) != _identity(add):
             restored = dict(add)
             restored["modificationTime"] = now_ms
             restored["dataChange"] = True
@@ -2172,13 +2201,9 @@ def merge_deltalake_py(
     matched = F.col("s.__smatch").isNotNull()
     update_applies = matched & ~del_cond & F.lit(bool(upd))
     if affected:
-        aff_set = set(affected)
-        aff_adds = {
-            rel: a
-            for rel, a in adds.items()
-            if os.path.abspath(os.path.join(path, rel)) in aff_set
-        }
-        aff = _scan_adds_tagged(spark, path, aff_adds, schema_json, partition_cols)
+        aff = _affected_scan(
+            spark, path, adds, schema_json, partition_cols, affected
+        )
         joined = aff.alias("t").join(s, cond, "left")
         kept = joined.filter(~(matched & del_cond)).select(
             *[

@@ -66,14 +66,17 @@ def _instants(path: str) -> list[tuple[str, str]]:
                     out.append((ts, action))
     for f in os.listdir(td):
         if f.endswith(".deltacommit"):
-            # Deliberate gate (round-7 decision, kept from round 5):
-            # HoodieLogFormat blocks are a hand-rolled binary framing
-            # (magic, version, type, header maps, Avro content) for
-            # which no independently verifiable test vectors can be
-            # produced in this offline environment — and hand-rolling
-            # byte formats from prose is exactly how the round-5
-            # Iceberg bucket-hash defect happened. CoW + upsert are
-            # fully supported; MoR needs the real Hudi bundle.
+            # Deliberate gate (re-evaluated and KEPT round 8; decided
+            # round 5, reaffirmed round 7): HoodieLogFormat blocks are
+            # a hand-rolled binary framing (magic, version, type,
+            # header maps, Avro content) for which no independently
+            # verifiable test vectors can be produced in this offline
+            # environment — a self-written writer+reader pair only
+            # proves self-consistency, not spec conformance, and
+            # hand-rolling byte formats from prose is exactly how the
+            # round-5 Iceberg bucket-hash defect happened. CoW +
+            # upsert + as-of time travel are fully supported; MoR
+            # needs the real Hudi bundle.
             raise NotImplementedError(
                 "Hudi merge-on-read tables (deltacommits/log files) are not "
                 "supported by this pure-Python reader; use the Hudi Spark bundle"

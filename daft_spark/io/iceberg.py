@@ -2524,6 +2524,17 @@ def cherry_pick_iceberg_snapshot(path: str, snapshot_id: int) -> None:
     _, _, entries = read_ocf(_to_local(src["manifest-list"], path))
     own = [m for m in entries if m.get("added_snapshot_id") == snapshot_id]
     head = current_snapshot(meta)
+    # double-apply guard (real Iceberg rejects already-published
+    # snapshots): if any of the source's own manifests already sit in
+    # main's current manifest list, re-applying would duplicate rows
+    if head is not None:
+        _, _, head_entries = read_ocf(_to_local(head["manifest-list"], path))
+        head_paths = {m.get("manifest_path") for m in head_entries}
+        if any(m.get("manifest_path") in head_paths for m in own):
+            raise ValueError(
+                f"snapshot {snapshot_id} is already published on main — "
+                "cherry-picking it again would duplicate its rows"
+            )
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
     now_ms = int(time.time() * 1000)
     snap = dict(

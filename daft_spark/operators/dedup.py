@@ -457,10 +457,15 @@ def containment_pairs(
     exchange carries (hash, id) pairs only, never text. Returns
     (id_a, id_b, containment) with id_a != id_b, containment of a
     inside b, rounded to 6 decimals."""
+    # Persisted: the df-cap groupBy, the denominators, and BOTH sides
+    # of the inverted-index self-join read this frame — Spark does not
+    # reuse exchanges across self-join aliases (see _capped_bucket_pairs),
+    # so without the persist the tokenize+shingle+hash scan runs 4x.
     ex = (
         shingle_hashes(df, text_col, id_col, shingle_k)
         .select("__id", "__h")
         .distinct()
+        .persist()
     )
     rare = (
         ex.groupBy("__h")

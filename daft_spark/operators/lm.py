@@ -9,8 +9,10 @@ deterministic, exactly-oracle-checkable Spark computation with the
 same distributed shape a KenLM scorer would have.
 
 100 TB posture:
-- Tokenization is one JVM-side ``split`` + ``posexplode``; the token
-  frame carries (doc_id, position, token) only, never the document.
+- Bigrams pair each token with its successor INSIDE the posexplode
+  span (the token array stays in scope, ``F.get(arr, pos+1)``) — the
+  same zero-shuffle neighbor trick as operators/dedup.shingle_hashes;
+  no positional self-join ever shuffles the token rows.
 - Bigram counts are two map-side-combining groupBys over small keys;
   conditional probabilities attach with shuffle joins keyed on the
   bigram/prefix — no broadcast of an unbounded vocabulary, no driver
@@ -51,22 +53,31 @@ def bigram_lm_scores(
       exact decimal sum / count, rounded to 6 decimals
     - perplexity = round(exp(-avg_logprob), 4)
     """
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-                "__ord", "__tok"
-            ),
-        )
-        .filter(F.col("__tok") != "")
-    )
-    nxt = toks.select(
+    base = df.select(
         F.col(id_col),
-        (F.col("__ord") - 1).alias("__ord"),
-        F.col("__tok").alias("__tok2"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__arr"),
     )
-    bigrams = toks.join(nxt, [id_col, "__ord"]).select(
-        id_col, F.col("__tok").alias("__w1"), F.col("__tok2").alias("__w2")
+    # keep the array in scope so the successor is a same-row lookup —
+    # pairing by position NEVER shuffles the token rows
+    bigrams = (
+        base.select(
+            id_col,
+            "__arr",
+            F.posexplode("__arr").alias("__ord", "__w1"),
+        )
+        .select(
+            id_col,
+            "__w1",
+            F.get("__arr", F.col("__ord") + 1).alias("__w2"),
+        )
+        .filter(
+            (F.col("__w1") != "")
+            & F.col("__w2").isNotNull()
+            & (F.col("__w2") != "")
+        )
+    )
+    toks = base.select(F.explode("__arr").alias("__tok")).filter(
+        F.col("__tok") != ""
     )
     # model: bigram counts + prefix totals + vocab size (three
     # aggregates over keys-only frames; V is a 1-row cross join, the

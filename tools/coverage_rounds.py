@@ -49,8 +49,17 @@ def last_green_rounds() -> dict[str, int]:
     return out
 
 
+def _latest_artifact_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
 def render(rounds: dict[str, int]) -> str:
-    latest = max(rounds.values() or [0])
+    latest = _latest_artifact_round()
     by_round: dict[int, list[str]] = {}
     for name, rnd in rounds.items():
         by_round.setdefault(rnd, []).append(name)
@@ -61,10 +70,10 @@ def render(rounds: dict[str, int]) -> str:
         "",
         f"{len(rounds)} registered queries; generated from "
         "CORRECTNESS_r*.json by `python tools/coverage_rounds.py`. "
-        "Round 0 = never driver-seen (post-freeze registration or "
-        "rows-only). Rotation policy: no green row should age past "
-        "~3 rounds behind the newest artifact "
-        f"(currently r{latest}).",
+        "Round 0 = never driver-seen (post-freeze registration; "
+        "rows-only queries DO earn rounds when their rows matched). "
+        "Rotation policy: no green row should age past ~3 rounds "
+        f"behind the newest artifact (currently r{latest}).",
         "",
         "| last green | n | queries |",
         "|---|---|---|",
