@@ -494,6 +494,63 @@ def containment_pairs(
     )
 
 
+def duplicated_span_stats(
+    df: DataFrame, text_col: str, id_col: str, window_k: int = 20
+) -> DataFrame:
+    """EXACT SUBSTRING duplication detection ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022 — there with a
+    suffix array; here the distributed formulation): every ``window_k``-
+    token rolling window is hashed, and a window whose hash appears in
+    >= 2 DISTINCT documents marks a duplicated span. Returns per-doc
+    (id, n_windows, n_dup_windows, dup_fraction) for docs with at
+    least one window — the signal pipelines use to strip boilerplate
+    and cross-document quotations that document-level near-dup misses.
+
+    100 TB posture: windows hash INSIDE the row (transform over the
+    token array, concat_ws + xxhash64 — whole-stage codegen), so the
+    only exploded frame is (doc_id, window-hash) 8-byte keys at
+    token-count scale; duplicated-hash detection is one map-side-
+    combining groupBy, and the per-doc rollup joins keys-only. The
+    document text never shuffles."""
+    sep = "\x1f"
+    arr = tokens_of(F.col(text_col))
+    n = F.size(arr)
+    idx = F.sequence(F.lit(1), n - (window_k - 1))
+    wins = F.when(
+        n >= window_k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(sep, F.slice(arr, i, window_k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    w = df.select(F.col(id_col), F.explode(wins).alias("__h"))
+    dup = (
+        w.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    total = w.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    ndup = (
+        w.join(dup, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        total.join(ndup, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def verify_candidates_jaccard(
     candidates: DataFrame,
     df: DataFrame,

@@ -89,8 +89,9 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # (all pytest-oracle-green at sf0.001 and sf0.01 this round) must lead
 # the next rotation: text_lm_perplexity (exact LM-fit+score oracle),
 # text_stratified_sample, pipeline_token_budget_mix,
-# dedup_shingle_containment, lake_delta_restore,
-# lake_iceberg_branch_write, stream_iceberg_sink — then refresh the
+# dedup_shingle_containment, dedup_substring_spans,
+# lake_delta_restore, lake_iceberg_branch_write, stream_iceberg_sink,
+# stream_paimon_source — then refresh the
 # stalest greens per COVERAGE.md's last-green ledger
 # (tools/coverage_rounds.py keeps it machine-checkable).
 #

@@ -519,3 +519,45 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "text", "doc_id",
         threshold=0.8, shingle_k=3, max_doc_freq=200,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, array_to_string(t[i:i+19], chr(31)) AS s
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - 18, 1))) AS i) u
+    ),
+    dup AS (
+      SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd FROM w GROUP BY s)
+      WHERE nd >= 2),
+    sel AS (
+      SELECT w.doc_id, count(*) AS n_windows,
+             sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM w LEFT JOIN dup d USING (s) GROUP BY w.doc_id)
+    SELECT doc_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_dup AS BIGINT) AS n_dup_windows,
+           round(CAST(n_dup AS DOUBLE) / n_windows, 6) AS dup_fraction
+    FROM sel ORDER BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats: 20-token rolling windows
+    repeated across >=2 documents mark duplicated spans (the Lee et al.
+    suffix-array signal, distributed as keys-only window hashing —
+    operators/dedup.py duplicated_span_stats). The oracle restates the
+    identical tokenization, windowing, and cross-doc counting over the
+    window STRINGS (the Spark side keys on xxhash64 of the same
+    strings)."""
+    from daft_spark.operators.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(
+        _docs(spark, sf_dir), "text", "doc_id", window_k=20
+    ).orderBy("doc_id")
