@@ -2417,6 +2417,35 @@ def rewrite_iceberg_data_files(
     }
 
 
+def read_iceberg_incremental(
+    path: str,
+    spark: SparkSession,
+    start_snapshot_id: int,
+    end_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental APPEND scan — the Spark-Iceberg connector's
+    ``start-snapshot-id``/``end-snapshot-id`` read options: rows added
+    by snapshots AFTER ``start_snapshot_id`` (exclusive) up to
+    ``end_snapshot_id`` (inclusive; default the current snapshot).
+    ``replace`` snapshots (compaction) rearrange existing rows and are
+    skipped; an overwrite/delete snapshot in range raises — an
+    incremental append scan across them would be wrong, exactly the
+    real connector's restriction. The CDC/processing pattern this
+    serves: checkpoint the snapshot id you last processed, read
+    everything appended since, repeat — no full-table rescans."""
+    from daft_spark.context import configure
+
+    configure(spark)
+    r = (
+        spark.read.format("daft_iceberg")
+        .option("path", path)
+        .option("start-snapshot-id", str(int(start_snapshot_id)))
+    )
+    if end_snapshot_id is not None:
+        r = r.option("end-snapshot-id", str(int(end_snapshot_id)))
+    return r.load()
+
+
 def last_streaming_batch_iceberg(path: str, app_id: str) -> int:
     """Largest streaming batch id a given app has committed to this
     table, or -1 — read from the snapshot SUMMARY properties

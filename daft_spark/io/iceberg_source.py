@@ -118,6 +118,22 @@ class IcebergReader(DataSourceReader):
         self.path = options["path"]
         snap = options.get("snapshot_id")
         self.snapshot_id = int(snap) if snap else None
+        # incremental APPEND scan (the Spark-Iceberg connector's
+        # start-snapshot-id/end-snapshot-id read options): rows added
+        # by snapshots AFTER start (exclusive) up to end (inclusive,
+        # default current). Only append snapshots may be in range.
+        start_inc = options.get("start-snapshot-id") or options.get(
+            "start_snapshot_id"
+        )
+        end_inc = options.get("end-snapshot-id") or options.get("end_snapshot_id")
+        self.start_snapshot_id = int(start_inc) if start_inc else None
+        self.end_snapshot_id = int(end_inc) if end_inc else None
+        if self.end_snapshot_id is not None and self.start_snapshot_id is None:
+            raise ValueError("end-snapshot-id requires start-snapshot-id")
+        if self.start_snapshot_id is not None and self.snapshot_id is not None:
+            raise ValueError(
+                "pass snapshot_id/ref or start-snapshot-id, not both"
+            )
         # named-ref pinning (tag/branch — spec §Snapshot References):
         # .option("ref", "v1") resolves at plan time on the driver
         ref = options.get("ref")
@@ -150,14 +166,54 @@ class IcebergReader(DataSourceReader):
         )
 
     def pushFilters(self, filters):
+        if self.start_snapshot_id is not None:
+            # incremental scans do no file pruning — hand every filter
+            # back so Spark applies them row-level
+            yield from filters
+            return
         pruning, unhandled = _translate(filters)
         self.filters = pruning
         # file-granular pruning only: Spark must re-apply row-level
         yield from unhandled
 
+    def _incremental_partitions(self) -> Sequence[InputPartition]:
+        from daft_spark.io.iceberg import _latest_metadata
+
+        meta = _latest_metadata(self.path)
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        if self.start_snapshot_id not in by_id:
+            raise ValueError(
+                f"start-snapshot-id {self.start_snapshot_id} not found"
+            )
+        start_seq = by_id[self.start_snapshot_id].get("sequence-number", 0)
+        if self.end_snapshot_id is not None:
+            if self.end_snapshot_id not in by_id:
+                raise ValueError(
+                    f"end-snapshot-id {self.end_snapshot_id} not found"
+                )
+            end_seq = by_id[self.end_snapshot_id].get("sequence-number", 0)
+        else:
+            end_seq = meta.get("last-sequence-number", 0)
+        files = _appended_data_files(self.path, start_seq, end_seq, strict=True)
+        target = 128 * 1024 * 1024
+        parts: list[InputPartition] = []
+        bin_files: list[str] = []
+        bin_bytes = 0
+        for p, size in sorted(files):
+            if bin_files and bin_bytes + size > target:
+                parts.append(InputPartition((bin_files, [], [])))
+                bin_files, bin_bytes = [], 0
+            bin_files.append(p)
+            bin_bytes += size
+        if bin_files:
+            parts.append(InputPartition((bin_files, [], [])))
+        return parts or [InputPartition(([], [], []))]
+
     def partitions(self) -> Sequence[InputPartition]:
         from daft_spark.io.iceberg import _latest_metadata, _live_files_and_deletes
 
+        if self.start_snapshot_id is not None:
+            return self._incremental_partitions()
         meta = _latest_metadata(self.path)
         if meta.get("format-version", 1) > 2:
             raise NotImplementedError("Iceberg format v3+ not supported")
@@ -334,6 +390,77 @@ class IcebergReader(DataSourceReader):
         yield from table.to_batches(max_chunksize=65536)
 
 
+def _appended_data_files(
+    path: str,
+    start_seq: int,
+    end_seq: int,
+    *,
+    strict: bool = False,
+    skip_overwrite: bool = False,
+    skip_delete: bool = False,
+) -> list[tuple[str, int]]:
+    """(path, size) of data files ADDED by snapshots with sequence
+    number in (start_seq, end_seq]. ``replace`` snapshots (compaction)
+    rearrange existing rows and are always skipped. overwrite/delete
+    snapshots: with ``strict`` (the batch incremental scan) they
+    always raise — an incremental APPEND scan over them would be
+    wrong; otherwise the streaming skip options decide."""
+    from daft_spark.io.avro import read_ocf
+    from daft_spark.io.iceberg import _latest_metadata, _to_local
+
+    meta = _latest_metadata(path)
+    out: list[tuple[str, int]] = []
+    for snap in sorted(
+        meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
+    ):
+        seq = snap.get("sequence-number", 0)
+        if not (start_seq < seq <= end_seq):
+            continue
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            continue  # compaction rearranges existing rows
+        if op == "overwrite":
+            if strict or not skip_overwrite:
+                raise RuntimeError(
+                    f"Iceberg snapshot {snap['snapshot-id']} overwrites data; "
+                    + (
+                        "an incremental append scan cannot cross it"
+                        if strict
+                        else "streaming past it needs "
+                        "streaming-skip-overwrite-snapshots=true"
+                    )
+                )
+            continue  # the option skips the whole snapshot
+        if op == "delete":
+            if strict or not skip_delete:
+                raise RuntimeError(
+                    f"Iceberg snapshot {snap['snapshot-id']} deletes rows; "
+                    + (
+                        "an incremental append scan cannot cross it"
+                        if strict
+                        else "streaming past it needs "
+                        "streaming-skip-delete-snapshots=true"
+                    )
+                )
+            continue
+        sid = snap["snapshot-id"]
+        _, _, manifests = read_ocf(_to_local(snap["manifest-list"], path))
+        for m in manifests:
+            if m.get("content", 0) != 0 or m.get("added_snapshot_id") != sid:
+                continue
+            _, _, entries = read_ocf(_to_local(m["manifest_path"], path))
+            for e in entries:
+                f = e["data_file"]
+                if e["status"] == 1 and f.get("content", 0) == 0:
+                    out.append(
+                        (
+                            _to_local(f["file_path"], path),
+                            int(f.get("file_size_in_bytes") or 0),
+                        )
+                    )
+    return out
+
+
 class IcebergStreamReader(DataSourceStreamReader):
     """Streaming Iceberg source (``spark.readStream.format(
     "daft_iceberg")``), following the Iceberg Spark connector's
@@ -377,50 +504,13 @@ class IcebergStreamReader(DataSourceStreamReader):
     def _appended_files(self, start: int, end: int) -> list[tuple[str, int]]:
         """(path, size) of data files ADDED by snapshots with sequence
         number in (start, end], honoring the skip/fail options."""
-        from daft_spark.io.avro import read_ocf
-        from daft_spark.io.iceberg import _latest_metadata, _to_local
-
-        meta = _latest_metadata(self.path)
-        out: list[tuple[str, int]] = []
-        for snap in sorted(
-            meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
-        ):
-            seq = snap.get("sequence-number", 0)
-            if not (start < seq <= end):
-                continue
-            op = (snap.get("summary") or {}).get("operation", "append")
-            if op == "replace":
-                continue  # compaction rearranges existing rows
-            if op == "overwrite":
-                if not self.skip_overwrite:
-                    raise RuntimeError(
-                        f"Iceberg snapshot {snap['snapshot-id']} overwrites data; "
-                        "streaming past it needs streaming-skip-overwrite-snapshots=true"
-                    )
-                continue  # the option skips the whole snapshot
-            if op == "delete":
-                if not self.skip_delete:
-                    raise RuntimeError(
-                        f"Iceberg snapshot {snap['snapshot-id']} deletes rows; "
-                        "streaming past it needs streaming-skip-delete-snapshots=true"
-                    )
-                continue
-            sid = snap["snapshot-id"]
-            _, _, manifests = read_ocf(_to_local(snap["manifest-list"], self.path))
-            for m in manifests:
-                if m.get("content", 0) != 0 or m.get("added_snapshot_id") != sid:
-                    continue
-                _, _, entries = read_ocf(_to_local(m["manifest_path"], self.path))
-                for e in entries:
-                    f = e["data_file"]
-                    if e["status"] == 1 and f.get("content", 0) == 0:
-                        out.append(
-                            (
-                                _to_local(f["file_path"], self.path),
-                                int(f.get("file_size_in_bytes") or 0),
-                            )
-                        )
-        return out
+        return _appended_data_files(
+            self.path,
+            start,
+            end,
+            skip_overwrite=self.skip_overwrite,
+            skip_delete=self.skip_delete,
+        )
 
     def partitions(self, start: dict, end: dict):
         from daft_spark.io.iceberg import _latest_metadata, current_snapshot

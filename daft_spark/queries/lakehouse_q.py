@@ -1769,3 +1769,51 @@ def lake_iceberg_branch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     main = _agg(read_iceberg_py(path, spark), "main")
     wap = _agg(read_iceberg_py(path, spark, ref="wap"), "wap")
     return main.unionAll(wap).orderBy("ref")
+
+
+@register(
+    "lake_iceberg_incremental",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderkey >= 300 AND o_orderkey < 900
+    ORDER BY o_orderkey
+    """,
+)
+def lake_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND scan (the connector's
+    start-snapshot-id/end-snapshot-id options, io/iceberg.py
+    read_iceberg_incremental): three appends land as snapshots s0..s2,
+    a compaction rewrites everything as a replace snapshot, and the
+    incremental read AFTER s0 must return exactly the rows appends #2
+    and #3 added — the compaction invisible, the base snapshot
+    excluded. The oracle restates that exact slice, so re-delivered
+    compacted rows or a leaked base row hash-mismatches."""
+    import shutil
+
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        read_iceberg_incremental,
+        rewrite_iceberg_data_files,
+        write_iceberg_py,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    path = os.path.join(
+        "/tmp/daft_spark_iceberg",
+        f"orders_incr_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg_py(o.filter(F.col("o_orderkey") < 300), path)
+    s0 = _latest_metadata(path)["current-snapshot-id"]
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 300) & (F.col("o_orderkey") < 600)),
+        path, mode="append",
+    )
+    write_iceberg_py(
+        o.filter((F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 900)),
+        path, mode="append",
+    )
+    rewrite_iceberg_data_files(path, spark)  # replace snapshot: invisible
+    return read_iceberg_incremental(path, spark, start_snapshot_id=s0).orderBy(
+        "o_orderkey"
+    )
