@@ -118,6 +118,12 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.dataSource.register(PaimonStreamSource)
         except Exception:
             pass
+        try:  # streaming CDF source: readStream.format("daft_delta_cdf")
+            from daft_spark.io.delta_source import DeltaCDFStreamSource
+
+            spark.dataSource.register(DeltaCDFStreamSource)
+        except Exception:
+            pass
         try:
             spark._daft_spark_sources_registered = True
         except Exception:

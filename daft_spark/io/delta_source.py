@@ -201,3 +201,166 @@ class DeltaStreamReader(DataSourceStreamReader):
             else:
                 cols.append(pa.nulls(n, type=tfield.type))
         yield from pa.table(cols, schema=target).to_batches(max_chunksize=65536)
+
+
+class DeltaCDFStreamSource(DataSource):
+    """STREAMING CHANGE DATA FEED source (format ``daft_delta_cdf``):
+    ``spark.readStream.format("daft_delta_cdf").option("path", p)``
+    tails a CDF-enabled Delta table and emits ROW-LEVEL CHANGES —
+    table columns + ``_change_type`` + ``_commit_version`` — the
+    continuous counterpart of ``table_changes_delta_py`` (delta-spark's
+    ``readChangeFeed`` streaming option). Per the spec's reader rules:
+    a commit WITH cdc actions serves exactly those files; a commit
+    without them reconstructs (dataChange adds = inserts, dataChange
+    removes = deletes read from the still-on-disk retired files);
+    dataChange=false commits (OPTIMIZE) produce no changes. Option
+    ``startingversion`` (default 0) sets where the feed begins."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "daft_delta_cdf"
+
+    def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        from daft_spark.io.delta import _replay_log
+
+        schema_json, _parts, _adds = _replay_log(self.options["path"])
+        base = StructType.fromJson(json.loads(schema_json))
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
+        )
+
+    def streamReader(self, schema) -> "DeltaCDFStreamReader":
+        return DeltaCDFStreamReader(self.options, schema)
+
+
+class DeltaCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        from daft_spark.io.delta import _cdf_enabled, _replay_log_full
+
+        self.path = options["path"]
+        self.schema = schema
+        self.start_version = int(options.get("startingversion", 0))
+        schema_json, part_cols, _adds, cfg, _proto = _replay_log_full(self.path)
+        if not _cdf_enabled(cfg):
+            raise ValueError(
+                "change data feed is not enabled on this table "
+                "(enable_cdf_delta_py / delta.enableChangeDataFeed)"
+            )
+        self.partition_cols = list(part_cols)
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self.path)}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def _version_entries(self, v: int) -> list[tuple]:
+        """[(kind, abs_file, pvals_json, version)] for one commit —
+        kind 'cdc' (file carries _change_type), 'insert', or 'delete'.
+        Mirrors table_changes_delta_py's per-version planning."""
+        from daft_spark.io.delta import _commit_file, _replay_log
+
+        f = _commit_file(self.path, v)
+        if not os.path.exists(f):
+            return []  # checkpoint-only version
+        cdc, adds, removes = [], [], []
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdc.append(
+                        (action["cdc"]["path"], action["cdc"].get("partitionValues"))
+                    )
+                elif "add" in action and action["add"].get("dataChange", True):
+                    adds.append(
+                        (action["add"]["path"], action["add"].get("partitionValues"))
+                    )
+                elif "remove" in action and action["remove"].get("dataChange", True):
+                    removes.append(
+                        (
+                            action["remove"]["path"],
+                            action["remove"].get("partitionValues"),
+                        )
+                    )
+        out: list[tuple] = []
+        if cdc:
+            for rel, pv in cdc:
+                out.append(
+                    ("cdc", os.path.join(self.path, rel), json.dumps(pv or {}), v)
+                )
+            return out
+        prior_adds = None
+        for rel, pv in adds:
+            out.append(
+                ("insert", os.path.join(self.path, rel), json.dumps(pv or {}), v)
+            )
+        for rel, pv in removes:
+            full = os.path.join(self.path, rel)
+            if not os.path.exists(full):
+                raise FileNotFoundError(
+                    f"change feed at version {v} needs vacuumed file {rel}"
+                )
+            if pv is None and self.partition_cols:
+                # remove actions may omit partitionValues; recover from
+                # the state the commit retired (replay at v-1)
+                if prior_adds is None:
+                    _s, _p, prior_adds = _replay_log(self.path, v - 1)
+                pv = (prior_adds.get(rel) or {}).get("partitionValues") or {}
+            out.append(("delete", full, json.dumps(pv or {}), v))
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = int(start["version"]), int(end["version"])
+        entries: list[tuple] = []
+        for v in range(max(sv + 1, 0), ev + 1):
+            entries.extend(self._version_entries(v))
+        parts = [InputPartition(t) for t in entries]
+        return parts or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        if partition.value is None:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        kind, fpath, pvals_json, version = partition.value
+        pvals = json.loads(pvals_json)
+        target = pa.schema(
+            [
+                pa.field(f.name, f.type, nullable=True)
+                for f in to_arrow_schema(self.schema)
+            ]
+        )
+        table = pq.read_table(fpath)
+        n = table.num_rows
+        cols = []
+        for tfield in target:
+            if tfield.name == "_change_type":
+                if kind == "cdc":
+                    cols.append(table.column("_change_type").cast(tfield.type))
+                else:
+                    cols.append(pa.array([kind] * n, type=pa.string()))
+            elif tfield.name == "_commit_version":
+                cols.append(pa.array([version] * n, type=pa.int64()))
+            elif tfield.name in table.column_names:
+                cols.append(table.column(tfield.name).cast(tfield.type))
+            elif tfield.name in self.partition_cols:
+                raw = pvals.get(tfield.name)
+                arr = pa.array([raw] * n, type=pa.string())
+                cols.append(arr.cast(tfield.type))
+            else:
+                cols.append(pa.nulls(n, type=tfield.type))
+        yield from pa.table(cols, schema=target).to_batches(max_chunksize=65536)

@@ -612,3 +612,101 @@ def stream_paimon_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_delta_cdf",
+    """
+    WITH live AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1200
+    )
+    SELECT 'delete' AS change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM live WHERE o_totalprice < 50000
+    UNION ALL
+    SELECT 'insert', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1200
+    UNION ALL
+    SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM live WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM live WHERE o_totalprice >= 200000
+    ORDER BY change_type
+    """,
+)
+def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change data feed (readStream.format("daft_delta_cdf"),
+    io/delta_source.py DeltaCDFStreamReader — the continuous
+    counterpart of table_changes_delta_py, delta-spark's streaming
+    readChangeFeed): the same CDF scenario as lake_delta_cdf (append
+    commit, cdc DELETE, cdc UPDATE pre/post) drained through a
+    foreachBatch sink, then aggregated per change class. The oracle is
+    the identical restatement, so the streaming feed must deliver
+    exactly the batch feed's rows — a double-delivered cdc file or a
+    reconstructed add/remove storm inflates a class."""
+    import shutil
+    import tempfile
+
+    from daft_spark.context import configure
+    from daft_spark.io.delta import (
+        delete_deltalake_py,
+        enable_cdf_delta_py,
+        update_deltalake_py,
+        write_deltalake_py,
+    )
+    from daft_spark.io.readers import load_table
+
+    configure(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    scratch = tempfile.mkdtemp(prefix="stream_cdf_")
+    path = os.path.join(scratch, "tbl")
+    out_dir = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    write_deltalake_py(o.filter(F.col("o_orderkey") < 800), path)  # v0
+    enable_cdf_delta_py(path)  # v1
+    write_deltalake_py(  # v2: inserts
+        o.filter((F.col("o_orderkey") >= 800) & (F.col("o_orderkey") < 1200)),
+        path, mode="append",
+    )
+    delete_deltalake_py(path, spark, "o_totalprice < 50000")  # v3: cdc
+    update_deltalake_py(  # v4: cdc pre+post
+        path, spark, {"o_totalprice": "o_totalprice + 1"},
+        "o_totalprice >= 200000",
+    )
+    s = (
+        spark.readStream.format("daft_delta_cdf")
+        .option("path", path)
+        .option("startingversion", "2")
+        .load()
+    )
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise AssertionError("stream_delta_cdf did not drain in 300s")
+    except Exception:
+        q.stop()
+        raise
+    out = (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
