@@ -408,20 +408,60 @@ def _pv_sorted(groups: dict) -> list:
     )
 
 
+def version_at_timestamp_delta_py(path: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution (delta-spark's timestampAsOf): the
+    latest version whose commit timestamp (commitInfo.timestamp,
+    falling back to the commit file's mtime) is <= ``timestamp_ms``.
+    Raises when the table's first commit is later than the timestamp,
+    matching delta-spark's before-earliest-version error."""
+    best = None
+    for v in _list_versions(path):
+        f = _commit_file(path, v)
+        ts = None
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(f) * 1000)
+        if int(ts) <= int(timestamp_ms):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {timestamp_ms} "
+            f"(table history starts later)"
+        )
+    return best
+
+
 def read_deltalake_py(
-    path: str, spark: SparkSession, version: int | None = None
+    path: str,
+    spark: SparkSession,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a Delta table by replaying its checkpoint + JSON log.
 
     The result is a plain multi-file parquet scan — filter/column
     pushdown, split planning, and AQE all apply exactly as for
     read_parquet. ``version`` time-travels (reference read_deltalake's
-    ``version`` kwarg). For partitioned tables the partition columns
+    ``version`` kwarg); ``timestamp_ms`` is TIMESTAMP AS OF — the
+    state at the latest commit not after that wall-clock instant
+    (delta-spark's timestampAsOf). For partitioned tables the partition columns
     (absent from the data files, per the Delta spec) are restored from
     each add action's partitionValues: one scan per live partition
     combination, unioned."""
     from pyspark.sql import functions as F
 
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp_ms, not both")
+        version = version_at_timestamp_delta_py(path, timestamp_ms)
     schema_json, partition_cols, adds, config, _proto = _replay_log_full(path, version)
     schema = StructType.fromJson(json.loads(schema_json))
     mode, l2p, p2l = _mapping_info(schema_json, config)

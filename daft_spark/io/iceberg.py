@@ -590,15 +590,35 @@ def _files_have_field_ids(paths: list[str]) -> bool:
     return True
 
 
+def snapshot_at_timestamp_iceberg(meta: dict, timestamp_ms: int) -> int:
+    """AS OF TIMESTAMP resolution (Spark-Iceberg's TIMESTAMP AS OF /
+    as-of-timestamp option): the snapshot current at that wall-clock
+    instant, from the snapshot-log (the spec's history of
+    current-snapshot transitions). Raises before the first entry."""
+    best = None
+    for e in meta.get("snapshot-log", []):
+        if int(e.get("timestamp-ms", 0)) <= int(timestamp_ms):
+            if best is None or int(e["timestamp-ms"]) >= int(best["timestamp-ms"]):
+                best = e
+    if best is None:
+        raise ValueError(
+            f"no Iceberg snapshot at or before timestamp {timestamp_ms} "
+            "(table history starts later)"
+        )
+    return best["snapshot-id"]
+
+
 def read_iceberg_py(
     path: str,
     spark: SparkSession,
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
     ref: str | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read an Iceberg v1/v2 table (partitioned or not) by walking its
-    metadata tree; ``snapshot_id`` time-travels.
+    metadata tree; ``snapshot_id`` time-travels; ``as_of_timestamp_ms``
+    is AS OF TIMESTAMP via the snapshot-log.
 
     ``filters`` — [(column, op, literal), ...] with AND semantics —
     does BOTH halves of predicate pushdown: manifest-entry partition
@@ -619,6 +639,12 @@ def read_iceberg_py(
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id or ref, not both")
         snapshot_id = resolve_iceberg_ref(meta, ref)
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass snapshot_id/ref or as_of_timestamp_ms, not both"
+            )
+        snapshot_id = snapshot_at_timestamp_iceberg(meta, as_of_timestamp_ms)
     schema = _current_schema(meta)
     ice = _current_ice_schema(meta)
     id_schema = _schema_with_field_ids(ice)

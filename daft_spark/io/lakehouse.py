@@ -44,18 +44,32 @@ def _format_read(spark: SparkSession, fmt: str, path_or_table: str, package_hint
 
 
 def read_deltalake(
-    path: str, spark: SparkSession | None = None, version: int | None = None, **options
+    path: str,
+    spark: SparkSession | None = None,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    **options,
 ) -> DataFrame:
     """reference read_deltalake (daft/io/delta_lake/_deltalake.py:22) ->
     spark.read.format('delta') when the connector is on the classpath,
     else the pure-Python log replay (daft_spark.io.delta) for local
     non-partitioned tables — mirroring the reference, which also reads
     Delta without a Spark connector (via delta-rs). ``version`` time
-    travels."""
+    travels; ``timestamp_ms`` is TIMESTAMP AS OF (delta-spark's
+    timestampAsOf)."""
     spark = _session(spark)
     try:
         if version is not None:
             options = {**options, "versionAsOf": str(version)}
+        if timestamp_ms is not None:
+            import datetime as _dt
+
+            options = {
+                **options,
+                "timestampAsOf": _dt.datetime.fromtimestamp(
+                    timestamp_ms / 1000, tz=_dt.timezone.utc
+                ).strftime("%Y-%m-%d %H:%M:%S"),
+            }
         return _format_read(spark, "delta", path, "io.delta:delta-spark_2.13", options)
     except ImportError:
         import os
@@ -63,7 +77,9 @@ def read_deltalake(
         from daft_spark.io.delta import read_deltalake_py
 
         if os.path.isdir(os.path.join(path, "_delta_log")):
-            return read_deltalake_py(path, spark, version=version)
+            return read_deltalake_py(
+                path, spark, version=version, timestamp_ms=timestamp_ms
+            )
         raise
 
 

@@ -1139,3 +1139,41 @@ def test_checkpoint_carries_deletion_vectors(spark, tmp_path):
                 os.remove(os.path.join(log, f))
     got = sorted(r["k"] for r in read_deltalake_py(p, spark).collect())
     assert got == list(range(40, 100))
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: reads resolve to the latest commit not after
+    the given wall-clock instant (commitInfo timestamps); before the
+    first commit raises; version and timestamp are mutually
+    exclusive."""
+    import json as _json
+    import os
+
+    from daft_spark.io.delta import (
+        read_deltalake_py,
+        version_at_timestamp_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "tsaof")
+    write_deltalake_py(spark.range(5).select(F.col("id").alias("k")), p)
+    write_deltalake_py(
+        spark.range(5, 9).select(F.col("id").alias("k")), p, mode="append"
+    )
+
+    def commit_ts(v):
+        with open(os.path.join(p, "_delta_log", f"{v:020d}.json")) as f:
+            for line in f:
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    return a["commitInfo"]["timestamp"]
+
+    t0, t1 = commit_ts(0), commit_ts(1)
+    assert version_at_timestamp_delta_py(p, t0) == 0
+    assert version_at_timestamp_delta_py(p, t1 + 10_000) == 1
+    assert read_deltalake_py(p, spark, timestamp_ms=t0).count() == 5
+    assert read_deltalake_py(p, spark, timestamp_ms=t1 + 10_000).count() == 9
+    with pytest.raises(ValueError, match="history starts later"):
+        version_at_timestamp_delta_py(p, t0 - 1_000_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_deltalake_py(p, spark, version=0, timestamp_ms=t0)

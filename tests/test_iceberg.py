@@ -1765,3 +1765,30 @@ def test_cherry_pick_publishes_branch_appends_onto_moved_main(spark, tmp_path):
     ow = _latest_metadata(p)["current-snapshot-id"]
     with pytest.raises(ValueError, match="not an append"):
         cherry_pick_iceberg_snapshot(p, ow)
+
+
+def test_iceberg_as_of_timestamp_time_travel(spark, tmp_path):
+    """AS OF TIMESTAMP via the snapshot-log: reads resolve to the
+    snapshot current at that instant; before the first entry raises;
+    snapshot_id and timestamp are mutually exclusive."""
+    import pytest
+
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "icets")
+    write_iceberg_py(spark.range(5).select(F.col("id").alias("k")), p)
+    write_iceberg_py(
+        spark.range(5, 9).select(F.col("id").alias("k")), p, mode="append"
+    )
+    log = _latest_metadata(p)["snapshot-log"]
+    t0, t1 = log[0]["timestamp-ms"], log[1]["timestamp-ms"]
+    assert read_iceberg_py(p, spark, as_of_timestamp_ms=t0).count() == 5
+    assert read_iceberg_py(p, spark, as_of_timestamp_ms=t1 + 10_000).count() == 9
+    with pytest.raises(ValueError, match="history starts later"):
+        read_iceberg_py(p, spark, as_of_timestamp_ms=t0 - 1_000_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg_py(p, spark, snapshot_id=1, as_of_timestamp_ms=t0)
