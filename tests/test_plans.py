@@ -420,3 +420,51 @@ def test_contamination_benchmark_broadcasts(spark):
     out = benchmark_contamination(d, d.filter(F.col("doc_id") % 41 == 0))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_lm_bigrams_build_without_token_join(spark):
+    """bigram_lm_scores pairs each token with its successor INSIDE the
+    posexplode span (F.get on the in-scope array) — the optimized plan
+    must contain NO join below the first aggregate that builds the
+    bigram counts (a positional self-join would shuffle the token rows
+    twice before any aggregation)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.lm import bigram_lm_scores
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = bigram_lm_scores(d)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # joins DO appear later (attaching c12/c1/V to the bigram frame);
+    # the zero-shuffle claim is about bigram CONSTRUCTION — assert the
+    # generator (posexplode) has no Join between it and its aggregate
+    lines = plan.splitlines()
+    gen = [i for i, ln in enumerate(lines) if "Generate posexplode" in ln]
+    assert gen, plan
+    # walk UP from the deepest generator to the nearest Aggregate; no
+    # Join may sit in between (children print below parents)
+    segment = lines[: gen[-1]]
+    aggs = [i for i, ln in enumerate(segment) if "Aggregate" in ln]
+    joins = [i for i, ln in enumerate(segment) if "Join" in ln]
+    assert aggs, plan
+    assert not joins or max(joins) < max(aggs), plan
+
+
+def test_substring_spans_explode_keys_only(spark):
+    """duplicated_span_stats explodes (doc_id, window-hash) ONLY — the
+    document text column must never appear above the generator (the
+    windows hash inside the row, so the exploded frame is 8-byte keys
+    at token scale)."""
+    from pyspark.sql import functions as F
+
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.dedup import duplicated_span_stats
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = duplicated_span_stats(d, "text", "doc_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    gen = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert gen, plan
+    # nothing ABOVE the generator may reference the text payload
+    above = "\n".join(lines[: gen[0]])
+    assert "text#" not in above, plan
