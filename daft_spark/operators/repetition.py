@@ -1,0 +1,88 @@
+"""Gopher-style n-gram repetition signals ("Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", Rae et al. 2021,
+Table A1): the fraction of a document's characters covered by (a) its
+single MOST FREQUENT n-gram and (b) all n-grams that occur more than
+once. functions/text.py's duplicate_line_fraction covers the
+line-level rule; these are the n-gram rules that catch within-document
+boilerplate loops (navigation bars, repeated boilerplate sentences)
+that line-level signals miss.
+
+100 TB posture: n-grams assemble INSIDE the row (transform over the
+token array — whole-stage codegen) and the exploded frame carries
+(doc_id, xxhash64(ngram), char_length) only — 20-byte keys at token
+scale, never the n-gram strings; per-doc counting is one map-side-
+combining groupBy. Char-fractions are count*len weighted, the
+formulation the public curation stacks (NeMo-Curator, DataTrove) use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ngram_repetition_fractions"]
+
+
+def _ngram_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, __h, __len) — one row per n-gram occurrence, hashed and
+    char-measured in-row. Docs with fewer than ``n`` tokens contribute
+    nothing."""
+    from daft_spark.operators.dedup import tokens_of
+
+    arr = tokens_of(F.col(text_col))
+    ntok = F.size(arr)
+    idx = F.sequence(F.lit(1), ntok - (n - 1))
+    grams = F.when(
+        ntok >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(
+        id_col,
+        F.xxhash64("__g").alias("__h"),
+        F.length("__g").alias("__len"),
+    )
+
+
+def ngram_repetition_fractions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition signals, rounded to 6 decimals:
+
+    - ``top{top_n}gram_char_frac``: chars covered by the most frequent
+      top_n-gram (count * length / total n-gram chars) — high values
+      mean one phrase dominates the document;
+    - ``dup{dup_n}gram_char_frac``: chars covered by all dup_n-grams
+      occurring more than once — high values mean looping boilerplate.
+
+    Only documents with at least ``dup_n`` tokens return (they have
+    both signals); Gopher drops shorter documents on word count first
+    anyway."""
+    def _per_doc(n: int, out_col: str, dup_only: bool) -> DataFrame:
+        counts = (
+            _ngram_frame(df, text_col, id_col, n)
+            .groupBy(id_col, "__h", "__len")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        covered = F.col("__c") * F.col("__len")
+        per = counts.groupBy(id_col).agg(
+            F.sum(covered).alias("__total"),
+            (
+                F.sum(F.when(F.col("__c") > 1, covered).otherwise(F.lit(0)))
+                if dup_only
+                else F.max(covered)
+            ).alias("__part"),
+        )
+        return per.select(
+            id_col,
+            F.round(F.col("__part") / F.col("__total"), 6).alias(out_col),
+        )
+
+    top = _per_doc(top_n, f"top{top_n}gram_char_frac", dup_only=False)
+    dup = _per_doc(dup_n, f"dup{dup_n}gram_char_frac", dup_only=True)
+    return top.join(dup, id_col)

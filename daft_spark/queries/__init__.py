@@ -91,7 +91,8 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # text_stratified_sample, pipeline_token_budget_mix,
 # dedup_shingle_containment, dedup_substring_spans,
 # lake_delta_restore, lake_iceberg_branch_write, lake_iceberg_incremental,
-# stream_iceberg_sink, stream_paimon_source, stream_delta_cdf — then refresh the
+# stream_iceberg_sink, stream_paimon_source, stream_delta_cdf,
+# text_ngram_repetition — then refresh the
 # stalest greens per COVERAGE.md's last-green ledger
 # (tools/coverage_rounds.py keeps it machine-checkable).
 #

@@ -738,3 +738,52 @@ def pipeline_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_ngram_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents),
+    g2 AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS s
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t), 1))) AS i) u
+      WHERE len(t) >= 2),
+    c2 AS (
+      SELECT doc_id, s, count(*) AS c, length(s) AS l
+      FROM g2 GROUP BY doc_id, s),
+    top2 AS (
+      SELECT doc_id,
+             round(CAST(max(c * l) AS DOUBLE) / sum(c * l), 6) AS top2gram_char_frac
+      FROM c2 GROUP BY doc_id),
+    g5 AS (
+      SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - 3, 1))) AS i) u
+      WHERE len(t) >= 5),
+    c5 AS (
+      SELECT doc_id, s, count(*) AS c, length(s) AS l
+      FROM g5 GROUP BY doc_id, s),
+    dup5 AS (
+      SELECT doc_id,
+             round(CAST(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS DOUBLE)
+                   / sum(c * l), 6) AS dup5gram_char_frac
+      FROM c5 GROUP BY doc_id)
+    SELECT top2.doc_id, top2gram_char_frac, dup5gram_char_frac
+    FROM top2 JOIN dup5 USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's n-gram repetition rules (operators/repetition.py):
+    top-2-gram and duplicate-5-gram character fractions per document —
+    the within-document boilerplate signals the line-level rule
+    misses. The oracle restates the identical tokenization, n-gram
+    assembly, and char-weighted fractions."""
+    from daft_spark.operators.repetition import ngram_repetition_fractions
+
+    return ngram_repetition_fractions(_docs(spark, sf_dir)).orderBy("doc_id")
