@@ -219,3 +219,49 @@ def test_embedding_near_dups_precision_and_star_cap(spark):
 
     with pytest.raises(ValueError):
         embedding_near_dups(emb, 0.3, dim=64, num_planes=30, bands=16)
+
+
+def test_sampling_operators_edges(spark):
+    """stratified_sample: exact quotas, smaller strata kept whole,
+    deterministic across invocations. token_budget_select: greedy
+    prefix in md5 order, a group whose first doc exceeds the budget
+    contributes nothing."""
+    from daft_spark.operators.sampling import (
+        stratified_sample,
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small", 10 if i % 2 else 1000)
+         for i in range(56)],
+        "id long, grp string, w long",
+    )
+    s = stratified_sample(df, ["grp"], 5, "id")
+    counts = {r["grp"]: r["n"] for r in s.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 5, "small": 5}
+    # small stratum below quota keeps every row
+    s2 = stratified_sample(df.filter(F.col("grp") == "small"), ["grp"], 99, "id")
+    assert s2.count() == 6
+    # deterministic: two invocations pick identical rows
+    ids1 = sorted(r["id"] for r in s.collect())
+    ids2 = sorted(r["id"] for r in stratified_sample(df, ["grp"], 5, "id").collect())
+    assert ids1 == ids2
+
+    kept = token_budget_select(df, ["grp"], "w", 25, "id")
+    rows = {(r["grp"], r["id"]): r["__cum"] for r in kept.collect()}
+    # every kept row's running total respects the budget
+    assert all(c <= 25 for c in rows.values())
+    # groups whose md5-first doc weighs 1000 contribute nothing
+    kept_grps = {g for g, _ in rows}
+    for g in ("big", "small"):
+        first = (
+            df.filter(F.col("grp") == g)
+            .orderBy(F.md5(F.col("id").cast("string")), "id")
+            .limit(1)
+            .collect()[0]
+        )
+        if first["w"] > 25:
+            assert g not in kept_grps
+        else:
+            assert g in kept_grps
