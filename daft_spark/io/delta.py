@@ -628,7 +628,7 @@ def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> No
     from pyspark.sql import functions as F
 
     _gate_column_mapping(path)
-    schema_json, partition_cols, adds = _replay_log(path)
+    schema_json, partition_cols, adds, cfg, _proto = _replay_log_full(path)
     if not adds:
         return
     # Match against the CURRENT state (existing DVs applied) so already-
@@ -638,7 +638,17 @@ def delete_deltalake_dv_py(path: str, spark: SparkSession, condition: str) -> No
     by_file = _dv_write_distributed(matched, path, adds)
     if not by_file:
         return
-    _dv_commit(path, adds, by_file, [], "DELETE", condition)
+    extra: list[dict] = []
+    if _cdf_enabled(cfg):
+        # CDF tables get explicit cdc actions in the SAME commit (the
+        # delta-spark contract) — a DV commit's add/remove pair re-adds
+        # the whole file, so change feeds can never be reconstructed
+        # from it (r8 advice, medium).
+        deleted = matched.drop("__fp", "__pos").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        extra = _write_cdc_file(path, deleted, partition_cols)
+    _dv_commit(path, adds, by_file, extra, "DELETE", condition)
 
 
 def _dv_write_distributed(matched, path: str, adds: dict) -> dict[str, dict]:
@@ -750,7 +760,7 @@ def update_deltalake_dv_py(
     from pyspark.sql import functions as F
 
     _gate_column_mapping(path)
-    schema_json, partition_cols, adds = _replay_log(path)
+    schema_json, partition_cols, adds, cfg, _proto = _replay_log_full(path)
     schema = StructType.fromJson(json.loads(schema_json))
     if not adds:
         return
@@ -772,6 +782,17 @@ def update_deltalake_dv_py(
     now_ms = int(time.time() * 1000)
     version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
     new_adds = _stage_data_files(updated, path, version, partition_cols, now_ms)
+    if _cdf_enabled(cfg):
+        # pre/post images as explicit cdc actions (delta-spark's UPDATE
+        # on CDF tables) — see delete_deltalake_dv_py for why DV commits
+        # can't serve change feeds from add/remove reconstruction.
+        pre = matched.drop("__fp", "__pos").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = updated.withColumn("_change_type", F.lit("update_postimage"))
+        new_adds = new_adds + _write_cdc_file(
+            path, pre.unionByName(post), partition_cols
+        )
     _dv_commit(path, adds, by_file, new_adds, "UPDATE", condition)
 
 
@@ -2057,6 +2078,7 @@ def table_changes_delta_py(
         cdc_entries: list[tuple[str, dict]] = []
         add_entries: list[tuple[str, dict]] = []
         removes: list[tuple[str, dict | None]] = []  # (rel, partitionValues?)
+        has_dv = False
         ts = 0
         with open(_commit_file(path, v)) as f:
             for line in f:
@@ -2064,6 +2086,10 @@ def table_changes_delta_py(
                 if not line:
                     continue
                 action = json.loads(line)
+                if ("add" in action and action["add"].get("deletionVector")) or (
+                    "remove" in action and action["remove"].get("deletionVector")
+                ):
+                    has_dv = True
                 if "cdc" in action:
                     cdc_entries.append(
                         (
@@ -2089,6 +2115,21 @@ def table_changes_delta_py(
         if cdc_entries:
             df = _restore(cdc_entries, file_cdc_schema)
         else:
+            if has_dv:
+                # A DV commit retires and re-adds the same file, so
+                # add/remove reconstruction would emit whole-file
+                # deletes + re-inserts of rows the DV already dropped.
+                # DV DML on CDF-enabled tables writes cdc actions in
+                # the same commit; a cdc-less DV commit can only come
+                # from before CDF was enabled — refuse, like
+                # delta-spark refuses CDF reads before the enablement
+                # version.
+                raise ValueError(
+                    f"change feed at version {v}: commit carries deletion "
+                    "vectors but no cdc actions (written before "
+                    "delta.enableChangeDataFeed was set) — change data "
+                    "is only available from the enablement version"
+                )
             pieces = []
             if add_entries:
                 pieces.append(_restore(add_entries, file_schema, "insert"))

@@ -273,12 +273,17 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         if not os.path.exists(f):
             return []  # checkpoint-only version
         cdc, adds, removes = [], [], []
+        has_dv = False
         with open(f) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 action = json.loads(line)
+                if ("add" in action and action["add"].get("deletionVector")) or (
+                    "remove" in action and action["remove"].get("deletionVector")
+                ):
+                    has_dv = True
                 if "cdc" in action:
                     cdc.append(
                         (action["cdc"]["path"], action["cdc"].get("partitionValues"))
@@ -301,6 +306,17 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                     ("cdc", os.path.join(self.path, rel), json.dumps(pv or {}), v)
                 )
             return out
+        if has_dv:
+            # cdc-less DV commit: add/remove reconstruction would emit
+            # whole-file deletes + re-inserts of rows the DV already
+            # dropped. DV DML on CDF tables writes cdc actions; this
+            # commit predates enablement — refuse, like delta-spark's
+            # enablement-version rule (r8 advice, medium).
+            raise ValueError(
+                f"change feed at version {v}: commit carries deletion "
+                "vectors but no cdc actions (written before "
+                "delta.enableChangeDataFeed was set)"
+            )
         prior_adds = None
         for rel, pv in adds:
             out.append(

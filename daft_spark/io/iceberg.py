@@ -1511,6 +1511,12 @@ def write_iceberg_py(
         },
         "schema-id": current_schema_id,
     }
+    # parent-snapshot-id is the spec's ancestry pointer — incremental /
+    # streaming reads walk it (ancestorsBetween); absent only on the
+    # first snapshot. Overwrites still chain: history stays linear.
+    prior_head = current_snapshot(prior) if prior else None
+    if prior_head is not None:
+        snapshot["parent-snapshot-id"] = prior_head["snapshot-id"]
     # Sort orders are table state: carry prior orders forward; a
     # sort_by matching an existing order reuses its id, a new shape
     # appends with the next id and becomes the default.
@@ -1969,6 +1975,8 @@ def _commit_delete_manifest(
         "summary": {"operation": "delete"},
         "schema-id": prior.get("current-schema-id", 0),
     }
+    if prior_snap is not None:
+        snapshot["parent-snapshot-id"] = prior_snap["snapshot-id"]
     meta = dict(prior)
     meta["partition-specs"] = specs
     meta["last-sequence-number"] = seq
@@ -2419,11 +2427,13 @@ def rewrite_iceberg_data_files(
     write_ocf(
         mlist_path, _MANIFEST_FILE_SCHEMA, all_manifests, metadata={"format-version": "2"}
     )
+    head = current_snapshot(meta)
     snapshot = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
+        **({"parent-snapshot-id": head["snapshot-id"]} if head else {}),
         "summary": {"operation": "replace"},
         "schema-id": meta.get("current-schema-id", 0),
     }
@@ -2537,8 +2547,17 @@ def _rebase_append_snapshot(
     carried: list[dict] = []
     if head is not None:
         _, _, carried = read_ocf(_to_local(head["manifest-list"], path))
+    # added_snapshot_id moves to the rebased snapshot: cherry-pick mints
+    # a NEW snapshot id, and incremental/streaming readers attribute a
+    # manifest's added files to the snapshot whose id it carries — left
+    # at the source id, a resumed stream would skip the published rows.
     rebased = [
-        dict(m, sequence_number=new_seq, min_sequence_number=new_seq)
+        dict(
+            m,
+            sequence_number=new_seq,
+            min_sequence_number=new_seq,
+            added_snapshot_id=snap["snapshot-id"],
+        )
         for m in new_manifests
     ]
     mlist = os.path.join(

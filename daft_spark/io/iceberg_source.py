@@ -180,21 +180,29 @@ class IcebergReader(DataSourceReader):
         from daft_spark.io.iceberg import _latest_metadata
 
         meta = _latest_metadata(self.path)
-        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        # ancestorsBetween semantics: the chain ends at end-snapshot-id
+        # (default main head) and must contain start-snapshot-id —
+        # a start on another branch has no defined "between".
+        chain = _main_ancestors(meta, self.end_snapshot_id)
+        if self.end_snapshot_id is not None and not chain:
+            raise ValueError(
+                f"end-snapshot-id {self.end_snapshot_id} not found"
+            )
+        by_id = {s["snapshot-id"]: s for s in chain}
         if self.start_snapshot_id not in by_id:
             raise ValueError(
-                f"start-snapshot-id {self.start_snapshot_id} not found"
+                f"start-snapshot-id {self.start_snapshot_id} is not an "
+                "ancestor of the end snapshot on the main branch"
             )
         start_seq = by_id[self.start_snapshot_id].get("sequence-number", 0)
-        if self.end_snapshot_id is not None:
-            if self.end_snapshot_id not in by_id:
-                raise ValueError(
-                    f"end-snapshot-id {self.end_snapshot_id} not found"
-                )
-            end_seq = by_id[self.end_snapshot_id].get("sequence-number", 0)
-        else:
-            end_seq = meta.get("last-sequence-number", 0)
-        files = _appended_data_files(self.path, start_seq, end_seq, strict=True)
+        end_seq = chain[-1].get("sequence-number", 0) if chain else 0
+        files = _appended_data_files(
+            self.path,
+            start_seq,
+            end_seq,
+            strict=True,
+            end_snapshot_id=self.end_snapshot_id,
+        )
         target = 128 * 1024 * 1024
         parts: list[InputPartition] = []
         bin_files: list[str] = []
@@ -390,6 +398,29 @@ class IcebergReader(DataSourceReader):
         yield from table.to_batches(max_chunksize=65536)
 
 
+def _main_ancestors(meta: dict, head_id: int | None = None) -> list[dict]:
+    """The parent-snapshot-id ancestry chain ending at ``head_id``
+    (default: the table's current/main snapshot), oldest first —
+    Iceberg's ``SnapshotUtil.currentAncestors``. Branch-only snapshots
+    (WAP branch writes, cherry-pick sources) live in
+    ``meta['snapshots']`` with their own sequence numbers but are NOT
+    on this chain, so incremental and streaming reads of main must
+    traverse it rather than filter all snapshots by sequence range —
+    otherwise unpublished branch rows leak and a cherry-picked
+    snapshot's files are delivered twice (r8 advice, high)."""
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    walk = head_id
+    if walk is None:
+        walk = meta.get("current-snapshot-id")
+    chain: list[dict] = []
+    while walk is not None and walk in by_id:
+        snap = by_id[walk]
+        chain.append(snap)
+        walk = snap.get("parent-snapshot-id")
+    chain.reverse()
+    return chain
+
+
 def _appended_data_files(
     path: str,
     start_seq: int,
@@ -398,21 +429,24 @@ def _appended_data_files(
     strict: bool = False,
     skip_overwrite: bool = False,
     skip_delete: bool = False,
+    end_snapshot_id: int | None = None,
 ) -> list[tuple[str, int]]:
-    """(path, size) of data files ADDED by snapshots with sequence
-    number in (start_seq, end_seq]. ``replace`` snapshots (compaction)
-    rearrange existing rows and are always skipped. overwrite/delete
-    snapshots: with ``strict`` (the batch incremental scan) they
-    always raise — an incremental APPEND scan over them would be
-    wrong; otherwise the streaming skip options decide."""
+    """(path, size) of data files ADDED by main-branch-ancestor
+    snapshots with sequence number in (start_seq, end_seq]. Traversal
+    is ``SnapshotUtil.ancestorsBetween``-style: parent-snapshot-id
+    ancestry from ``end_snapshot_id`` (default the current main head)
+    down, NOT a sequence-number filter over all snapshots — branch-only
+    snapshots share the table's sequence space. ``replace`` snapshots
+    (compaction) rearrange existing rows and are always skipped.
+    overwrite/delete snapshots: with ``strict`` (the batch incremental
+    scan) they always raise — an incremental APPEND scan over them
+    would be wrong; otherwise the streaming skip options decide."""
     from daft_spark.io.avro import read_ocf
     from daft_spark.io.iceberg import _latest_metadata, _to_local
 
     meta = _latest_metadata(path)
     out: list[tuple[str, int]] = []
-    for snap in sorted(
-        meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
-    ):
+    for snap in _main_ancestors(meta, end_snapshot_id):
         seq = snap.get("sequence-number", 0)
         if not (start_seq < seq <= end_seq):
             continue
@@ -519,11 +553,14 @@ class IcebergStreamReader(DataSourceStreamReader):
         if ev <= sv:
             return [InputPartition(([], [], []))]
         if sv < 0:
-            # snapshot batch: the state at sequence ev — delegate to the
-            # batch planner pinned to that snapshot (deletes applied)
+            # snapshot batch: the MAIN-branch state at sequence ev —
+            # delegate to the batch planner pinned to that snapshot
+            # (deletes applied). Only main ancestors qualify: a branch
+            # write can hold the table-wide max sequence number without
+            # being published (r8 advice).
             meta = _latest_metadata(self.path)
             snap = None
-            for s in meta.get("snapshots", []):
+            for s in _main_ancestors(meta):
                 if s.get("sequence-number", 0) <= ev and (
                     snap is None
                     or s.get("sequence-number", 0) > snap.get("sequence-number", 0)

@@ -85,16 +85,16 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # set (fn_*, mm_*, sql_table_function, sim_ann_ivf_recall) and the
 # r5-era tpch/relational rows so no green row ages past ~3 rounds.
 #
-# ROUND-9 ROTATION NOTE: queries registered AFTER the frozen r8 window
-# (all pytest-oracle-green at sf0.001 and sf0.01 this round) must lead
-# the next rotation: text_lm_perplexity (exact LM-fit+score oracle),
-# text_stratified_sample, pipeline_token_budget_mix,
-# dedup_shingle_containment, dedup_substring_spans,
-# lake_delta_restore, lake_iceberg_branch_write, lake_iceberg_incremental,
-# stream_iceberg_sink, stream_paimon_source, stream_delta_cdf,
-# text_ngram_repetition — then refresh the
-# stalest greens per COVERAGE.md's last-green ledger
-# (tools/coverage_rounds.py keeps it machine-checkable).
+# Round-9 rotation (FROZEN at round start): mm_embed_image leads (the
+# only red r8 row — oracle float-width fix, now quantized through
+# FLOAT4 on the DuckDB side so both engines compare the identical
+# float32 value; exact round-6 recheck at sf0.01: 0/1500 mismatches),
+# then the 12 post-freeze r8 registrations (per the r8 rotation note),
+# then dedup_minhash_lsh_pipeline (rows-only by design, the one query
+# never driver-seen), then the stalest greens per the ledger: the full
+# r4 cohort (26) and the 10 stalest r5 rows — lake_delta_roundtrip
+# first since Delta code churned again this round. After this window no
+# green row is older than r5.
 #
 # Round-8 rotation (FROZEN at round start per the window-freeze
 # discipline — queries registered after this commit queue for r9):
@@ -106,27 +106,32 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # pytest-oracle-green in r7), then the stalest greens: the agg_*
 # family (last driver-seen r4–r6) and a w_* refresh (last seen r6).
 DRIVER_PRIORITY: list[str] = [
-    # round-7 debt: registered post-freeze r7, never driver-seen (36)
-    "lake_delta_merge", "lake_delta_cdf", "lake_delta_cdf_partitioned",
-    "lake_delta_optimize", "lake_delta_column_mapping", "lake_delta_dv_update",
-    "lake_iceberg_schema_evolution", "lake_iceberg_partition_evolution",
-    "lake_iceberg_refs", "lake_iceberg_compaction", "lake_iceberg_upsert",
-    "lake_iceberg_metadata_tables", "lake_iceberg_sorted",
-    "lake_time_travel", "lake_time_travel_hudi_paimon", "lake_maintenance",
-    "stream_delta_sink", "stream_delta_source", "stream_iceberg_source",
-    "sql_unity_catalog", "sql_glue_catalog", "sql_s3tables_catalog",
-    "sql_paimon_catalog", "sql_postgres_catalog", "sql_gravitino_catalog",
-    "dedup_embedding_resolve", "dedup_embedding_lsh", "dedup_contamination",
-    "text_gopher_rules", "text_c4_rules", "text_pii_scrub", "text_repetition",
-    "mm_prompt", "mm_embed_image", "mm_classify_image",
-    "pipeline_corpus_curation",
-    # stalest greens: agg_* last seen r4–r6 (9)
-    "agg_count_modes", "agg_stats", "agg_percentiles", "agg_hll_sketch",
-    "agg_rollup", "agg_cube", "agg_map_groups_zscore",
-    "agg_udaf_weighted_mean", "agg_summarize",
-    # w_* refresh, last seen r6 (5 -> fills row 50)
-    "w_row_number", "w_running_agg", "w_sessionize", "w_min_periods",
-    "w_spark_extras",
+    # the one red r8 row, oracle float-width fixed this round (1)
+    "mm_embed_image",
+    # round-8 debt: registered post-freeze r8, never driver-seen (12)
+    "text_lm_perplexity", "text_stratified_sample",
+    "pipeline_token_budget_mix", "dedup_shingle_containment",
+    "dedup_substring_spans", "text_ngram_repetition",
+    "lake_delta_restore", "lake_iceberg_branch_write",
+    "lake_iceberg_incremental", "stream_iceberg_sink",
+    "stream_paimon_source", "stream_delta_cdf",
+    # rows-only by design (oracle=None), never driver-seen (1)
+    "dedup_minhash_lsh_pipeline",
+    # stalest greens: the full r4 cohort per the ledger (26)
+    "rel_cross_join", "rel_distinct", "rel_explode", "rel_explode_outer",
+    "rel_join_null_safe", "rel_limit_offset", "rel_union_by_name",
+    "sim_pairs_threshold", "sim_topk_cosine",
+    "sql_case_cast_union", "sql_cte_join", "sql_exists_subquery",
+    "sql_grouping_sets", "sql_having_positional", "sql_in_subquery",
+    "sql_not_in_anti", "sql_scalar_subquery", "sql_window_in_sql",
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q19",
+    "tpch_q22", "w_order_only_global",
+    # stalest r5 rows (10 -> fills row 50); Delta roundtrip first
+    # (io/delta.py churned again this round)
+    "lake_delta_roundtrip", "io_checkpoint_resume", "sql_expr_battery",
+    "tpch_q15", "fn_udf_scalar_batch", "fn_udtf_lateral",
+    "io_csv_roundtrip", "io_json_roundtrip", "dedup_exact_keepmin",
+    "rel_explode_multi",
 ]
 
 

@@ -193,7 +193,9 @@ def mm_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT doc_id, raw,
                  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM v)
     SELECT doc_id, 16 AS dim,
-           raw[1] / nrm AS v_first, raw[8] / nrm AS v_mid, raw[16] / nrm AS v_last
+           CAST(CAST(raw[1] / nrm AS FLOAT4) AS DOUBLE) AS v_first,
+           CAST(CAST(raw[8] / nrm AS FLOAT4) AS DOUBLE) AS v_mid,
+           CAST(CAST(raw[16] / nrm AS FLOAT4) AS DOUBLE) AS v_last
     FROM n ORDER BY doc_id
     """,
 )
@@ -204,7 +206,11 @@ def mm_embed_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bytes -> sha256 hex -> sha256 digest -> 16-dim unit vector) is
     restated EXACTLY by the oracle via hex-nibble arithmetic, so this
     is a value-level check of the whole mapInPandas path, not just an
-    invariant."""
+    invariant. The engine stores embeddings as array<float> (float32,
+    the reference's Embedding convention) so the oracle quantizes its
+    float64 result through FLOAT4 before the double compare — both
+    sides then carry the identical float32-representable value (r8
+    verdict: 11/1,500 values straddled round-6 without this)."""
     from daft_spark.multimodal.llm import embed_image
 
     d = load_table(spark, sf_dir, "documents").select(

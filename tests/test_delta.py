@@ -1177,3 +1177,63 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         version_at_timestamp_delta_py(p, t0 - 1_000_000)
     with pytest.raises(ValueError, match="not both"):
         read_deltalake_py(p, spark, version=0, timestamp_ms=t0)
+
+
+def test_dv_dml_on_cdf_table_writes_cdc_actions(spark, tmp_path):
+    """DV DELETE/UPDATE on a CDF-enabled table must carry explicit cdc
+    actions in the same commit — the add/remove pair re-adds the whole
+    file, so reconstruction would emit whole-file deletes + re-inserts
+    of already-deleted rows (r8 advice)."""
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        enable_cdf_delta_py,
+        table_changes_delta_py,
+        update_deltalake_dv_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "dvcdf")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    write_deltalake_py(df, p)  # v0
+    enable_cdf_delta_py(p)  # v1
+    delete_deltalake_dv_py(p, spark, "k >= 8")  # v2: DV delete + cdc
+    update_deltalake_dv_py(p, spark, "k < 2", {"v": "v + 100"})  # v3
+    ch = table_changes_delta_py(p, spark, starting_version=2)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"delete": 2, "update_preimage": 2, "update_postimage": 2}
+    assert {r["k"] for r in ch.filter(F.col("_change_type") == "delete").collect()} == {8, 9}
+    post = ch.filter(F.col("_change_type") == "update_postimage")
+    assert {r["v"] for r in post.collect()} == {100.0, 101.0}
+    # a second DV delete on the SAME files (DV merge path) only emits
+    # the newly-deleted rows
+    delete_deltalake_dv_py(p, spark, "k = 7")  # v4
+    v4 = table_changes_delta_py(p, spark, starting_version=4)
+    assert [(r["k"], r["_change_type"]) for r in v4.collect()] == [(7, "delete")]
+
+
+def test_cdf_refuses_pre_enablement_dv_commit(spark, tmp_path):
+    """A DV commit written BEFORE delta.enableChangeDataFeed has no cdc
+    actions; serving it from add/remove reconstruction would be wrong —
+    both the batch and streaming readers refuse (delta-spark's
+    enablement-version rule)."""
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        enable_cdf_delta_py,
+        table_changes_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "dvpre")
+    df = spark.range(6).select(F.col("id").alias("k"))
+    write_deltalake_py(df, p)  # v0
+    delete_deltalake_dv_py(p, spark, "k = 3")  # v1: DV, no CDF yet
+    enable_cdf_delta_py(p)  # v2
+    with pytest.raises(ValueError, match="deletion vectors but no cdc"):
+        table_changes_delta_py(p, spark, starting_version=1).collect()
+    # from the enablement version onward it serves fine
+    delete_deltalake_dv_py(p, spark, "k = 4")  # v3: DV + cdc
+    ch = table_changes_delta_py(p, spark, starting_version=3)
+    assert [(r["k"], r["_change_type"]) for r in ch.collect()] == [(4, "delete")]

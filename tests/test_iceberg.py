@@ -1792,3 +1792,55 @@ def test_iceberg_as_of_timestamp_time_travel(spark, tmp_path):
         read_iceberg_py(p, spark, as_of_timestamp_ms=t0 - 1_000_000)
     with pytest.raises(ValueError, match="not both"):
         read_iceberg_py(p, spark, snapshot_id=1, as_of_timestamp_ms=t0)
+
+
+def test_incremental_and_stream_walk_main_ancestry_not_seq_range(spark, tmp_path):
+    """Branch-only snapshots share the table-wide sequence space; an
+    incremental or streaming read of main must walk parent-snapshot-id
+    ancestry (SnapshotUtil.ancestorsBetween) so WAP branch rows never
+    leak and a cherry-picked snapshot's rows arrive exactly once."""
+    import pytest
+
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        cherry_pick_iceberg_snapshot,
+        read_iceberg_incremental,
+        set_iceberg_ref,
+        write_iceberg_branch_py,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "anc")
+    mk = lambda lo, n: spark.range(lo, lo + n).select(F.col("id").alias("k"))
+    write_iceberg_py(mk(0, 5), p)
+    snap1 = _latest_metadata(p)["current-snapshot-id"]
+    set_iceberg_ref(p, "wap", ref_type="branch")
+    # branch-only append takes the NEXT sequence number
+    write_iceberg_branch_py(mk(100, 3), p, "wap")
+    # main moves past the fork
+    write_iceberg_py(mk(10, 4), p, mode="append")
+    # incremental from snap1 on main: ONLY the main append, no branch rows
+    got = sorted(
+        r["k"] for r in read_iceberg_incremental(p, spark, snap1).collect()
+    )
+    assert got == list(range(10, 14))
+    # streaming first batch: main state only
+    out, ck = str(tmp_path / "aout"), str(tmp_path / "ack")
+    _drain_iceberg_stream(spark, p, out, ck)
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == (
+        list(range(5)) + list(range(10, 14))
+    )
+    # cherry-pick publishes the branch rows -> delivered exactly ONCE,
+    # both to the resumed stream and to a fresh incremental scan
+    branch_head = _latest_metadata(p)["refs"]["wap"]["snapshot-id"]
+    cherry_pick_iceberg_snapshot(p, branch_head)
+    _drain_iceberg_stream(spark, p, out, ck)
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(5)) + list(range(10, 14)) + [100, 101, 102]
+    got = sorted(
+        r["k"] for r in read_iceberg_incremental(p, spark, snap1).collect()
+    )
+    assert got == list(range(10, 14)) + [100, 101, 102]
+    # a start snapshot that only exists on the branch refuses
+    with pytest.raises(Exception, match="not an ancestor"):
+        read_iceberg_incremental(p, spark, branch_head).collect()
