@@ -415,21 +415,44 @@ def version_at_timestamp_delta_py(path: str, timestamp_ms: int) -> int:
     Raises when the table's first commit is later than the timestamp,
     matching delta-spark's before-earliest-version error."""
     best = None
-    for v in _list_versions(path):
-        f = _commit_file(path, v)
+    json_versions = set(_list_versions(path))
+    # Checkpoint-only versions survive log cleanup (_replay_log_full
+    # reads them without their JSON commits) — timestamp travel must
+    # resolve from them too, not error with "history starts later"
+    # when the instant predates the oldest surviving JSON (r8 advice).
+    ckpt_files = _checkpoint_files(path)
+    for v in sorted(json_versions | set(ckpt_files)):
         ts = None
-        with open(f) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "commitInfo" in action:
-                    ts = action["commitInfo"].get("timestamp")
-                    break
-        if ts is None:
-            ts = int(os.path.getmtime(f) * 1000)
-        if int(ts) <= int(timestamp_ms):
+        if v in json_versions:
+            try:
+                with open(_commit_file(path, v)) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        action = json.loads(line)
+                        if "commitInfo" in action:
+                            ts = action["commitInfo"].get("timestamp")
+                            break
+                if ts is None:
+                    ts = int(os.path.getmtime(_commit_file(path, v)) * 1000)
+            except FileNotFoundError:
+                pass  # cleaned between listing and read — fall through
+        if ts is None and v in ckpt_files:
+            # The JSON commit (and its commitInfo timestamp) is gone;
+            # the closest surviving record of WHEN this state existed
+            # is its data files' modificationTime in the checkpoint
+            # rows (<= the commit's wall time — the checkpoint file's
+            # own mtime is when the checkpoint was written, which can
+            # be arbitrarily later).
+            mods = [
+                int(r["add"].get("modificationTime") or 0)
+                for r in _checkpoint_rows(path, v)
+                if r.get("add")
+            ]
+            if mods:
+                ts = max(mods)
+        if ts is not None and int(ts) <= int(timestamp_ms):
             best = v
     if best is None:
         raise ValueError(

@@ -1159,6 +1159,7 @@ def write_iceberg_py(
     _upsert_by: list[str] | None = None,
     _publish: bool = True,
     summary_props: dict | None = None,
+    set_properties: dict | None = None,
 ) -> dict | None:
     """Write ``df`` as one Iceberg v2 commit: parquet data files, one
     manifest, a manifest list, metadata.json v(N+1), then rotate
@@ -1563,6 +1564,14 @@ def write_iceberg_py(
         "metadata-log": [],
         # named refs persist across commits (they pin their snapshots)
         "refs": (prior.get("refs", {}) if prior else {}),
+        # table properties persist; set_properties merges in the SAME
+        # publish (streaming sinks keep their idempotence record here —
+        # snapshot summaries expire with their snapshots, properties
+        # don't, and a property read is O(1) per batch)
+        "properties": {
+            **((prior.get("properties") or {}) if prior else {}),
+            **{str(k): str(v) for k, v in (set_properties or {}).items()},
+        },
     }
     if not _publish:
         # REST-catalog commit flow: data/manifests are staged in shared
@@ -2484,12 +2493,24 @@ def read_iceberg_incremental(
 
 def last_streaming_batch_iceberg(path: str, app_id: str) -> int:
     """Largest streaming batch id a given app has committed to this
-    table, or -1 — read from the snapshot SUMMARY properties
-    (``streaming-app-id`` / ``streaming-batch-id``), the idempotence
-    record Iceberg streaming sinks keep (Spark's Iceberg sink stores
-    its query/epoch ids the same way). Delta has first-class txn
-    actions for this; in Iceberg the summary map is the spec surface."""
+    table, or -1. Primary record: the TABLE PROPERTY
+    ``daft-spark.streaming.<app>.max-batch-id``, updated in the same
+    metadata publish as each batch's snapshot — it survives
+    expire_iceberg_snapshots (snapshot summaries don't) and reads O(1)
+    per batch instead of rescanning every snapshot (r8 advice). The
+    per-snapshot SUMMARY stamps (``streaming-app-id`` /
+    ``streaming-batch-id``, Spark's Iceberg sink convention) remain as
+    provenance and as the fallback for tables written before the
+    property existed."""
     meta = _latest_metadata(path)
+    prop = (meta.get("properties") or {}).get(
+        f"daft-spark.streaming.{app_id}.max-batch-id"
+    )
+    if prop is not None:
+        try:
+            return int(prop)
+        except (TypeError, ValueError):
+            pass
     best = -1
     for s in meta.get("snapshots", []):
         summ = s.get("summary") or {}

@@ -64,11 +64,23 @@ def read_deltalake(
         if timestamp_ms is not None:
             import datetime as _dt
 
+            # delta-spark parses a zone-less timestampAsOf in
+            # spark.sql.session.timeZone, so format the instant in THAT
+            # zone (with millis — no precision drop) rather than a UTC
+            # wall-clock string; both the connector path and the pure
+            # python fallback then resolve the same version (r8 advice).
+            zone = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+            try:
+                from zoneinfo import ZoneInfo
+
+                tz = ZoneInfo(zone)
+            except Exception:
+                tz = _dt.timezone.utc
+            local = _dt.datetime.fromtimestamp(timestamp_ms / 1000, tz=tz)
             options = {
                 **options,
-                "timestampAsOf": _dt.datetime.fromtimestamp(
-                    timestamp_ms / 1000, tz=_dt.timezone.utc
-                ).strftime("%Y-%m-%d %H:%M:%S"),
+                "timestampAsOf": local.strftime("%Y-%m-%d %H:%M:%S.")
+                + f"{local.microsecond // 1000:03d}",
             }
         return _format_read(spark, "delta", path, "io.delta:delta-spark_2.13", options)
     except ImportError:

@@ -13,9 +13,14 @@ same distributed shape a KenLM scorer would have.
   span (the token array stays in scope, ``F.get(arr, pos+1)``) — the
   same zero-shuffle neighbor trick as operators/dedup.shingle_hashes;
   no positional self-join ever shuffles the token rows.
-- Bigram counts are two map-side-combining groupBys over small keys;
-  conditional probabilities attach with shuffle joins keyed on the
-  bigram/prefix — no broadcast of an unbounded vocabulary, no driver
+- Occurrences reduce to per-document bigram COUNTS before any join:
+  the count-attach joins shuffle (doc, w1, w2, n) rows — one per
+  DISTINCT bigram per document — never one row per occurrence. A hot
+  Zipfian bigram ("of the" at web scale) thus costs one row per doc
+  containing it, not one per occurrence, and AQE skew-split handles
+  the residual key imbalance (r8 verdict #4). c(w1,w2) and c(w1,·)
+  fold from the already-reduced frame — map-side-combining groupBys
+  over small keys; no broadcast of an unbounded vocabulary, no driver
   collection of counts.
 - The per-bigram log-probability is rounded to 9 decimals and summed
   as DECIMAL(28,9): the sum is then exact and order-independent, so
@@ -79,11 +84,18 @@ def bigram_lm_scores(
     toks = base.select(F.explode("__arr").alias("__tok")).filter(
         F.col("__tok") != ""
     )
-    # model: bigram counts + prefix totals + vocab size (three
-    # aggregates over keys-only frames; V is a 1-row cross join, the
-    # standard way to attach a scalar without collect())
-    c12 = bigrams.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c12"))
-    c1 = bigrams.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    # Reduce occurrences to per-document bigram counts FIRST: the
+    # count-attach joins then shuffle one row per (doc, bigram), never
+    # one per occurrence — the skew-hardening that keeps a web-scale
+    # "of the" from funneling occurrence rows into one join partition.
+    per_doc = bigrams.groupBy(id_col, "__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # model: bigram counts + prefix totals fold from the reduced frame
+    # (map-side combine); vocab size is a 1-row broadcast cross join,
+    # the standard way to attach a scalar without collect()
+    c12 = per_doc.groupBy("__w1", "__w2").agg(F.sum("__n").alias("__c12"))
+    c1 = c12.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
     vocab = toks.select(F.countDistinct("__tok").alias("__v"))
     logp = F.round(
         F.log(
@@ -93,13 +105,16 @@ def bigram_lm_scores(
         9,
     ).cast("decimal(28,9)")
     scored = (
-        bigrams.join(c12, ["__w1", "__w2"])
+        per_doc.join(c12, ["__w1", "__w2"])
         .join(c1, ["__w1"])
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(logp).alias("__lsum"),
+            F.sum("__n").alias("n_bigrams"),
+            # count as decimal(9,0): the product stays decimal(38,9) —
+            # a bare long would promote to decimal(20,0) and overflow
+            # Spark's 38-digit cap, silently dropping scale to 6
+            F.sum(F.col("__n").cast("decimal(9,0)") * logp).alias("__lsum"),
         )
     )
     # cast the EXACT decimal sum to double before dividing: decimal

@@ -293,13 +293,15 @@ def write_stream_iceberg(
     """Streaming ingestion into an ICEBERG table with EXACTLY-ONCE
     appends — the counterpart of write_stream_delta for the other lake
     format. Delta records idempotence in first-class ``txn`` actions;
-    Iceberg's spec surface for it is the snapshot SUMMARY map, so each
-    micro-batch commit stamps ``streaming-app-id``/``streaming-batch-id``
-    and a replayed batch after crash/restart is recognized by scanning
-    the snapshots and skipped (Spark's Iceberg sink keeps its query and
-    epoch ids the same way). Offsets live in Spark's checkpoint;
-    committed-batch identity lives in the table metadata; either alone
-    prevents duplicates.
+    here each micro-batch commit updates the table property
+    ``daft-spark.streaming.<app>.max-batch-id`` in the same metadata
+    publish as its snapshot (O(1) to read, survives snapshot
+    expiration) and also stamps the snapshot summary with
+    ``streaming-app-id``/``streaming-batch-id`` (Spark's Iceberg sink
+    convention, kept as provenance + legacy fallback); a replayed batch
+    after crash/restart is recognized and skipped. Offsets live in
+    Spark's checkpoint; committed-batch identity lives in the table
+    metadata; either alone prevents duplicates.
 
     Returns the started StreamingQuery. Same 100 TB shape as the Delta
     sink: one atomic snapshot per micro-batch, readers see whole
@@ -326,6 +328,11 @@ def write_stream_iceberg(
             summary_props={
                 "streaming-app-id": app,
                 "streaming-batch-id": str(int(batch_id)),
+            },
+            # idempotence record that SURVIVES snapshot expiration and
+            # reads O(1) — updated atomically with the snapshot commit
+            set_properties={
+                f"daft-spark.streaming.{app}.max-batch-id": str(int(batch_id)),
             },
         )
 

@@ -1237,3 +1237,45 @@ def test_cdf_refuses_pre_enablement_dv_commit(spark, tmp_path):
     delete_deltalake_dv_py(p, spark, "k = 4")  # v3: DV + cdc
     ch = table_changes_delta_py(p, spark, starting_version=3)
     assert [(r["k"], r["_change_type"]) for r in ch.collect()] == [(4, "delete")]
+
+
+def test_timestamp_travel_resolves_from_surviving_checkpoint(spark, tmp_path):
+    """Log cleanup can remove JSON commits older than a checkpoint;
+    timestamp travel must still resolve versions from the surviving
+    checkpoint instead of raising (r8 advice)."""
+    import os as _os
+
+    from daft_spark.io.delta import (
+        _list_versions,
+        _write_checkpoint,
+        read_deltalake_py,
+        version_at_timestamp_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "ttck")
+    write_deltalake_py(spark.range(3).select(F.col("id").alias("k")), p)  # v0
+    write_deltalake_py(
+        spark.range(3, 6).select(F.col("id").alias("k")), p, mode="append"
+    )  # v1
+    import json as _json
+
+    with open(_os.path.join(p, "_delta_log", f"{1:020d}.json")) as fh:
+        ts1 = next(
+            a["commitInfo"]["timestamp"]
+            for a in (_json.loads(x) for x in fh if x.strip())
+            if "commitInfo" in a
+        )
+    write_deltalake_py(
+        spark.range(6, 9).select(F.col("id").alias("k")), p, mode="append"
+    )  # v2
+    _write_checkpoint(p, 1)
+    for v in (0, 1):  # cleanup: JSONs at/under the checkpoint removed
+        _os.remove(_os.path.join(p, "_delta_log", f"{v:020d}.json"))
+    assert _list_versions(p) == [2]
+    # the instant of v1 resolves to the checkpoint version, readable
+    assert version_at_timestamp_delta_py(p, ts1) == 1
+    assert read_deltalake_py(p, spark, timestamp_ms=ts1).count() == 6
+    # before all surviving history still raises
+    with pytest.raises(ValueError, match="history starts later"):
+        version_at_timestamp_delta_py(p, ts1 - 10_000_000)

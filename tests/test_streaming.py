@@ -448,3 +448,43 @@ def test_paimon_stream_source_rejects_pk_tables(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="PRIMARY-KEY"):
         PaimonStreamReader({"path": p}, None)
+
+
+def test_iceberg_sink_idempotence_survives_snapshot_expiration(spark, tmp_path):
+    """The sink's batch watermark lives in a TABLE PROPERTY updated with
+    each commit — snapshot expiration must not erase it (summary-only
+    records die with their snapshots), and reading it is O(1) (r8
+    advice)."""
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        expire_iceberg_snapshots,
+        last_streaming_batch_iceberg,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "icexp")
+    for b in range(3):
+        write_iceberg_py(
+            spark.range(b * 5, b * 5 + 5).select(F.col("id").alias("k")),
+            p,
+            mode="append" if b else "overwrite",
+            summary_props={
+                "streaming-app-id": "appX", "streaming-batch-id": str(b)
+            },
+            set_properties={"daft-spark.streaming.appX.max-batch-id": str(b)},
+        )
+    assert last_streaming_batch_iceberg(p, "appX") == 2
+    expire_iceberg_snapshots(p, keep_last=1)
+    meta = _latest_metadata(p)
+    assert len(meta["snapshots"]) == 1
+    # the summary fallback alone would now report 2 only by luck of the
+    # surviving snapshot; the property is authoritative and intact
+    assert meta["properties"]["daft-spark.streaming.appX.max-batch-id"] == "2"
+    assert last_streaming_batch_iceberg(p, "appX") == 2
+    # legacy tables (no property) still fall back to the summary scan
+    q = str(tmp_path / "iclegacy")
+    write_iceberg_py(
+        spark.range(3).select(F.col("id").alias("k")), q,
+        summary_props={"streaming-app-id": "appY", "streaming-batch-id": "7"},
+    )
+    assert last_streaming_batch_iceberg(q, "appY") == 7
