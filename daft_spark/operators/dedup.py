@@ -727,6 +727,10 @@ def near_dup_resolve(
     max_bucket_size: int = 200,
     seed: int = 42,
     max_iterations: int = 25,
+    edge_sources: tuple[str, ...] = ("minhash",),
+    extra_edges: DataFrame | None = None,
+    containment_threshold: float = 0.8,
+    containment_max_doc_freq: int = 200,
 ) -> DataFrame:
     """Full dedup RESOLUTION with O(n) output: every row gets
     (cluster_id, is_representative) instead of an O(pairs) edge list.
@@ -748,6 +752,17 @@ def near_dup_resolve(
        connected components (operators/cluster.py) — near-dup clusters
        are star/clique-shaped, so label propagation converges in 2-4
        rounds of keys-only joins.
+
+    ONE resolve API for every miner (the Lee-et-al pipeline dedups on
+    minhash + containment + spans together): ``edge_sources`` picks the
+    built-in miners run over the collapsed representatives —
+    ``"minhash"`` (LSH banding, probabilistic recall) and/or
+    ``"containment"`` (directional shingle containment >=
+    ``containment_threshold`` with the ``containment_max_doc_freq``
+    stop-shingle cut — catches a document EMBEDDED in a larger one,
+    which Jaccard dilutes). ``extra_edges`` unions in any externally
+    mined (id_a, id_b) frame (e.g. span-overlap pairs) before the
+    single connected-components pass.
 
     The reference ships the pair kernels (daft/functions/misc.py:428);
     resolution-not-enumeration is the standard production companion
@@ -772,11 +787,29 @@ def near_dup_resolve(
     reps = groups.select(
         F.col("__r.__id").alias(id_col), F.col("__r.__text").alias(text_col)
     )
-    rep_pairs = minhash_near_dups(
-        reps, text_col, id_col,
-        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-        threshold=threshold, max_bucket_size=max_bucket_size, seed=seed,
-    ).select("id_a", "id_b")
+    unknown = set(edge_sources) - {"minhash", "containment"}
+    if unknown:
+        raise ValueError(f"unknown edge_sources: {sorted(unknown)}")
+    edge_frames: list[DataFrame] = []
+    if "minhash" in edge_sources:
+        edge_frames.append(
+            minhash_near_dups(
+                reps, text_col, id_col,
+                num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+                threshold=threshold, max_bucket_size=max_bucket_size,
+                seed=seed,
+            ).select("id_a", "id_b")
+        )
+    if "containment" in edge_sources:
+        edge_frames.append(
+            containment_pairs(
+                reps, text_col, id_col,
+                threshold=containment_threshold, shingle_k=shingle_k,
+                max_doc_freq=containment_max_doc_freq,
+            ).select("id_a", "id_b")
+        )
+    if extra_edges is not None:
+        edge_frames.append(extra_edges.select("id_a", "id_b"))
     star = (
         keyed.select("__id", "__th", "__tl")
         .join(groups.select("__th", "__tl", F.col("__r.__id").alias("__rep")),
@@ -784,9 +817,10 @@ def near_dup_resolve(
         .filter(F.col("__id") != F.col("__rep"))
         .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
     )
-    return duplicate_clusters(
-        df, star.unionAll(rep_pairs), id_col, max_iterations=max_iterations
-    )
+    edges = star
+    for pf in edge_frames:
+        edges = edges.unionAll(pf)
+    return duplicate_clusters(df, edges, id_col, max_iterations=max_iterations)
 
 
 def benchmark_contamination(

@@ -85,6 +85,11 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # set (fn_*, mm_*, sql_table_function, sim_ann_ivf_recall) and the
 # r5-era tpch/relational rows so no green row ages past ~3 rounds.
 #
+# ROUND-10 ROTATION NOTE: queries registered AFTER the frozen r9
+# window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue
+# for the next rotation: dedup_resolve_containment (the unified
+# resolve API over containment edges, exact recursive-CTE oracle).
+#
 # Round-9 rotation (FROZEN at round start): mm_embed_image leads (the
 # only red r8 row — oracle float-width fix, now quantized through
 # FLOAT4 on the DuckDB side so both engines compare the identical

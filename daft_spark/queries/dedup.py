@@ -561,3 +561,67 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_stats(
         _docs(spark, sf_dir), "text", "doc_id", window_k=20
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_resolve_containment",
+    """
+    WITH RECURSIVE uniq AS (
+      SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
+    toks AS (
+      SELECT rep AS doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM uniq),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t)+1),
+                i -> t[i] || chr(31) || coalesce(t[i+1],'') || chr(31)
+                     || coalesce(t[i+2],'')))) AS s
+      FROM toks),
+    rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 200),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+    denom AS (SELECT doc_id, count(*) AS na FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    cont AS (
+      SELECT id_a, id_b FROM inter JOIN denom ON denom.doc_id = id_a
+      WHERE round(CAST(n AS DOUBLE) / na, 6) >= 0.8),
+    star AS (
+      SELECT u.rep AS id_a, d.doc_id AS id_b
+      FROM documents d JOIN uniq u ON d.text = u.text AND d.doc_id <> u.rep),
+    edges AS (
+      SELECT id_a, id_b FROM cont UNION SELECT id_b, id_a FROM cont
+      UNION SELECT id_a, id_b FROM star UNION SELECT id_b, id_a FROM star),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.node)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(lbl) AS BIGINT) AS cluster_id,
+           node = min(lbl) AS is_representative
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_resolve_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNIFIED resolve API consuming CONTAINMENT edges (r8 verdict
+    #7): near_dup_resolve(edge_sources=("containment",)) — exact
+    collapse by text, directional shingle-containment mining over the
+    unique representatives (threshold 0.8, stop-shingle df cut 200),
+    star edges + one connected-components pass. Unlike the minhash
+    path (probabilistic banding, invariant-checked), every stage here
+    is deterministic, so the oracle replays the ENTIRE pipeline: the
+    same collapse, the same padded-shingle containment, and the
+    components via a recursive CTE — a lost edge, wrong denominator,
+    or premature label-propagation convergence all mismatch."""
+    from daft_spark.operators.dedup import near_dup_resolve
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    r = near_dup_resolve(
+        d, "text", "doc_id",
+        edge_sources=("containment",),
+        containment_threshold=0.8, containment_max_doc_freq=200,
+    )
+    return r.select("doc_id", "cluster_id", "is_representative").orderBy("doc_id")

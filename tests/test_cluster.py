@@ -67,3 +67,46 @@ def test_nonconvergence_raises(spark):
     long_chain = [(i, i + 1) for i in range(40)]
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(_pairs(spark, long_chain), max_iterations=2)
+
+
+def test_near_dup_resolve_edge_sources_and_extra_edges(spark):
+    """The unified resolve API: containment edges catch an embedded
+    document minhash misses at its threshold; extra_edges unions an
+    externally mined pair frame into the same components pass."""
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.dedup import near_dup_resolve
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1 -> star edge
+        (3, base + " " + "filler " * 40),  # 1 embedded in 3: containment
+        (4, "totally different text about spark and ducks and lakes"),
+        (5, "another unrelated document mentioning parquet files only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_resolve(
+            df, "text", "doc_id",
+            edge_sources=("containment",),
+            containment_threshold=0.8,
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1  # containment chains 3 to 1
+    assert got[4] == 4 and got[5] == 5
+    # extra_edges: bolt 4-5 together through an external miner's output
+    extra = spark.createDataFrame([(4, 5)], "id_a long, id_b long")
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_resolve(
+            df, "text", "doc_id",
+            edge_sources=("containment",), extra_edges=extra,
+        ).collect()
+    }
+    assert got2[4] == got2[5] == 4
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown edge_sources"):
+        near_dup_resolve(df, "text", "doc_id", edge_sources=("spans",))
