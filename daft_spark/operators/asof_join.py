@@ -196,7 +196,7 @@ def join_asof(
     broadcast, so the left side is NEVER shuffled. Default None
     auto-enables it only for ``nearest`` with a right plan Catalyst
     estimates under ``spark.daft.asofBroadcastThreshold`` bytes
-    (default 256 MB). A/B at sf10 (ASOF_AB.json, hash-verified
+    (default 256 MB). A/B at sf10 (probes/ASOF_AB.json, hash-verified
     identical results): backward/forward window 1.1s vs broadcast 1.8s
     (the array build dominates — window keeps those), nearest window
     7.0s vs broadcast 4.2s (one broadcast array replaces TWO

@@ -12,7 +12,7 @@ Variants (all runtime-settable SQL confs, toggled inside one session):
   bigadvise   advisoryPartitionSizeInBytes=256m on top of coalesce1
 
 Each (query, variant) runs N passes after one cold pass; the MEDIAN
-and MIN are reported. Writes FIXED_OVERHEAD_AB.json at the repo root
+and MIN are reported. Writes probes/FIXED_OVERHEAD_AB.json
 for the keep/reject record (same contract as ASOF_AB / BUCKETED_AB).
 
 Usage: SPARK_GRAFT_SF_DIR=/tmp/spark_graft_sf1 python tools/fixed_overhead_ab.py
@@ -86,7 +86,7 @@ def main() -> None:
         "variants": {k: v for k, v in VARIANTS.items()},
         "results": results,
     }
-    with open(os.path.join(REPO, "FIXED_OVERHEAD_AB.json"), "w") as f:
+    with open(os.path.join(REPO, "probes", "FIXED_OVERHEAD_AB.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({q: {v: r["median"] for v, r in rs.items()}
                       for q, rs in results.items()}))
