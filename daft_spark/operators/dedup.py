@@ -872,3 +872,79 @@ def benchmark_contamination(
             (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_k: int = 20,
+    keep: str = "first",
+) -> DataFrame:
+    """EXACT-SUBSTRING SPAN REMOVAL — the acting half of
+    ``duplicated_span_stats`` (Lee et al. 2022 remove the duplicated
+    substrings from the corpus, not the documents carrying them):
+    every ``window_k``-token rolling window whose hash appears in >= 2
+    DISTINCT documents is a duplicated span; all its occurrences are
+    blanked from the token stream EXCEPT the canonical first one
+    (``keep='first'``: the minimum (doc_id, start) occurrence — the
+    deterministic cross-engine tiebreak) or all of them
+    (``keep='none'``). Returns (id, n_tokens, n_removed, clean_text)
+    with the surviving tokens rejoined on single spaces.
+
+    100 TB posture: windows hash IN-ROW (same construction as
+    duplicated_span_stats — the exploded frame is (doc_id, start,
+    hash) at token scale, never text); duplicate detection and the
+    keep-first winner are ONE map-side-combining groupBy over the
+    hash (count distinct docs + min(struct(doc, start)) together);
+    removal starts flow back as a keys-only join, fold to one small
+    int array per affected doc, and the blanking itself is an in-row
+    filter over the token array — document text never shuffles."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    sep = "\x1f"
+    arr = tokens_of(F.col(text_col))
+    base = df.select(F.col(id_col), F.col(text_col), arr.alias("__arr"))
+    n = F.size(F.col("__arr"))
+    idx = F.sequence(F.lit(1), n - (window_k - 1))
+    wins = F.when(
+        n >= window_k,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("__i"),
+                F.xxhash64(
+                    F.concat_ws(sep, F.slice(F.col("__arr"), i, window_k))
+                ).alias("__h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<__i:int,__h:bigint>>"))
+    w = base.select(
+        F.col(id_col).alias("__id"), F.explode(wins).alias("__w")
+    ).select("__id", F.col("__w.__i").alias("__i"), F.col("__w.__h").alias("__h"))
+    per_hash = w.groupBy("__h").agg(
+        F.count_distinct("__id").alias("__nd"),
+        F.min(F.struct(F.col("__id"), F.col("__i"))).alias("__keep"),
+    )
+    hits = w.join(per_hash.filter(F.col("__nd") >= 2), "__h")
+    if keep == "first":
+        hits = hits.filter(
+            ~((F.col("__id") == F.col("__keep.__id")) & (F.col("__i") == F.col("__keep.__i")))
+        )
+    rm = hits.groupBy("__id").agg(F.collect_set("__i").alias("__rm"))
+    joined = base.join(
+        rm.withColumnRenamed("__id", id_col), id_col, "left"
+    )
+    kept = F.filter(
+        F.col("__arr"),
+        lambda x, j: ~F.exists(
+            F.coalesce(F.col("__rm"), F.array().cast("array<int>")),
+            lambda s: (s <= j + 1) & (j + 1 < s + window_k),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__arr").cast("long").alias("n_tokens"),
+        (F.size("__arr") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bigram_lm_scores"]
+__all__ = ["bigram_lm_scores", "perplexity_buckets"]
 
 
 def bigram_lm_scores(
@@ -128,4 +128,59 @@ def bigram_lm_scores(
         "n_bigrams",
         avg_lp.alias("avg_logprob"),
         F.round(F.exp(-avg_lp), 4).alias("perplexity"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    by: list[str] | None = None,
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet's perplexity BUCKETING (Wenzek et al. §4.3: split each
+    language's documents into equal head/middle/tail thirds by LM
+    perplexity — head = lowest = closest to the target domain; training
+    recipes then sample buckets at different rates). Scores come from
+    ``bigram_lm_scores`` over the corpus; buckets are ``ntile`` over
+    ascending (perplexity, id) — the id tiebreak makes the split
+    deterministic across engines and partitionings — within the
+    optional ``by`` grouping columns (CCNet buckets per language).
+
+    Returns (id, *by, n_bigrams, perplexity, bucket, bucket_label) —
+    bucket in 1..n_buckets, bucket_label head/middle/tail when
+    n_buckets == 3, else "b<i>".
+
+    Scale: one window over small per-doc score rows (the heavy lifting
+    is the LM scoring, already skew-hardened); the ``by`` join is
+    id-keyed against the original frame, payload-free. ``by`` is the
+    scale path — partitions bound the window's sort (CCNet buckets per
+    language); with ``by=None`` the ntile is a single global sorted
+    partition of (id, perplexity) pairs, fine for corpus samples, not
+    for 100 TB."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    scores = bigram_lm_scores(df, text_col, id_col, k=k)
+    cols = list(by or [])
+    if cols:
+        scores = scores.join(df.select(id_col, *cols), id_col)
+    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(
+        F.col("perplexity").asc(), F.col(id_col).asc()
+    )
+    out = scores.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if n_buckets == 3:
+        label = (
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return out.select(
+        id_col, *cols, "n_bigrams", "perplexity",
+        F.col("bucket").cast("int").alias("bucket"),
+        label.alias("bucket_label"),
     )

@@ -88,7 +88,10 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # ROUND-10 ROTATION NOTE: queries registered AFTER the frozen r9
 # window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue
 # for the next rotation: dedup_resolve_containment (the unified
-# resolve API over containment edges, exact recursive-CTE oracle).
+# resolve API over containment edges, exact recursive-CTE oracle),
+# dedup_span_removal (Lee et al. keep-first span blanking, exact
+# text-reassembly oracle), text_perplexity_buckets (CCNet per-lang
+# head/middle/tail ntile, exact LM+bucket oracle).
 #
 # Round-9 rotation (FROZEN at round start): mm_embed_image leads (the
 # only red r8 row — oracle float-width fix, now quantized through

@@ -625,3 +625,61 @@ def dedup_resolve_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         containment_threshold=0.8, containment_max_doc_freq=200,
     )
     return r.select("doc_id", "cluster_id", "is_representative").orderBy("doc_id")
+
+
+@register(
+    "dedup_span_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, i, array_to_string(t[i:i+19], chr(31)) AS s
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - 18, 1))) AS i) u),
+    nd AS (
+      SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS ndocs
+                     FROM w GROUP BY s)
+      WHERE ndocs >= 2),
+    rk AS (
+      SELECT w.doc_id, w.i,
+             row_number() OVER (PARTITION BY w.s ORDER BY w.doc_id, w.i) AS rn
+      FROM w JOIN nd USING (s)),
+    rm AS (SELECT doc_id, i FROM rk WHERE rn > 1),
+    tok AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+      FROM toks),
+    cov AS (
+      SELECT DISTINCT tk.doc_id, tk.p
+      FROM tok tk JOIN rm ON rm.doc_id = tk.doc_id
+       AND tk.p >= rm.i AND tk.p < rm.i + 20),
+    keepstr AS (
+      SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.p) AS clean_text
+      FROM tok tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+      WHERE cov.p IS NULL GROUP BY tk.doc_id),
+    cnt AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(cnt.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN cnt USING (doc_id) LEFT JOIN keepstr k USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring SPAN REMOVAL (operators/dedup.py
+    remove_duplicated_spans, keep='first') — the acting half of the
+    Lee et al. signal dedup_substring_spans measures: 20-token windows
+    duplicated across >=2 docs are blanked everywhere except their
+    minimum-(doc, start) occurrence, surviving tokens rejoined. The
+    oracle restates the identical tokenization, windowing, keep-first
+    winner (row_number over (doc, start)), coverage mask, and
+    reassembled string, so removal positions AND the rebuilt text are
+    value-checked."""
+    from daft_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _docs(spark, sf_dir), "text", "doc_id", window_k=20, keep="first"
+    ).orderBy("doc_id")

@@ -787,3 +787,61 @@ def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daft_spark.operators.repetition import ngram_repetition_fractions
 
     return ngram_repetition_fractions(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "text_perplexity_buckets",
+    r"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+             generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS ord
+      FROM documents
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok <> ''),
+    big AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM toks),
+    sc AS (
+      SELECT big.doc_id,
+             count(*) AS n_bigrams,
+             sum(CAST(round(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)), 9)
+                      AS DECIMAL(28,9))) AS lsum
+      FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY big.doc_id
+    ),
+    px AS (
+      SELECT doc_id, n_bigrams,
+             round(exp(-round(CAST(lsum AS DOUBLE) / n_bigrams, 6)), 4) AS perplexity
+      FROM sc
+    ),
+    bk AS (
+      SELECT px.doc_id, d.lang, px.n_bigrams, px.perplexity,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY px.perplexity, px.doc_id) AS bucket
+      FROM px JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams, perplexity,
+           CAST(bucket AS INT) AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_label
+    FROM bk ORDER BY doc_id
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing per language
+    (operators/lm.py perplexity_buckets — Wenzek et al. §4.3, the
+    stage that decides each document's sampling rate). The oracle
+    refits the identical add-k bigram LM and replays the ntile over
+    the same deterministic (perplexity, doc_id) order, so the scores
+    AND the bucket boundaries are value-checked."""
+    from daft_spark.operators.lm import perplexity_buckets
+
+    return perplexity_buckets(
+        _docs(spark, sf_dir), "text", "doc_id", n_buckets=3, by=["lang"]
+    ).orderBy("doc_id")
