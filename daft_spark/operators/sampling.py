@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "token_budget_select"]
+__all__ = ["stratified_sample", "token_budget_select", "pack_sequences"]
 
 
 def _det_order(id_col: str):
@@ -65,4 +65,57 @@ def token_budget_select(
     )
     return df.withColumn("__cum", F.sum(weight_col).over(w)).filter(
         F.col("__cum") <= budget
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    eod_tokens: int = 1,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """GPT-style sequence PACKING PLAN: documents are concatenated in
+    the deterministic md5 order (each followed by ``eod_tokens``
+    end-of-document markers) and the token stream is chunked into
+    fixed ``seq_len`` training sequences — the standard pretraining
+    batch layout (docs split across sequence boundaries, zero padding
+    waste). Returns one row per document with its placement:
+    (id, *by, n_tokens, start_offset, first_seq, last_seq,
+    n_seqs_spanned) — everything a loader needs to materialize any
+    sequence, and everything a mixing audit needs (how many sequences
+    a source occupies, how often documents straddle boundaries).
+
+    Scale: one running-sum window per ``by`` group — pack per shard or
+    per source (production layouts pack per shard anyway, so readers
+    stay independent); ``by=None`` is a single global sorted partition,
+    fine for corpus samples, not for 100 TB. Token counts are the
+    engine's regex token_count; no text ever shuffles (the window
+    moves (id, n_tokens) rows only)."""
+    from daft_spark.functions.text import token_count
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    cols = list(by or [])
+    n = (token_count(F.col(text_col)) + F.lit(eod_tokens)).cast("long")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in cols])
+        .orderBy(*_det_order(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.select(F.col(id_col), *cols, n.alias("n_tokens")).withColumn(
+        "__end", F.sum("n_tokens").over(w)
+    )
+    start = F.col("__end") - F.col("n_tokens")
+    first = F.floor(start / seq_len).cast("long")
+    last = F.floor((F.col("__end") - 1) / seq_len).cast("long")
+    return d.select(
+        id_col,
+        *cols,
+        "n_tokens",
+        start.alias("start_offset"),
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+        (last - first + 1).alias("n_seqs_spanned"),
     )

@@ -380,3 +380,49 @@ def embedding_near_dups(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means the
+    embedding space, then inside each cluster treat cosine >=
+    ``threshold`` pairs as semantic duplicates and keep ONE document
+    per duplicate group. Returns one row per input:
+    (id, centroid_id, cluster_id, is_representative) — filter on
+    is_representative for the pruned corpus.
+
+    Composition of the existing primitives, end-to-end deterministic:
+    ``ivf_train`` (hash-seeded Lloyd as DataFrame aggs — no vectors on
+    the driver) -> ``ivf_assign`` (broadcast centroids, argmax) ->
+    ``pairs_above_threshold`` blocked by centroid (the quadratic is
+    confined to cluster-sized blocks — exactly the paper's trick; its
+    documented tradeoff, cross-cluster duplicates going unseen, is
+    inherited) -> hash-to-min connected components. 100 TB posture:
+    the only all-pairs work is per-cluster; everything else is
+    broadcast joins and keys-only shuffles."""
+    from daft_spark.operators.cluster import duplicate_clusters
+
+    cents = ivf_train(
+        df, k, corpus_id=id_col, corpus_vec=vec_col, iters=iters, seed=seed
+    )
+    assigned = ivf_assign(df, cents, corpus_id=id_col, corpus_vec=vec_col)
+    pairs = pairs_above_threshold(
+        assigned, threshold, id_col=id_col, vec_col=vec_col,
+        block_col="centroid_id",
+    ).select("id_a", "id_b")
+    resolved = duplicate_clusters(
+        assigned.select(id_col, "centroid_id"), pairs, id_col,
+        max_iterations=max_iterations,
+    )
+    return resolved.select(
+        id_col, "centroid_id", "cluster_id", "is_representative"
+    )

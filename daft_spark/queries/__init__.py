@@ -91,7 +91,11 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # resolve API over containment edges, exact recursive-CTE oracle),
 # dedup_span_removal (Lee et al. keep-first span blanking, exact
 # text-reassembly oracle), text_perplexity_buckets (CCNet per-lang
-# head/middle/tail ntile, exact LM+bucket oracle).
+# head/middle/tail ntile, exact LM+bucket oracle),
+# pipeline_pack_sequences (GPT-style packing plan, exact
+# running-sum/boundary oracle), dedup_semdedup (Abbas et al. k-means
+# blocking + cosine dedup, invariant oracle — k-means not
+# SQL-replicable).
 #
 # Round-9 rotation (FROZEN at round start): mm_embed_image leads (the
 # only red r8 row — oracle float-width fix, now quantized through

@@ -179,3 +179,57 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(queries, corpus, approx).select(
         "n_queries", (F.col("avg_recall") >= 0.7).alias("recall_ge_070")
     )
+
+
+@register(
+    "dedup_semdedup",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS one_keeper_per_cluster,
+           TRUE AS keeper_is_min,
+           TRUE AS cluster_within_centroid,
+           TRUE AS has_multi_member_cluster
+    FROM embeddings
+    """,
+    comparable=False,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (operators/similarity.py semdedup): k-means blocking +
+    within-cluster cosine dedup + components. k-means assignment is not
+    SQL-replicable, so the driver checks INVARIANTS computed FROM the
+    real output (the dedup_resolve pattern): row conservation, one
+    representative per cluster, min-id labels, every dedup cluster
+    confined to one k-means centroid (the paper's blocking contract),
+    and non-vacuity (at least one multi-member cluster at threshold
+    0.3 — the sf0.01 graph has real ones)."""
+    from daft_spark.operators.similarity import semdedup
+
+    r = semdedup(_emb(spark, sf_dir), k=8, threshold=0.3, iters=2).persist()
+    n = r.agg(F.count(F.lit(1)).alias("n_vecs"))
+    keepers = r.agg(
+        (
+            F.sum(F.col("is_representative").cast("long"))
+            == F.count_distinct("cluster_id")
+        ).alias("one_keeper_per_cluster")
+    )
+    min_label = (
+        r.groupBy("cluster_id")
+        .agg(F.min("vec_id").alias("mn"))
+        .agg(
+            F.sum(F.when(F.col("mn") != F.col("cluster_id"), 1).otherwise(0)).alias("bad")
+        )
+        .select((F.col("bad") == 0).alias("keeper_is_min"))
+    )
+    blocked = (
+        r.groupBy("cluster_id")
+        .agg(F.count_distinct("centroid_id").alias("nc"))
+        .agg(F.max("nc").alias("m"))
+        .select((F.col("m") == 1).alias("cluster_within_centroid"))
+    )
+    multi = (
+        r.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.max("sz").alias("m"))
+        .select((F.col("m") >= 2).alias("has_multi_member_cluster"))
+    )
+    return n.crossJoin(keepers).crossJoin(min_label).crossJoin(blocked).crossJoin(multi)

@@ -845,3 +845,41 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(
         _docs(spark, sf_dir), "text", "doc_id", n_buckets=3, by=["lang"]
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_pack_sequences",
+    """
+    WITH n AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-za-z0-9]+')) + 1 AS nt
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, nt,
+             sum(nt) OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING) AS e
+      FROM n)
+    SELECT doc_id, source,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(e - nt AS BIGINT) AS start_offset,
+           CAST((e - nt) // 2048 AS BIGINT) AS first_seq,
+           CAST((e - 1) // 2048 AS BIGINT) AS last_seq,
+           CAST((e - 1) // 2048 - (e - nt) // 2048 + 1 AS BIGINT)
+             AS n_seqs_spanned
+    FROM c ORDER BY doc_id
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing plan per source shard
+    (operators/sampling.py pack_sequences): deterministic md5
+    concatenation order, 2048-token sequences, 1 EOD token per doc.
+    The oracle replays the identical token counts, ordering, running
+    sums, and boundary arithmetic, so every document's placement is
+    value-checked."""
+    from daft_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), "text", "doc_id",
+        seq_len=2048, eod_tokens=1, by=["source"],
+    ).orderBy("doc_id")
