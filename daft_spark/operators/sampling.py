@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "token_budget_select", "pack_sequences"]
+__all__ = ["stratified_sample", "token_budget_select", "pack_sequences", "hash_split"]
 
 
 def _det_order(id_col: str):
@@ -119,3 +119,45 @@ def pack_sequences(
         last.alias("last_seq"),
         (last - first + 1).alias("n_seqs_spanned"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test SPLIT by id hash: each row lands in
+    the bucket whose cumulative weight interval contains
+    ``xxhash64(id, salt) / 2^64`` — stable under re-runs, insertions,
+    and repartitioning (a row's split never depends on other rows,
+    unlike randomSplit, whose assignment is partitioning-dependent).
+    ``weights`` maps split name -> weight (normalized internally);
+    ``salt`` derives independent splits from the same ids. Pure column
+    expression — no shuffle at all. The hash is md5 (the engine's
+    deterministic-random convention, sampling.py module doc) so the
+    assignment is identical in any engine — the DuckDB oracle replays
+    it exactly."""
+    total = float(sum(weights.values()))
+    if total <= 0 or any(v < 0 for v in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+    # uniform in [0, 1): first 13 hex digits (52 bits) of the md5
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)

@@ -95,7 +95,8 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # pipeline_pack_sequences (GPT-style packing plan, exact
 # running-sum/boundary oracle), dedup_semdedup (Abbas et al. k-means
 # blocking + cosine dedup, invariant oracle — k-means not
-# SQL-replicable).
+# SQL-replicable), pipeline_hash_split (md5 train/val/test split,
+# exact per-split membership oracle).
 #
 # Round-9 rotation (FROZEN at round start): mm_embed_image leads (the
 # only red r8 row — oracle float-width fix, now quantized through

@@ -883,3 +883,53 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "text", "doc_id",
         seq_len=2048, eod_tokens=1, by=["source"],
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_hash_split",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             list_sum(list_transform(range(1, 14), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || 'r9'), i, 1)) - 1)
+               * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 AS x
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN x < 0.8 THEN 'train'
+                  WHEN x < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u)
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(id || salt)
+    (operators/sampling.py hash_split) — stable under re-runs,
+    insertions, and repartitioning, unlike randomSplit. The oracle
+    recomputes the identical 52-bit md5 fraction per id via hex-nibble
+    arithmetic and compares per-(split, lang) membership through
+    count/min/max/sum of ids — a single reassigned document
+    mismatches."""
+    from daft_spark.operators.sampling import hash_split
+
+    d = hash_split(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id", salt="r9",
+    )
+    return (
+        d.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split", "lang")
+    )

