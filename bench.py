@@ -74,6 +74,12 @@ HEADLINE = [
     # (operators/similarity.embedding_near_dups) is the scale path.
     "text_quality",
     "sim_topk_cosine",
+    # r9 addition: the corpus-trained bigram-LM scorer (skew-hardened
+    # per-doc-count joins). Standalone idle A/B at sf0.1 before
+    # inclusion: spark [2.773, 2.064, 2.293] vs duckdb [0.68, 0.74,
+    # 0.619] = 3.37x — at the suite's published paired ratio, so the
+    # headline total stays interpretable round over round.
+    "text_lm_perplexity",
 ]
 
 
