@@ -890,7 +890,12 @@ def remove_duplicated_spans(
     (``keep='first'``: the minimum (doc_id, start) occurrence — the
     deterministic cross-engine tiebreak) or all of them
     (``keep='none'``). Returns (id, n_tokens, n_removed, clean_text)
-    with the surviving tokens rejoined on single spaces.
+    with the surviving tokens rejoined on single spaces. Note the
+    inherent cut-and-concatenate artifact (same as Lee et al.'s
+    pipeline): tokens on either side of a removed span become
+    adjacent, so the CLEANED corpus can contain windows that did not
+    exist before removal — re-running detection on the output is a
+    new analysis, not a fixpoint check.
 
     100 TB posture: windows hash IN-ROW (same construction as
     duplicated_span_stats — the exploded frame is (doc_id, start,

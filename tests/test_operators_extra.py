@@ -265,3 +265,109 @@ def test_sampling_operators_edges(spark):
             assert g not in kept_grps
         else:
             assert g in kept_grps
+
+
+def test_pack_sequences_offsets_contiguous_and_conserving(spark):
+    """Packing invariants: within each group, offsets tile the token
+    stream exactly (next start == previous end), the first start is 0,
+    and sequence indices follow from the boundary arithmetic."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.sampling import pack_sequences
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(0, 90))),
+         f"src{i % 3}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = pack_sequences(df, "text", "doc_id", seq_len=64, by=["source"]).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(out) == 200
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["start_offset"])
+        assert rs[0]["start_offset"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["start_offset"] + a["n_tokens"] == b["start_offset"], (src, a, b)
+        for r in rs:
+            assert r["first_seq"] == r["start_offset"] // 64
+            end = r["start_offset"] + r["n_tokens"]
+            assert r["last_seq"] == (end - 1) // 64
+            assert r["n_seqs_spanned"] == r["last_seq"] - r["first_seq"] + 1
+
+
+def test_hash_split_deterministic_proportions_and_salt(spark):
+    """hash_split: assignment is a pure function of (id, salt) — stable
+    under repartitioning; proportions approach the weights; a different
+    salt draws an independent split."""
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.sampling import hash_split
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(
+        df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b  # partitioning-independent (randomSplit is not)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 4000 - 0.8) < 0.03
+    assert abs(c["val"] / 4000 - 0.1) < 0.02
+    assert abs(c["test"] / 4000 - 0.1) < 0.02
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="other").collect()}
+    moved = sum(1 for k in a if a[k] != s2[k])
+    assert moved > 800  # independent draw, not a shifted boundary
+    import pytest
+
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(df, {"a": -1.0, "b": 2.0})
+
+
+def test_span_removal_conserves_untouched_tokens(spark):
+    """Property over a random corpus with planted duplicates: removed
+    token counts are consistent (n_removed = n_tokens - len(clean
+    tokens)); docs with no cross-doc window keep their exact
+    (normalized) text; keep='none' removes at least as much as
+    keep='first'."""
+    import random
+
+    from daft_spark.operators.dedup import remove_duplicated_spans, normalize_text
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    plant = " ".join(f"p{i}" for i in range(23))
+    rows = []
+    for i in range(60):
+        base = " ".join(f"w{rng.randrange(2000)}" for _ in range(40))
+        if i % 5 == 0:
+            base = base + " " + plant
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    first = {r["doc_id"]: r for r in remove_duplicated_spans(df, "text", "doc_id").collect()}
+    none = {r["doc_id"]: r for r in remove_duplicated_spans(
+        df, "text", "doc_id", keep="none").collect()}
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()
+    }
+    for i, r in first.items():
+        kept_tokens = r["clean_text"].split(" ") if r["clean_text"] else []
+        assert r["n_tokens"] - r["n_removed"] == len(kept_tokens), r
+        assert none[i]["n_removed"] >= r["n_removed"]
+        if i % 5 != 0:  # no planted dup -> untouched
+            assert r["n_removed"] == 0
+            assert r["clean_text"] == norm[i]
+    # exactly one planted copy survives under keep='first'
+    survivors = [
+        i for i in first
+        if i % 5 == 0 and plant in first[i]["clean_text"]
+    ]
+    assert survivors == [0]
