@@ -2109,10 +2109,13 @@ def table_changes_delta_py(
                 if not line:
                     continue
                 action = json.loads(line)
-                if ("add" in action and action["add"].get("deletionVector")) or (
-                    "remove" in action and action["remove"].get("deletionVector")
-                ):
-                    has_dv = True
+                # only dataChange actions matter: OPTIMIZE retires
+                # DV-carrying files with dataChange=false removes — a
+                # rearrangement, not a change, and must stay readable
+                for kind in ("add", "remove"):
+                    a = action.get(kind)
+                    if a and a.get("deletionVector") and a.get("dataChange", True):
+                        has_dv = True
                 if "cdc" in action:
                     cdc_entries.append(
                         (

@@ -280,10 +280,13 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                 if not line:
                     continue
                 action = json.loads(line)
-                if ("add" in action and action["add"].get("deletionVector")) or (
-                    "remove" in action and action["remove"].get("deletionVector")
-                ):
-                    has_dv = True
+                # only dataChange actions: OPTIMIZE retires DV-carrying
+                # files with dataChange=false removes — a rearrangement,
+                # not a change (see table_changes_delta_py)
+                for kind in ("add", "remove"):
+                    a = action.get(kind)
+                    if a and a.get("deletionVector") and a.get("dataChange", True):
+                        has_dv = True
                 if "cdc" in action:
                     cdc.append(
                         (action["cdc"]["path"], action["cdc"].get("partitionValues"))

@@ -413,7 +413,13 @@ def _main_ancestors(meta: dict, head_id: int | None = None) -> list[dict]:
     if walk is None:
         walk = meta.get("current-snapshot-id")
     chain: list[dict] = []
+    seen: set = set()
     while walk is not None and walk in by_id:
+        if walk in seen:  # corrupt metadata must not hang the reader
+            raise ValueError(
+                f"snapshot ancestry cycle at snapshot-id {walk}"
+            )
+        seen.add(walk)
         snap = by_id[walk]
         chain.append(snap)
         walk = snap.get("parent-snapshot-id")

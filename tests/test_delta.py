@@ -1279,3 +1279,28 @@ def test_timestamp_travel_resolves_from_surviving_checkpoint(spark, tmp_path):
     # before all surviving history still raises
     with pytest.raises(ValueError, match="history starts later"):
         version_at_timestamp_delta_py(p, ts1 - 10_000_000)
+
+
+def test_cdf_optimize_on_dv_table_is_not_a_change(spark, tmp_path):
+    """OPTIMIZE materializes DV-carrying files with dataChange=false
+    actions that still reference deletionVector descriptors on the
+    remove side — the CDF readers must treat the commit as a
+    rearrangement (no changes), not refuse it as a cdc-less DV commit."""
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        enable_cdf_delta_py,
+        optimize_deltalake_py,
+        table_changes_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "dvopt")
+    write_deltalake_py(
+        spark.range(8).select(F.col("id").alias("k")), p
+    )  # v0
+    enable_cdf_delta_py(p)  # v1
+    delete_deltalake_dv_py(p, spark, "k = 2")  # v2: DV + cdc
+    optimize_deltalake_py(p, spark)  # v3: dataChange=false, retires DV file
+    ch = table_changes_delta_py(p, spark, starting_version=2)
+    got = [(r["k"], r["_change_type"], r["_commit_version"]) for r in ch.collect()]
+    assert got == [(2, "delete", 2)]  # v3 contributes nothing and doesn't raise
