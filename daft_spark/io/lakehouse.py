@@ -75,7 +75,19 @@ def read_deltalake(
 
                 tz = ZoneInfo(zone)
             except Exception:
-                tz = _dt.timezone.utc
+                import re as _re
+
+                # Spark also accepts fixed-offset ids (GMT+8, UTC+08:00,
+                # +05:30) that ZoneInfo can't parse
+                m = _re.fullmatch(
+                    r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", zone
+                )
+                if m:
+                    sign = 1 if m.group(1) == "+" else -1
+                    mins = int(m.group(2)) * 60 + int(m.group(3) or 0)
+                    tz = _dt.timezone(sign * _dt.timedelta(minutes=mins))
+                else:
+                    tz = _dt.timezone.utc
             local = _dt.datetime.fromtimestamp(timestamp_ms / 1000, tz=tz)
             options = {
                 **options,

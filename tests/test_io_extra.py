@@ -188,3 +188,52 @@ def test_kafka_json_sentinel_offsets(spark, tmp_path):
     with pytest.raises(ValueError, match="missing partition"):
         read_kafka(f"file://{root}", "t", spark,
                    starting_offsets='{"t": {"0": 5}}').count()
+
+
+def test_read_deltalake_timestamp_as_of_session_zone(spark, tmp_path, monkeypatch):
+    """timestampAsOf must be formatted in the zone the CONNECTOR will
+    parse it in (delta-spark parses zone-less strings in
+    spark.sql.session.timeZone) with millisecond precision. read_deltalake
+    reads the zone AFTER _session()/configure() — which pins the session
+    to UTC — so the string and the parse are self-consistent even when
+    the caller had set a different zone beforehand (r8 advice: the old
+    code formatted a UTC wall-clock string regardless of what the
+    connector would parse it as, and dropped sub-second precision)."""
+    from daft_spark.io import lakehouse
+
+    captured = {}
+
+    def fake_format_read(spark_, fmt, path, pkg, options, **kw):
+        captured.update(options)
+        raise ImportError("no connector in this container")
+
+    monkeypatch.setattr(lakehouse, "_format_read", fake_format_read)
+    from daft_spark.io.delta import write_deltalake_py
+
+    p = str(tmp_path / "tz")
+    write_deltalake_py(spark.range(3).select(F.col("id").alias("k")), p)
+    ts = 1700000000123  # 2023-11-14T22:13:20.123Z
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # a caller-set zone is renormalized to UTC by configure() before
+        # the string is built — format and parse agree, millis survive
+        spark.conf.set("spark.sql.session.timeZone", "UTC+08:00")
+        try:
+            lakehouse.read_deltalake(p, spark, timestamp_ms=ts)
+        except Exception:
+            pass  # fallback may raise on version resolution; options captured
+        assert captured["timestampAsOf"] == "2023-11-14 22:13:20.123"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    # the offset-zone branch itself (for sessions daft_spark does not
+    # manage): GMT+8 / UTC+08:00 / +05:30 forms all parse
+    import datetime as _dt
+    import re as _re
+
+    for zone, want in [("GMT+8", 480), ("UTC+08:00", 480), ("+05:30", 330), ("GMT-3", -180)]:
+        m = _re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", zone)
+        assert m, zone
+        sign = 1 if m.group(1) == "+" else -1
+        mins = sign * (int(m.group(2)) * 60 + int(m.group(3) or 0))
+        assert mins == want, zone
