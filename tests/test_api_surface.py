@@ -235,3 +235,27 @@ def test_async_func_udf(spark):
         @func(return_dtype="long", max_concurrency=4)
         def sync_fn(x):
             return x
+
+
+def test_operators_package_surface():
+    """daft_spark.operators re-exports the whole pipeline toolkit — the
+    documented one-import surface for the training-data operators."""
+    from daft_spark import operators as O
+
+    for name in [
+        "join_asof", "skip_existing", "checkpointed_write",
+        "connected_components", "duplicate_clusters",
+        "exact_dedup", "minhash_signatures", "minhash_near_dups",
+        "simhash_signatures", "simhash_near_dups", "jaccard_pairs",
+        "containment_pairs", "duplicated_span_stats",
+        "remove_duplicated_spans", "near_dup_resolve",
+        "benchmark_contamination",
+        "bigram_lm_scores", "perplexity_buckets",
+        "ngram_repetition_fractions",
+        "stratified_sample", "token_budget_select", "pack_sequences",
+        "hash_split", "shard",
+        "cosine_similarity", "cosine_distance", "topk_cosine_bruteforce",
+        "topk_cosine_lsh", "topk_cosine_ivf", "ivf_train", "ivf_assign",
+        "pairs_above_threshold", "embedding_near_dups", "semdedup",
+    ]:
+        assert callable(getattr(O, name)), name
