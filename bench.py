@@ -220,6 +220,14 @@ def main() -> None:
                         "paired_ratio_suite"
                     ),
                 }
+                # round-over-round comparability: the paired ratio over
+                # the r8 query mix (the r9 headline adds the LM scorer,
+                # where Spark BEATS DuckDB at sf10 — a mix shift the
+                # suite ratio alone would hide)
+                if "r8_mix_paired_ratio" in blk:
+                    scale_summary[key]["r8_mix_paired_ratio"] = blk[
+                        "r8_mix_paired_ratio"
+                    ]
         for key in ("note", "variance_note"):
             if key in scale:
                 detail[f"scale_{key}"] = scale[key]
