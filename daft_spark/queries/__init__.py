@@ -96,7 +96,10 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # running-sum/boundary oracle), dedup_semdedup (Abbas et al. k-means
 # blocking + cosine dedup, invariant oracle — k-means not
 # SQL-replicable), pipeline_hash_split (md5 train/val/test split,
-# exact per-split membership oracle).
+# exact per-split membership oracle), pipeline_corpus_curation_v2 (the
+# full Lee-et-al loop: rules -> exact dedup -> containment resolve ->
+# span removal -> decontamination of the CLEANED text, whole-pipeline
+# exact oracle incl. the recursive-CTE components and rebuilt text).
 #
 # Round-9 rotation (FROZEN at round start): mm_embed_image leads (the
 # only red r8 row — oracle float-width fix, now quantized through

@@ -933,3 +933,180 @@ def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "pipeline_corpus_curation_v2",
+    f"""
+    WITH RECURSIVE e AS ({_ENRICH_SQL}),
+    passed AS (
+      SELECT doc_id, lang, text FROM e
+      WHERE ({_GOPHER_KEEP_SQL}) AND ({_C4_KEEP_SQL})),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY text),
+    dsurv AS (SELECT p.* FROM passed p JOIN keepers USING (doc_id)),
+    norm AS (
+      SELECT doc_id, lang, text,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM dsurv),
+    -- containment resolve over the exact-dedup survivors
+    csh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLE3_SQL}) AS s FROM norm),
+    crare AS (SELECT s FROM csh GROUP BY s HAVING count(*) <= 200),
+    ckept AS (SELECT csh.doc_id, csh.s FROM csh JOIN crare USING (s)),
+    cden AS (SELECT doc_id, count(*) AS na FROM ckept GROUP BY doc_id),
+    cinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+      FROM ckept a JOIN ckept b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    cpair AS (
+      SELECT id_a, id_b FROM cinter JOIN cden ON cden.doc_id = id_a
+      WHERE round(CAST(n AS DOUBLE) / na, 6) >= 0.8),
+    cedges AS (SELECT id_a, id_b FROM cpair UNION SELECT id_b, id_a FROM cpair),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM dsurv
+      UNION
+      SELECT ce.id_b, r.lbl FROM reach r JOIN cedges ce ON ce.id_a = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS cid FROM reach GROUP BY node),
+    reps AS (
+      SELECT n.* FROM norm n JOIN comp ON n.doc_id = comp.doc_id
+      WHERE comp.doc_id = comp.cid),
+    -- exact-substring span removal (keep-first) over the representatives
+    w AS (
+      SELECT doc_id, i, array_to_string(t[i:i+19], chr(31)) AS s
+      FROM reps, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - 18, 1))) AS i) u),
+    nd AS (
+      SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY s)
+      WHERE ndocs >= 2),
+    rk AS (
+      SELECT w.doc_id, w.i,
+             row_number() OVER (PARTITION BY w.s ORDER BY w.doc_id, w.i) AS rn
+      FROM w JOIN nd USING (s)),
+    rm AS (SELECT doc_id, i FROM rk WHERE rn > 1),
+    tok AS (
+      SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS p FROM reps),
+    cov AS (
+      SELECT DISTINCT tk.doc_id, tk.p
+      FROM tok tk JOIN rm ON rm.doc_id = tk.doc_id
+       AND tk.p >= rm.i AND tk.p < rm.i + 20),
+    spanout AS (
+      SELECT r.doc_id, r.lang,
+             coalesce(ks.clean_text, '') AS clean_text,
+             coalesce(cnt.nrem, 0) AS n_removed
+      FROM reps r
+      LEFT JOIN (SELECT tk.doc_id, string_agg(tk.tk, ' ' ORDER BY tk.p) AS clean_text
+                 FROM tok tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+                 WHERE cov.p IS NULL GROUP BY tk.doc_id) ks ON ks.doc_id = r.doc_id
+      LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM cov GROUP BY doc_id) cnt
+        ON cnt.doc_id = r.doc_id),
+    -- decontamination of the CLEANED text against the benchmark split
+    bench_t AS (
+      SELECT string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents WHERE doc_id % 41 = 0),
+    bench_sh AS (SELECT DISTINCT unnest({_SHINGLE3_SQL}) AS g FROM bench_t),
+    sp_t AS (SELECT doc_id, lang, clean_text, n_removed,
+                    string_split(clean_text, ' ') AS t FROM spanout),
+    contam AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, unnest({_SHINGLE3_SQL}) AS g FROM sp_t) d
+      JOIN bench_sh USING (g)),
+    clean AS (
+      SELECT s.* FROM sp_t s LEFT JOIN contam c ON s.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL),
+    s2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup FROM dsurv GROUP BY lang),
+    s3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_resolved FROM reps GROUP BY lang),
+    s4 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_clean,
+                  CAST(sum(n_removed) AS BIGINT) AS span_tokens_removed,
+                  CAST(sum(len(regexp_extract_all(lower(clean_text), '[a-z0-9]+'))) AS BIGINT)
+                    AS tokens_clean
+           FROM clean GROUP BY lang)
+    SELECT l.lang,
+           coalesce(s2.n_dedup, 0) AS n_dedup,
+           coalesce(s3.n_resolved, 0) AS n_resolved,
+           coalesce(s4.n_clean, 0) AS n_clean,
+           coalesce(s4.span_tokens_removed, 0) AS span_tokens_removed,
+           coalesce(s4.tokens_clean, 0) AS tokens_clean
+    FROM (SELECT DISTINCT lang FROM documents) l
+    LEFT JOIN s2 ON l.lang = s2.lang
+    LEFT JOIN s3 ON l.lang = s3.lang
+    LEFT JOIN s4 ON l.lang = s4.lang
+    ORDER BY l.lang
+    """,
+)
+def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation v2 — the full Lee-et-al-shaped loop the r9
+    operators complete: quality rules (Gopher + C4) -> exact dedup ->
+    CONTAINMENT-edge resolution (embedded-document dups, unified
+    resolve API) -> exact-substring SPAN REMOVAL (keep-first) on the
+    survivors -> decontamination of the CLEANED text -> per-language
+    survivor counts, span-removed token counts, and the final token
+    budget. Every stage is deterministic, so the oracle replays the
+    ENTIRE pipeline including the containment components (recursive
+    CTE) and the rebuilt clean text — the stage WIRING (dedup before
+    resolution, span removal before decontamination, benchmark drawn
+    from the raw corpus) is part of the checked contract."""
+    from daft_spark.functions.text import c4_rules, gopher_rules
+    from daft_spark.operators.dedup import (
+        benchmark_contamination,
+        exact_dedup,
+        near_dup_resolve,
+        remove_duplicated_spans,
+    )
+
+    raw = _docs(spark, sf_dir)
+    bench = raw.filter(F.col("doc_id") % 41 == 0)
+    e = _enrich(raw).select(
+        "doc_id", "lang", "text",
+        gopher_rules(F.col("doc2"), min_words=30).alias("g"),
+        c4_rules(F.col("doc2")).alias("c"),
+    )
+    passed = e.filter(F.col("g.keep") & F.col("c.keep")).select(
+        "doc_id", "lang", "text"
+    )
+    dsurv = exact_dedup(passed, ["text"], "doc_id", keep="min").persist()
+    res = near_dup_resolve(
+        dsurv, "text", "doc_id",
+        edge_sources=("containment",),
+        containment_threshold=0.8, containment_max_doc_freq=200,
+    )
+    reps = (
+        res.filter(F.col("is_representative"))
+        .select("doc_id", "lang", "text")
+        .persist()
+    )
+    spans = remove_duplicated_spans(reps, "text", "doc_id", window_k=20)
+    sp = reps.select("doc_id", "lang").join(spans, "doc_id").persist()
+    cont = benchmark_contamination(
+        sp,
+        bench.select("doc_id", F.col("text").alias("clean_text")),
+        "clean_text", "doc_id", shingle_k=3,
+    )
+    clean = sp.join(
+        cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    langs = raw.select("lang").distinct()
+    s2 = dsurv.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_dedup"))
+    s3 = reps.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_resolved"))
+    from daft_spark.functions.text import token_count
+
+    s4 = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clean"),
+        F.sum("n_removed").cast("long").alias("span_tokens_removed"),
+        F.sum(token_count(F.col("clean_text"))).cast("long").alias("tokens_clean"),
+    )
+    return (
+        langs.join(s2, "lang", "left")
+        .join(s3, "lang", "left")
+        .join(s4, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_resolved", F.lit(0)).alias("n_resolved"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("span_tokens_removed", F.lit(0)).alias("span_tokens_removed"),
+            F.coalesce("tokens_clean", F.lit(0)).alias("tokens_clean"),
+        )
+        .orderBy("lang")
+    )
