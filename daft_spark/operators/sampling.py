@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "token_budget_select", "pack_sequences", "hash_split"]
+__all__ = ["stratified_sample", "token_budget_select", "pack_sequences", "hash_split", "mixture_weights"]
 
 
 def _det_order(id_col: str):
@@ -129,8 +129,8 @@ def hash_split(
     salt: str = "",
 ) -> DataFrame:
     """Deterministic train/val/test SPLIT by id hash: each row lands in
-    the bucket whose cumulative weight interval contains
-    ``xxhash64(id, salt) / 2^64`` — stable under re-runs, insertions,
+    the bucket whose cumulative weight interval contains the row's
+    md5-derived uniform fraction — stable under re-runs, insertions,
     and repartitioning (a row's split never depends on other rows,
     unlike randomSplit, whose assignment is partitioning-dependent).
     ``weights`` maps split name -> weight (normalized internally);
@@ -161,3 +161,72 @@ def hash_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def mixture_weights(
+    df: DataFrame,
+    by: list[str],
+    target: dict[str, float],
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-REWEIGHTING plan: per-``by``-group downsampling rates
+    that move the corpus composition to a ``target`` share map (the
+    data-mixing step behind DoReMi-style recipes and the per-source
+    weights every pretraining mix publishes). With only downsampling
+    available (no repetition), the achievable mix keeps every group's
+    rate <= 1: rate_g = (target_g / current_g) / max_h(target_h /
+    current_h) — the group whose target-to-current ratio is largest is
+    kept whole and everything else scales to it. Groups absent from
+    ``target`` get target share 0 (rate 0).
+
+    ``by`` must be a single column for the target map to key on (the
+    common case: source / lang); shares weigh by ``weight_col`` (e.g.
+    a token count) or by row count when None. Returns per group:
+    (group, n_rows, weight, current_share, target_share, sample_rate,
+    kept_weight) — all shares/rates rounded to 6 decimals, exactly
+    reproducible in any engine.
+
+    Scale: one map-side-combining groupBy over the group key plus a
+    1-row broadcast of the total — no driver collection, composes with
+    ``hash_split``/``stratified_sample`` to materialize the plan."""
+    if len(by) != 1:
+        raise ValueError("mixture_weights takes exactly one grouping column")
+    total_t = float(sum(target.values()))
+    if total_t <= 0 or any(v < 0 for v in target.values()):
+        raise ValueError("target shares must be non-negative with a positive sum")
+    key = by[0]
+    w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
+    g = df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(w).alias("weight"),
+    )
+    tgt = F.create_map(
+        *[x for k, v in target.items() for x in (F.lit(k), F.lit(v / total_t))]
+    )
+    tot = g.select(F.sum("weight").alias("__tot"))
+    scored = g.crossJoin(F.broadcast(tot)).select(
+        key,
+        "n_rows",
+        "weight",
+        (F.col("weight") / F.col("__tot")).alias("__cur"),
+        F.coalesce(tgt[F.col(key)], F.lit(0.0)).alias("__tgt"),
+    )
+    ratio = F.when(F.col("__cur") > 0, F.col("__tgt") / F.col("__cur")).otherwise(
+        F.lit(0.0)
+    )
+    mx = scored.select(F.max(ratio).alias("__mx"))
+    out = scored.crossJoin(F.broadcast(mx)).select(
+        key,
+        "n_rows",
+        "weight",
+        F.round("__cur", 6).alias("current_share"),
+        F.round("__tgt", 6).alias("target_share"),
+        F.round(
+            F.when(F.col("__mx") > 0, ratio / F.col("__mx")).otherwise(F.lit(0.0)), 6
+        ).alias("sample_rate"),
+    )
+    return out.withColumn(
+        "kept_weight",
+        F.round(F.col("weight") * F.col("sample_rate"), 6),
+    )

@@ -99,7 +99,9 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # exact per-split membership oracle), pipeline_corpus_curation_v2 (the
 # full Lee-et-al loop: rules -> exact dedup -> containment resolve ->
 # span removal -> decontamination of the CLEANED text, whole-pipeline
-# exact oracle incl. the recursive-CTE components and rebuilt text).
+# exact oracle incl. the recursive-CTE components and rebuilt text),
+# pipeline_mixture_weights (domain-reweighting sampling rates toward a
+# target mix under the downsample-only constraint, exact oracle).
 #
 # Round-9 rotation (FROZEN at round start): mm_embed_image leads (the
 # only red r8 row — oracle float-width fix, now quantized through

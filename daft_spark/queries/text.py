@@ -1110,3 +1110,53 @@ def pipeline_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipeline_mixture_weights",
+    """
+    WITH g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+               AS weight
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(weight) AS t FROM g),
+    tgt(source, share) AS (VALUES
+      ('src0', 0.4 / 1.0), ('src1', 0.3 / 1.0),
+      ('src2', 0.2 / 1.0), ('src3', 0.1 / 1.0)),
+    sc AS (
+      SELECT g.source, g.n_rows, g.weight,
+             g.weight / tot.t AS cur,
+             coalesce(tgt.share, 0.0) AS tshare
+      FROM g CROSS JOIN tot LEFT JOIN tgt USING (source)),
+    mx AS (SELECT max(CASE WHEN cur > 0 THEN tshare / cur ELSE 0 END) AS m FROM sc)
+    SELECT sc.source, sc.n_rows, sc.weight,
+           round(cur, 6) AS current_share,
+           round(tshare, 6) AS target_share,
+           round(CASE WHEN mx.m > 0 THEN (CASE WHEN cur > 0 THEN tshare / cur ELSE 0 END) / mx.m
+                 ELSE 0 END, 6) AS sample_rate,
+           round(sc.weight * round(CASE WHEN mx.m > 0
+                 THEN (CASE WHEN cur > 0 THEN tshare / cur ELSE 0 END) / mx.m
+                 ELSE 0 END, 6), 6) AS kept_weight
+    FROM sc CROSS JOIN mx ORDER BY sc.source
+    """,
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighting plan (operators/sampling.py mixture_weights):
+    token-weighted per-source sampling rates toward a 40/30/20/10
+    target over four sources (everything else dropped) under the
+    downsample-only constraint — the mixing step DoReMi-style recipes
+    publish. The oracle replays shares, the binding max-ratio group,
+    and the rounded rates exactly."""
+    from daft_spark.functions.text import token_count
+    from daft_spark.operators.sampling import mixture_weights
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).cast("double").alias("toks")
+    )
+    return mixture_weights(
+        d, ["source"],
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        weight_col="toks",
+    ).orderBy("source")

@@ -253,7 +253,7 @@ def test_operators_package_surface():
         "bigram_lm_scores", "perplexity_buckets",
         "ngram_repetition_fractions",
         "stratified_sample", "token_budget_select", "pack_sequences",
-        "hash_split", "shard",
+        "hash_split", "mixture_weights", "shard",
         "cosine_similarity", "cosine_distance", "topk_cosine_bruteforce",
         "topk_cosine_lsh", "topk_cosine_ivf", "ivf_train", "ivf_assign",
         "pairs_above_threshold", "embedding_near_dups", "semdedup",
