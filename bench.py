@@ -83,6 +83,25 @@ HEADLINE = [
 ]
 
 
+# Bench-side overrides: queries whose REGISTRY entry is an invariant
+# summary (the driver-correctness shape) but whose bench entry must keep
+# measuring the same raw work as prior rounds. dedup_minhash_lsh_pipeline's
+# registry fn reduces to invariant booleans since r10; the headline entry
+# stays the raw-pairs materialization (identical params + orderBy) so the
+# suite mix is comparable r6 -> r10.
+def _lsh_pipeline_raw(spark, sf_dir):
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=64, bands=16, threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+BENCH_OVERRIDES = {"dedup_minhash_lsh_pipeline": _lsh_pipeline_raw}
+
+
 def main() -> None:
     from daft_spark.context import get_or_create, release_caches
     from daft_spark.queries import all_queries
@@ -90,6 +109,9 @@ def main() -> None:
     spark = get_or_create(app_name="daft_spark_bench", master=f"local[{CPUS}]")
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
+
+    def bench_fn(name):
+        return BENCH_OVERRIDES.get(name, registry[name].spark_fn)
     duck = _duckdb_connect()
 
     # Cold pass: JVM warm-up + codegen + parquet footers (recorded as
@@ -107,13 +129,15 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         try:
-            _materialize(registry[name].spark_fn(spark, SF_DIR))
+            _materialize(bench_fn(name)(spark, SF_DIR))
             cold_total += time.perf_counter() - t0
         except Exception as e:
             print(f"# bench {name} FAILED (cold): {e}", file=sys.stderr)
             failed.add(name)
         release_caches(spark)
-        oracle = registry[name].oracle
+        # Invariant (comparable=False) oracles are correctness harnesses,
+        # not the same work — excluded from the ratio, so don't run them.
+        oracle = registry[name].oracle if registry[name].comparable else None
         if oracle is not None:
             try:
                 duck.execute(oracle).arrow()  # duckdb cold (buffers + plan cache)
@@ -134,15 +158,15 @@ def main() -> None:
             if name not in failed:
                 t0 = time.perf_counter()
                 try:
-                    _materialize(registry[name].spark_fn(spark, SF_DIR))
+                    _materialize(bench_fn(name)(spark, SF_DIR))
                     passes[name].append(round(time.perf_counter() - t0, 3))
                 except Exception as e:
                     print(f"# bench {name} FAILED: {e}", file=sys.stderr)
                     failed.add(name)
                 release_caches(spark)
-            oracle = registry[name].oracle
+            oracle = registry[name].oracle if registry[name].comparable else None
             if oracle is None or name in failed or name in dfailed:
-                continue  # non-SQL-expressible (e.g. LSH pipeline) — excluded
+                continue  # non-SQL-expressible or invariant-only — excluded
             t0 = time.perf_counter()
             try:
                 duck.execute(oracle).arrow()

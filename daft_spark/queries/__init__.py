@@ -123,33 +123,49 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # query, and the mm_prompt/embed_image/classify_image trio — all
 # pytest-oracle-green in r7), then the stalest greens: the agg_*
 # family (last driver-seen r4–r6) and a w_* refresh (last seen r6).
+# Round-10 rotation (FROZEN at round start per the r9 verdict's order):
+# dedup_minhash_lsh_pipeline leads — six rounds of no_oracle end this
+# round with a new INVARIANT oracle (comparable=False: verified pairs
+# are a subset of the exact-Jaccard pairs at the same threshold, recall
+# meets a floor, row count conserved — the dedup_embedding_lsh
+# pattern). Then the 8 post-freeze r9 queries (all exact-oracle-green
+# in pytest last round), then the 18 r5-stale rows (4 rounds behind,
+# breaching the ~3-round ledger policy), then 23 of the r6-stale set —
+# the dedup family first since operators/dedup.py churns again this
+# round (64-bit containment shingles per r9 ADVICE), then hudi/paimon,
+# tpch_q5, streaming, windows. The 11 r6 rows left out
+# (agg_string_collect, sim_centroid_cosine, sql_session_catalog,
+# stream_window_counts, text_fingerprint, text_langid_agreement,
+# text_quality, text_quality_score_dist, text_stats_by_source,
+# text_stopword_filter, text_token_count) are frozen pure-Column /
+# catalog code re-verified by the pytest oracle sweep; they lead the
+# r11 rotation together with any post-freeze r10 registrations.
 DRIVER_PRIORITY: list[str] = [
-    # the one red r8 row, oracle float-width fixed this round (1)
-    "mm_embed_image",
-    # round-8 debt: registered post-freeze r8, never driver-seen (12)
-    "text_lm_perplexity", "text_stratified_sample",
-    "pipeline_token_budget_mix", "dedup_shingle_containment",
-    "dedup_substring_spans", "text_ngram_repetition",
-    "lake_delta_restore", "lake_iceberg_branch_write",
-    "lake_iceberg_incremental", "stream_iceberg_sink",
-    "stream_paimon_source", "stream_delta_cdf",
-    # rows-only by design (oracle=None), never driver-seen (1)
+    # the last perpetual no_oracle row, invariant-oracled this round (1)
     "dedup_minhash_lsh_pipeline",
-    # stalest greens: the full r4 cohort per the ledger (26)
-    "rel_cross_join", "rel_distinct", "rel_explode", "rel_explode_outer",
-    "rel_join_null_safe", "rel_limit_offset", "rel_union_by_name",
-    "sim_pairs_threshold", "sim_topk_cosine",
-    "sql_case_cast_union", "sql_cte_join", "sql_exists_subquery",
-    "sql_grouping_sets", "sql_having_positional", "sql_in_subquery",
-    "sql_not_in_anti", "sql_scalar_subquery", "sql_window_in_sql",
-    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q19",
-    "tpch_q22", "w_order_only_global",
-    # stalest r5 rows (10 -> fills row 50); Delta roundtrip first
-    # (io/delta.py churned again this round)
-    "lake_delta_roundtrip", "io_checkpoint_resume", "sql_expr_battery",
-    "tpch_q15", "fn_udf_scalar_batch", "fn_udtf_lateral",
-    "io_csv_roundtrip", "io_json_roundtrip", "dedup_exact_keepmin",
-    "rel_explode_multi",
+    # round-9 debt: registered post-freeze r9, never driver-seen (8)
+    "dedup_resolve_containment", "dedup_span_removal", "dedup_semdedup",
+    "text_perplexity_buckets", "pipeline_pack_sequences",
+    "pipeline_hash_split", "pipeline_mixture_weights",
+    "pipeline_corpus_curation_v2",
+    # the 18 r5-stale rows (4 rounds behind the r9 artifact)
+    "rel_intersect", "rel_intersect_all", "rel_except", "rel_except_all",
+    "rel_union_all", "rel_union_distinct", "rel_monotonic_id",
+    "rel_shard", "rel_repartition_colocate", "rel_generator_source",
+    "io_warc_roundtrip", "io_sql_roundtrip", "io_mcap_roundtrip",
+    "agg_any_value", "agg_product_bool", "agg_skew",
+    "fn_files_tokenize", "fn_horizontal_partitioning",
+    # 23 of the r6-stale set; dedup family first (dedup.py churns)
+    "dedup_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_normalized", "dedup_resolve", "dedup_simhash",
+    "lake_hudi_roundtrip", "lake_hudi_upsert",
+    "lake_paimon_roundtrip", "lake_paimon_upsert",
+    "sim_ann_lsh_recall", "tpch_q5",
+    "stream_dedup_distinct", "stream_running_stats",
+    "stream_session_windows",
+    "agg_approx_bounds", "agg_null_group_keys",
+    "w_first_last", "w_lag_lead", "w_partition_only",
+    "w_range_frame", "w_rank_dense", "w_sliding_rows",
 ]
 
 

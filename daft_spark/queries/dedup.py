@@ -170,17 +170,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(subset).crossJoin(recall)
 
 
-@register("dedup_minhash_lsh_pipeline", None)
+# Invariant oracle for the raw pipeline row (r9 verdict #2): DuckDB
+# recomputes the exact all-pairs >=0.9 count from the same shingle
+# definition (ground truth for both recall AND precision at 0.9 — the
+# 16x4 banding misses a j=0.9 pair with P ~ 4e-8, so the pipeline's
+# own >=0.9 count must EQUAL the exact count); the booleans come from
+# the real pipeline output (verify-stage threshold honored, canonical
+# id_a < id_b orientation, no duplicate pairs), so a broken banding,
+# bucket-cap, or verify stage flips them. comparable=False: the 2 s
+# SQL is a harness, not the same work.
+_LSH_PIPELINE_INVARIANT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)+1),
+                i -> t[i] || chr(31) || coalesce(t[i+1],'') || chr(31) || coalesce(t[i+2],''))) AS s
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           CAST(count(*) FILTER (j >= 0.9) AS BIGINT) AS n_pairs_09,
+           TRUE AS all_pairs_verified_05,
+           TRUE AS ids_canonical,
+           TRUE AS pairs_distinct
+    FROM pairs
+"""
+
+
+@register("dedup_minhash_lsh_pipeline", _LSH_PIPELINE_INVARIANT_ORACLE, comparable=False)
 def dedup_minhash_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The raw MinHash-LSH near-dup pipeline output (id_a, id_b,
-    jaccard) — the bench/perf entry (scale path, no O(n^2) harness).
-    Correctness of the same pipeline is driver-verified by
-    dedup_minhash_lsh's invariant oracle; this row stays rows-only
-    because the banded candidate set itself is not SQL-expressible."""
+    """The production MinHash-LSH near-dup pipeline (scale path, no
+    O(n^2) harness on the Spark side), driver-checked via invariant
+    reductions of its raw (id_a, id_b, jaccard) output: (a) its >=0.9
+    pair count must EQUAL DuckDB's exact all-pairs >=0.9 count — recall
+    at 0.9 (P(band miss) ~ 4e-8) and no false positives in one number,
+    computed cross-engine so a broken shingle/signature/verify stage
+    mismatches; (b) every emitted jaccard honors the 0.5 verify
+    threshold; (c) pairs are canonically oriented (id_a < id_b) and
+    distinct. The full subset-of-exact-at-0.5 check lives in the
+    companion dedup_minhash_lsh row; bench measures the raw-pairs
+    materialization via BENCH_OVERRIDES (bench.py) so this row's
+    harness does not change the headline mix."""
     d = _docs(spark, sf_dir)
-    return minhash_near_dups(d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5).orderBy(
-        "id_a", "id_b"
+    pairs = minhash_near_dups(
+        d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
     )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    summary = pairs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("jaccard") >= 0.9, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_pairs_09"),
+        F.coalesce(F.bool_and(F.col("jaccard") >= 0.5), F.lit(True)).alias(
+            "all_pairs_verified_05"
+        ),
+        F.coalesce(F.bool_and(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
+            "ids_canonical"
+        ),
+        (F.count(F.lit(1)) == F.count_distinct(F.col("id_a"), F.col("id_b"))).alias(
+            "pairs_distinct"
+        ),
+    )
+    return n_docs.crossJoin(summary)
 
 
 @register(
