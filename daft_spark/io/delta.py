@@ -2072,15 +2072,59 @@ def table_changes_delta_py(
     )
 
     def _restore(entries, fschema, change_type=None):
-        """[(abs_path, pvals)] -> DataFrame in cdc_schema column order
-        with partition columns restored per partition-value group."""
+        """[(abs_path, pvals, dv_desc|None, keep_positions|None)] ->
+        DataFrame in cdc_schema column order with partition columns
+        restored per partition-value group. Files carrying a
+        deletion-vector descriptor are read MoR-style (the DV's row
+        positions anti-joined out on (file, row_index)); entries with an
+        explicit keep_positions list instead SELECT exactly those row
+        ordinals (the DV-diff reconstruction of an in-place re-add). Both
+        are the reason cdc-less DV commits (e.g. RESTORE) no longer
+        refuse."""
         groups: dict[tuple, list[str]] = {}
-        for p_, pv in entries:
+        dv_rows: list[tuple[str, int]] = []
+        keep_rows: list[tuple[str, int]] = []
+        keep_files: set[str] = set()
+        for p_, pv, dv, keep in entries:
             key = tuple((pv or {}).get(c) for c in partition_cols)
             groups.setdefault(key, []).append(p_)
+            ap = os.path.abspath(p_)
+            if keep is not None:
+                keep_files.add(ap)
+                keep_rows.extend((ap, int(x)) for x in keep)
+            elif dv:
+                dv_rows.extend((ap, int(x)) for x in _dv_read(path, dv))
+        dsch = StructType(
+            [StructField("__fp", StringType()), StructField("__pos", LongType())]
+        )
+        dv_frame = spark.createDataFrame(dv_rows, dsch) if dv_rows else None
+        keep_frame = spark.createDataFrame(keep_rows, dsch) if keep_files else None
         outs = []
         for key, files in _pv_sorted(groups):
             df = spark.read.schema(fschema).parquet(*files)
+            if dv_frame is not None or keep_frame is not None:
+                tagged = df.select(
+                    "*",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ).alias("__fp"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+                if dv_frame is not None:
+                    tagged = tagged.join(
+                        F.broadcast(dv_frame), ["__fp", "__pos"], "left_anti"
+                    )
+                if keep_frame is not None:
+                    # rows from keep-listed files survive only if their
+                    # ordinal is listed; other files pass through
+                    kf = keep_frame.withColumn("__keep", F.lit(True))
+                    tagged = tagged.join(
+                        F.broadcast(kf), ["__fp", "__pos"], "left_outer"
+                    ).filter(
+                        (~F.col("__fp").isin(*sorted(keep_files)))
+                        | F.col("__keep").isNotNull()
+                    ).drop("__keep")
+                df = tagged.drop("__fp", "__pos")
             if change_type is not None:
                 df = df.withColumn("_change_type", F.lit(change_type))
             for c, raw in zip(partition_cols, key):
@@ -2098,96 +2142,124 @@ def table_changes_delta_py(
     ]
     parts = []
     for v in versions:
-        cdc_entries: list[tuple[str, dict]] = []
-        add_entries: list[tuple[str, dict]] = []
-        removes: list[tuple[str, dict | None]] = []  # (rel, partitionValues?)
-        has_dv = False
+        cdc_entries: list[tuple] = []
+        # (rel, partitionValues, deletionVector?) — rel kept so in-place
+        # re-adds can be diffed against the prior state
+        add_entries: list[tuple[str, dict, dict | None]] = []
+        removes: list[tuple[str, dict | None, dict | None]] = []
         ts = 0
+        op = ""
         with open(_commit_file(path, v)) as f:
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
                 action = json.loads(line)
-                # only dataChange actions matter: OPTIMIZE retires
-                # DV-carrying files with dataChange=false removes — a
-                # rearrangement, not a change, and must stay readable
-                for kind in ("add", "remove"):
-                    a = action.get(kind)
-                    if a and a.get("deletionVector") and a.get("dataChange", True):
-                        has_dv = True
                 if "cdc" in action:
                     cdc_entries.append(
                         (
                             os.path.join(path, action["cdc"]["path"]),
                             action["cdc"].get("partitionValues") or {},
+                            None,
+                            None,
                         )
                     )
                 elif "add" in action and action["add"].get("dataChange", True):
                     add_entries.append(
                         (
-                            os.path.join(path, action["add"]["path"]),
+                            action["add"]["path"],
                             action["add"].get("partitionValues") or {},
+                            action["add"].get("deletionVector"),
                         )
                     )
                 elif "remove" in action and action["remove"].get(
                     "dataChange", True
                 ):
                     removes.append(
-                        (action["remove"]["path"], action["remove"].get("partitionValues"))
+                        (
+                            action["remove"]["path"],
+                            action["remove"].get("partitionValues"),
+                            action["remove"].get("deletionVector"),
+                        )
                     )
                 elif "commitInfo" in action:
                     ts = int(action["commitInfo"].get("timestamp") or 0)
+                    op = str(action["commitInfo"].get("operation") or "")
         if cdc_entries:
             df = _restore(cdc_entries, file_cdc_schema)
         else:
-            if has_dv:
-                # A DV commit retires and re-adds the same file, so
-                # add/remove reconstruction would emit whole-file
-                # deletes + re-inserts of rows the DV already dropped.
-                # DV DML on CDF-enabled tables writes cdc actions in
-                # the same commit; a cdc-less DV commit can only come
-                # from before CDF was enabled — refuse, like
-                # delta-spark refuses CDF reads before the enablement
-                # version.
-                raise ValueError(
-                    f"change feed at version {v}: commit carries deletion "
-                    "vectors but no cdc actions (written before "
-                    "delta.enableChangeDataFeed was set) — change data "
-                    "is only available from the enablement version"
-                )
-            pieces = []
-            if add_entries:
-                pieces.append(_restore(add_entries, file_schema, "insert"))
-            if removes:
+            # cdc-less commit: spec reconstruction — dataChange adds are
+            # inserts, dataChange removes are deletes — made DV/MoR-aware
+            # (r9 advice, medium). A RESTORE re-adds an identity-changed
+            # file with NO remove action and no cdc; its row-level change
+            # is the DV DIFF against the prior state: positions deleted
+            # before but not after resurface as inserts, positions
+            # deleted after but not before become deletes. Plain appends
+            # (no DVs, no removes, not a RESTORE) skip the prior-state
+            # replay entirely. DV DML on CDF-enabled tables still takes
+            # the cdc branch above.
+            need_prior = v > 0 and (
+                bool(removes)
+                or any(dv for _r, _pv, dv in add_entries)
+                or op.upper() == "RESTORE"
+            )
+            prior_adds: dict = {}
+            if need_prior:
+                _sj, _pc, prior_adds, _cfg, _pr = _replay_log_full(path, v - 1)
+            add_rels = {rel for rel, _pv, _dv in add_entries}
+            ins_entries: list[tuple] = []
+            del_entries: list[tuple] = []
+            for rel, pv, dv in add_entries:
+                abs_p = os.path.join(path, rel)
+                prior = prior_adds.get(rel) if need_prior else None
+                if prior is None:
+                    # new (or resurfacing) file: its visible content
+                    # inserts, MoR-applying any DV it carries
+                    ins_entries.append((abs_p, pv, dv, None))
+                    continue
+                old_dv = prior.get("deletionVector")
+                old_pos = set(_dv_read(path, old_dv)) if old_dv else set()
+                new_pos = set(_dv_read(path, dv)) if dv else set()
+                resurfaced = sorted(old_pos - new_pos)
+                hidden = sorted(new_pos - old_pos)
+                if resurfaced:
+                    ins_entries.append((abs_p, pv, None, resurfaced))
+                if hidden:
+                    del_entries.append((abs_p, pv, None, hidden))
+            # removes of files re-added in the SAME commit are covered by
+            # the DV diff above (the remove+re-add is one in-place edit)
+            live_removes = [r for r in removes if r[0] not in add_rels]
+            if live_removes:
                 missing = [
-                    r for r, _pv in removes
+                    r for r, _pv, _dv in live_removes
                     if not os.path.exists(os.path.join(path, r))
                 ]
                 if missing:
                     raise FileNotFoundError(
                         f"change feed at version {v} needs vacuumed files {missing[:3]}"
                     )
-                # remove actions may omit partitionValues (the field is
-                # optional); recover them from the table state the
-                # commit retired (replay at v-1)
-                prior_adds = None
-                rentries = []
-                for rel, pv in removes:
-                    if pv is None and partition_cols:
-                        if prior_adds is None:
-                            _sj, _pc, prior_adds, _cfg, _pr = _replay_log_full(
-                                path, v - 1
-                            )
-                        prior = prior_adds.get(rel)
-                        if prior is None:
-                            raise ValueError(
-                                f"change feed at version {v}: removed file "
-                                f"{rel!r} not present at version {v - 1}"
-                            )
-                        pv = prior.get("partitionValues") or {}
-                    rentries.append((os.path.join(path, rel), pv or {}))
-                pieces.append(_restore(rentries, file_schema, "delete"))
+                # remove actions may omit partitionValues and (in this
+                # writer) never carry the retired file's deletionVector;
+                # recover both from the prior state so deletes reflect
+                # the rows that were actually visible
+                for rel, pv, dv in live_removes:
+                    prior = prior_adds.get(rel)
+                    if prior is None and pv is None and partition_cols:
+                        raise ValueError(
+                            f"change feed at version {v}: removed file "
+                            f"{rel!r} not present at version {v - 1}"
+                        )
+                    if prior is not None:
+                        if dv is None:
+                            dv = prior.get("deletionVector")
+                        if pv is None:
+                            pv = prior.get("partitionValues") or {}
+                    del_entries.append((os.path.join(path, rel), pv or {}, dv, None))
+            pieces = []
+            if ins_entries:
+                pieces.append(_restore(ins_entries, file_schema, "insert"))
+            if del_entries:
+                pieces.append(_restore(del_entries, file_schema, "delete"))
             if not pieces:
                 continue
             df = pieces[0]

@@ -264,80 +264,94 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         pass
 
     def _version_entries(self, v: int) -> list[tuple]:
-        """[(kind, abs_file, pvals_json, version)] for one commit —
-        kind 'cdc' (file carries _change_type), 'insert', or 'delete'.
-        Mirrors table_changes_delta_py's per-version planning."""
-        from daft_spark.io.delta import _commit_file, _replay_log
+        """[(kind, abs_file, pvals_json, version, dv_json|None,
+        keep_json|None)] for one commit — kind 'cdc' (file carries
+        _change_type), 'insert', or 'delete'. Mirrors
+        table_changes_delta_py's per-version planning, including the
+        DV-diff reconstruction of cdc-less commits: an in-place re-add
+        (RESTORE, or pre-enablement DV DML) streams exactly the
+        positions the commit resurfaced (inserts) or newly hid
+        (deletes), never whole-file churn."""
+        from daft_spark.io.delta import _commit_file, _dv_read, _replay_log
 
         f = _commit_file(self.path, v)
         if not os.path.exists(f):
             return []  # checkpoint-only version
         cdc, adds, removes = [], [], []
-        has_dv = False
         with open(f) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 action = json.loads(line)
-                # only dataChange actions: OPTIMIZE retires DV-carrying
-                # files with dataChange=false removes — a rearrangement,
-                # not a change (see table_changes_delta_py)
-                for kind in ("add", "remove"):
-                    a = action.get(kind)
-                    if a and a.get("deletionVector") and a.get("dataChange", True):
-                        has_dv = True
                 if "cdc" in action:
                     cdc.append(
                         (action["cdc"]["path"], action["cdc"].get("partitionValues"))
                     )
                 elif "add" in action and action["add"].get("dataChange", True):
                     adds.append(
-                        (action["add"]["path"], action["add"].get("partitionValues"))
+                        (
+                            action["add"]["path"],
+                            action["add"].get("partitionValues"),
+                            action["add"].get("deletionVector"),
+                        )
                     )
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removes.append(
                         (
                             action["remove"]["path"],
                             action["remove"].get("partitionValues"),
+                            action["remove"].get("deletionVector"),
                         )
                     )
         out: list[tuple] = []
         if cdc:
             for rel, pv in cdc:
                 out.append(
-                    ("cdc", os.path.join(self.path, rel), json.dumps(pv or {}), v)
+                    ("cdc", os.path.join(self.path, rel), json.dumps(pv or {}), v,
+                     None, None)
                 )
             return out
-        if has_dv:
-            # cdc-less DV commit: add/remove reconstruction would emit
-            # whole-file deletes + re-inserts of rows the DV already
-            # dropped. DV DML on CDF tables writes cdc actions; this
-            # commit predates enablement — refuse, like delta-spark's
-            # enablement-version rule (r8 advice, medium).
-            raise ValueError(
-                f"change feed at version {v}: commit carries deletion "
-                "vectors but no cdc actions (written before "
-                "delta.enableChangeDataFeed was set)"
-            )
-        prior_adds = None
-        for rel, pv in adds:
-            out.append(
-                ("insert", os.path.join(self.path, rel), json.dumps(pv or {}), v)
-            )
-        for rel, pv in removes:
+        need_prior = v > 0 and (bool(removes) or any(dv for _r, _pv, dv in adds))
+        prior_adds: dict = {}
+        if need_prior:
+            _s, _p, prior_adds = _replay_log(self.path, v - 1)
+        add_rels = {rel for rel, _pv, _dv in adds}
+        for rel, pv, dv in adds:
+            full = os.path.join(self.path, rel)
+            prior = prior_adds.get(rel) if need_prior else None
+            if prior is None:
+                out.append(("insert", full, json.dumps(pv or {}), v,
+                            json.dumps(dv) if dv else None, None))
+                continue
+            old_dv = prior.get("deletionVector")
+            old_pos = set(_dv_read(self.path, old_dv)) if old_dv else set()
+            new_pos = set(_dv_read(self.path, dv)) if dv else set()
+            resurfaced = sorted(old_pos - new_pos)
+            hidden = sorted(new_pos - old_pos)
+            if resurfaced:
+                out.append(("insert", full, json.dumps(pv or {}), v, None,
+                            json.dumps(resurfaced)))
+            if hidden:
+                out.append(("delete", full, json.dumps(pv or {}), v, None,
+                            json.dumps(hidden)))
+        for rel, pv, dv in removes:
+            if rel in add_rels:
+                continue  # in-place edit: covered by the DV diff above
             full = os.path.join(self.path, rel)
             if not os.path.exists(full):
                 raise FileNotFoundError(
                     f"change feed at version {v} needs vacuumed file {rel}"
                 )
-            if pv is None and self.partition_cols:
-                # remove actions may omit partitionValues; recover from
-                # the state the commit retired (replay at v-1)
-                if prior_adds is None:
-                    _s, _p, prior_adds = _replay_log(self.path, v - 1)
-                pv = (prior_adds.get(rel) or {}).get("partitionValues") or {}
-            out.append(("delete", full, json.dumps(pv or {}), v))
+            prior = prior_adds.get(rel) or {}
+            if dv is None:
+                # remove actions in this writer never carry the retired
+                # file's DV; recover it from the prior state
+                dv = prior.get("deletionVector")
+            if pv is None:
+                pv = prior.get("partitionValues") or {}
+            out.append(("delete", full, json.dumps(pv or {}), v,
+                        json.dumps(dv) if dv else None, None))
         return out
 
     def partitions(self, start: dict, end: dict):
@@ -355,7 +369,7 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        kind, fpath, pvals_json, version = partition.value
+        kind, fpath, pvals_json, version, dv_json, keep_json = partition.value
         pvals = json.loads(pvals_json)
         target = pa.schema(
             [
@@ -364,6 +378,26 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
             ]
         )
         table = pq.read_table(fpath)
+        if keep_json:
+            # DV-diff reconstruction: stream exactly these row ordinals
+            table = table.take(
+                [p for p in json.loads(keep_json) if p < table.num_rows]
+            )
+        elif dv_json:
+            # MoR: drop the deletion vector's row ordinals so the
+            # reconstructed insert/delete carries only visible rows
+            import numpy as np
+
+            from daft_spark.io.delta import _dv_read
+
+            drop = [
+                p for p in _dv_read(self.path, json.loads(dv_json))
+                if p < table.num_rows
+            ]
+            if drop:
+                mask = np.ones(table.num_rows, dtype=bool)
+                mask[np.asarray(drop, dtype=np.int64)] = False
+                table = table.filter(pa.array(mask))
         n = table.num_rows
         cols = []
         for tfield in target:

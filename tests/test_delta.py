@@ -1214,11 +1214,13 @@ def test_dv_dml_on_cdf_table_writes_cdc_actions(spark, tmp_path):
     assert [(r["k"], r["_change_type"]) for r in v4.collect()] == [(7, "delete")]
 
 
-def test_cdf_refuses_pre_enablement_dv_commit(spark, tmp_path):
+def test_cdf_reconstructs_pre_enablement_dv_commit(spark, tmp_path):
     """A DV commit written BEFORE delta.enableChangeDataFeed has no cdc
-    actions; serving it from add/remove reconstruction would be wrong —
-    both the batch and streaming readers refuse (delta-spark's
-    enablement-version rule)."""
+    actions; the DV-diff reconstruction (r9 advice) serves its EXACT
+    row-level change — the remove+re-add-with-DV pair is one in-place
+    edit whose diff is precisely the newly-deleted positions — so the
+    reader no longer refuses (r8's refusal existed because the old
+    whole-file reconstruction would have been wrong)."""
     from daft_spark.io.delta import (
         delete_deltalake_dv_py,
         enable_cdf_delta_py,
@@ -1231,9 +1233,9 @@ def test_cdf_refuses_pre_enablement_dv_commit(spark, tmp_path):
     write_deltalake_py(df, p)  # v0
     delete_deltalake_dv_py(p, spark, "k = 3")  # v1: DV, no CDF yet
     enable_cdf_delta_py(p)  # v2
-    with pytest.raises(ValueError, match="deletion vectors but no cdc"):
-        table_changes_delta_py(p, spark, starting_version=1).collect()
-    # from the enablement version onward it serves fine
+    ch1 = table_changes_delta_py(p, spark, starting_version=1, ending_version=2)
+    assert [(r["k"], r["_change_type"]) for r in ch1.collect()] == [(3, "delete")]
+    # from the enablement version onward DML serves from cdc actions
     delete_deltalake_dv_py(p, spark, "k = 4")  # v3: DV + cdc
     ch = table_changes_delta_py(p, spark, starting_version=3)
     assert [(r["k"], r["_change_type"]) for r in ch.collect()] == [(4, "delete")]
@@ -1304,3 +1306,51 @@ def test_cdf_optimize_on_dv_table_is_not_a_change(spark, tmp_path):
     ch = table_changes_delta_py(p, spark, starting_version=2)
     got = [(r["k"], r["_change_type"], r["_commit_version"]) for r in ch.collect()]
     assert got == [(2, "delete", 2)]  # v3 contributes nothing and doesn't raise
+
+
+def test_cdf_over_restore_on_dv_table(spark, tmp_path):
+    """A RESTORE commit re-adds a DV-carrying file in place (identity
+    change, dataChange=true, NO remove action, NO cdc actions); the CDF
+    read must reconstruct its row-level change as the DV DIFF against
+    the prior state — positions un-deleted by the restore are inserts,
+    positions newly deleted are deletes — not refuse with the
+    before-enablement error (r9 advice, medium)."""
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        enable_cdf_delta_py,
+        read_deltalake_py,
+        restore_deltalake_py,
+        table_changes_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "cdfrestore")
+    df = (
+        spark.range(10)
+        .coalesce(1)  # one multi-row file so the restore re-add carries a DV
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    )
+    write_deltalake_py(df, p)  # v0
+    enable_cdf_delta_py(p)  # v1
+    delete_deltalake_dv_py(p, spark, "k >= 8")  # v2: DV {8,9} (cdc written)
+    delete_deltalake_dv_py(p, spark, "k >= 6")  # v3: merged DV {6..9}
+    restore_deltalake_py(p, 2)  # v4: in-place re-add with v2's DV, no cdc
+    ch = table_changes_delta_py(p, spark, starting_version=4)
+    ins = ch.filter(F.col("_change_type") == "insert")
+    # the restore resurfaces exactly the rows v3 had hidden beyond v2
+    assert sorted(r["k"] for r in ins.collect()) == [6, 7]
+    assert ch.filter(F.col("_change_type") == "delete").count() == 0
+    assert all(r["_commit_version"] == 4 for r in ch.collect())
+    assert sorted(
+        r["k"] for r in read_deltalake_py(p, spark).collect()
+    ) == list(range(8))
+    # restoring forward to the more-deleted v3 state flips the diff:
+    # the same positions become deletes
+    restore_deltalake_py(p, 3)  # v5
+    ch5 = table_changes_delta_py(p, spark, starting_version=5)
+    dels = ch5.filter(F.col("_change_type") == "delete")
+    assert sorted(r["k"] for r in dels.collect()) == [6, 7]
+    assert ch5.filter(F.col("_change_type") == "insert").count() == 0
+    assert sorted(
+        r["k"] for r in read_deltalake_py(p, spark).collect()
+    ) == list(range(6))

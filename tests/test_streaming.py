@@ -488,3 +488,44 @@ def test_iceberg_sink_idempotence_survives_snapshot_expiration(spark, tmp_path):
         summary_props={"streaming-app-id": "appY", "streaming-batch-id": "7"},
     )
     assert last_streaming_batch_iceberg(q, "appY") == 7
+
+
+def test_delta_cdf_stream_over_restore_on_dv_table(spark, tmp_path):
+    """Streaming counterpart of the batch DV-diff reconstruction: a
+    RESTORE re-adds a DV-carrying file in place with no cdc actions;
+    the CDF stream must deliver exactly the resurfaced positions as
+    inserts (not refuse, not whole-file churn) — r9 advice, medium."""
+    from daft_spark.context import configure
+    from daft_spark.io.delta import (
+        delete_deltalake_dv_py,
+        enable_cdf_delta_py,
+        restore_deltalake_py,
+        write_deltalake_py,
+    )
+
+    configure(spark)
+    src = str(tmp_path / "srccdfr")
+    out = str(tmp_path / "outcdfr")
+    ck = str(tmp_path / "ckcdfr")
+    df = spark.range(10).select(F.col("id").alias("k")).coalesce(1)
+    write_deltalake_py(df, src)  # v0
+    enable_cdf_delta_py(src)  # v1
+    delete_deltalake_dv_py(src, spark, "k >= 8")  # v2: DV {8,9}, cdc
+    delete_deltalake_dv_py(src, spark, "k >= 6")  # v3: DV {6..9}, cdc
+    restore_deltalake_py(src, 2)  # v4: in-place re-add, v2's DV, no cdc
+    q = (
+        spark.readStream.format("daft_delta_cdf")
+        .option("path", src)
+        .option("startingversion", "4")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "cdf stream did not drain"
+    rows = spark.read.parquet(out).collect()
+    assert sorted(
+        (r["_change_type"], r["k"]) for r in rows
+    ) == [("insert", 6), ("insert", 7)]
