@@ -446,12 +446,28 @@ def version_at_timestamp_delta_py(path: str, timestamp_ms: int) -> int:
             # own mtime is when the checkpoint was written, which can
             # be arbitrarily later).
             mods = [
-                int(r["add"].get("modificationTime") or 0)
+                int(r["add"]["modificationTime"])
                 for r in _checkpoint_rows(path, v)
                 if r.get("add")
+                and r["add"].get("modificationTime") is not None
             ]
             if mods:
                 ts = max(mods)
+            else:
+                # No usable add timestamps (fully-deleted table state,
+                # or adds without modificationTime — the field is
+                # technically required but absent rows must not coerce
+                # to 0 and falsely match every instant). The checkpoint
+                # file's own mtime is an UPPER bound on the commit's
+                # wall time: if even that is within the target instant,
+                # the version certainly existed by then.
+                _kind, files = ckpt_files[v]
+                try:
+                    ts = min(
+                        int(os.path.getmtime(fp) * 1000) for fp in files
+                    )
+                except (FileNotFoundError, ValueError):
+                    pass  # cleaned concurrently — skip this version
         if ts is not None and int(ts) <= int(timestamp_ms):
             best = v
     if best is None:

@@ -409,6 +409,19 @@ def _main_ancestors(meta: dict, head_id: int | None = None) -> list[dict]:
     otherwise unpublished branch rows leak and a cherry-picked
     snapshot's files are delivered twice (r8 advice, high)."""
     by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    # Fallback for metadata whose snapshots predate parent-snapshot-id
+    # stamping (tables this engine wrote before r9): snapshot-log is the
+    # main-head history, so the entry PRECEDING a snapshot's (latest)
+    # appearance is its effective parent. Branch-only snapshots never
+    # enter snapshot-log, so the fallback cannot leak branch rows; it
+    # only extends the chain where an explicit pointer is absent.
+    log_prev: dict = {}
+    prev_id = None
+    for e in meta.get("snapshot-log", []):
+        sid = e.get("snapshot-id")
+        if sid is not None:
+            log_prev[sid] = prev_id  # latest occurrence wins
+            prev_id = sid
     walk = head_id
     if walk is None:
         walk = meta.get("current-snapshot-id")
@@ -422,7 +435,10 @@ def _main_ancestors(meta: dict, head_id: int | None = None) -> list[dict]:
         seen.add(walk)
         snap = by_id[walk]
         chain.append(snap)
-        walk = snap.get("parent-snapshot-id")
+        parent = snap.get("parent-snapshot-id")
+        if parent is None:
+            parent = log_prev.get(walk)
+        walk = parent
     chain.reverse()
     return chain
 

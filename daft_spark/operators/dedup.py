@@ -110,7 +110,8 @@ def _perm_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingle_hashes(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3,
+    fold32: bool = True,
 ) -> DataFrame:
     """(id, shingle-hash) rows: posexplode the token array while KEEPING
     the array column in scope, so each shingle hash = xxhash64(token,
@@ -121,9 +122,13 @@ def shingle_hashes(
     lead()-over-window formulation shuffled and sorted every token row;
     a transform()-lambda variant evaluates interpreted, ~10x slower).
     Trailing positions pad with '' (F.get is NULL out of bounds even
-    under ANSI) so short docs (< k tokens) still shingle. Folded to 32
-    bits (headroom for the affine MinHash permutations under ANSI
-    overflow checks)."""
+    under ANSI) so short docs (< k tokens) still shingle. ``fold32``
+    folds to 32 bits — required headroom for the affine MinHash
+    permutations under ANSI overflow checks; pass ``fold32=False`` for
+    consumers that compare shingle SETS against exact string-shingle
+    oracles (containment): at ~10^5+ distinct shingles 32-bit birthday
+    collisions start perturbing doc-frequency cuts and denominators,
+    while 64-bit keeps P(collision) negligible (r9 advice)."""
     toks = _spread(df).select(
         F.col(id_col).alias("__id"), tokens_of(F.col(text_col)).alias("__ts")
     )
@@ -131,10 +136,10 @@ def shingle_hashes(
     neigh = [
         F.coalesce(F.get("__ts", F.col("__p") + j), F.lit("")) for j in range(1, shingle_k)
     ]
-    return ex.select(
-        "__id",
-        F.xxhash64(F.col("__t"), *neigh).bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h"),
-    )
+    h = F.xxhash64(F.col("__t"), *neigh)
+    if fold32:
+        h = h.bitwiseAND(F.lit(0xFFFFFFFF))
+    return ex.select("__id", h.alias("__h"))
 
 
 def minhash_signatures(
@@ -462,7 +467,7 @@ def containment_pairs(
     # reuse exchanges across self-join aliases (see _capped_bucket_pairs),
     # so without the persist the tokenize+shingle+hash scan runs 4x.
     ex = (
-        shingle_hashes(df, text_col, id_col, shingle_k)
+        shingle_hashes(df, text_col, id_col, shingle_k, fold32=False)
         .select("__id", "__h")
         .distinct()
         .persist()

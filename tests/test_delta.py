@@ -1354,3 +1354,38 @@ def test_cdf_over_restore_on_dv_table(spark, tmp_path):
     assert sorted(
         r["k"] for r in read_deltalake_py(p, spark).collect()
     ) == list(range(6))
+
+
+def test_timestamp_travel_checkpoint_with_no_add_rows(spark, tmp_path):
+    """A checkpoint of a fully-deleted table carries zero add rows, so
+    the add-modificationTime fallback has nothing to read; the version
+    must still resolve (checkpoint file mtime as the upper bound on the
+    commit time), not be silently skipped or falsely matched at ts=0
+    (r9 advice)."""
+    import os as _os
+    import time as _time
+
+    from daft_spark.io.delta import (
+        _list_versions,
+        _write_checkpoint,
+        delete_deltalake_py,
+        read_deltalake_py,
+        version_at_timestamp_delta_py,
+        write_deltalake_py,
+    )
+
+    p = str(tmp_path / "ttempty")
+    write_deltalake_py(spark.range(4).select(F.col("id").alias("k")), p)  # v0
+    delete_deltalake_py(p, spark, "k >= 0")  # v1: table now empty
+    _write_checkpoint(p, 1)
+    for v in (0, 1):
+        _os.remove(_os.path.join(p, "_delta_log", f"{v:020d}.json"))
+    assert _list_versions(p) == []
+    now_ms = int(_time.time() * 1000) + 60_000
+    # the checkpoint-only empty version resolves for a current instant
+    assert version_at_timestamp_delta_py(p, now_ms) == 1
+    assert read_deltalake_py(p, spark, timestamp_ms=now_ms).count() == 0
+    # an instant before the checkpoint existed must NOT match via a
+    # coerced ts=0 — it raises before-earliest
+    with pytest.raises(ValueError, match="history starts later"):
+        version_at_timestamp_delta_py(p, 1_000)

@@ -1844,3 +1844,48 @@ def test_incremental_and_stream_walk_main_ancestry_not_seq_range(spark, tmp_path
     # a start snapshot that only exists on the branch refuses
     with pytest.raises(Exception, match="not an ancestor"):
         read_iceberg_incremental(p, spark, branch_head).collect()
+
+
+def test_incremental_ancestry_fallback_for_parentless_snapshots(spark, tmp_path):
+    """Tables written before parent-snapshot-id stamping (pre-r9 by this
+    engine, or any writer that omitted the optional field) must still
+    serve incremental and streaming reads: ancestry falls back to the
+    snapshot-log (main-head history) where explicit parent pointers are
+    absent (r9 advice)."""
+    import glob as _glob
+    import json as _json
+
+    from daft_spark.io.iceberg import (
+        _latest_metadata,
+        read_iceberg_incremental,
+        write_iceberg_py,
+    )
+
+    p = str(tmp_path / "noparents")
+    mk = lambda lo, n: spark.range(lo, lo + n).select(F.col("id").alias("k"))
+    write_iceberg_py(mk(0, 5), p)
+    snap1 = _latest_metadata(p)["current-snapshot-id"]
+    write_iceberg_py(mk(10, 4), p, mode="append")
+    write_iceberg_py(mk(20, 2), p, mode="append")
+    # simulate pre-r9 metadata: strip every parent pointer in the
+    # CURRENT metadata file (the one readers load)
+    metas = sorted(
+        _glob.glob(os.path.join(p, "metadata", "v*.metadata.json")),
+        key=lambda f: int(os.path.basename(f)[1:].split(".")[0]),
+    )
+    with open(metas[-1]) as f:
+        meta = _json.load(f)
+    for s in meta["snapshots"]:
+        s.pop("parent-snapshot-id", None)
+    with open(metas[-1], "w") as f:
+        _json.dump(meta, f)
+    got = sorted(
+        r["k"] for r in read_iceberg_incremental(p, spark, snap1).collect()
+    )
+    assert got == list(range(10, 14)) + [20, 21]
+    # streaming snapshot batch over the same parentless metadata
+    out, ck = str(tmp_path / "npout"), str(tmp_path / "npck")
+    _drain_iceberg_stream(spark, p, out, ck)
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == (
+        list(range(5)) + list(range(10, 14)) + [20, 21]
+    )
