@@ -32,6 +32,7 @@ from daft_spark.operators.dedup import (  # noqa: F401
 from daft_spark.operators.lm import bigram_lm_scores, perplexity_buckets  # noqa: F401
 from daft_spark.operators.repetition import ngram_repetition_fractions  # noqa: F401
 from daft_spark.operators.sampling import (  # noqa: F401
+    apply_mixture,
     hash_split,
     mixture_weights,
     pack_sequences,

@@ -24,13 +24,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "token_budget_select", "pack_sequences", "hash_split", "mixture_weights"]
+__all__ = [
+    "stratified_sample", "token_budget_select", "pack_sequences",
+    "hash_split", "mixture_weights", "apply_mixture",
+]
 
 
 def _det_order(id_col: str):
     """Deterministic shuffle key: md5 of the id's string form (ties
     broken by the id itself for total order)."""
     return [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+
+
+def _md5_uniform(id_col: str, salt: str):
+    """Uniform in [0, 1): the first 13 hex digits (52 bits) of
+    md5(id || salt) — the engine's deterministic-random convention
+    (module doc), replayable bit-exactly in any engine."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
 
 
 def stratified_sample(
@@ -142,15 +161,7 @@ def hash_split(
     total = float(sum(weights.values()))
     if total <= 0 or any(v < 0 for v in weights.values()):
         raise ValueError("weights must be non-negative with a positive sum")
-    # uniform in [0, 1): first 13 hex digits (52 bits) of the md5
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 13),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 52))
-    )
+    u = _md5_uniform(id_col, salt)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -230,3 +241,52 @@ def mixture_weights(
         "kept_weight",
         F.round(F.col("weight") * F.col("sample_rate"), 6),
     )
+
+
+def apply_mixture(
+    df: DataFrame,
+    rates: DataFrame | dict[str, float],
+    by: list[str],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """MATERIALIZE a mixture-reweighting plan: keep each row iff its
+    deterministic md5-uniform fraction u(id || salt) is below its
+    group's sample_rate — the acting counterpart of ``mixture_weights``
+    (which only computes the rates). Pass the ``mixture_weights``
+    output frame directly (columns: the group key + ``sample_rate``),
+    or a plain {group: rate} dict; groups absent from the rates are
+    dropped (rate 0), matching mixture_weights' treatment of groups
+    outside the target.
+
+    Per-row membership depends only on (id, salt, its group's rate),
+    so the selection is reproducible across runs, engines, and
+    repartitionings, and composes with ``hash_split`` (a different
+    salt gives an independent uniform). Generalizes the reference's
+    per-group ``df.sample(fraction)`` (ops/sample.rs) with the
+    determinism a production remix needs.
+
+    Scale: a dict is a pure column expression (zero shuffle); a rates
+    frame is a BROADCAST join on the group key (per-group rows only —
+    the corpus never shuffles either way)."""
+    if len(by) != 1:
+        raise ValueError("apply_mixture takes exactly one grouping column")
+    key = by[0]
+    u = _md5_uniform(id_col, salt)
+    if isinstance(rates, dict):
+        if any(not (0.0 <= float(v) <= 1.0) for v in rates.values()):
+            raise ValueError("sample rates must be in [0, 1]")
+        if not rates:
+            return df.filter(F.lit(False))
+        rmap = F.create_map(
+            *[x for k, v in rates.items() for x in (F.lit(k), F.lit(float(v)))]
+        )
+        rate = F.coalesce(rmap[F.col(key)], F.lit(0.0))
+        return df.filter(u < rate)
+    r = rates.select(
+        F.col(key).alias("__mk"), F.col("sample_rate").cast("double").alias("__rate")
+    )
+    out = df.join(
+        F.broadcast(r), df[key] == F.col("__mk"), "left_outer"
+    ).filter(u < F.coalesce(F.col("__rate"), F.lit(0.0)))
+    return out.drop("__mk", "__rate")

@@ -123,6 +123,13 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # query, and the mm_prompt/embed_image/classify_image trio — all
 # pytest-oracle-green in r7), then the stalest greens: the agg_*
 # family (last driver-seen r4–r6) and a w_* refresh (last seen r6).
+# ROUND-11 ROTATION NOTE: queries registered AFTER the frozen r10
+# window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue
+# for the next rotation: pipeline_apply_mixture (the acting half of
+# domain reweighting — mixture_weights' rates materialized by
+# md5-uniform per-row selection, exact membership oracle). They join
+# the 11 r6-stale rows deferred from the r10 window (named below).
+#
 # Round-10 rotation (FROZEN at round start per the r9 verdict's order):
 # dedup_minhash_lsh_pipeline leads — six rounds of no_oracle end this
 # round with a new INVARIANT oracle (comparable=False: verified pairs

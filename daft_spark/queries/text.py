@@ -1160,3 +1160,83 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
         weight_col="toks",
     ).orderBy("source")
+
+
+@register(
+    "pipeline_apply_mixture",
+    """
+    WITH g AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE)
+               AS weight
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(weight) AS t FROM g),
+    tgt(source, share) AS (VALUES
+      ('src0', 0.4 / 1.0), ('src1', 0.3 / 1.0),
+      ('src2', 0.2 / 1.0), ('src3', 0.1 / 1.0)),
+    sc AS (
+      SELECT g.source, g.weight / tot.t AS cur,
+             coalesce(tgt.share, 0.0) AS tshare
+      FROM g CROSS JOIN tot LEFT JOIN tgt USING (source)),
+    mx AS (SELECT max(CASE WHEN cur > 0 THEN tshare / cur ELSE 0 END) AS m FROM sc),
+    rates AS (
+      SELECT source,
+             round(CASE WHEN mx.m > 0
+                   THEN (CASE WHEN cur > 0 THEN tshare / cur ELSE 0 END) / mx.m
+                   ELSE 0 END, 6) AS rate
+      FROM sc CROSS JOIN mx),
+    u AS (
+      SELECT doc_id, source,
+             list_sum(list_transform(range(1, 14), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || 'mix10'), i, 1)) - 1)
+               * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 AS x
+      FROM documents),
+    kept AS (
+      SELECT u.doc_id, u.source FROM u JOIN rates USING (source)
+      WHERE u.x < rates.rate)
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTING half of domain reweighting (operators/sampling.py
+    apply_mixture): mixture_weights computes per-source sample rates
+    toward the 40/30/20/10 target, apply_mixture materializes the
+    reweighted corpus — keep a row iff its md5-uniform fraction
+    u(doc_id || salt) is below its source's rate. Per-row membership
+    depends only on (id, salt, rate), so the oracle replays BOTH halves
+    exactly: the rate computation (shares -> binding max-ratio ->
+    rounded rates) and the per-document selection via the identical
+    hex-nibble 52-bit fraction, compared through per-source
+    count/min/max/sum of kept ids — one reassigned document
+    mismatches. The corpus never shuffles: the rates frame
+    broadcast-joins onto the scan (plan-audited in
+    tests/test_operators_extra.py)."""
+    from daft_spark.functions.text import token_count
+    from daft_spark.operators.sampling import apply_mixture, mixture_weights
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).cast("double").alias("toks")
+    )
+    rates = mixture_weights(
+        d, ["source"],
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        weight_col="toks",
+    )
+    kept = apply_mixture(
+        d, rates, ["source"], id_col="doc_id", salt="mix10"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -371,3 +371,60 @@ def test_span_removal_conserves_untouched_tokens(spark):
         if i % 5 == 0 and plant in first[i]["clean_text"]
     ]
     assert survivors == [0]
+
+
+def test_apply_mixture_materializes_rates_and_composes(spark):
+    """apply_mixture: the dict path is a pure filter (zero shuffle), the
+    frame path broadcast-joins mixture_weights' output, both agree; the
+    binding rate-1 group keeps every row, absent groups drop, and kept
+    fractions approach the rates."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.sampling import apply_mixture, mixture_weights
+
+    df = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    # dict path: g0 kept whole, g1 halved, g2 (absent) dropped
+    kept = apply_mixture(df, {"g0": 1.0, "g1": 0.5}, ["source"]).collect()
+    c = Counter(r["source"] for r in kept)
+    assert c["g0"] == 2000
+    assert "g2" not in c
+    assert abs(c["g1"] / 2000 - 0.5) < 0.05
+    # pure expression: no exchange anywhere in the dict-path plan
+    plan = apply_mixture(
+        df, {"g0": 1.0, "g1": 0.5}, ["source"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # repartitioning cannot move a row's membership
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    kept2 = sorted(
+        r["doc_id"]
+        for r in apply_mixture(
+            df.repartition(17), {"g0": 1.0, "g1": 0.5}, ["source"]
+        ).collect()
+    )
+    assert kept_ids == kept2
+    # composition with mixture_weights: equal-sized groups toward a
+    # 1/2:1/4:1/4 target -> rates (1.0, 0.5, 0.5); the frame path must
+    # equal the dict path with those rates and broadcast, not shuffle
+    rates = mixture_weights(df, ["source"], {"g0": 0.5, "g1": 0.25, "g2": 0.25})
+    rmap = {r["source"]: r["sample_rate"] for r in rates.collect()}
+    assert rmap == {"g0": 1.0, "g1": 0.5, "g2": 0.5}
+    via_frame = apply_mixture(df, rates, ["source"], salt="s")
+    fplan = via_frame._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in fplan, fplan
+    got_f = sorted(r["doc_id"] for r in via_frame.collect())
+    got_d = sorted(
+        r["doc_id"] for r in apply_mixture(df, rmap, ["source"], salt="s").collect()
+    )
+    assert got_f == got_d
+    import pytest
+
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        apply_mixture(df, {"g0": 1.5}, ["source"])
+    with pytest.raises(ValueError, match="one grouping column"):
+        apply_mixture(df, {"g0": 1.0}, ["source", "doc_id"])
