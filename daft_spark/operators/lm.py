@@ -138,6 +138,7 @@ def perplexity_buckets(
     n_buckets: int = 3,
     by: list[str] | None = None,
     k: float = 0.5,
+    n_shards: int = 64,
 ) -> DataFrame:
     """CCNet's perplexity BUCKETING (Wenzek et al. §4.3: split each
     language's documents into equal head/middle/tail thirds by LM
@@ -156,16 +157,26 @@ def perplexity_buckets(
     is the LM scoring, already skew-hardened); the ``by`` join is
     id-keyed against the original frame, payload-free. ``by`` is the
     scale path — partitions bound the window's sort (CCNet buckets per
-    language); with ``by=None`` the ntile is a single global sorted
-    partition of (id, perplexity) pairs, fine for corpus samples, not
-    for 100 TB."""
+    language). The DEFAULT ``by=None`` auto-shards the ntile into
+    ``n_shards`` groups by a deterministic md5-derived ``shard`` column
+    (returned in the output): shard membership is independent of
+    perplexity, so per-shard tiles estimate the global cutoffs with
+    only boundary-document noise, and the single-partition global sort
+    never happens; pass ``by=[]`` to force the exact global ntile
+    (corpus samples only, not 100 TB)."""
     from pyspark.sql import Window
+
+    from daft_spark.operators.sampling import _implicit_shard
 
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     scores = bigram_lm_scores(df, text_col, id_col, k=k)
-    cols = list(by or [])
-    if cols:
+    if by is None:
+        scores = _implicit_shard(scores, id_col, n_shards)
+        cols = ["shard"]
+    else:
+        cols = list(by)
+    if cols and by is not None:
         scores = scores.join(df.select(id_col, *cols), id_col)
     w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(
         F.col("perplexity").asc(), F.col(id_col).asc()

@@ -87,6 +87,20 @@ def token_budget_select(
     )
 
 
+def _implicit_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Deterministic md5-derived shard key in [0, n_shards) — the safe
+    default partitioning for operators whose window would otherwise
+    sort the whole corpus in ONE partition. floor(u * n) on the 52-bit
+    uniform is IEEE-identical in any engine, so oracles replay it
+    exactly."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    return df.withColumn(
+        "shard",
+        F.floor(_md5_uniform(id_col, "shard") * F.lit(n_shards)).cast("int"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",
@@ -94,6 +108,7 @@ def pack_sequences(
     seq_len: int = 2048,
     eod_tokens: int = 1,
     by: list[str] | None = None,
+    n_shards: int = 64,
 ) -> DataFrame:
     """GPT-style sequence PACKING PLAN: documents are concatenated in
     the deterministic md5 order (each followed by ``eod_tokens``
@@ -108,15 +123,23 @@ def pack_sequences(
 
     Scale: one running-sum window per ``by`` group — pack per shard or
     per source (production layouts pack per shard anyway, so readers
-    stay independent); ``by=None`` is a single global sorted partition,
-    fine for corpus samples, not for 100 TB. Token counts are the
+    stay independent). The DEFAULT ``by=None`` auto-shards into
+    ``n_shards`` independent streams via a deterministic md5-derived
+    ``shard`` column (returned alongside the placement — a loader
+    reads one shard's stream), so the default path never sorts the
+    corpus in one partition; pass ``by=[]`` to force a single global
+    stream (corpus samples only, not 100 TB). Token counts are the
     engine's regex token_count; no text ever shuffles (the window
     moves (id, n_tokens) rows only)."""
     from daft_spark.functions.text import token_count
 
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
-    cols = list(by or [])
+    if by is None:
+        df = _implicit_shard(df, id_col, n_shards)
+        cols = ["shard"]
+    else:
+        cols = list(by)
     n = (token_count(F.col(text_col)) + F.lit(eod_tokens)).cast("long")
     w = (
         Window.partitionBy(*[F.col(c) for c in cols])

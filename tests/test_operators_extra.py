@@ -428,3 +428,76 @@ def test_apply_mixture_materializes_rates_and_composes(spark):
         apply_mixture(df, {"g0": 1.5}, ["source"])
     with pytest.raises(ValueError, match="one grouping column"):
         apply_mixture(df, {"g0": 1.0}, ["source", "doc_id"])
+
+
+def test_default_sharding_is_deterministic_and_replayable(spark):
+    """pack_sequences / perplexity_buckets with by=None auto-shard via
+    floor(md5-uniform * n_shards): the assignment must match a DuckDB
+    replay of the identical hex-nibble arithmetic (the oracle contract
+    for the default path) and per-shard packing invariants must hold."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.sampling import pack_sequences
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w "), F.repeat(F.lit("x "), (F.col("id") % 7 + 1).cast("int"))).alias("text"),
+    )
+    out = pack_sequences(df, "text", "doc_id", seq_len=16, n_shards=8).collect()
+    assert {r["shard"] for r in out} <= set(range(8))
+    got = {r["doc_id"]: r["shard"] for r in out}
+    exp = dict(
+        duckdb.sql(
+            """
+            SELECT i, CAST(floor(
+              list_sum(list_transform(range(1, 14), j ->
+                (strpos('0123456789abcdef',
+                        substr(md5(CAST(i AS VARCHAR) || 'shard'), j, 1)) - 1)
+                * 2.0 ** (4 * (13 - j)))) / 2.0 ** 52 * 8) AS INT)
+            FROM range(300) t(i)
+            """
+        ).fetchall()
+    )
+    assert got == exp
+    # per-shard streams: contiguous offsets from 0 within each shard
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r["start_offset"])
+        assert rs[0]["start_offset"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a["start_offset"] + a["n_tokens"] == b["start_offset"]
+    # by=[] stays the exact global stream (no shard column)
+    g = pack_sequences(df, "text", "doc_id", seq_len=16, by=[]).collect()
+    assert "shard" not in g[0].asDict()
+    assert sorted(r["start_offset"] for r in g)[0] == 0
+    assert len({r["doc_id"] for r in g}) == 300
+
+
+def test_perplexity_buckets_default_shards_ntile(spark):
+    """perplexity_buckets by=None: buckets are per-shard ntiles (each
+    shard splits ~evenly), the shard column is returned, and by=[]
+    still gives the exact global ntile."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.lm import perplexity_buckets
+
+    df = spark.range(240).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("a b c d "), F.repeat(F.lit("e f "), (F.col("id") % 5).cast("int"))
+        ).alias("text"),
+    )
+    out = perplexity_buckets(df, "text", "doc_id", n_buckets=3, n_shards=4).collect()
+    assert {r["shard"] for r in out} <= set(range(4))
+    for s in {r["shard"] for r in out}:
+        c = Counter(r["bucket"] for r in out if r["shard"] == s)
+        assert max(c.values()) - min(c.values()) <= 1  # ntile balance per shard
+    glob = perplexity_buckets(df, "text", "doc_id", n_buckets=3, by=[]).collect()
+    assert "shard" not in glob[0].asDict()
+    c = Counter(r["bucket"] for r in glob)
+    assert max(c.values()) - min(c.values()) <= 1

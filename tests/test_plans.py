@@ -583,3 +583,24 @@ def test_pack_sequences_window_moves_counts_only(spark):
     assert "text#" not in lines[win[0]], plan
     above = "\n".join(lines[: win[0] + 1])
     assert "regexp_count" not in above, plan
+
+
+def test_default_path_has_no_global_single_partition_window(spark):
+    """pack_sequences and perplexity_buckets with by=None (the default)
+    must window over the implicit md5 shard key — the plan's window
+    spec carries shard#, never an empty partition spec that would sort
+    the corpus in one partition (r9 verdict #5)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.lm import perplexity_buckets
+    from daft_spark.operators.sampling import pack_sequences
+
+    d = load_table(spark, SF_DIR, "documents")
+    for out in (
+        pack_sequences(d, "text", "doc_id", seq_len=2048),
+        perplexity_buckets(d, "text", "doc_id", n_buckets=3),
+    ):
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        wins = [ln for ln in plan.splitlines() if "Window [" in ln]
+        assert wins, plan
+        for ln in wins:
+            assert "shard#" in ln, ln
