@@ -127,7 +127,10 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue
 # for the next rotation: pipeline_apply_mixture (the acting half of
 # domain reweighting — mixture_weights' rates materialized by
-# md5-uniform per-row selection, exact membership oracle). They join
+# md5-uniform per-row selection, exact membership oracle) and
+# pipeline_mix_split_pack (the whole selection-to-layout composition
+# mixture -> apply -> split -> pack, exact per-document placement
+# oracle). They join
 # the 11 r6-stale rows deferred from the r10 window (named below).
 #
 # Round-10 rotation (FROZEN at round start per the r9 verdict's order):

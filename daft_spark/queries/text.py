@@ -1240,3 +1240,101 @@ def pipeline_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_mix_split_pack",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+               AS toks
+      FROM documents),
+    g AS (SELECT source, sum(toks) AS weight FROM d GROUP BY source),
+    tot AS (SELECT sum(weight) AS t FROM g),
+    tgt(source, share) AS (VALUES
+      ('src0', 0.4 / 1.0), ('src1', 0.3 / 1.0),
+      ('src2', 0.2 / 1.0), ('src3', 0.1 / 1.0)),
+    sc AS (
+      SELECT g.source, g.weight / tot.t AS cur,
+             coalesce(tgt.share, 0.0) AS tshare
+      FROM g CROSS JOIN tot LEFT JOIN tgt USING (source)),
+    mx AS (SELECT max(CASE WHEN cur > 0 THEN tshare / cur ELSE 0 END) AS m FROM sc),
+    rates AS (
+      SELECT source,
+             round(CASE WHEN mx.m > 0
+                   THEN (CASE WHEN cur > 0 THEN tshare / cur ELSE 0 END) / mx.m
+                   ELSE 0 END, 6) AS rate
+      FROM sc CROSS JOIN mx),
+    kept AS (
+      SELECT d.doc_id, d.source, d.toks FROM d JOIN rates USING (source)
+      WHERE list_sum(list_transform(range(1, 14), i ->
+              (strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR) || 'mix10'), i, 1)) - 1)
+              * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 < rates.rate),
+    sp AS (
+      SELECT doc_id, source, toks,
+             CASE WHEN list_sum(list_transform(range(1, 14), i ->
+                    (strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR) || 'sp10'), i, 1)) - 1)
+                    * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 < 0.9
+                  THEN 'train' ELSE 'val' END AS split
+      FROM kept),
+    packed AS (
+      SELECT doc_id, split, source,
+             CAST(toks + 1 AS BIGINT) AS n_tokens,
+             CAST(sum(toks + 1) OVER (
+               PARTITION BY split, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS ending
+      FROM sp)
+    SELECT doc_id, split, source, n_tokens,
+           ending - n_tokens AS start_offset,
+           CAST(floor((ending - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+           CAST(floor((ending - 1) / 512.0) AS BIGINT) AS last_seq,
+           CAST(floor((ending - 1) / 512.0)
+                - floor((ending - n_tokens) / 512.0) + 1 AS BIGINT)
+             AS n_seqs_spanned
+    FROM packed ORDER BY doc_id
+    """,
+)
+def pipeline_mix_split_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION-TO-LAYOUT loop in one checked composition:
+    mixture_weights (rates toward the 40/30/20/10 source target) ->
+    apply_mixture (md5-uniform membership, salt 'mix10') -> hash_split
+    (90/10 train/val, independent salt 'sp10') -> pack_sequences
+    (per-(split, source) streams, seq_len 512) — what a pretraining
+    data build actually runs after curation. Every stage is an
+    md5-deterministic pure function of (id, group, rates), so the
+    oracle replays the WHOLE composition per document: rates, kept
+    membership, split assignment, and the exact packed placement
+    (running sum in the same md5 order, identical floor arithmetic).
+    One reassigned, re-split, or re-ordered document mismatches.
+    Scale shape: two broadcast-joined small frames + one window per
+    (split, source) group; the corpus text never shuffles (the packing
+    window moves (id, n_tokens) only)."""
+    from daft_spark.functions.text import token_count
+    from daft_spark.operators.sampling import (
+        apply_mixture,
+        hash_split,
+        mixture_weights,
+        pack_sequences,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", "text",
+        token_count(F.col("text")).cast("double").alias("toks"),
+    )
+    rates = mixture_weights(
+        d, ["source"],
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        weight_col="toks",
+    )
+    kept = apply_mixture(d, rates, ["source"], id_col="doc_id", salt="mix10")
+    sp = hash_split(
+        kept, {"train": 0.9, "val": 0.1}, id_col="doc_id", salt="sp10"
+    )
+    return pack_sequences(
+        sp, "text", "doc_id", seq_len=512, eod_tokens=1, by=["split", "source"]
+    ).orderBy("doc_id")
