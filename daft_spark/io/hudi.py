@@ -139,11 +139,105 @@ def read_hudi_py(path: str, spark: SparkSession, as_of: str | None = None) -> Da
         raise FileNotFoundError(f"not a Hudi table (no {_HOODIE}/ under {path})")
     files = _live_files(path, as_of)
     if not files:
+        # A created-but-never-written table is a valid EMPTY table, not
+        # an error (the reference's read_hudi returns 0 rows for its
+        # v6_empty fixture): serve the create schema recorded in
+        # hoodie.properties. Time travel to before the first commit of
+        # a non-empty table still errors — that instant predates the
+        # table's history.
+        if as_of is None:
+            schema = _create_schema(path)
+            if schema is not None:
+                return spark.createDataFrame([], schema)
         raise ValueError(
             f"Hudi table at {path} has no completed commits"
             + (f" at or before instant {as_of}" if as_of is not None else "")
         )
     return spark.read.parquet(*files)
+
+
+def _hoodie_properties(path: str) -> dict[str, str]:
+    """hoodie.properties as a dict (java-properties format: # comments,
+    key=value, backslash-escaped ':' and '=')."""
+    props: dict[str, str] = {}
+    fp = os.path.join(_timeline_dir(path), "hoodie.properties")
+    if not os.path.exists(fp):
+        return props
+    with open(fp) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            # split on the first UNESCAPED '=' (values escape ':'/'=')
+            key, val, i, prev = None, line, 0, ""
+            while i < len(line):
+                if line[i] == "=" and prev != "\\":
+                    key, val = line[:i], line[i + 1:]
+                    break
+                prev = line[i]
+                i += 1
+            if key is None:
+                continue
+            props[key] = val.replace("\\:", ":").replace("\\=", "=")
+    return props
+
+
+def _avro_to_spark_type(sch):
+    """Spark DataType for one Avro schema node (Hudi's create schema:
+    primitives, nullable unions, logical date/timestamp/decimal,
+    record/array/map)."""
+    from pyspark.sql import types as T
+
+    if isinstance(sch, list):  # union: the non-null branch
+        branches = [b for b in sch if b != "null"]
+        return _avro_to_spark_type(branches[0] if branches else "string")
+    if isinstance(sch, dict):
+        lt = sch.get("logicalType")
+        t = sch.get("type")
+        if lt == "date":
+            return T.DateType()
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            return T.TimestampType()
+        if lt == "decimal":
+            return T.DecimalType(sch.get("precision", 10), sch.get("scale", 0))
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], _avro_to_spark_type(f["type"]), True)
+                    for f in sch.get("fields", [])
+                ]
+            )
+        if t == "array":
+            return T.ArrayType(_avro_to_spark_type(sch["items"]), True)
+        if t == "map":
+            return T.MapType(T.StringType(), _avro_to_spark_type(sch["values"]), True)
+        if t == "fixed":
+            return T.BinaryType()
+        return _avro_to_spark_type(t)
+    prim = {
+        "boolean": "BooleanType", "int": "IntegerType", "long": "LongType",
+        "float": "FloatType", "double": "DoubleType", "string": "StringType",
+        "bytes": "BinaryType",
+    }
+    from pyspark.sql import types as T
+
+    return getattr(T, prim.get(sch, "StringType"))()
+
+
+def _create_schema(path: str):
+    """StructType from hoodie.table.create.schema, or None."""
+    raw = _hoodie_properties(path).get("hoodie.table.create.schema")
+    if not raw:
+        return None
+    from pyspark.sql import types as T
+
+    sch = json.loads(raw)
+    return T.StructType(
+        [
+            T.StructField(f["name"], _avro_to_spark_type(f["type"]), True)
+            for f in sch.get("fields", [])
+        ]
+    )
 
 
 def write_hudi_py(

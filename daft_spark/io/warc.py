@@ -25,15 +25,59 @@ from pyspark.sql import DataFrame, SparkSession
 
 from daft_spark.context import configure, get_or_create
 
+# The reference's exact read_warc schema (daft/io/_warc.py:74-82): five
+# mandatory metadata columns + the optional identified-payload-type, the
+# raw record bytes, and the REMAINING headers as a JSON string. Uuid
+# maps to string (Spark has no uuid type); the ns-UTC WARC-Date maps to
+# Spark timestamp.
 WARC_SCHEMA = (
-    "warc_record_id string, warc_type string, warc_target_uri string, "
-    "warc_date string, content_type string, content_length long, "
-    "source_file string, content binary"
+    "`WARC-Record-ID` string, `WARC-Type` string, `WARC-Target-URI` string, "
+    "`WARC-Date` timestamp, `Content-Length` long, "
+    "`WARC-Identified-Payload-Type` string, warc_content binary, "
+    "warc_headers string"
 )
+
+_EXTRACTED = {
+    "Content-Length", "WARC-Record-ID", "WARC-Target-URI", "WARC-Type",
+    "WARC-Date", "WARC-Identified-Payload-Type",
+}
+
+
+def _record_uuid(value: str | None) -> str | None:
+    """'<urn:uuid:X>' -> 'X' when X parses as a UUID, else None — the
+    reference parser's exact rule (src/daft-warc/src/lib.rs:387-394)."""
+    import uuid as _uuid
+
+    if not value or not (value.startswith("<") and value.endswith(">")):
+        return None
+    inner = value[10:-1]
+    try:
+        return str(_uuid.UUID(inner))
+    except ValueError:
+        return None
+
+
+def _rfc3339(value: str | None):
+    import datetime as _dt
+
+    if not value:
+        return None
+    try:
+        dt = _dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return dt
 
 
 def _parse_warc_stream(stream: io.BufferedReader, source: str):
-    """Yield dict rows from a WARC byte stream."""
+    """Yield dict rows from a WARC byte stream. Header keys keep their
+    original casing; the six extracted fields match exactly (canonical
+    WARC casing, as the reference parser does) and everything else
+    lands in the warc_headers JSON in encounter order."""
+    import json as _json
+
     while True:
         # skip blank lines between records
         line = stream.readline()
@@ -51,20 +95,26 @@ def _parse_warc_stream(stream: io.BufferedReader, source: str):
                 break
             if b":" in h:
                 k, v = h.split(b":", 1)
-                headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
+                headers[k.strip().decode("ascii", "replace")] = v.strip().decode(
                     "utf-8", "replace"
                 )
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("Content-Length", "0"))
+        except ValueError:
+            length = 0
         content = stream.read(length)
+        rest = {k: v for k, v in headers.items() if k not in _EXTRACTED}
         yield {
-            "warc_record_id": headers.get("warc-record-id"),
-            "warc_type": headers.get("warc-type"),
-            "warc_target_uri": headers.get("warc-target-uri"),
-            "warc_date": headers.get("warc-date"),
-            "content_type": headers.get("content-type"),
-            "content_length": length,
-            "source_file": source,
-            "content": content,
+            "WARC-Record-ID": _record_uuid(headers.get("WARC-Record-ID")),
+            "WARC-Type": headers.get("WARC-Type"),
+            "WARC-Target-URI": headers.get("WARC-Target-URI"),
+            "WARC-Date": _rfc3339(headers.get("WARC-Date")),
+            "Content-Length": length,
+            "WARC-Identified-Payload-Type": headers.get(
+                "WARC-Identified-Payload-Type"
+            ),
+            "warc_content": content,
+            "warc_headers": _json.dumps(rest),
         }
 
 
@@ -84,14 +134,14 @@ def read_warc(path: str, spark: SparkSession | None = None) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "warc_record_id",
-                    "warc_type",
-                    "warc_target_uri",
-                    "warc_date",
-                    "content_type",
-                    "content_length",
-                    "source_file",
-                    "content",
+                    "WARC-Record-ID",
+                    "WARC-Type",
+                    "WARC-Target-URI",
+                    "WARC-Date",
+                    "Content-Length",
+                    "WARC-Identified-Payload-Type",
+                    "warc_content",
+                    "warc_headers",
                 ],
             )
 

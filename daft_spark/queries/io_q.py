@@ -160,11 +160,14 @@ def io_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _build_warc(rows[half:], os.path.join(root, "b.warc"))
     back = read_warc(os.path.join(root, "*.warc"), spark)
     return (
-        back.withColumn("lang", F.regexp_extract("warc_target_uri", r"doc://([a-z]+)/", 1))
+        back.withColumn(
+            "lang",
+            F.regexp_extract(F.col("`WARC-Target-URI`"), r"doc://([a-z]+)/", 1),
+        )
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("content_length").cast("long").alias("total_bytes"),
+            F.sum(F.col("`Content-Length`")).cast("long").alias("total_bytes"),
         )
         .orderBy("lang")
     )

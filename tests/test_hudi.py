@@ -218,3 +218,82 @@ def test_hudi_append_rejects_schema_drift(spark, tmp_path):
         spark.createDataFrame([(4, "d")], "id long, s string"), p, mode="append"
     )
     assert read_hudi_py(p, spark).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# interop: REAL Hudi-written v6 fixtures (the reference's own test data,
+# written by Apache Hudi/Spark — reading them proves the timeline replay
+# parses the true on-disk format, not just this engine's writer output)
+
+_FIXTURES = "/root/reference/tests/io/hudi/data"
+
+
+def _extract(tmp_path, name):
+    import zipfile
+
+    zipfile.ZipFile(f"{_FIXTURES}/{name}.zip").extractall(str(tmp_path))
+    return str(tmp_path / name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "v6_nonpartitioned",
+        "v6_simplekeygen_nonhivestyle",
+        "v6_simplekeygen_hivestyle_no_metafields",
+        "v6_complexkeygen_hivestyle",
+        "v6_timebasedkeygen_nonhivestyle",
+    ],
+)
+def test_read_real_hudi_v6_fixture(spark, tmp_path, name):
+    """Mirrors the reference's tests/io/hudi/test_table_read.py
+    expectations over the same archives: Hudi meta columns lead the
+    schema; row values (incl. dates and nested structs) decode
+    exactly."""
+    import datetime
+    import os as _os
+
+    if not _os.path.isdir(_FIXTURES):
+        pytest.skip("reference fixtures unavailable")
+    from daft_spark.io.hudi import read_hudi_py
+
+    df = read_hudi_py(_extract(tmp_path, name), spark)
+    assert df.columns[:8] == [
+        "_hoodie_commit_time",
+        "_hoodie_commit_seqno",
+        "_hoodie_record_key",
+        "_hoodie_partition_path",
+        "_hoodie_file_name",
+        "id",
+        "name",
+        "isActive",
+    ]
+    rows = sorted(
+        df.select("name", "isActive", "dateField", "structField").collect(),
+        key=lambda r: r["name"],
+    )
+    assert [r["name"] for r in rows] == ["Alice", "Bob", "Carol", "Diana"]
+    assert [r["isActive"] for r in rows] == [False, False, True, True]
+    assert [r["dateField"] for r in rows] == [
+        datetime.date(2023, 4, d) for d in (1, 2, 3, 4)
+    ]
+    alice = rows[0]["structField"]
+    assert alice["field1"] == "Alice" and alice["field2"] == 30
+    assert alice["child_struct"]["child_field1"] == 123.456
+    assert alice["child_struct"]["child_field2"] is True
+
+
+def test_read_real_hudi_empty_table(spark, tmp_path):
+    """A created-but-never-written Hudi table reads as 0 rows with the
+    create schema from hoodie.properties (reference
+    test_read_empty_table), not an error."""
+    import os as _os
+
+    if not _os.path.isdir(_FIXTURES):
+        pytest.skip("reference fixtures unavailable")
+    from daft_spark.io.hudi import read_hudi_py
+
+    df = read_hudi_py(_extract(tmp_path, "v6_empty"), spark)
+    assert df.count() == 0
+    assert df.columns == ["id", "name", "isActive"]
+    assert dict(df.dtypes) == {"id": "int", "name": "string", "isActive": "boolean"}
