@@ -9,6 +9,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -123,20 +124,226 @@ def lang_id(col: Column) -> Column:
     return best_code
 
 
-def tokenize_encode(col: Column, tokenizer: str = "ws"):
+def load_tiktoken_ranks(path: str) -> dict[bytes, int]:
+    """{token_bytes: rank} from a tiktoken-format vocabulary file
+    (lines of 'base64 rank' — the public format tiktoken's load.py
+    documents). Error messages match the reference parser's
+    (src/daft-tokenize; tests/recordbatch/test_tokenize.py)."""
+    import base64
+    import binascii
+
+    ranks: dict[bytes, int] = {}
+    with open(path, "rb") as f:
+        for line in f.read().splitlines():
+            if not line.strip():
+                continue
+            parts = line.split()
+            if len(parts) != 2:
+                raise ValueError("Invalid line in token file")
+            tok, rank_b = parts
+            try:
+                rank = int(rank_b)
+            except ValueError:
+                raise ValueError(
+                    f"Error parsing rank number {rank_b.decode('utf-8', 'replace')}"
+                ) from None
+            try:
+                b = base64.b64decode(tok, validate=True)
+            except (binascii.Error, ValueError):
+                raise ValueError(
+                    "Error decoding base 64 token "
+                    f"{tok.decode('utf-8', 'replace')} with rank {rank}"
+                ) from None
+            ranks[b] = rank
+    if not ranks:
+        raise ValueError("Token file has no tokens")
+    return ranks
+
+
+_CATEGORY_RANGES: dict[str, str] = {}
+
+
+def _category_ranges(major: str) -> str:
+    """Class-safe range string (\\uXXXX escapes) covering every
+    codepoint whose unicode MAJOR category matches — Python re has no
+    \\p{L}/\\p{N}, so the classes are materialized once from
+    unicodedata (~1 s, cached per process)."""
+    if major in _CATEGORY_RANGES:
+        return _CATEGORY_RANGES[major]
+    import sys
+    import unicodedata
+
+    def esc(cp: int) -> str:
+        return f"\\u{cp:04x}" if cp <= 0xFFFF else f"\\U{cp:08x}"
+
+    parts: list[str] = []
+    start = prev = None
+    for cp in range(sys.maxunicode + 1):
+        if unicodedata.category(chr(cp)).startswith(major):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            parts.append(esc(start) if prev == start else f"{esc(start)}-{esc(prev)}")
+            start = None
+    if start is not None:
+        parts.append(esc(start) if prev == start else f"{esc(start)}-{esc(prev)}")
+    _CATEGORY_RANGES[major] = "".join(parts)
+    return _CATEGORY_RANGES[major]
+
+
+def _pattern_to_re(pattern: str):
+    """Compile a tiktoken-style split pattern for Python re: \\p{L} and
+    \\p{N} expand to explicit unicodedata-derived codepoint ranges —
+    bare inside an existing character class, bracketed outside — so
+    patterns like ' ?[^\\s\\p{L}\\p{N}]+' translate correctly (a naive
+    string replace would nest classes and silently drop punctuation)."""
+    import re
+
+    out: list[str] = []
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        if pattern.startswith(("\\p{L}", "\\p{N}"), i):
+            ranges = _category_ranges(pattern[i + 3])
+            out.append(ranges if in_class else "[" + ranges + "]")
+            i += 5
+            continue
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i: i + 2])
+            i += 2
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        out.append(c)
+        i += 1
+    return re.compile("".join(out), re.UNICODE)
+
+
+def _llama3_special_tokens(vocab_size: int) -> dict[str, int]:
+    """The Llama-3 special-token layout as the reference implements it:
+    the ten named specials then reserved_special_token_5..255, appended
+    after the base vocabulary in this exact order (reference expected
+    ids: reserved_special_token_255 -> vocab + 260;
+    tests/recordbatch/test_tokenize.py)."""
+    names = [
+        "<|begin_of_text|>", "<|end_of_text|>",
+        "<|reserved_special_token_0|>", "<|reserved_special_token_1|>",
+        "<|reserved_special_token_2|>", "<|reserved_special_token_3|>",
+        "<|start_header_id|>", "<|end_header_id|>",
+        "<|reserved_special_token_4|>", "<|eot_id|>",
+    ] + [f"<|reserved_special_token_{i}|>" for i in range(5, 256)]
+    return {name: vocab_size + i for i, name in enumerate(names)}
+
+
+def bpe_encode_piece(piece: bytes, ranks: dict[bytes, int]) -> list[int]:
+    """Byte-pair encoding of one pattern piece: start from single
+    bytes and repeatedly merge the adjacent pair with the LOWEST rank
+    (tiktoken's published algorithm); ties cannot occur (ranks are
+    unique)."""
+    if piece in ranks:
+        return [ranks[piece]]
+    parts = [piece[i: i + 1] for i in range(len(piece))]
+    while len(parts) > 1:
+        best_i = None
+        best_rank = None
+        for i in range(len(parts) - 1):
+            r = ranks.get(parts[i] + parts[i + 1])
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_i is None:
+            break
+        parts[best_i: best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    try:
+        return [ranks[p] for p in parts]
+    except KeyError as e:
+        raise ValueError(
+            f"byte sequence {e.args[0]!r} not in the token vocabulary"
+        ) from None
+
+
+def tokenize_encode(
+    col: Column,
+    tokenizer: str = "ws",
+    pattern: str | None = None,
+    special_tokens: str | None = None,
+):
     """Token-id encoding (reference: tokenize_encode, str.py — tiktoken
     BPE). tokenizer='ws' is the dependency-free deterministic mode:
     ids = xxhash64 of each word token folded to 32 bits (stable vocab-
-    free ids, suitable for counting/dedup). BPE tokenizers require the
-    tiktoken package — gated with a clear error."""
+    free ids, suitable for counting/dedup). A path to a .tiktoken
+    vocabulary file runs a PURE-PYTHON byte-pair encoder (the public
+    'base64 rank' format + published merge algorithm — no tiktoken
+    package needed; validated against the reference's expected ids for
+    its tokens_5k fixture); ``pattern`` is required for file token sets
+    and ``special_tokens='llama3'`` appends Meta's published special
+    layout. Named builtin encodings (cl100k_base, ...) fetch their
+    vocabularies remotely and still require the tiktoken package —
+    gated with a clear error."""
     if tokenizer == "ws":
         return F.transform(words(col), lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)))
+    import os
+
+    if tokenizer.endswith(".tiktoken") or os.path.exists(tokenizer):
+        if pattern is None:
+            raise ValueError(
+                "Pattern must be provided for non-builtin token sets"
+            )
+        ranks = load_tiktoken_ranks(tokenizer)  # fail fast on bad files
+        import re as _re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        specials = (
+            _llama3_special_tokens(len(ranks))
+            if special_tokens == "llama3"
+            else {}
+        )
+        spec_re = (
+            _re.compile("|".join(_re.escape(s) for s in sorted(specials, key=len, reverse=True)))
+            if specials
+            else None
+        )
+        pat_src = pattern
+
+        @pandas_udf("array<long>")
+        def _enc_file(s: pd.Series) -> pd.Series:
+            pat = _pattern_to_re(pat_src)
+
+            def enc_plain(text: str) -> list[int]:
+                out: list[int] = []
+                for m in pat.finditer(text):
+                    out.extend(bpe_encode_piece(m.group().encode("utf-8"), ranks))
+                return out
+
+            def enc(text):
+                if text is None:
+                    return None
+                if spec_re is None:
+                    return enc_plain(text)
+                out: list[int] = []
+                pos = 0
+                for m in spec_re.finditer(text):
+                    out.extend(enc_plain(text[pos: m.start()]))
+                    out.append(specials[m.group()])
+                    pos = m.end()
+                out.extend(enc_plain(text[pos:]))
+                return out
+
+            return pd.Series([enc(x) for x in s])
+
+        return _enc_file(col)
     try:
         import tiktoken  # noqa: F401
     except ImportError as e:
         raise ImportError(
             f"tokenizer {tokenizer!r} needs the tiktoken package; "
-            "use tokenizer='ws' for the dependency-free mode"
+            "use tokenizer='ws' for the dependency-free mode, or pass a "
+            "path to a .tiktoken vocabulary file"
         ) from e
     from pyspark.sql.functions import pandas_udf
     import pandas as pd
@@ -159,15 +366,52 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(normalize_text(col))
 
 
-def tokenize_decode(col: Column, tokenizer: str = "cl100k_base"):
+def tokenize_decode(
+    col: Column,
+    tokenizer: str = "cl100k_base",
+    pattern: str | None = None,
+    special_tokens: str | None = None,
+):
     """Token ids -> text (reference: tokenize_decode, str.py). Only
     real BPE vocabularies are invertible — the dependency-free 'ws'
-    encoding hashes words (one-way), so this requires tiktoken."""
+    encoding hashes words (one-way), so this needs a vocabulary: a
+    .tiktoken file path (pure-python, no package) or a builtin name
+    (requires tiktoken). ``pattern`` is accepted for parity with
+    tokenize_encode (decode never splits, so it is unused)."""
     if tokenizer == "ws":
         raise ValueError(
             "tokenizer='ws' ids are one-way hashes and cannot be decoded; "
             "use a tiktoken vocabulary (e.g. 'cl100k_base')"
         )
+    import os
+
+    if tokenizer.endswith(".tiktoken") or os.path.exists(tokenizer):
+        ranks = load_tiktoken_ranks(tokenizer)
+        by_id = {r: b for b, r in ranks.items()}
+        specials = (
+            {v: k.encode() for k, v in _llama3_special_tokens(len(ranks)).items()}
+            if special_tokens == "llama3"
+            else {}
+        )
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _dec_file(s: pd.Series) -> pd.Series:
+            def dec(ids):
+                if ids is None:
+                    return None
+                out = bytearray()
+                for i in ids:
+                    b = by_id.get(int(i)) or specials.get(int(i))
+                    if b is None:
+                        raise ValueError(f"token id {int(i)} not in vocabulary")
+                    out.extend(b)
+                return out.decode("utf-8", "replace")
+
+            return pd.Series([dec(x) for x in s])
+
+        return _dec_file(col)
     try:
         import tiktoken  # noqa: F401
     except ImportError as e:
