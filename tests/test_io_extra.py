@@ -95,6 +95,10 @@ def test_read_real_warc_fixture(spark):
 
         _uuid.UUID(r0["WARC-Record-ID"])
         assert df.filter(F.col("`WARC-Date`").isNotNull()).count() == 30
+    # the reference ships a 1-row parquet in its read_warc OUTPUT schema
+    # (common-crawl-sample.parquet): our reader's columns match it 1:1
+    cc = spark.read.parquet("/root/reference/tests/assets/common-crawl-sample.parquet")
+    assert cc.columns == df.columns
 
 
 def test_lakehouse_gates(spark, tmp_path):
