@@ -31,7 +31,7 @@ from daft_spark.context import configure, get_or_create
 # maps to string (Spark has no uuid type); the ns-UTC WARC-Date maps to
 # Spark timestamp.
 WARC_SCHEMA = (
-    "`WARC-Record-ID` string, `WARC-Type` string, `WARC-Target-URI` string, "
+    "`WARC-Record-ID` string, `WARC-Target-URI` string, `WARC-Type` string, "
     "`WARC-Date` timestamp, `Content-Length` long, "
     "`WARC-Identified-Payload-Type` string, warc_content binary, "
     "warc_headers string"
@@ -135,8 +135,8 @@ def read_warc(path: str, spark: SparkSession | None = None) -> DataFrame:
                 rows,
                 columns=[
                     "WARC-Record-ID",
-                    "WARC-Type",
                     "WARC-Target-URI",
+                    "WARC-Type",
                     "WARC-Date",
                     "Content-Length",
                     "WARC-Identified-Payload-Type",

@@ -69,7 +69,7 @@ def test_read_real_warc_fixture(spark):
             pytest.skip("reference fixtures unavailable")
         df = read_warc(p, spark=spark)
         assert df.columns == [
-            "WARC-Record-ID", "WARC-Type", "WARC-Target-URI", "WARC-Date",
+            "WARC-Record-ID", "WARC-Target-URI", "WARC-Type", "WARC-Date",
             "Content-Length", "WARC-Identified-Payload-Type",
             "warc_content", "warc_headers",
         ]
