@@ -95,8 +95,9 @@ def main() -> None:
                 bad.append(name)
                 print(f"{name}: SCHEMA {scols} vs {ocols}", flush=True)
                 continue
-            srows.sort()
-            orows.sort()
+            nullsafe = lambda row: tuple((v is None, v or "") for v in row)  # noqa: E731
+            srows.sort(key=nullsafe)
+            orows.sort(key=nullsafe)
             if len(srows) != len(orows):
                 bad.append(name)
                 print(
