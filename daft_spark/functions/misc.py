@@ -267,8 +267,30 @@ def json_tuple(col, *fields):
 
 
 # --- url (reference url.py:149 parse_url) -----------------------------------
-def parse_url(col, part: str = "HOST"):
-    return F.parse_url(_c(col), F.lit(part))
+def parse_url(col, part: str | None = None):
+    """Reference parse_url: a STRUCT of the eight URL components
+    (scheme, username, password, host, port, path, query, fragment) —
+    all pure Column expressions over Spark's parse_url parts (userinfo
+    split for the credentials, an authority-suffix regex for the
+    port). Passing ``part`` keeps the Spark single-part extractor for
+    callers that want one field without the struct."""
+    c = _c(col)
+    if part is not None:
+        return F.parse_url(c, F.lit(part))
+    userinfo = F.parse_url(c, F.lit("USERINFO"))
+    creds = F.split(userinfo, ":", 2)
+    authority = F.parse_url(c, F.lit("AUTHORITY"))
+    port_s = F.regexp_extract(F.coalesce(authority, F.lit("")), r":(\d+)$", 1)
+    return F.struct(
+        F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
+        F.when(userinfo.isNotNull(), F.element_at(creds, 1)).alias("username"),
+        F.when(F.size(creds) > 1, F.element_at(creds, 2)).alias("password"),
+        F.parse_url(c, F.lit("HOST")).alias("host"),
+        F.when(port_s != "", port_s.cast("int")).alias("port"),
+        F.parse_url(c, F.lit("PATH")).alias("path"),
+        F.parse_url(c, F.lit("QUERY")).alias("query"),
+        F.parse_url(c, F.lit("REF")).alias("fragment"),
+    )
 
 
 # --- python-object columns (reference DataType::Python, dtype.rs:146) --------

@@ -130,7 +130,8 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # md5-uniform per-row selection, exact membership oracle) and
 # pipeline_mix_split_pack (the whole selection-to-layout composition
 # mixture -> apply -> split -> pack, exact per-document placement
-# oracle). They join
+# oracle), and fn_url_parse_struct (reference parse_url STRUCT parity
+# — all eight components value-checked against a regex oracle). They join
 # the 11 r6-stale rows deferred from the r10 window (named below).
 #
 # Round-10 rotation (FROZEN at round start per the r9 verdict's order):

@@ -470,3 +470,91 @@ def fn_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (i, i * i)
 
     return SquareRange(F.lit(0), F.lit(60)).orderBy("i")
+
+
+@register(
+    "fn_url_parse_struct",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://u' || CAST(doc_id AS VARCHAR) || ':pw@'
+                 || source || '.example.com:8443/a/b?x=' || lang || '#frag'
+               WHEN 1 THEN 'http://' || source || '.example.com/plain'
+               WHEN 2 THEN 'https://u' || CAST(doc_id AS VARCHAR) || '@'
+                 || source || '.example.com/auth?q=1'
+               ELSE 'ftp://' || source || '.example.com:21/data/'
+                 || CAST(doc_id AS VARCHAR)
+             END AS url
+      FROM documents WHERE doc_id < 240)
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           CASE WHEN regexp_matches(url, '://[^/@]*@')
+                THEN regexp_extract(url, '://([^/:@]+)(:[^/@]*)?@', 1) END
+             AS username,
+           CASE WHEN regexp_matches(url, '://[^/@]*:[^/@]*@')
+                THEN regexp_extract(url, '://[^/:@]+:([^/@]*)@', 1) END
+             AS password,
+           regexp_extract(url, '://(?:[^/@]*@)?([^/:?#]+)', 1) AS host,
+           CASE WHEN regexp_matches(url, '://(?:[^/@]*@)?[^/:?#]+:[0-9]+')
+                THEN CAST(regexp_extract(url,
+                     '://(?:[^/@]*@)?[^/:?#]+:([0-9]+)', 1) AS INT) END
+             AS port,
+           regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+           CASE WHEN regexp_matches(url, '\\?')
+                THEN regexp_extract(url, '\\?([^#]*)', 1) END AS query,
+           CASE WHEN regexp_matches(url, '#')
+                THEN regexp_extract(url, '#(.*)$', 1) END AS fragment
+    FROM t ORDER BY doc_id
+    """,
+)
+def fn_url_parse_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url STRUCT parity (reference url.py:149: scheme, username,
+    password, host, port, path, query, fragment as one struct): four
+    URL shapes — credentials + port + query + fragment, bare, user
+    without password, non-default scheme with port — built identically
+    in both engines; the oracle re-derives every component with
+    regexes (DuckDB has no parse_url). The struct is flattened so each
+    component is value-checked."""
+    from daft_spark.functions.misc import parse_url
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://u"), F.col("doc_id").cast("string"), F.lit(":pw@"),
+                F.col("source"), F.lit(".example.com:8443/a/b?x="),
+                F.col("lang"), F.lit("#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com/plain")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://u"), F.col("doc_id").cast("string"), F.lit("@"),
+                F.col("source"), F.lit(".example.com/auth?q=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("ftp://"), F.col("source"), F.lit(".example.com:21/data/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    p = parse_url(url)
+    return d.select(
+        "doc_id",
+        p["scheme"].alias("scheme"),
+        p["username"].alias("username"),
+        p["password"].alias("password"),
+        p["host"].alias("host"),
+        p["port"].alias("port"),
+        p["path"].alias("path"),
+        p["query"].alias("query"),
+        p["fragment"].alias("fragment"),
+    ).orderBy("doc_id")
