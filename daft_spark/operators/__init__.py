@@ -33,6 +33,7 @@ from daft_spark.operators.lm import bigram_lm_scores, perplexity_buckets  # noqa
 from daft_spark.operators.repetition import ngram_repetition_fractions  # noqa: F401
 from daft_spark.operators.sampling import (  # noqa: F401
     apply_mixture,
+    chunk_text,
     hash_split,
     mixture_weights,
     pack_sequences,

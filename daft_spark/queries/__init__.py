@@ -131,7 +131,9 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # pipeline_mix_split_pack (the whole selection-to-layout composition
 # mixture -> apply -> split -> pack, exact per-document placement
 # oracle), and fn_url_parse_struct (reference parse_url STRUCT parity
-# — all eight components value-checked against a regex oracle). They join
+# — all eight components value-checked against a regex oracle),
+# pipeline_chunk_text (RAG token-window chunking, chunk TEXT
+# value-oracled). They join
 # the 11 r6-stale rows deferred from the r10 window (named below).
 #
 # Round-10 rotation (FROZEN at round start per the r9 verdict's order):

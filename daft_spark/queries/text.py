@@ -1338,3 +1338,39 @@ def pipeline_mix_split_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         sp, "text", "doc_id", seq_len=512, eod_tokens=1, by=["split", "source"]
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_chunk_text",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents WHERE doc_id < 300),
+    st AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS i
+      FROM toks)
+    SELECT doc_id,
+           CAST((i - 1) / 24 AS INT) AS chunk_id,
+           CAST(i - 1 AS INT) AS start_token,
+           CAST(len(t[i:i+31]) AS INT) AS n_tokens,
+           array_to_string(t[i:i+31], ' ') AS chunk_text
+    FROM st ORDER BY doc_id, chunk_id
+    """,
+)
+def pipeline_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep token-window chunking (operators/sampling.py
+    chunk_text): 32-token windows with 8-token overlap (stride 24) —
+    one row per chunk with its 0-based id, start offset, size, and the
+    space-joined window text. Everything is in-row (token array +
+    sequence of starts + slice/join fuse into one codegen projection;
+    no shuffle, no UDF), and the oracle replays the identical
+    tokenization, stride arithmetic, and window slices — the chunk
+    TEXT itself is value-checked, so an off-by-one in either the
+    starts or the slice mismatches."""
+    from daft_spark.operators.sampling import chunk_text
+
+    return chunk_text(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 300),
+        "text", "doc_id", chunk_tokens=32, overlap=8,
+    ).orderBy("doc_id", "chunk_id")

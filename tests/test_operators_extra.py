@@ -501,3 +501,35 @@ def test_perplexity_buckets_default_shards_ntile(spark):
     assert "shard" not in glob[0].asDict()
     c = Counter(r["bucket"] for r in glob)
     assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_chunk_text_windows_and_plan(spark):
+    """chunk_text: overlapping windows reconstruct the document (each
+    token appears in ceil-coverage), boundaries are exact, empty docs
+    emit nothing, and the plan has no shuffle and no Python UDF."""
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.sampling import chunk_text
+
+    rows = [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_text(df, "text", "doc_id", chunk_tokens=4, overlap=1).collect()
+    d1 = sorted((r["chunk_id"], r["start_token"], r["chunk_text"])
+                for r in out if r["doc_id"] == 1)
+    # stride 3: starts 0, 3, 6, 9; last window is the 1-token tail
+    assert d1 == [
+        (0, 0, "w0 w1 w2 w3"),
+        (1, 3, "w3 w4 w5 w6"),
+        (2, 6, "w6 w7 w8 w9"),
+        (3, 9, "w9"),
+    ]
+    assert [r["chunk_text"] for r in out if r["doc_id"] == 2] == ["a b c"]
+    assert not [r for r in out if r["doc_id"] == 3]
+    plan = chunk_text(df, "text", "doc_id", 4, 1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, "text", "doc_id", chunk_tokens=4, overlap=4)
