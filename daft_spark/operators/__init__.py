@@ -43,6 +43,7 @@ from daft_spark.operators.sampling import (  # noqa: F401
 from daft_spark.operators.shard import shard  # noqa: F401
 from daft_spark.operators.similarity import (  # noqa: F401
     cosine_distance,
+    quantize_embeddings,
     cosine_similarity,
     embedding_near_dups,
     ivf_assign,

@@ -133,7 +133,8 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # oracle), and fn_url_parse_struct (reference parse_url STRUCT parity
 # — all eight components value-checked against a regex oracle),
 # pipeline_chunk_text (RAG token-window chunking, chunk TEXT
-# value-oracled). They join
+# value-oracled), sim_quantize_int8 (per-vector int8 quantization,
+# every element digest-checked cross-engine). They join
 # the 11 r6-stale rows deferred from the r10 window (named below).
 #
 # Round-10 rotation (FROZEN at round start per the r9 verdict's order):

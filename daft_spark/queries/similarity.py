@@ -233,3 +233,50 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("m") >= 2).alias("has_multi_member_cluster"))
     )
     return n.crossJoin(keepers).crossJoin(min_label).crossJoin(blocked).crossJoin(multi)
+
+
+@register(
+    "sim_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale0,
+             embedding
+      FROM embeddings),
+    qq AS (
+      SELECT vec_id,
+             CASE WHEN scale0 > 0 THEN scale0 ELSE 0.0 END AS scale,
+             CASE WHEN scale0 > 0
+                  THEN list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / scale0 + 0.5) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qv
+      FROM q)
+    SELECT vec_id, scale,
+           CAST(len(qv) AS INT) AS n_dims,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           md5(array_to_string(qv, ',')) AS q_digest
+    FROM qq ORDER BY vec_id
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 embedding quantization (operators/similarity.py
+    quantize_embeddings — the ANN memory-compression step): per-vector
+    scale and every quantized ELEMENT value-checked cross-engine via an
+    md5 digest of the comma-joined int vector (plus sum/min/max/dims) —
+    floor(x/scale + 0.5) is IEEE-identical in both engines, so one
+    differently-rounded element mismatches the digest."""
+    from daft_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_emb(spark, sf_dir), "embedding", "vec_id")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.size("qvec").cast("int").alias("n_dims"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qvec").cast("int").alias("q_min"),
+        F.array_max("qvec").cast("int").alias("q_max"),
+        F.md5(F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")).alias("q_digest"),
+    ).orderBy("vec_id")

@@ -533,3 +533,38 @@ def test_chunk_text_windows_and_plan(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_text(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_quantize_embeddings_bounds_and_recall(spark):
+    """quantize_embeddings: elements live in [-127, 127], max|v| maps
+    to ±127 exactly, zero vectors give scale 0 + zero vector, and
+    dequantized cosine stays within quantization error of the exact
+    cosine (>0.99 for random vectors)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.similarity import quantize_embeddings
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(50)]
+    rows.append((50, [0.0] * 32))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    orig = {i: v for i, v in rows}
+    for i, r in out.items():
+        q, s = r["qvec"], r["scale"]
+        assert all(-127 <= x <= 127 for x in q)
+        if i == 50:
+            assert s == 0.0 and set(q) == {0}
+            continue
+        assert max(abs(x) for x in q) == 127
+        # dequantized cosine vs exact cosine
+        v = orig[i]
+        deq = [x * s for x in q]
+        num = sum(a * b for a, b in zip(v, deq))
+        den = math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in deq))
+        assert num / den > 0.99, (i, num / den)
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
