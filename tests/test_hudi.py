@@ -283,6 +283,29 @@ def test_read_real_hudi_v6_fixture(spark, tmp_path, name):
     assert alice["child_struct"]["child_field2"] is True
 
 
+def test_real_hudi_fixture_time_travel(spark, tmp_path):
+    """as.of.instant time travel over the REAL two-commit archive: the
+    first instant shows the 3-row initial insert, the second the 4-row
+    state — the timeline replay pins genuine Hudi commit instants."""
+    import os as _os
+
+    if not _os.path.isdir(_FIXTURES):
+        pytest.skip("reference fixtures unavailable")
+    from daft_spark.io.hudi import hudi_timeline, read_hudi_py
+
+    p = _extract(tmp_path, "v6_nonpartitioned")
+    tl = hudi_timeline(p)
+    assert [a for _ts, a in tl] == ["commit", "commit"]
+    first = sorted(
+        r["name"] for r in read_hudi_py(p, spark, as_of=tl[0][0]).collect()
+    )
+    assert first == ["Alice", "Bob", "Carol"]
+    second = sorted(
+        r["name"] for r in read_hudi_py(p, spark, as_of=tl[1][0]).collect()
+    )
+    assert second == ["Alice", "Bob", "Carol", "Diana"]
+
+
 def test_read_real_hudi_empty_table(spark, tmp_path):
     """A created-but-never-written Hudi table reads as 0 rows with the
     create schema from hoodie.properties (reference
