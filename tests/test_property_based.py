@@ -118,3 +118,108 @@ def test_read_generator_custom_source(spark):
     assert rows[0] == (0, 0, "p0r0") and rows[-1] == (3, 4, "p3r4")
     # partitions really map to separate tasks
     assert df.rdd.getNumPartitions() == 4
+
+
+# ---------------------------------------------------------------------------
+# r10 operators: chunk_text, apply_mixture, tiktoken-file BPE
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(0, 999), min_size=0, max_size=40),
+        min_size=1, max_size=8,
+    ),
+    st.integers(2, 10),
+    st.integers(0, 3),
+)
+def test_chunk_text_matches_python_model(spark, docs, chunk, ov):
+    """chunk_text == the obvious python model: windows at stride
+    (chunk - overlap) starting 0, stride, ... while start < n; each
+    window is tokens[start : start + chunk]."""
+    from daft_spark.operators.sampling import chunk_text
+
+    ov = min(ov, chunk - 1)
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_token"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_text(df, "text", "doc_id", chunk, ov).collect()
+    }
+    exp = {}
+    stride = chunk - ov
+    for i, toks in enumerate(docs):
+        words = [f"w{t}" for t in toks]
+        cid = 0
+        for start in range(0, len(words), stride):
+            w = words[start: start + chunk]
+            exp[(i, cid)] = (start, len(w), " ".join(w))
+            cid += 1
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(0.0, 1.0, allow_nan=False),
+        min_size=1, max_size=3,
+    ),
+    st.text(alphabet="xyz", max_size=3),
+)
+def test_apply_mixture_matches_python_model(spark, rates, salt):
+    """apply_mixture membership == the python md5 model for every row,
+    for arbitrary rate maps and salts."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from daft_spark.operators.sampling import apply_mixture
+
+    df = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("g"),
+    )
+    got = sorted(
+        r["doc_id"] for r in apply_mixture(df, rates, ["g"], salt=salt).collect()
+    )
+    groups = ["a", "b", "c", "d"]
+    exp = []
+    for i in range(120):
+        g = groups[i % 4]
+        rate = rates.get(g, 0.0)
+        u = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:13], 16) / float(1 << 52)
+        if u < rate:
+            exp.append(i)
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.sampled_from(
+    ["hello", "world", "it's", "a  b", "x123", "!?", " lead", "tail "]
+), min_size=0, max_size=6))
+def test_bpe_roundtrip_property(spark, parts):
+    """File-BPE encode -> decode is the identity for text drawn from
+    the tokens_5k vocabulary's byte range (ASCII)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from daft_spark.functions.text import tokenize_decode, tokenize_encode
+
+    tok = "/root/reference/tests/assets/tokens/tokens_5k.tiktoken"
+    if not os.path.exists(tok):
+        return
+    pat = ("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+           "|\\s+(?!\\S)|\\s+")
+    text = " ".join(parts)
+    df = spark.createDataFrame([(text,)], "a string")
+    back = df.select(
+        tokenize_decode(
+            tokenize_encode(F.col("a"), tok, pattern=pat), tok, pattern=pat
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert back == text
