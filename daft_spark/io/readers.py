@@ -74,6 +74,7 @@ def read_parquet(
     path: str | list[str],
     spark: SparkSession | None = None,
     schema=None,
+    string_encoding: str = "utf-8",
     **options,
 ) -> DataFrame:
     """Parity: ``daft.read_parquet`` (reference: ``daft/io/_parquet.py:24``).
@@ -81,7 +82,15 @@ def read_parquet(
     Column pruning / predicate pushdown / limit pushdown (reference:
     ``src/daft-scan/src/pushdowns.rs:16-36``) are automatic in Spark's
     parquet source — verify via ``.explain``'s PushedFilters/ReadSchema.
+
+    ``string_encoding="raw"`` (reference read_parquet_into_pyarrow's
+    escape hatch for parquet whose string columns carry invalid UTF-8)
+    returns every string column as BINARY with the original bytes —
+    Spark stores strings as raw bytes, so the cast is lossless
+    (verified against the reference's invalid_utf8.parquet fixture).
     """
+    if string_encoding not in ("utf-8", "raw"):
+        raise ValueError("string_encoding must be 'utf-8' or 'raw'")
     spark = _session(spark)
     paths = path if isinstance(path, list) else [path]
     reader = spark.read
@@ -90,6 +99,13 @@ def read_parquet(
     if options:
         reader = reader.options(**options)
     df = reader.parquet(*paths)
+    if string_encoding == "raw":
+        df = df.select(
+            *[
+                F.col(f"`{c}`").cast("binary").alias(c) if t == "string" else F.col(f"`{c}`")
+                for c, t in df.dtypes
+            ]
+        )
     # ns-timestamp repair: int64 ns -> TIMESTAMP_NTZ(us). `div` keeps the
     # arithmetic integral and JVM-side.
     for c in _ns_timestamp_columns(paths[0]):

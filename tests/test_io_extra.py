@@ -291,3 +291,21 @@ def test_read_deltalake_timestamp_as_of_session_zone(spark, tmp_path, monkeypatc
         sign = 1 if m.group(1) == "+" else -1
         mins = sign * (int(m.group(2)) * 60 + int(m.group(3) or 0))
         assert mins == want, zone
+
+
+def test_read_parquet_invalid_utf8_raw(spark):
+    """The reference's invalid_utf8.parquet fixture (a string column
+    holding non-UTF-8 bytes): string_encoding='raw' returns the column
+    as BINARY with the ORIGINAL bytes, mirroring
+    read_parquet_into_pyarrow(string_encoding='raw') — Spark strings
+    are raw bytes underneath, so the cast is lossless."""
+    p = "/root/reference/tests/assets/parquet-data/invalid_utf8.parquet"
+    if not os.path.exists(p):
+        pytest.skip("reference fixtures unavailable")
+    from daft_spark.io.readers import read_parquet
+
+    df = read_parquet(p, spark=spark, string_encoding="raw")
+    assert dict(df.dtypes) == {"invalid_string": "binary"}
+    assert bytes(df.collect()[0]["invalid_string"]) == b"\x80\x80\x80"
+    with pytest.raises(ValueError, match="string_encoding"):
+        read_parquet(p, spark=spark, string_encoding="latin1")
