@@ -30,7 +30,10 @@ from daft_spark.operators.dedup import (  # noqa: F401
     simhash_signatures,
 )
 from daft_spark.operators.lm import bigram_lm_scores, perplexity_buckets  # noqa: F401
-from daft_spark.operators.repetition import ngram_repetition_fractions  # noqa: F401
+from daft_spark.operators.repetition import (  # noqa: F401
+    ngram_repetition_fractions,
+    top_ngrams,
+)
 from daft_spark.operators.sampling import (  # noqa: F401
     apply_mixture,
     chunk_text,

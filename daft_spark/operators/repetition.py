@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_repetition_fractions"]
+__all__ = ["ngram_repetition_fractions", "top_ngrams"]
 
 
 def _ngram_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -86,3 +86,45 @@ def ngram_repetition_fractions(
     top = _per_doc(top_n, f"top{top_n}gram_char_frac", dup_only=False)
     dup = _per_doc(dup_n, f"dup{dup_n}gram_char_frac", dup_only=True)
     return top.join(dup, id_col)
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-level TOP-K n-gram frequencies — the counting stage of
+    vocabulary construction and the standard corpus-composition audit.
+    Returns (ngram, n_occurrences, n_docs) ordered by occurrences
+    descending with a deterministic lexicographic tiebreak.
+
+    Scale: n-grams assemble IN-ROW (sequence + slice + concat_ws, one
+    codegen projection — no window); the count is one groupBy whose
+    map-side partial aggregation collapses each partition's duplicate
+    grams before the exchange (Zipf distributions collapse hard, so
+    the shuffle moves far fewer rows than occurrences); the top-k is
+    orderBy+limit, which Spark plans as TakeOrderedAndProject — per-
+    partition heaps, never a global sort (plan-asserted)."""
+    from daft_spark.operators.dedup import tokens_of
+
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    arr = tokens_of(F.col(text_col))
+    ntok = F.size(arr)
+    idx = F.sequence(F.lit(1), ntok - (n - 1))
+    grams = F.when(
+        ntok >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("ngram"))
+    return (
+        ex.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("__id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -134,7 +134,8 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # — all eight components value-checked against a regex oracle),
 # pipeline_chunk_text (RAG token-window chunking, chunk TEXT
 # value-oracled), sim_quantize_int8 (per-vector int8 quantization,
-# every element digest-checked cross-engine). They join
+# every element digest-checked cross-engine), text_top_ngrams
+# (corpus top-k n-gram frequencies, TakeOrdered plan-asserted). They join
 # the 11 r6-stale rows deferred from the r10 window (named below).
 #
 # Round-10 rotation (FROZEN at round start per the r9 verdict's order):

@@ -1374,3 +1374,35 @@ def pipeline_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).filter(F.col("doc_id") < 300),
         "text", "doc_id", chunk_tokens=32, overlap=8,
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "text_top_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             array_to_string(t[i:i+1], ' ') AS ngram
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i) u)
+    SELECT ngram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 bigram frequencies (operators/repetition.py
+    top_ngrams — the counting stage of vocabulary construction):
+    occurrence AND document counts per n-gram, deterministic
+    lexicographic tiebreak. The oracle replays the identical
+    tokenization, in-row bigram assembly, and ordering; the plan is
+    partial-agg + TakeOrderedAndProject (asserted in
+    tests/test_plans.py), never a global sort."""
+    from daft_spark.operators.repetition import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), "text", "doc_id", n=2, k=50)

@@ -604,3 +604,16 @@ def test_default_path_has_no_global_single_partition_window(spark):
         assert wins, plan
         for ln in wins:
             assert "shard#" in ln, ln
+
+
+def test_top_ngrams_take_ordered_no_global_sort(spark):
+    """top_ngrams' top-k must plan as TakeOrderedAndProject over a
+    partially-aggregated count — no global Sort node, no window."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.repetition import top_ngrams
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = plan_of(top_ngrams(d, "text", "doc_id", n=2, k=50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "Window" not in plan, plan
