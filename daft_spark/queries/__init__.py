@@ -135,7 +135,9 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # pipeline_chunk_text (RAG token-window chunking, chunk TEXT
 # value-oracled), sim_quantize_int8 (per-vector int8 quantization,
 # every element digest-checked cross-engine), text_top_ngrams
-# (corpus top-k n-gram frequencies, TakeOrdered plan-asserted). They join
+# (corpus top-k n-gram frequencies, TakeOrdered plan-asserted), and
+# fn_bpe_file_roundtrip (pure-python tiktoken-file BPE, invariant
+# roundtrip over the corpus). They join
 # the 11 r6-stale rows deferred from the r10 window (named below).
 #
 # Round-10 rotation (FROZEN at round start per the r9 verdict's order):

@@ -558,3 +558,46 @@ def fn_url_parse_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         p["query"].alias("query"),
         p["fragment"].alias("fragment"),
     ).orderBy("doc_id")
+
+
+@register(
+    "fn_bpe_file_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS all_roundtrip,
+           TRUE AS all_nonempty
+    FROM documents WHERE doc_id < 200
+    """,
+    comparable=False,
+)
+def fn_bpe_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-python .tiktoken-file BPE (functions/text.py
+    tokenize_encode/decode over the reference's real tokens_5k
+    vocabulary + p50k split pattern) driven end-to-end on the corpus:
+    every document must encode -> decode back to its EXACT text, with
+    a non-empty id sequence. The merge loop itself is validated against
+    the reference's published expected ids in
+    tests/test_tokenize_file.py; this row keeps the whole executor-side
+    path (pattern compile, ranks broadcast-by-closure, pandas UDF) on
+    the driver's radar. Invariant oracle: BPE is not SQL-expressible."""
+    from daft_spark.functions.text import tokenize_decode, tokenize_encode
+
+    tok = "/root/reference/tests/assets/tokens/tokens_5k.tiktoken"
+    pat = (
+        "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+        "|\\s+(?!\\S)|\\s+"
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ids = tokenize_encode(F.col("text"), tok, pattern=pat)
+    out = d.select(
+        "text",
+        ids.alias("ids"),
+        tokenize_decode(ids, tok, pattern=pat).alias("back"),
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.bool_and(F.col("back") == F.col("text")), F.lit(True)).alias(
+            "all_roundtrip"
+        ),
+        F.coalesce(F.bool_and(F.size("ids") > 0), F.lit(True)).alias("all_nonempty"),
+    )
