@@ -8,6 +8,8 @@ the full §2.6 surface fits the driver's correctness window.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -583,6 +585,18 @@ def fn_bpe_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daft_spark.functions.text import tokenize_decode, tokenize_encode
 
     tok = "/root/reference/tests/assets/tokens/tokens_5k.tiktoken"
+    if not os.path.exists(tok):
+        # self-contained fallback vocabulary (byte-level: all 256 single
+        # bytes, base64 'token rank' lines) — same code path, no
+        # external fixture needed
+        import base64 as _b64
+        import tempfile as _tf
+
+        tok = os.path.join(_tf.gettempdir(), "daft_spark_bytes.tiktoken")
+        if not os.path.exists(tok):
+            with open(tok, "wb") as f:
+                for i in range(256):
+                    f.write(_b64.b64encode(bytes([i])) + b" %d\n" % i)
     pat = (
         "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
         "|\\s+(?!\\S)|\\s+"
