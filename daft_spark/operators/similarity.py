@@ -458,3 +458,53 @@ def quantize_embeddings(
         (F.when(maxabs > 0, maxabs / 127.0).otherwise(F.lit(0.0))).alias("scale"),
         q.alias("qvec"),
     )
+
+
+def topk_cosine_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors per query over INT8-QUANTIZED vectors — the
+    serving half of ``quantize_embeddings`` (4x less memory per scan;
+    the kernel is an integer dot product). Cosine over symmetric
+    per-vector quantization cancels the scales exactly:
+    cos(s_a·qa, s_b·qb) = <qa,qb> / (||qa||·||qb||), so the similarity
+    is integer arithmetic plus one sqrt — no dequantization pass.
+
+    Same plan shape as the exact brute force: quantized queries
+    BROADCAST, corpus scanned once with no vector shuffle, top-k via
+    one window over (query_id, sim) keys."""
+    from daft_spark.operators.spread import spread
+
+    qq = quantize_embeddings(queries, query_vec, query_id).select(
+        F.col(query_id), F.col("qvec").alias("__qa")
+    )
+    qc = quantize_embeddings(spread(corpus), corpus_vec, corpus_id).select(
+        F.col(corpus_id), F.col("qvec").alias("__qb")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = qc.crossJoin(F.broadcast(qq)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        (
+            idot(F.col("__qa"), F.col("__qb")).cast("double")
+            / F.sqrt(
+                idot(F.col("__qa"), F.col("__qa")).cast("double")
+                * idot(F.col("__qb"), F.col("__qb")).cast("double")
+            )
+        ).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

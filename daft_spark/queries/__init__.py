@@ -137,7 +137,8 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # every element digest-checked cross-engine), text_top_ngrams
 # (corpus top-k n-gram frequencies, TakeOrdered plan-asserted), and
 # fn_bpe_file_roundtrip (pure-python tiktoken-file BPE, invariant
-# roundtrip over the corpus). They join
+# roundtrip over the corpus), and sim_ann_quantized_recall (int8 top-k
+# serving vs exact, recall floor). They join
 # the 11 r6-stale rows deferred from the r10 window (named below).
 #
 # Round-10 rotation (FROZEN at round start per the r9 verdict's order):

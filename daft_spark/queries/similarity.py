@@ -280,3 +280,24 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qvec").cast("int").alias("q_max"),
         F.md5(F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")).alias("q_digest"),
     ).orderBy("vec_id")
+
+
+@register(
+    "sim_ann_quantized_recall",
+    "SELECT 8 AS n_queries, TRUE AS recall_ge_090",
+    comparable=False,
+)
+def sim_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-quantized top-k (operators/similarity.py
+    topk_cosine_quantized — integer dot products, scales cancel in the
+    cosine) vs exact float top-5: avg recall over 8 queries as an
+    invariant boolean (>= 0.9; int8 keeps ~0.999 of cosine fidelity on
+    these embeddings, measured 1.0 at sf0.001-0.1). The serving half of
+    sim_quantize_int8's storage compression."""
+    from daft_spark.operators.similarity import topk_cosine_quantized
+
+    queries, corpus = _queries_corpus(spark, sf_dir)
+    approx = topk_cosine_quantized(queries, corpus, k=5)
+    return _recall_vs_exact(queries, corpus, approx).select(
+        "n_queries", (F.col("avg_recall") >= 0.9).alias("recall_ge_090")
+    )
