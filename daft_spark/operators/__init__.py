@@ -44,10 +44,11 @@ from daft_spark.operators.sampling import (  # noqa: F401
     token_budget_select,
 )
 from daft_spark.operators.shard import shard  # noqa: F401
+from daft_spark.operators.skew import key_skew_report, salted_join  # noqa: F401
 from daft_spark.operators.similarity import (  # noqa: F401
     cosine_distance,
-    quantize_embeddings,
     cosine_similarity,
+    quantize_embeddings,
     embedding_near_dups,
     ivf_assign,
     ivf_train,
@@ -56,4 +57,5 @@ from daft_spark.operators.similarity import (  # noqa: F401
     topk_cosine_bruteforce,
     topk_cosine_ivf,
     topk_cosine_lsh,
+    topk_cosine_quantized,
 )

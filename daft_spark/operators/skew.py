@@ -9,7 +9,7 @@ scatter the probe side randomly, join on (key, salt).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -35,3 +35,45 @@ def salted_join(
     right_s = right.withColumn("__salt", F.explode(salts))
     out = left_s.join(right_s, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str] | str, top_k: int = 10
+) -> DataFrame:
+    """Pre-shuffle KEY-DISTRIBUTION AUDIT — run it on a join/groupBy
+    key before committing a 100 TB shuffle to it: the top-k heaviest
+    keys (rank, key, key_rows) with the global distribution attached
+    to every row (n_keys, n_rows, max_key_rows, exact p50/p99 of
+    per-key row counts, skew_ratio = max/mean). A skew_ratio in the
+    tens says AQE skew-split will sweat; in the hundreds says salt or
+    re-key (salted_join above).
+
+    Scale: ONE map-side-combining groupBy over the key (the same
+    exchange the audited operation would do, minus the payload), a
+    1-row global aggregate broadcast onto the top-k, and the top-k via
+    orderBy+limit (TakeOrderedAndProject — no global sort). All exact:
+    percentiles are Spark's exact percentile over per-key counts."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_rows"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_rows").alias("n_rows"),
+        F.max("key_rows").alias("max_key_rows"),
+        F.percentile("key_rows", 0.5).alias("p50_key_rows"),
+        F.percentile("key_rows", 0.99).alias("p99_key_rows"),
+        F.round(
+            F.max("key_rows") / (F.sum("key_rows") / F.count(F.lit(1))), 6
+        ).alias("skew_ratio"),
+    )
+    top = (
+        counts.select(key_str.alias("key"), "key_rows")
+        .orderBy(F.col("key_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("key_rows").desc(), F.col("key").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("int"))
+    return ranked.crossJoin(F.broadcast(summary)).select(
+        "rank", "key", "key_rows", "n_keys", "n_rows", "max_key_rows",
+        "p50_key_rows", "p99_key_rows", "skew_ratio",
+    )

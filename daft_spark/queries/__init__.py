@@ -137,8 +137,10 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # every element digest-checked cross-engine), text_top_ngrams
 # (corpus top-k n-gram frequencies, TakeOrdered plan-asserted), and
 # fn_bpe_file_roundtrip (pure-python tiktoken-file BPE, invariant
-# roundtrip over the corpus), and sim_ann_quantized_recall (int8 top-k
-# serving vs exact, recall floor). They join
+# roundtrip over the corpus), sim_ann_quantized_recall (int8 top-k
+# serving vs exact, recall floor), and rel_key_skew_report (pre-shuffle
+# key-distribution audit — exact p50/p99/ratio + deterministic top-k).
+# They join
 # the 11 r6-stale rows deferred from the r10 window (named below).
 #
 # Round-10 rotation (FROZEN at round start per the r9 verdict's order):

@@ -558,3 +558,43 @@ def rel_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     if [tuple(r) for r in bcast.collect()] != [tuple(r) for r in merged.collect()]:
         raise AssertionError("hinted strategies disagree")
     return bcast
+
+
+@register(
+    "rel_key_skew_report",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS key_rows
+      FROM events GROUP BY user_id),
+    summary AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(key_rows) AS BIGINT) AS n_rows,
+             CAST(max(key_rows) AS BIGINT) AS max_key_rows,
+             quantile_cont(key_rows, 0.5) AS p50_key_rows,
+             quantile_cont(key_rows, 0.99) AS p99_key_rows,
+             round(max(key_rows) / (CAST(sum(key_rows) AS DOUBLE) / count(*)), 6)
+               AS skew_ratio
+      FROM counts),
+    top AS (
+      SELECT key, CAST(key_rows AS BIGINT) AS key_rows,
+             CAST(row_number() OVER (ORDER BY key_rows DESC, key ASC) AS INT)
+               AS rank
+      FROM counts ORDER BY key_rows DESC, key ASC LIMIT 10)
+    SELECT rank, key, key_rows, n_keys, n_rows, max_key_rows,
+           p50_key_rows, p99_key_rows, skew_ratio
+    FROM top CROSS JOIN summary ORDER BY rank
+    """,
+)
+def rel_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle key-distribution audit (operators/skew.py
+    key_skew_report — the diagnostic you run on a join key before
+    committing a 100 TB shuffle to it): top-10 heaviest events.user_id
+    keys with the exact global distribution (key count, row count, max,
+    exact p50/p99 of per-key counts, max/mean skew ratio) attached.
+    The oracle replays counts, both exact percentiles, the ratio, and
+    the deterministic top-k ordering."""
+    from daft_spark.operators.skew import key_skew_report
+
+    return key_skew_report(
+        load_table(spark, sf_dir, "events"), "user_id", top_k=10
+    ).orderBy("rank")
