@@ -123,7 +123,27 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # query, and the mm_prompt/embed_image/classify_image trio — all
 # pytest-oracle-green in r7), then the stalest greens: the agg_*
 # family (last driver-seen r4–r6) and a w_* refresh (last seen r6).
-# ROUND-11 ROTATION NOTE: queries registered AFTER the frozen r10
+# Round-11 rotation (FROZEN at round start per the r10 verdict's
+# order, first commit of the round): the 9 post-freeze r10 queries
+# lead (never driver-seen; all exact in the builder's and the judge's
+# own driver_sim runs at sf0.01), then the 11 r6-stale rows (4 rounds
+# behind the ledger policy), then 30 of the 50 r7-stale rows —
+# sim_ann_lsh/ivf recall rows and the tpch/asof/dedup_exact bench
+# headliners first (operators/similarity.py churns this round for the
+# quantized-ANN composition), then the lakehouse DML/pruning rows and
+# the relational join/pivot family. 9+11+30 = 50.
+# ROUND-12 ROTATION NOTE (plan committed with the freeze per r10
+# verdict #6): the 20 r7 rows deferred here MUST lead the r12 window —
+# fn_conditional_struct, fn_datetime_arith, fn_datetime_numeric,
+# fn_hash_invariant, fn_json_bitwise, fn_list_binary_url,
+# fn_strings_regex, io_from_pydict_family, io_hf_mirror,
+# io_push_sink_roundtrip, io_text_roundtrip, mm_classify_text,
+# mm_embed_text, mm_image_decode, mm_llm_generate, mm_url_download,
+# mm_video_frames, rel_sample_seeded, sql_rest_catalog,
+# sql_table_function — followed by any post-freeze r11 registrations,
+# then the stalest r8 rows. After r12 no green row will predate r8.
+#
+# ROUND-11 ROTATION NOTE (r10 bookkeeping): queries registered AFTER the frozen r10
 # window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue
 # for the next rotation: pipeline_apply_mixture (the acting half of
 # domain reweighting — mixture_weights' rates materialized by
@@ -161,31 +181,32 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # catalog code re-verified by the pytest oracle sweep; they lead the
 # r11 rotation together with any post-freeze r10 registrations.
 DRIVER_PRIORITY: list[str] = [
-    # the last perpetual no_oracle row, invariant-oracled this round (1)
-    "dedup_minhash_lsh_pipeline",
-    # round-9 debt: registered post-freeze r9, never driver-seen (8)
-    "dedup_resolve_containment", "dedup_span_removal", "dedup_semdedup",
-    "text_perplexity_buckets", "pipeline_pack_sequences",
-    "pipeline_hash_split", "pipeline_mixture_weights",
-    "pipeline_corpus_curation_v2",
-    # the 18 r5-stale rows (4 rounds behind the r9 artifact)
-    "rel_intersect", "rel_intersect_all", "rel_except", "rel_except_all",
-    "rel_union_all", "rel_union_distinct", "rel_monotonic_id",
-    "rel_shard", "rel_repartition_colocate", "rel_generator_source",
-    "io_warc_roundtrip", "io_sql_roundtrip", "io_mcap_roundtrip",
-    "agg_any_value", "agg_product_bool", "agg_skew",
-    "fn_files_tokenize", "fn_horizontal_partitioning",
-    # 23 of the r6-stale set; dedup family first (dedup.py churns)
-    "dedup_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_normalized", "dedup_resolve", "dedup_simhash",
-    "lake_hudi_roundtrip", "lake_hudi_upsert",
-    "lake_paimon_roundtrip", "lake_paimon_upsert",
-    "sim_ann_lsh_recall", "tpch_q5",
-    "stream_dedup_distinct", "stream_running_stats",
-    "stream_session_windows",
-    "agg_approx_bounds", "agg_null_group_keys",
-    "w_first_last", "w_lag_lead", "w_partition_only",
-    "w_range_frame", "w_rank_dense", "w_sliding_rows",
+    # the 9 post-freeze r10 queries, never driver-seen (9)
+    "rel_key_skew_report", "pipeline_apply_mixture",
+    "pipeline_mix_split_pack", "pipeline_chunk_text", "text_top_ngrams",
+    "sim_quantize_int8", "sim_ann_quantized_recall",
+    "fn_url_parse_struct", "fn_bpe_file_roundtrip",
+    # the 11 r6-stale rows (4 rounds behind the ledger policy) (11)
+    "agg_string_collect", "sim_centroid_cosine", "sql_session_catalog",
+    "stream_window_counts", "text_fingerprint", "text_langid_agreement",
+    "text_quality", "text_quality_score_dist", "text_stats_by_source",
+    "text_stopword_filter", "text_token_count",
+    # 30 of the 50 r7-stale rows: similarity first (similarity.py
+    # churns this round — quantized-ANN composition), then the tpch
+    # bench headliners, asof, dedup_exact, lakehouse DML/pruning,
+    # relational joins/pivot, streaming join, kafka (30)
+    "sim_ann_ivf_recall",
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q10",
+    "tpch_q13", "tpch_q17", "tpch_q18", "tpch_q21",
+    "asof_backward_by", "asof_backward_global", "asof_forward_by",
+    "asof_nearest_by", "dedup_exact",
+    "lake_delta_dml", "lake_delta_dv",
+    "lake_iceberg_roundtrip", "lake_iceberg_deletes",
+    "lake_iceberg_pos_deletes", "lake_iceberg_pruned",
+    "lake_iceberg_stats_pruned",
+    "rel_join_full_outer", "rel_join_right_outer", "rel_join_hints",
+    "rel_topn", "rel_pivot", "rel_unpivot",
+    "stream_stream_join", "io_kafka_bounded",
 ]
 
 
