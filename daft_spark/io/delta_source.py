@@ -278,13 +278,16 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         if not os.path.exists(f):
             return []  # checkpoint-only version
         cdc, adds, removes = [], [], []
+        op = ""
         with open(f) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 action = json.loads(line)
-                if "cdc" in action:
+                if "commitInfo" in action:
+                    op = str(action["commitInfo"].get("operation") or "")
+                elif "cdc" in action:
                     cdc.append(
                         (action["cdc"]["path"], action["cdc"].get("partitionValues"))
                     )
@@ -312,7 +315,17 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                      None, None)
                 )
             return out
-        need_prior = v > 0 and (bool(removes) or any(dv for _r, _pv, dv in adds))
+        # RESTORE re-adds a same-path file with its DV cleared and NO
+        # remove action (delta.py:1872); without the prior-state replay
+        # the whole file would stream as inserts, duplicating rows the
+        # stream already emitted. Mirror table_changes_delta_py
+        # (delta.py:2218) and diff against the prior state (r10 advice,
+        # medium).
+        need_prior = v > 0 and (
+            bool(removes)
+            or any(dv for _r, _pv, dv in adds)
+            or op.upper() == "RESTORE"
+        )
         prior_adds: dict = {}
         if need_prior:
             _s, _p, prior_adds = _replay_log(self.path, v - 1)

@@ -411,16 +411,23 @@ def _main_ancestors(meta: dict, head_id: int | None = None) -> list[dict]:
     by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     # Fallback for metadata whose snapshots predate parent-snapshot-id
     # stamping (tables this engine wrote before r9): snapshot-log is the
-    # main-head history, so the entry PRECEDING a snapshot's (latest)
-    # appearance is its effective parent. Branch-only snapshots never
-    # enter snapshot-log, so the fallback cannot leak branch rows; it
-    # only extends the chain where an explicit pointer is absent.
+    # main-head history, so the entry PRECEDING a snapshot's FIRST
+    # appearance is its effective parent. First occurrence, not latest:
+    # a rollback re-appends an old snapshot-id to the log, and
+    # latest-occurrence-wins would hand that entry the rolled-back head
+    # as its "parent", leaking rolled-back snapshot files into
+    # ancestor-based reads (r10 advice). The first occurrence is where
+    # the snapshot was actually committed, so its predecessor there is
+    # the true lineage. Branch-only snapshots never enter snapshot-log,
+    # so the fallback cannot leak branch rows; it only extends the
+    # chain where an explicit pointer is absent.
     log_prev: dict = {}
     prev_id = None
     for e in meta.get("snapshot-log", []):
         sid = e.get("snapshot-id")
         if sid is not None:
-            log_prev[sid] = prev_id  # latest occurrence wins
+            if sid not in log_prev:
+                log_prev[sid] = prev_id  # first occurrence wins
             prev_id = sid
     walk = head_id
     if walk is None:

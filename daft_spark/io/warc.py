@@ -100,8 +100,16 @@ def _parse_warc_stream(stream: io.BufferedReader, source: str):
                 )
         try:
             length = int(headers.get("Content-Length", "0"))
-        except ValueError:
-            length = 0
+        except ValueError as exc:
+            # A malformed Content-Length cannot be coerced to 0: the
+            # parser would read zero payload bytes and desync, silently
+            # misparsing the REST of the stream into garbage records.
+            # Fail loudly instead (r10 advice).
+            raise ValueError(
+                f"malformed Content-Length "
+                f"{headers.get('Content-Length')!r} in WARC record "
+                f"{headers.get('WARC-Record-ID')!r}"
+            ) from exc
         content = stream.read(length)
         rest = {k: v for k, v in headers.items() if k not in _EXTRACTED}
         yield {

@@ -163,7 +163,14 @@ def perplexity_buckets(
     perplexity, so per-shard tiles estimate the global cutoffs with
     only boundary-document noise, and the single-partition global sort
     never happens; pass ``by=[]`` to force the exact global ntile
-    (corpus samples only, not 100 TB)."""
+    (corpus samples only, not 100 TB).
+
+    .. BEHAVIOR CHANGE (round 10): ``by=None`` previously computed the
+       exact global ntile; it now auto-shards — the output gains a
+       ``shard`` column and bucket boundaries are per-shard
+       approximations of the global cutoffs. Callers wanting the old
+       semantics must pass ``by=[]``. All in-repo call sites pass
+       ``by`` explicitly (audited r11)."""
     from pyspark.sql import Window
 
     from daft_spark.operators.sampling import _implicit_shard

@@ -584,19 +584,27 @@ def fn_bpe_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's radar. Invariant oracle: BPE is not SQL-expressible."""
     from daft_spark.functions.text import tokenize_decode, tokenize_encode
 
-    tok = "/root/reference/tests/assets/tokens/tokens_5k.tiktoken"
+    # resolve the interop fixture from a configurable root (r10 advice)
+    ref_root = os.environ.get("DAFT_SPARK_REFERENCE_ROOT", "/root/reference")
+    tok = os.path.join(ref_root, "tests/assets/tokens/tokens_5k.tiktoken")
     if not os.path.exists(tok):
         # self-contained fallback vocabulary (byte-level: all 256 single
         # bytes, base64 'token rank' lines) — same code path, no
-        # external fixture needed
+        # external fixture needed. Written atomically (temp file +
+        # os.replace) so a concurrent run can never read a half-written
+        # vocabulary (r10 advice).
         import base64 as _b64
         import tempfile as _tf
 
         tok = os.path.join(_tf.gettempdir(), "daft_spark_bytes.tiktoken")
         if not os.path.exists(tok):
-            with open(tok, "wb") as f:
+            fd, tmp = _tf.mkstemp(
+                dir=_tf.gettempdir(), suffix=".tiktoken.partial"
+            )
+            with os.fdopen(fd, "wb") as f:
                 for i in range(256):
                     f.write(_b64.b64encode(bytes([i])) + b" %d\n" % i)
+            os.replace(tmp, tok)
     pat = (
         "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
         "|\\s+(?!\\S)|\\s+"

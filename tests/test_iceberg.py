@@ -1889,3 +1889,50 @@ def test_incremental_ancestry_fallback_for_parentless_snapshots(spark, tmp_path)
     assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == (
         list(range(5)) + list(range(10, 14)) + [20, 21]
     )
+
+
+def test_ancestry_fallback_rollback_does_not_fabricate_parent(spark, tmp_path):
+    """A rollback (Iceberg setCurrentSnapshot) re-appends an OLD
+    snapshot-id to snapshot-log. On parent-less (pre-r9) metadata the
+    snapshot-log fallback must use the FIRST occurrence of an id — with
+    latest-occurrence-wins the root snapshot would get the rolled-back
+    head as a fabricated 'parent', leaking rolled-back snapshot files
+    into ancestor-based reads (r10 advice)."""
+    import glob as _glob
+    import json as _json
+
+    from daft_spark.io.iceberg import (
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+    from daft_spark.io.iceberg_source import _main_ancestors
+
+    p = str(tmp_path / "rollback")
+    mk = lambda lo, n: spark.range(lo, lo + n).select(F.col("id").alias("k"))
+    write_iceberg_py(mk(0, 3), p)  # snapshot A (root)
+    write_iceberg_py(mk(10, 3), p, mode="append")  # snapshot B
+    metas = sorted(
+        _glob.glob(os.path.join(p, "metadata", "v*.metadata.json")),
+        key=lambda f: int(os.path.basename(f)[1:].split(".")[0]),
+    )
+    with open(metas[-1]) as f:
+        meta = _json.load(f)
+    snap_a, snap_b = (s["snapshot-id"] for s in meta["snapshots"])
+    # simulate an external pre-r9 writer's rollback to A: strip parent
+    # pointers, point current at A, and re-append A to snapshot-log
+    for s in meta["snapshots"]:
+        s.pop("parent-snapshot-id", None)
+    meta["current-snapshot-id"] = snap_a
+    meta["snapshot-log"] = list(meta["snapshot-log"]) + [
+        {"snapshot-id": snap_a, "timestamp-ms": meta["last-updated-ms"] + 1}
+    ]
+    with open(metas[-1], "w") as f:
+        _json.dump(meta, f)
+    chain = [s["snapshot-id"] for s in _main_ancestors(meta)]
+    assert chain == [snap_a], (
+        f"rolled-back head {snap_b} leaked into the ancestry: {chain}"
+    )
+    # and the table read at the rolled-back head serves only A's rows
+    assert sorted(r["k"] for r in read_iceberg_py(p, spark).collect()) == [
+        0, 1, 2,
+    ]

@@ -52,6 +52,21 @@ def test_read_warc(spark, tmp_path):
     assert hdrs.get("Content-Type") == "application/http"
 
 
+def test_warc_malformed_content_length_fails_loudly(spark, tmp_path):
+    """An unparseable Content-Length must raise, not coerce to 0 — a
+    zero-byte payload read desyncs the parser and the rest of the
+    stream misparses into garbage records (r10 advice)."""
+    from daft_spark.io.warc import read_warc
+
+    good = _make_warc_bytes(1)
+    bad = good.replace(b"Content-Length: 27", b"Content-Length: twenty-seven")
+    assert bad != good  # the substitution must have hit
+    p = tmp_path / "bad.warc"
+    p.write_bytes(bad + _make_warc_bytes(2))
+    with pytest.raises(Exception, match="malformed Content-Length"):
+        read_warc(str(p), spark=spark).collect()
+
+
 def test_read_real_warc_fixture(spark):
     """The reference's own example.warc(.gz) archives (real Common
     Crawl-style records) parse to the reference's exact schema and
