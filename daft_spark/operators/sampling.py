@@ -128,7 +128,14 @@ def pack_sequences(
     ``shard`` column (returned alongside the placement — a loader
     reads one shard's stream), so the default path never sorts the
     corpus in one partition; pass ``by=[]`` to force a single global
-    stream (corpus samples only, not 100 TB). Token counts are the
+    stream (corpus samples only, not 100 TB).
+
+    .. BEHAVIOR CHANGE (round 10): ``by=None`` previously produced the
+       exact single-stream global packing; it now auto-shards — the
+       output gains a ``shard`` column and placements are per-shard.
+       Callers wanting the old semantics must pass ``by=[]``. All
+       in-repo call sites pass ``by`` explicitly (audited r11; the
+       only ``by=None`` users are tests exercising the default). Token counts are the
     engine's regex token_count; no text ever shuffles (the window
     moves (id, n_tokens) rows only)."""
     from daft_spark.functions.text import token_count
@@ -346,12 +353,20 @@ def chunk_text(
     stride = chunk_tokens - overlap
     toks = words(F.col(text_col))
     n = F.size(toks)
-    # window starts 1, 1+stride, ... ; the last window begins at or
-    # before the final token (short tail windows are kept — standard
-    # RAG chunking; a start past n would duplicate the tail)
-    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # window starts 1, 1+stride, ...; capped at n - overlap so the tail
+    # window always contributes at least one token the previous window
+    # did not — with overlap >= 1 a start past n - overlap yields a
+    # window fully CONTAINED in its predecessor (10 tokens, chunk 4,
+    # stride 2 -> a 2-token "chunk" already covered), which standard
+    # RAG chunkers drop (r10 verdict task 4; containment property
+    # tested in tests/test_operators_extra.py). greatest(..., 1) keeps
+    # short documents (n <= overlap) as one whole-document chunk.
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     d = df.select(
         F.col(id_col), toks.alias("__ts"), starts.alias("__starts")
     ).select(

@@ -1348,7 +1348,8 @@ def pipeline_mix_split_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_extract_all(lower(text), '[a-z0-9]+') AS t
       FROM documents WHERE doc_id < 300),
     st AS (
-      SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS i
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - 8, 1) + 1, 24)) AS i
       FROM toks)
     SELECT doc_id,
            CAST((i - 1) / 24 AS INT) AS chunk_id,
@@ -1365,9 +1366,11 @@ def pipeline_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-joined window text. Everything is in-row (token array +
     sequence of starts + slice/join fuse into one codegen projection;
     no shuffle, no UDF), and the oracle replays the identical
-    tokenization, stride arithmetic, and window slices — the chunk
-    TEXT itself is value-checked, so an off-by-one in either the
-    starts or the slice mismatches."""
+    tokenization, stride arithmetic (starts capped at n - overlap so
+    no tail chunk is fully contained in its predecessor — r10 verdict
+    task 4), and window slices — the chunk TEXT itself is
+    value-checked, so an off-by-one in either the starts or the slice
+    mismatches."""
     from daft_spark.operators.sampling import chunk_text
 
     return chunk_text(
@@ -1406,3 +1409,185 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from daft_spark.operators.repetition import top_ngrams
 
     return top_ngrams(_docs(spark, sf_dir), "text", "doc_id", n=2, k=50)
+
+
+@register(
+    "pipeline_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_concat(t,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+               AS g
+      FROM toks),
+    b AS (
+      SELECT doc_id, source,
+             CAST(floor(
+               list_sum(list_transform(range(1, 14), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(g || 'dsir'), i, 1)) - 1)
+                 * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 * 1024) AS INT)
+               AS bucket
+      FROM grams),
+    qc AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    pc AS (SELECT bucket, count(*) AS cnt_p FROM b WHERE source = 'src0'
+           GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT sum(cnt_p) FROM pc) AS np,
+             (SELECT sum(cnt) FROM qc) AS nq),
+    ratio AS (
+      SELECT coalesce(qc.bucket, pc.bucket) AS bucket,
+             ln((coalesce(cnt_p, 0) + 0.01) / (np + 0.01 * 1024))
+             - ln((coalesce(cnt, 0) + 0.01) / (nq + 0.01 * 1024)) AS lr
+      FROM qc FULL JOIN pc ON qc.bucket = pc.bucket CROSS JOIN tot)
+    SELECT d.doc_id,
+           CAST(count(b.bucket) AS BIGINT) AS n_grams,
+           round(coalesce(sum(r.lr), 0.0), 6) AS log_weight
+    FROM documents d
+    LEFT JOIN b ON d.doc_id = b.doc_id
+    LEFT JOIN ratio r ON b.bucket = r.bucket
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py dsir_log_weights —
+    Xie et al. 2023 importance resampling): every document's hashed
+    unigram+bigram log p_target/q_raw weight toward the src0 domain.
+    The oracle replays the identical tokenization, bigram assembly,
+    52-bit md5 bucket hash, smoothed multinomials, and per-doc log-sum
+    — every weight value-checked. Plan shape: two keys-only bucket
+    aggregations + a broadcast ratio join; text never shuffles
+    (asserted in tests/test_plans.py)."""
+    from daft_spark.operators.dsir import dsir_log_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_log_weights(
+        d, d.filter(F.col("source") == "src0")
+    ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_dsir_select",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_concat(t,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+               AS g
+      FROM toks),
+    b AS (
+      SELECT doc_id, source,
+             CAST(floor(
+               list_sum(list_transform(range(1, 14), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(g || 'dsir'), i, 1)) - 1)
+                 * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 * 1024) AS INT)
+               AS bucket
+      FROM grams),
+    qc AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    pc AS (SELECT bucket, count(*) AS cnt_p FROM b WHERE source = 'src0'
+           GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT sum(cnt_p) FROM pc) AS np,
+             (SELECT sum(cnt) FROM qc) AS nq),
+    ratio AS (
+      SELECT coalesce(qc.bucket, pc.bucket) AS bucket,
+             ln((coalesce(cnt_p, 0) + 0.01) / (np + 0.01 * 1024))
+             - ln((coalesce(cnt, 0) + 0.01) / (nq + 0.01 * 1024)) AS lr
+      FROM qc FULL JOIN pc ON qc.bucket = pc.bucket CROSS JOIN tot),
+    w AS (
+      SELECT d.doc_id,
+             CAST(count(b.bucket) AS BIGINT) AS n_grams,
+             round(coalesce(sum(r.lr), 0.0), 6) AS log_weight
+      FROM documents d
+      LEFT JOIN b ON d.doc_id = b.doc_id
+      LEFT JOIN ratio r ON b.bucket = r.bucket
+      GROUP BY d.doc_id),
+    u AS (
+      SELECT doc_id, n_grams, log_weight,
+             list_sum(list_transform(range(1, 14), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || 'dsirg'), i, 1))
+                - 1) * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 AS x
+      FROM w)
+    SELECT doc_id, n_grams, log_weight,
+           round(log_weight - ln(-ln(x)), 6) AS key
+    FROM u ORDER BY key DESC, doc_id LIMIT 25
+    """,
+)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k selection (operators/dsir.py dsir_select —
+    the paper's sampling-without-replacement): top-25 documents by
+    log_weight + Gumbel(md5) noise toward the src0 domain. Exact
+    oracle: the deterministic Gumbel draw and the (key desc, id)
+    ordering replay bit-identically; the plan is
+    TakeOrderedAndProject, never a global sort."""
+    from daft_spark.operators.dsir import dsir_select
+
+    d = _docs(spark, sf_dir)
+    return dsir_select(d, d.filter(F.col("source") == "src0"), k=25)
+
+
+@register(
+    "text_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    stats AS (
+      SELECT count(*) AS n, avg(len(t)) AS avgdl,
+             sum(CASE WHEN len(list_filter(t, x -> x = 'hash')) > 0
+                 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN len(list_filter(t, x -> x = 'join')) > 0
+                 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN len(list_filter(t, x -> x = 'spark')) > 0
+                 THEN 1 ELSE 0 END) AS df2
+      FROM toks),
+    scored AS (
+      SELECT doc_id, CAST(len(t) AS INT) AS doc_len,
+             round(
+               ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+                 * CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE) * 2.2
+                 / (CAST(len(list_filter(t, x -> x = 'hash')) AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+               + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                 * CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) * 2.2
+                 / (CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+               + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                 * CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) * 2.2
+                 / (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * len(t) / avgdl)), 6) AS score,
+             CAST((CASE WHEN len(list_filter(t, x -> x = 'hash')) > 0
+                   THEN 1 ELSE 0 END)
+                + (CASE WHEN len(list_filter(t, x -> x = 'join')) > 0
+                   THEN 1 ELSE 0 END)
+                + (CASE WHEN len(list_filter(t, x -> x = 'spark')) > 0
+                   THEN 1 ELSE 0 END) AS INT) AS n_hit_terms
+      FROM toks CROSS JOIN stats)
+    SELECT doc_id, doc_len, score, n_hit_terms
+    FROM scored WHERE n_hit_terms > 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval (operators/retrieval.py bm25_topk —
+    Robertson/Lucene idf, k1=1.2 b=0.75) for the query
+    'hash join spark' over the corpus. The oracle replays the exact
+    per-term tf/df/idf arithmetic and the (score desc, id) tiebreak —
+    every score value-checked to 6 decimals. Plan: one fixed-width
+    stats aggregation broadcast onto a single corpus scan +
+    TakeOrderedAndProject (asserted in tests/test_plans.py)."""
+    from daft_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), ["hash", "join", "spark"], k=20
+    )

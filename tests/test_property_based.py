@@ -135,8 +135,11 @@ def test_read_generator_custom_source(spark):
 )
 def test_chunk_text_matches_python_model(spark, docs, chunk, ov):
     """chunk_text == the obvious python model: windows at stride
-    (chunk - overlap) starting 0, stride, ... while start < n; each
-    window is tokens[start : start + chunk]."""
+    (chunk - overlap) starting 0, stride, ... while start <=
+    max(n - overlap - 1, 0) — the cap keeps any tail window from being
+    fully contained in its predecessor (r10 verdict task 4); each
+    window is tokens[start : start + chunk]. Plus the containment
+    invariant itself: no chunk inside another, full token coverage."""
     from daft_spark.operators.sampling import chunk_text
 
     ov = min(ov, chunk - 1)
@@ -150,12 +153,28 @@ def test_chunk_text_matches_python_model(spark, docs, chunk, ov):
     stride = chunk - ov
     for i, toks in enumerate(docs):
         words = [f"w{t}" for t in toks]
+        if not words:
+            continue  # empty documents yield no chunks
         cid = 0
-        for start in range(0, len(words), stride):
+        last_start = max(len(words) - ov - 1, 0)
+        for start in range(0, last_start + 1, stride):
             w = words[start: start + chunk]
             exp[(i, cid)] = (start, len(w), " ".join(w))
             cid += 1
     assert got == exp
+    # containment + coverage invariants per document
+    for i, toks in enumerate(docs):
+        spans = sorted(
+            (s, s + n) for (d, _c), (s, n, _t) in got.items() if d == i
+        )
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e))
+        assert covered == set(range(len(toks)))
+        for a, (s1, e1) in enumerate(spans):
+            for b, (s2, e2) in enumerate(spans):
+                if a != b:
+                    assert not (s1 <= s2 and e2 <= e1), (i, spans)
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
