@@ -80,6 +80,17 @@ HEADLINE = [
     # 0.619] = 3.37x — at the suite's published paired ratio, so the
     # headline total stays interpretable round over round.
     "text_lm_perplexity",
+    # r11 additions (r10 verdict task 5; idle A/B receipts in
+    # probes/PIPELINE_HEADLINE_AB_r11.json). mix_split_pack is the
+    # verdict's named selection-to-layout composition — 8.6x at sf0.1
+    # is 7 stages of fixed cost over 0.23 s of DuckDB work; included
+    # FOR the sf1/sf10 scale curve (the window moves (id, n_tokens)
+    # keys only). dsir_weights is the new DSIR family's data-heavy
+    # representative at 0.98x parity. Old-mix totals remain
+    # recomputable: sum the per-query medians over the r10 HEADLINE
+    # names (these two appended last).
+    "pipeline_mix_split_pack",
+    "pipeline_dsir_weights",
 ]
 
 
