@@ -29,6 +29,11 @@ from daft_spark.operators.dedup import (  # noqa: F401
     simhash_near_dups,
     simhash_signatures,
 )
+from daft_spark.operators.classifier import (  # noqa: F401
+    quality_auc,
+    score_quality,
+    train_quality_classifier,
+)
 from daft_spark.operators.dsir import dsir_log_weights, dsir_select  # noqa: F401
 from daft_spark.operators.lm import bigram_lm_scores, perplexity_buckets  # noqa: F401
 from daft_spark.operators.pca import (  # noqa: F401

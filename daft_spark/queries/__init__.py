@@ -140,8 +140,18 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # io_push_sink_roundtrip, io_text_roundtrip, mm_classify_text,
 # mm_embed_text, mm_image_decode, mm_llm_generate, mm_url_download,
 # mm_video_frames, rel_sample_seeded, sql_rest_catalog,
-# sql_table_function — followed by any post-freeze r11 registrations,
-# then the stalest r8 rows. After r12 no green row will predate r8.
+# sql_table_function — followed by the post-freeze r11 registrations
+# (all exact/invariant-oracle-green in pytest at sf0.001 AND sf0.01
+# this round, 224/224 replay): sim_ann_quantized_ivf (int8 kernel over
+# IVF-blocked candidates, recall floor), rel_key_skew_report_approx
+# (percentile_approx scale default, GK rank-error contract),
+# pipeline_dsir_weights + pipeline_dsir_select (Xie et al. importance
+# resampling, exact md5-bucket + Gumbel replay), text_bm25_topk
+# (Robertson BM25, scores value-checked), sim_pca_whiten (one-pass
+# Gramian PCA + whitening, invariants), pipeline_quality_classifier
+# (logistic-regression curation classifier, AUC/range/conservation
+# invariants) — then the stalest r8 rows.
+# After r12 no green row will predate r8.
 #
 # ROUND-11 ROTATION NOTE (r10 bookkeeping): queries registered AFTER the frozen r10
 # window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue

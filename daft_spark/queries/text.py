@@ -1591,3 +1591,58 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _docs(spark, sf_dir), ["hash", "join", "spark"], k=20
     )
+
+
+@register(
+    "pipeline_quality_classifier",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_scored,
+           TRUE AS auc_ge_090,
+           TRUE AS scores_in_unit_interval
+    FROM documents
+    """,
+    comparable=False,
+)
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier curation stage (operators/classifier.py —
+    the GPT-3/LLaMA recipe: logistic regression on hashed n-gram
+    features, positives = target corpus, negatives = raw sample; score
+    the whole corpus and filter). Trained here on a content-defined
+    target (documents mentioning 'vector' >= 3 times) against docs
+    with <= 1 mention, then scores EVERY document. Gradient sums are
+    float-order dependent (weights carry ~1e-12 drift across
+    partitionings), so the driver checks INVARIANTS computed from the
+    real model + scores: row conservation (exact), ROC AUC >= 0.9 on
+    the labeled subset (the classifier must actually recover the
+    generating rule from hashed buckets; measured ~0.99), and every
+    score inside [0, 1]."""
+    from daft_spark.functions.text import words
+    from daft_spark.operators.classifier import (
+        quality_auc,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = _docs(spark, sf_dir)
+    vcnt = F.size(F.filter(words(F.col("text")), lambda t: t == F.lit("vector")))
+    lab = d.select("doc_id", "text", vcnt.alias("__v"))
+    train = lab.filter(F.col("doc_id") < 400)
+    model = train_quality_classifier(
+        train.filter(F.col("__v") >= 3),
+        train.filter(F.col("__v") <= 1),
+        iters=8,
+    )
+    scores = score_quality(d, model).persist()
+    labels = lab.filter(F.col("__v") != 2).select(
+        "doc_id", (F.col("__v") >= 3).alias("y")
+    )
+    auc = quality_auc(scores, labels)
+    rng = scores.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("quality_score").alias("lo"),
+        F.max("quality_score").alias("hi"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(rng["n"], bool(auc >= 0.9), bool(0.0 <= rng["lo"] and rng["hi"] <= 1.0))],
+        "n_scored bigint, auc_ge_090 boolean, scores_in_unit_interval boolean",
+    )

@@ -709,3 +709,55 @@ def test_dsir_weights_edges_and_direction(spark):
     assert [r["doc_id"] for r in top] == sorted(
         w, key=lambda i: (-w[i]["log_weight"], i)
     )[:2]
+
+
+def test_quality_classifier_separates_and_score_margin_is_normalized(spark):
+    """train_quality_classifier reaches AUC 1.0 on a cleanly separable
+    vocabulary split, and score_quality's margin is the NORMALIZED
+    sum_b (c_b / n) w_b + bias (regression: an early version
+    re-multiplied by n_grams, washing out the normalization)."""
+    import math
+    import random
+
+    from daft_spark.operators.classifier import (
+        quality_auc,
+        score_quality,
+        train_quality_classifier,
+    )
+    from daft_spark.operators.dsir import _gram_buckets
+
+    rng = random.Random(3)
+    posw = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    negw = ["omega", "sigma", "tau", "phi", "chi"]
+    shared = ["the", "of", "and", "data", "model"]
+
+    def mk(words):
+        return " ".join(rng.choice(words + shared) for _ in range(40))
+
+    pos = spark.createDataFrame(
+        [(i, mk(posw)) for i in range(60)], "doc_id long, text string"
+    )
+    neg = spark.createDataFrame(
+        [(i, mk(negw)) for i in range(60)], "doc_id long, text string"
+    )
+    model = train_quality_classifier(pos, neg, iters=10)
+    both = pos.select("doc_id", "text", F.lit(1).alias("y")).unionByName(
+        neg.select((F.col("doc_id") + 1000).alias("doc_id"), "text", F.lit(0).alias("y"))
+    )
+    scores = score_quality(both, model)
+    assert quality_auc(scores, both.select("doc_id", "y")) == 1.0
+    # margin replay for one doc: python model over the engine's buckets
+    doc = both.filter(F.col("doc_id") == 0)
+    buckets = doc.select(
+        F.explode(_gram_buckets("text", model["n_buckets"], model["salt"])).alias("b")
+    ).collect()
+    ws = sum(model["weights"].get(r["b"], 0.0) for r in buckets)
+    expect = 1.0 / (1.0 + math.exp(-(ws / len(buckets) + model["bias"])))
+    got = scores.filter(F.col("doc_id") == 0).collect()[0]["quality_score"]
+    assert abs(got - expect) < 1e-12
+    # empty doc scores sigmoid(bias) with n_grams 0
+    e = score_quality(
+        spark.createDataFrame([(9, "")], "doc_id long, text string"), model
+    ).collect()[0]
+    assert e["n_grams"] == 0
+    assert abs(e["quality_score"] - 1.0 / (1.0 + math.exp(-model["bias"]))) < 1e-12
