@@ -162,9 +162,18 @@ def main() -> None:
     # of all passes of one — the median then rejects it. Each Spark
     # pass is immediately followed by the SAME query's DuckDB pass
     # (time-adjacent pairing) so per-pass ratios share ambient load.
+    #
+    # A full JVM GC runs between sweeps: the r11 headline additions
+    # materialize tens of millions of gram rows at sf1/sf10, and the
+    # garbage they leave at the END of sweep i taxed the EARLY queries
+    # of sweep i+1 (r11 measurement: r8-mix per-sweep ratios
+    # [3.06, 4.04, 3.36] at sf10 — sweep 0 matches r10's 3.02, later
+    # sweeps inflate). Collecting between sweeps makes each sweep
+    # measure its own queries' cost, not its predecessor's garbage.
     passes: dict[str, list[float]] = {n: [] for n in names}
     dpasses: dict[str, list[float]] = {}
     for _ in range(WARM_PASSES):
+        _jvm_gc(spark)
         for name in names:
             if name not in failed:
                 t0 = time.perf_counter()
@@ -313,6 +322,15 @@ def _materialize(df) -> None:
         df.toArrow()
     except Exception:
         df.collect()
+
+
+def _jvm_gc(spark) -> None:
+    """Request a full JVM collection (driver == executor in local
+    mode). Measurement hygiene only — see the sweep loop comment."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def _duckdb_connect():
