@@ -35,6 +35,7 @@ from daft_spark.operators.classifier import (  # noqa: F401
     train_quality_classifier,
 )
 from daft_spark.operators.dsir import dsir_log_weights, dsir_select  # noqa: F401
+from daft_spark.operators.fuzzy import fuzzy_join, fuzzy_pairs  # noqa: F401
 from daft_spark.operators.lm import bigram_lm_scores, perplexity_buckets  # noqa: F401
 from daft_spark.operators.pca import (  # noqa: F401
     embedding_pca,

@@ -150,8 +150,9 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # (Robertson BM25, scores value-checked), sim_pca_whiten (one-pass
 # Gramian PCA + whitening, invariants), pipeline_quality_classifier
 # (logistic-regression curation classifier, AUC/range/conservation
-# invariants) — then the stalest r8 rows.
-# After r12 no green row will predate r8.
+# invariants), dedup_fuzzy_pairs (Ed-Join prefix-filtered edit-
+# distance join, brute-force-oracled completeness) — then the
+# stalest r8 rows. After r12 no green row will predate r8.
 #
 # ROUND-11 ROTATION NOTE (r10 bookkeeping): queries registered AFTER the frozen r10
 # window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue

@@ -740,3 +740,32 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(
         _docs(spark, sf_dir), "text", "doc_id", window_k=20, keep="first"
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_fuzzy_pairs",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < 400)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-join dedup edges (operators/fuzzy.py — Ed-Join q-gram
+    prefix filtering + thresholded Levenshtein verify): every customer
+    pair within edit distance 1, found via each string's k*q+1 RAREST
+    grams, never a cross join. The oracle is the BRUTE-FORCE
+    levenshtein join, so a single pair missed by the blocking (not
+    just mis-scored) hash-mismatches — the completeness theorem is
+    value-checked, not assumed. Compose with
+    near_dup_resolve(extra_edges=...) for fuzzy dedup resolution."""
+    from daft_spark.operators.fuzzy import fuzzy_pairs
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    return fuzzy_pairs(c, "c_name", "c_custkey", max_distance=1, q=3).orderBy(
+        "id_a", "id_b"
+    )

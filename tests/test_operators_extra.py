@@ -761,3 +761,61 @@ def test_quality_classifier_separates_and_score_margin_is_normalized(spark):
     ).collect()[0]
     assert e["n_grams"] == 0
     assert abs(e["quality_score"] - 1.0 / (1.0 + math.exp(-model["bias"]))) < 1e-12
+
+
+def test_fuzzy_join_completeness_and_plan(spark):
+    """fuzzy_pairs == brute force for a mixed long/short corpus with
+    known matches at every distance; asymmetric fuzzy_join works; and
+    the plan has no corpus-level cross join (the short path's band
+    join is an equi-join on __band)."""
+    from daft_spark.operators.fuzzy import fuzzy_join, fuzzy_pairs
+
+    rows = [
+        (1, "johnathan smith"), (2, "jonathan smith"), (3, "jonathan smyth"),
+        (4, "completely other"), (5, "abc"), (6, "abd"), (7, "ab"),
+        (8, "johnathan smith"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs(df, "s", "doc_id", max_distance=2).collect()
+    )
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0 or j == 0:
+                return i + j
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    exp = sorted(
+        (ia, ib, lev(sa, sb))
+        for ia, sa in rows
+        for ib, sb in rows
+        if ia < ib and lev(sa, sb) <= 2
+    )
+    assert got == exp
+    # exact duplicates appear at distance 0
+    assert (1, 8, 0) in got
+    # asymmetric two-frame join
+    left = spark.createDataFrame([(10, "spark engine")], "id_a long, name string")
+    right = spark.createDataFrame(
+        [(20, "spark enjine"), (21, "flink engine")], "id_b long, nm string"
+    )
+    j = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_join(left, right, "name", "nm", max_distance=1).collect()
+    )
+    assert j == [(10, 20, 1)]
+    plan = fuzzy_pairs(df, "s", "doc_id", max_distance=1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
