@@ -151,7 +151,9 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # Gramian PCA + whitening, invariants), pipeline_quality_classifier
 # (logistic-regression curation classifier, AUC/range/conservation
 # invariants), dedup_fuzzy_pairs (Ed-Join prefix-filtered edit-
-# distance join, brute-force-oracled completeness) — then the
+# distance join, brute-force-oracled completeness) and dedup_fuzzy_resolve
+# (fuzzy edges through the unified resolution, whole-pipeline
+# recursive-CTE oracle) — then the
 # stalest r8 rows. After r12 no green row will predate r8.
 #
 # ROUND-11 ROTATION NOTE (r10 bookkeeping): queries registered AFTER the frozen r10

@@ -769,3 +769,53 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(c, "c_name", "c_custkey", max_distance=1, q=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "dedup_fuzzy_resolve",
+    """
+    WITH RECURSIVE c AS (
+      SELECT c_custkey AS doc_id, c_name FROM customer
+      WHERE c_custkey < 400),
+    uniq AS (SELECT min(doc_id) AS rep, c_name FROM c GROUP BY c_name),
+    fz AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM c a JOIN c b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    star AS (
+      SELECT u.rep AS id_a, d.doc_id AS id_b
+      FROM c d JOIN uniq u ON d.c_name = u.c_name AND d.doc_id <> u.rep),
+    edges AS (
+      SELECT id_a, id_b FROM fz UNION SELECT id_b, id_a FROM fz
+      UNION SELECT id_a, id_b FROM star UNION SELECT id_b, id_a FROM star),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM c
+      UNION
+      SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.node)
+    SELECT CAST(node AS BIGINT) AS c_custkey,
+           CAST(min(lbl) AS BIGINT) AS cluster_id,
+           node = min(lbl) AS is_representative
+    FROM reach GROUP BY node ORDER BY c_custkey
+    """,
+)
+def dedup_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy edges folded into the unified dedup resolution:
+    fuzzy_pairs (Ed-Join prefix-filtered levenshtein <= 1) feeds
+    near_dup_resolve(extra_edges=...) — exact collapse, star edges,
+    one hash-to-min connected-components pass. Every stage is
+    deterministic, so the oracle replays the WHOLE pipeline: the
+    brute-force edit-distance edge set (blocking completeness checked
+    again, through the composition this time) and the transitive
+    closure via a recursive CTE — a lost edge or premature CC
+    convergence mismatches."""
+    from daft_spark.operators.dedup import near_dup_resolve
+    from daft_spark.operators.fuzzy import fuzzy_pairs
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    edges = fuzzy_pairs(c, "c_name", "c_custkey", max_distance=1, q=3)
+    r = near_dup_resolve(
+        c, "c_name", "c_custkey", edge_sources=(), extra_edges=edges
+    )
+    return r.select(
+        "c_custkey", "cluster_id", "is_representative"
+    ).orderBy("c_custkey")
