@@ -43,6 +43,10 @@ from daft_spark.operators.pca import (  # noqa: F401
     pca_transform,
 )
 from daft_spark.operators.retrieval import bm25_score, bm25_topk  # noqa: F401
+from daft_spark.operators.range_join import (  # noqa: F401
+    interval_overlap_join,
+    point_in_interval_join,
+)
 from daft_spark.operators.repetition import (  # noqa: F401
     ngram_repetition_fractions,
     top_ngrams,

@@ -153,8 +153,9 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # invariants), dedup_fuzzy_pairs (Ed-Join prefix-filtered edit-
 # distance join, brute-force-oracled completeness) and dedup_fuzzy_resolve
 # (fuzzy edges through the unified resolution, whole-pipeline
-# recursive-CTE oracle) — then the
-# stalest r8 rows. After r12 no green row will predate r8.
+# recursive-CTE oracle), rel_range_join + rel_interval_overlap
+# (binned grid range joins, brute-force-oracled exactly-once) — then
+# the stalest r8 rows. After r12 no green row will predate r8.
 #
 # ROUND-11 ROTATION NOTE (r10 bookkeeping): queries registered AFTER the frozen r10
 # window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue

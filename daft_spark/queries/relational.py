@@ -664,3 +664,71 @@ def rel_key_skew_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(checks))
         .orderBy("rank")
     )
+
+
+@register(
+    "rel_range_join",
+    """
+    SELECT c.c_custkey, s.s_suppkey,
+           c.c_acctbal AS point, s.s_acctbal - 10 AS lo, s.s_acctbal + 10 AS hi
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal BETWEEN s.s_acctbal - 10 AND s.s_acctbal + 10
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN (operators/range_join.py): every
+    (customer, supplier) pair with c_acctbal inside s_acctbal +- 10,
+    via the binned grid (intervals replicate to covered bins keys-only,
+    the join is a plain equi-join on the bin id, the exact BETWEEN is
+    the residual) — never a BroadcastNestedLoopJoin (plan-asserted in
+    tests/test_plans.py). Each qualifying pair appears exactly once
+    because a point lives in exactly one bin. The oracle is the
+    brute-force BETWEEN join — grid completeness and the exactly-once
+    property are both value-checked."""
+    from daft_spark.operators.range_join import point_in_interval_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 10).alias("lo"),
+        (F.col("s_acctbal") + 10).alias("hi"),
+    )
+    out = point_in_interval_join(cust, supp, "c_acctbal", "lo", "hi", bin_size=20.0)
+    return out.select(
+        "c_custkey", "s_suppkey", F.col("c_acctbal").alias("point"), "lo", "hi"
+    ).orderBy("c_custkey", "s_suppkey")
+
+
+@register(
+    "rel_interval_overlap",
+    """
+    SELECT c.c_custkey, s.s_suppkey
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal - 5 <= s.s_acctbal + 5
+     AND s.s_acctbal - 5 <= c.c_acctbal + 5
+    ORDER BY c_custkey, s_suppkey
+    """,
+)
+def rel_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/range_join.py): customer and
+    supplier +-5 account-balance windows that intersect. Both sides
+    replicate onto the grid; a pair is emitted ONLY in the bin owning
+    the overlap's left edge, so the result is exactly-once without a
+    distinct. Oracle = the brute-force overlap predicate."""
+    from daft_spark.operators.range_join import interval_overlap_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") - 5).alias("c_lo"),
+        (F.col("c_acctbal") + 5).alias("c_hi"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 5).alias("s_lo"),
+        (F.col("s_acctbal") + 5).alias("s_hi"),
+    )
+    out = interval_overlap_join(
+        cust, supp, "c_lo", "c_hi", "s_lo", "s_hi", bin_size=10.0
+    )
+    return out.select("c_custkey", "s_suppkey").orderBy("c_custkey", "s_suppkey")

@@ -819,3 +819,68 @@ def test_fuzzy_join_completeness_and_plan(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_range_joins_match_python_model_and_plan(spark):
+    """Binned range joins == the brute-force predicate for random
+    intervals spanning many bins (exactly-once: result sizes equal,
+    no duplicates), inclusive bounds honored, and no
+    BroadcastNestedLoopJoin / CartesianProduct in either plan."""
+    import random
+
+    from daft_spark.operators.range_join import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    rng = random.Random(9)
+    pts = [(i, rng.uniform(-50, 50)) for i in range(120)]
+    ivs = []
+    for j in range(40):
+        lo = rng.uniform(-60, 50)
+        ivs.append((j, lo, lo + rng.uniform(0, 25)))  # spans up to 5 bins
+    p = spark.createDataFrame(pts, "pid long, x double")
+    v = spark.createDataFrame(ivs, "vid long, lo double, hi double")
+    out = point_in_interval_join(p, v, "x", "lo", "hi", bin_size=5.0)
+    got = sorted((r["pid"], r["vid"]) for r in out.collect())
+    exp = sorted(
+        (pi, vi) for pi, x in pts for vi, lo, hi in ivs if lo <= x <= hi
+    )
+    assert got == exp  # equality of sorted MULTISETS => exactly-once
+    # exclusive bounds
+    p2 = spark.createDataFrame([(1, 5.0), (2, 7.0)], "pid long, x double")
+    v2 = spark.createDataFrame([(9, 5.0, 7.0)], "vid long, lo double, hi double")
+    assert point_in_interval_join(
+        p2, v2, "x", "lo", "hi", 2.0, inclusive="neither"
+    ).count() == 0
+    assert point_in_interval_join(
+        p2, v2, "x", "lo", "hi", 2.0, inclusive="left"
+    ).collect()[0]["pid"] == 1
+    # overlap join vs model
+    lv = [(i, lo, lo + rng.uniform(0, 12)) for i, lo in
+          ((i, rng.uniform(-40, 40)) for i in range(50))]
+    rv = [(100 + i, lo, lo + rng.uniform(0, 12)) for i, lo in
+          ((i, rng.uniform(-40, 40)) for i in range(50))]
+    a = spark.createDataFrame(lv, "ida long, sa double, ea double")
+    b = spark.createDataFrame(rv, "idb long, sb double, eb double")
+    got2 = sorted(
+        (r["ida"], r["idb"])
+        for r in interval_overlap_join(a, b, "sa", "ea", "sb", "eb", 4.0).collect()
+    )
+    exp2 = sorted(
+        (ia, ib)
+        for ia, s1, e1 in lv
+        for ib, s2, e2 in rv
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got2 == exp2
+    for df in (out, interval_overlap_join(a, b, "sa", "ea", "sb", "eb", 4.0)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bin_size"):
+        point_in_interval_join(p, v, "x", "lo", "hi", 0)
+    with _pytest.raises(ValueError, match="colliding"):
+        point_in_interval_join(p, p.withColumnRenamed("pid", "q"), "x", "x", "x", 1.0)
