@@ -958,3 +958,135 @@ def remove_duplicated_spans(
         (F.size("__arr") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def remove_duplicated_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    min_occurrences: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """CORPUS-LEVEL LINE DEDUP — the RefinedWeb / MassiveText "remove
+    exact duplicated lines across documents" stage (Penedo et al. 2023
+    §"line-wise corrections"; the C4 pipeline's three-sentence-span
+    analogue): split every document on ``sep``, count each line's
+    occurrences across the WHOLE corpus, and blank every occurrence of
+    a line appearing >= ``min_occurrences`` times — except the
+    canonical first one (``keep='first'``: the minimum (doc_id, pos)
+    occurrence, the deterministic cross-engine tiebreak) or all of
+    them (``keep='none'``, the RefinedWeb choice for boilerplate).
+    Returns (id, n_lines, n_removed, clean_text) with surviving lines
+    rejoined on ``sep``; a fully-boilerplate document comes back with
+    clean_text = '' (filter on n_lines > n_removed to drop).
+
+    Complements ``remove_duplicated_spans`` (token-window granularity,
+    Lee et al.) with the line granularity production web pipelines
+    use: nav bars, cookie banners, and footers repeat VERBATIM as
+    whole lines, so line-hash equality catches them without the
+    rolling-window cost.
+
+    100 TB posture: lines hash IN-ROW (the exploded frame is
+    (doc_id, pos, line_hash) — 20 bytes/line, never text); the
+    occurrence count and keep-first winner are ONE map-side-combining
+    groupBy over the 8-byte hash; removal positions flow back as a
+    keys-only join folded to one small int array per affected doc;
+    the blanking is an in-row array filter — document text never
+    shuffles. Reference surface: the reference ships text utilities
+    and dedup kernels (src/daft-minhash/) but no line-dedup operator;
+    this is the pipeline-level extension its users run downstream.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if min_occurrences < 2:
+        raise ValueError("min_occurrences must be >= 2")
+    import re as _re
+
+    arr = F.split(F.col(text_col), _re.escape(sep))
+    base = df.select(F.col(id_col), arr.alias("__lines"))
+    w = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(F.col("__lines"), lambda l: F.xxhash64(l))
+        ).alias("__i", "__h"),
+    )
+    per_hash = w.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct(F.col("__id"), F.col("__i"))).alias("__keep"),
+    )
+    hits = w.join(per_hash.filter(F.col("__n") >= min_occurrences), "__h")
+    if keep == "first":
+        hits = hits.filter(
+            ~(
+                (F.col("__id") == F.col("__keep.__id"))
+                & (F.col("__i") == F.col("__keep.__i"))
+            )
+        )
+    rm = hits.groupBy("__id").agg(F.collect_set("__i").alias("__rm"))
+    joined = base.join(rm.withColumnRenamed("__id", id_col), id_col, "left")
+    no_rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__lines"), lambda x, j: ~F.array_contains(no_rm, j)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__lines").cast("long").alias("n_lines"),
+        (F.size("__lines") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(sep, kept).alias("clean_text"),
+    )
+
+
+def incremental_novel(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    normalized: bool = False,
+) -> DataFrame:
+    """INCREMENTAL DEDUP — the production shape of exact dedup: a new
+    ingest ``batch`` is checked against an EXISTING ``corpus`` without
+    re-deduplicating the corpus itself (the daily-crawl-vs-100 TB-index
+    case). A batch document survives iff its content hash appears
+    nowhere in the corpus AND it is the first occurrence within the
+    batch (minimum id — the deterministic representative, same
+    convention as ``exact_dedup``). Returns (id, n_copies) where
+    n_copies counts the batch-internal copies of the surviving text;
+    join back on id for payloads.
+
+    ``normalized=True`` dedups on the canonical ``normalize_text``
+    form instead of raw text.
+
+    100 TB posture: both sides reduce to (xxhash64(text), length)
+    16-byte keys IN-ROW before any exchange; the corpus side
+    pre-collapses to DISTINCT keys (map-side combine — the corpus
+    text never shuffles and its key set is the only thing exchanged),
+    then one LEFT ANTI join keyed on the hash and one
+    map-side-combining groupBy within the batch. An ingest pipeline
+    persists the corpus key frame once and reuses it per batch.
+    Equivalent to text equality absent a 64-bit-hash+length collision
+    (the ``exact_dedup`` caveat); the oracle states the text
+    semantics directly."""
+    key = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    ck = (
+        corpus.select(
+            F.xxhash64(key).alias("__h"), F.length(key).alias("__len")
+        )
+        .groupBy("__h", "__len")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    bk = batch.select(
+        F.col(id_col),
+        F.xxhash64(key).alias("__h"),
+        F.length(key).alias("__len"),
+    )
+    novel = bk.join(ck, ["__h", "__len"], "left_anti")
+    return (
+        novel.groupBy("__h", "__len")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )

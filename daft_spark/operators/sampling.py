@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "stratified_sample", "token_budget_select", "pack_sequences",
     "hash_split", "mixture_weights", "apply_mixture", "chunk_text",
+    "temperature_mixture", "reservoir_sample", "length_histogram",
 ]
 
 
@@ -379,4 +380,191 @@ def chunk_text(
         (F.col("__start") - 1).cast("int").alias("start_token"),
         F.size(window).cast("int").alias("n_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    by: list[str],
+    budget: float,
+    temperature: float = 1.0,
+    max_epochs: float = 1.0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """UNIMAX / TEMPERATURE-SAMPLING BUDGET ALLOCATION (Chung et al.
+    2023, "UniMax: Fairer and More Effective Language Sampling"): given
+    per-group corpus weights c_g (token counts via ``weight_col``, row
+    counts when None), split a training ``budget`` B across groups
+    with sampling preference p_g = c_g^(1/temperature) under the
+    epoch cap alloc_g <= max_epochs * c_g — the published fix for
+    temperature sampling over-epoching tail languages. The exact
+    water-filling solution: alloc_g = min(cap_g, theta * p_g) with
+    theta solving sum_g alloc_g = B, closed-form via one sort by
+    cap/p and cumulative sums (no iteration). temperature=1
+    reproduces proportional sampling truncated by the cap;
+    temperature -> inf approaches UniMax's uniform split.
+
+    Returns per group: (group, weight, capacity, pref_share, alloc,
+    epochs, budget_share), shares/epochs rounded to 6 decimals. When
+    the whole corpus fits (sum cap <= B) every group is capped and
+    the budget is left unfilled — check sum(alloc).
+
+    Cross-engine determinism: with temperature in {1, 2} the
+    preference uses identity/sqrt (IEEE-exact in any engine); other
+    temperatures go through pow(), which is not guaranteed correctly
+    rounded across libms — fine in production, avoided in oracles.
+
+    Scale: one map-side-combining groupBy collapses the corpus to
+    #groups rows; the water-filling runs on that audit-size frame
+    (windows over a single partition by construction — documents
+    never shuffle). Compose with ``apply_mixture`` (rates =
+    alloc/weight as sample_rate) to materialize the mix."""
+    if len(by) != 1:
+        raise ValueError("temperature_mixture takes exactly one grouping column")
+    if budget <= 0 or max_epochs <= 0 or temperature < 1.0:
+        raise ValueError("budget/max_epochs must be > 0 and temperature >= 1")
+    key = by[0]
+    w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
+    g = df.groupBy(key).agg(F.sum(w).alias("__c"))
+    if temperature == 1.0:
+        pref = F.col("__c")
+    elif temperature == 2.0:
+        pref = F.sqrt(F.col("__c"))
+    else:
+        pref = F.pow(F.col("__c"), 1.0 / temperature)
+    g = g.select(
+        key,
+        "__c",
+        pref.alias("__p"),
+        (F.col("__c") * F.lit(float(max_epochs))).alias("__cap"),
+    ).withColumn("__r", F.col("__cap") / F.col("__p"))
+    # Water level theta: sort by r = cap/p; groups with r <= theta
+    # saturate at cap, the rest get theta * p. On the sorted frame the
+    # unique consistent theta is (B - S_{k})/P_{>k} for the k where it
+    # falls in [r_k, r_{k+1}).
+    ws = Window.orderBy("__r", key)
+    wcum = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        g.withColumn("__sprev", F.sum("__cap").over(wcum) - F.col("__cap"))
+        .withColumn("__pafter", F.sum("__p").over(ws.rowsBetween(0, Window.unboundedFollowing)))
+        .withColumn("__rprev", F.lag("__r").over(ws))
+        .withColumn(
+            "__theta_cand",
+            (F.lit(float(budget)) - F.col("__sprev")) / F.col("__pafter"),
+        )
+        .withColumn(
+            "__valid",
+            (F.col("__rprev").isNull() | (F.col("__rprev") <= F.col("__theta_cand")))
+            & (F.col("__theta_cand") < F.col("__r")),
+        )
+    )
+    theta_row = ranked.agg(
+        F.max(F.when(F.col("__valid"), F.col("__theta_cand"))).alias("__theta")
+    )
+    out = g.crossJoin(F.broadcast(theta_row)).select(
+        key,
+        F.col("__c").alias("weight"),
+        F.col("__cap").alias("capacity"),
+        "__p",
+        "__c",
+        F.when(
+            F.col("__theta").isNull() | (F.col("__r") <= F.col("__theta")),
+            F.col("__cap"),
+        )
+        .otherwise(F.col("__theta") * F.col("__p"))
+        .alias("__alloc"),
+    )
+    tot_p = out.agg(F.sum("__p").alias("__tp"))
+    return (
+        out.crossJoin(F.broadcast(tot_p))
+        .select(
+            key,
+            "weight",
+            "capacity",
+            F.round(F.col("__p") / F.col("__tp"), 6).alias("pref_share"),
+            F.round("__alloc", 6).alias("alloc"),
+            F.round(F.col("__alloc") / F.col("__c"), 6).alias("epochs"),
+            F.round(F.col("__alloc") / F.lit(float(budget)), 6).alias("budget_share"),
+        )
+    )
+
+
+def reservoir_sample(
+    df: DataFrame,
+    by: list[str],
+    k: int,
+    id_col: str,
+    salt: str = "",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """DETERMINISTIC per-group k-sample. Uniform (``weight_col=None``):
+    keep the k rows with the smallest md5-uniform u(id || salt) — a
+    reproducible simple random sample per group. Weighted: the
+    Efraimidis–Spirakis A-ES reservoir order — keep the k rows with
+    the LARGEST u^(1/w), computed as ln(u)/w for monotone stability —
+    each row's inclusion probability proportional to its weight, the
+    published one-pass weighted reservoir scheme. Unlike
+    ``df.sample``/``rand(seed)`` the selection is independent of
+    partitioning, so re-runs, engines, and cluster sizes agree row
+    for row.
+
+    Ties (and the measure-zero u=0 edge, guarded by a +2^-53 offset)
+    break on the id. Scale: one shuffle on the group key + a window
+    top-k (the same shape as any per-group rank); no driver pass,
+    no rejection loop. A global sample is ``by=[]`` composed with
+    ``_implicit_shard`` upstream if the corpus would otherwise sort
+    in one partition."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = _md5_uniform(id_col, salt)
+    if weight_col is None:
+        order = [u.asc(), F.col(id_col).asc()]
+    else:
+        key = F.log(u + F.lit(2.0 ** -53)) / F.col(weight_col).cast("double")
+        order = [key.desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*by).orderBy(*order) if by else Window.orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    length_col: str,
+    context_len: int = 2048,
+) -> DataFrame:
+    """SEQUENCE-LENGTH AUDIT for packing/padding decisions: log2
+    buckets of a per-document token count plus the padding waste a
+    one-document-per-sequence layout would pay at ``context_len``
+    (the number every packing RFC opens with). Returns per bucket:
+    (bucket = floor(log2(n)), n_docs, total_tokens, min/max tokens,
+    pad_tokens = sum(ceil(n/L)*L - n), pad_frac).
+
+    The bucket uses bit-length integer arithmetic (length(bin(n))-1),
+    not floating log2 — bit-exact in any engine. Scale: one
+    map-side-combining groupBy over ~40 buckets; the corpus never
+    shuffles (partial aggregates only)."""
+    if context_len < 1:
+        raise ValueError("context_len must be >= 1")
+    n = F.col(length_col).cast("long")
+    bucket = (F.length(F.bin(n)) - 1).cast("int")
+    lcl = F.lit(int(context_len)).cast("long")
+    pad = (F.floor((n + lcl - 1) / lcl) * lcl - n).cast("long")
+    return (
+        df.filter(n >= 1)
+        .select(bucket.alias("bucket"), n.alias("__n"), pad.alias("__pad"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+            F.sum("__pad").alias("pad_tokens"),
+            F.round(
+                F.sum("__pad") / (F.sum("__pad") + F.sum("__n")), 6
+            ).alias("pad_frac"),
+        )
+        .orderBy("bucket")
     )

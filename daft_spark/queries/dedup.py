@@ -819,3 +819,97 @@ def dedup_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "c_custkey", "cluster_id", "is_representative"
     ).orderBy("c_custkey")
+
+
+@register(
+    "dedup_lines",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS INT)), i ->
+               array_to_string(toks[i * 12 + 1 : (i + 1) * 12], ' ')) AS lines
+      FROM t
+    ),
+    ex AS (
+      SELECT doc_id, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS i
+      FROM lined
+    ),
+    marked AS (
+      SELECT doc_id, line, i,
+             count(*) OVER (PARTITION BY line) AS cnt,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+      FROM ex
+    ),
+    kept AS (
+      SELECT doc_id, line, i FROM marked WHERE cnt < 2 OR rn = 1
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           CAST(len(l.lines) AS BIGINT) AS n_lines,
+           CAST(len(l.lines) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+    ORDER BY l.doc_id
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus-level LINE dedup (keep-first): the
+    documents are lined into 12-token rows (the synthetic corpus has
+    no newlines — production input would arrive pre-lined), then
+    every line occurring >= 2 times across the whole corpus is
+    blanked except its minimum-(doc_id, pos) occurrence and the text
+    rebuilt (operators/dedup.py remove_duplicated_lines — boilerplate
+    nav/footer removal at line-hash cost instead of rolling-window
+    cost). The oracle replays the identical line-ification, the
+    occurrence count, the keep-first window, and the string rebuild;
+    one resurrected or mis-kept line mismatches the rebuilt text."""
+    from daft_spark.operators.dedup import remove_duplicated_lines
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 12 + 1, 12)),
+    )
+    lined = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return remove_duplicated_lines(
+        lined, "text", "doc_id", sep="\n", min_occurrences=2, keep="first"
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    novel AS (
+      SELECT b.doc_id, b.text FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM novel GROUP BY text ORDER BY doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — a new ingest batch (odd doc_ids)
+    against an existing corpus (even doc_ids) without re-deduping the
+    corpus (operators/dedup.py incremental_novel): batch docs survive
+    iff their text hash is absent from the corpus key set AND they are
+    the first batch-internal occurrence. Keys-only anti-join (16
+    bytes/doc) — the daily-crawl-vs-100 TB-index shape. The oracle
+    states the text semantics directly (NOT EXISTS + keep-min)."""
+    from daft_spark.operators.dedup import incremental_novel
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return incremental_novel(corpus, batch, "text", "doc_id").orderBy("doc_id")

@@ -732,3 +732,76 @@ def rel_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, supp, "c_lo", "c_hi", "s_lo", "s_hi", bin_size=10.0
     )
     return out.select("c_custkey", "s_suppkey").orderBy("c_custkey", "s_suppkey")
+
+
+_MD5_U52 = """list_sum(list_transform(range(1, 14), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), i, 1)) - 1)
+               * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52"""
+
+
+@register(
+    "rel_reservoir_sample",
+    f"""
+    WITH u AS (
+      SELECT lang, doc_id, {_MD5_U52.format(salt='rs')} AS x
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rn
+      FROM u
+    )
+    SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id
+    """,
+)
+def rel_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group uniform k-sample (operators/sampling.py
+    reservoir_sample): the 5 docs per language with the smallest
+    md5-uniform u(id || salt) — reproducible across runs, engines,
+    and partitionings, unlike df.sample/rand(seed). The oracle
+    recomputes the identical 52-bit md5 fraction and window; a single
+    different pick mismatches."""
+    from daft_spark.operators.sampling import reservoir_sample
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return reservoir_sample(d, ["lang"], k=5, id_col="doc_id", salt="rs").orderBy(
+        "lang", "doc_id"
+    )
+
+
+@register(
+    "rel_weighted_sample",
+    f"""
+    WITH u AS (
+      SELECT lang, doc_id, n_chars, {_MD5_U52.format(salt='ws')} AS x
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ln(x + 2.0 ** (-53)) / CAST(n_chars AS DOUBLE) DESC,
+                        doc_id) AS rn
+      FROM u
+    )
+    SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id
+    """,
+)
+def rel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED per-group k-sample — the
+    Efraimidis–Spirakis A-ES reservoir order (keep the k largest
+    u^(1/w), ranked via ln(u)/w for monotone stability; operators/
+    sampling.py reservoir_sample(weight_col=...)): inclusion odds
+    proportional to n_chars, reproducible like the uniform variant.
+    The oracle replays the md5 uniform, the A-ES key, and the window
+    rank. (ln() is libm-dependent at 1 ulp — order flips would need
+    two keys within 1 ulp of each other, measure-zero on organic
+    data; the +2^-53 offset guards the u=0 edge identically in both
+    engines.)"""
+    from daft_spark.operators.sampling import reservoir_sample
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return reservoir_sample(
+        d, ["lang"], k=5, id_col="doc_id", salt="ws", weight_col="n_chars"
+    ).select("lang", "doc_id").orderBy("lang", "doc_id")

@@ -1646,3 +1646,101 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(rng["n"], bool(auc >= 0.9), bool(0.0 <= rng["lo"] and rng["hi"] <= 1.0))],
         "n_scored bigint, auc_ge_090 boolean, scores_in_unit_interval boolean",
     )
+
+
+@register(
+    "pipeline_temperature_mix",
+    """
+    WITH g AS (
+      SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS c
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT 0.5 * sum(c) AS b FROM g),
+    base AS (SELECT lang, c, sqrt(c) AS p, 1.0 * c AS cap FROM g),
+    r AS (SELECT lang, c, p, cap, cap / p AS r FROM base),
+    w AS (
+      SELECT lang, c, p, cap, r,
+             sum(cap) OVER (ORDER BY r, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cap AS sprev,
+             sum(p) OVER (ORDER BY r, lang
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pafter,
+             lag(r) OVER (ORDER BY r, lang) AS rprev
+      FROM r
+    ),
+    cand AS (
+      SELECT *,
+             ((SELECT b FROM tot) - sprev) / pafter AS theta_cand
+      FROM w
+    ),
+    theta AS (
+      SELECT max(CASE WHEN (rprev IS NULL OR rprev <= theta_cand)
+                       AND theta_cand < r
+                      THEN theta_cand END) AS th
+      FROM cand
+    ),
+    alloc AS (
+      SELECT lang, c, cap, p,
+             CASE WHEN (SELECT th FROM theta) IS NULL
+                    OR r <= (SELECT th FROM theta)
+                  THEN cap ELSE (SELECT th FROM theta) * p END AS a
+      FROM r
+    )
+    SELECT lang, c AS weight, cap AS capacity,
+           round(p / (SELECT sum(p) FROM base), 6) AS pref_share,
+           round(a, 6) AS alloc,
+           round(a / c, 6) AS epochs,
+           round(a / (SELECT b FROM tot), 6) AS budget_share
+    FROM alloc ORDER BY lang
+    """,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax temperature-sampling budget allocation (operators/
+    sampling.py temperature_mixture; Chung et al. 2023): per-language
+    char weights, preference c^(1/2) (temperature 2 — IEEE-exact sqrt
+    in any engine), epoch cap 1.0, budget = half the corpus. The
+    closed-form water-filling (sort by cap/pref, cumulative sums, one
+    consistent water level) is replayed verbatim by the oracle —
+    a wrong saturation set or water level mismatches every allocation.
+    The budget is derived from ONE collected aggregate row (audit-size;
+    the corpus itself never leaves executors)."""
+    from daft_spark.operators.sampling import temperature_mixture
+
+    d = _docs(spark, sf_dir)
+    total = d.agg(F.sum(F.col("n_chars").cast("double"))).collect()[0][0]
+    return temperature_mixture(
+        d, ["lang"], budget=0.5 * float(total),
+        temperature=2.0, max_epochs=1.0, weight_col="n_chars",
+    ).orderBy("lang")
+
+
+@register(
+    "pipeline_length_histogram",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT CAST(length(bin(n)) - 1 AS INT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(sum((n + 63) // 64 * 64 - n) AS BIGINT) AS pad_tokens,
+           round(sum((n + 63) // 64 * 64 - n)
+                 / (sum((n + 63) // 64 * 64 - n) + sum(n)), 6) AS pad_frac
+    FROM t WHERE n >= 1
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def pipeline_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length audit for packing decisions (operators/
+    sampling.py length_histogram): log2 buckets of per-doc token
+    counts via bit-length integer arithmetic (no floating log2) plus
+    the padding waste a one-doc-per-sequence layout pays at context
+    64. Pure integer math end to end — the oracle replays it
+    digit-exactly."""
+    from daft_spark.operators.sampling import length_histogram
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return length_histogram(d, "n_tokens", context_len=64)

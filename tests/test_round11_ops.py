@@ -1,0 +1,205 @@
+"""Unit tests for the round-11 part-2 operator additions: corpus line
+dedup, incremental dedup, UniMax temperature mixing, deterministic
+reservoir sampling, and the packing-length histogram."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from daft_spark.operators.dedup import incremental_novel, remove_duplicated_lines
+from daft_spark.operators.sampling import (
+    length_histogram,
+    reservoir_sample,
+    temperature_mixture,
+)
+
+
+def _lines_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "nav bar\nunique one\nfooter"),
+            (2, "nav bar\nunique two\nfooter"),
+            (3, "nav bar\nfooter"),
+            (4, "all alone here"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_remove_duplicated_lines_keep_first(spark):
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_lines(_lines_df(spark), "text", "doc_id").collect()
+    }
+    # doc 1 is the canonical first occurrence of both boilerplate lines
+    assert out[1]["clean_text"] == "nav bar\nunique one\nfooter"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "unique two"
+    assert out[2]["n_removed"] == 2
+    # doc 3 was pure boilerplate -> empty, counts preserved
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (2, 2)
+    assert out[4]["clean_text"] == "all alone here"
+
+
+def test_remove_duplicated_lines_keep_none(spark):
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicated_lines(
+            _lines_df(spark), "text", "doc_id", keep="none"
+        ).collect()
+    }
+    # RefinedWeb boilerplate mode: every occurrence goes, incl. the first
+    assert out[1] == "unique one"
+    assert out[2] == "unique two"
+    assert out[3] == ""
+
+
+def test_remove_duplicated_lines_rejects_bad_args(spark):
+    with pytest.raises(ValueError):
+        remove_duplicated_lines(_lines_df(spark), "text", "doc_id", keep="last")
+    with pytest.raises(ValueError):
+        remove_duplicated_lines(_lines_df(spark), "text", "doc_id", min_occurrences=1)
+
+
+def test_incremental_novel_basic(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # dup of corpus -> dropped
+            (11, "fresh text"),    # novel, first
+            (12, "fresh text"),    # batch-internal copy
+            (13, "another fresh"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["n_copies"]
+        for r in incremental_novel(corpus, batch, "text", "doc_id").collect()
+    }
+    assert rows == {11: 2, 13: 1}
+
+
+def test_incremental_novel_normalized(spark):
+    corpus = spark.createDataFrame([(1, "Seen Before!")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "seen   before"), (11, "new doc")], ["doc_id", "text"]
+    )
+    rows = incremental_novel(
+        corpus, batch, "text", "doc_id", normalized=True
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [11]
+
+
+def _mix_df(spark):
+    # weights: a=1000, b=100, c=10
+    rows = (
+        [("a", 10)] * 100 + [("b", 10)] * 10 + [("c", 10)]
+    )
+    return spark.createDataFrame(
+        [(i, g, w) for i, (g, w) in enumerate(rows)], ["id", "grp", "w"]
+    )
+
+
+def test_temperature_mixture_budget_conserved(spark):
+    out = temperature_mixture(
+        _mix_df(spark), ["grp"], budget=500.0, temperature=2.0,
+        max_epochs=1.0, weight_col="w",
+    ).collect()
+    by = {r["grp"]: r for r in out}
+    total_alloc = sum(r["alloc"] for r in out)
+    # corpus (1110) exceeds the budget -> water level fills it exactly
+    assert math.isclose(total_alloc, 500.0, rel_tol=1e-6)
+    for r in out:
+        assert r["epochs"] <= 1.0 + 1e-9
+        assert r["alloc"] <= r["capacity"] + 1e-9
+    # temperature=2 upweights the tail: c gets > proportional share
+    assert by["c"]["alloc"] / 500.0 > 10.0 / 1110.0
+
+
+def test_temperature_mixture_unconstrained_caps(spark):
+    out = temperature_mixture(
+        _mix_df(spark), ["grp"], budget=1e9, temperature=2.0,
+        max_epochs=2.0, weight_col="w",
+    ).collect()
+    for r in out:
+        # budget exceeds total capacity -> every group capped at 2 epochs
+        assert math.isclose(r["alloc"], r["capacity"], rel_tol=1e-9)
+        assert math.isclose(r["epochs"], 2.0, rel_tol=1e-9)
+
+
+def test_temperature_mixture_t1_proportional(spark):
+    # T=1, no binding cap -> allocation proportional to weight
+    out = temperature_mixture(
+        _mix_df(spark), ["grp"], budget=111.0, temperature=1.0,
+        max_epochs=1.0, weight_col="w",
+    ).collect()
+    by = {r["grp"]: r["alloc"] for r in out}
+    assert math.isclose(by["a"] / by["b"], 10.0, rel_tol=1e-6)
+    assert math.isclose(by["b"] / by["c"], 10.0, rel_tol=1e-6)
+
+
+def test_temperature_mixture_rejects_bad_args(spark):
+    with pytest.raises(ValueError):
+        temperature_mixture(_mix_df(spark), ["grp", "w"], budget=1.0)
+    with pytest.raises(ValueError):
+        temperature_mixture(_mix_df(spark), ["grp"], budget=0.0)
+    with pytest.raises(ValueError):
+        temperature_mixture(_mix_df(spark), ["grp"], budget=1.0, temperature=0.5)
+
+
+def test_reservoir_sample_uniform_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2)) for i in range(100)], ["id", "grp"]
+    )
+    a = sorted(
+        (r["grp"], r["id"])
+        for r in reservoir_sample(df, ["grp"], k=7, id_col="id").collect()
+    )
+    b = sorted(
+        (r["grp"], r["id"])
+        for r in reservoir_sample(
+            df.repartition(13), ["grp"], k=7, id_col="id"
+        ).collect()
+    )
+    assert a == b and len(a) == 14
+    # a different salt picks a different sample
+    c = sorted(
+        (r["grp"], r["id"])
+        for r in reservoir_sample(df, ["grp"], k=7, id_col="id", salt="x").collect()
+    )
+    assert a != c
+
+
+def test_reservoir_sample_small_group_and_weighted(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 100.0), (3, "g", 1.0)], ["id", "grp", "w"]
+    )
+    # k exceeds the group -> whole group survives
+    assert reservoir_sample(df, ["grp"], k=10, id_col="id").count() == 3
+    # weighted: the heavy row is effectively always in a k=1 sample
+    out = reservoir_sample(df, ["grp"], k=1, id_col="id", weight_col="w").collect()
+    assert out[0]["id"] == 2
+    with pytest.raises(ValueError):
+        reservoir_sample(df, ["grp"], k=0, id_col="id")
+
+
+def test_length_histogram_buckets_and_padding(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 64), (5, 65), (6, 0)], ["id", "n"]
+    )
+    rows = {r["bucket"]: r for r in length_histogram(df, "n", context_len=64).collect()}
+    # n=0 dropped; buckets: 1->0, {2,3}->1, 64->6, 65->6
+    assert set(rows) == {0, 1, 6}
+    assert rows[0]["pad_tokens"] == 63
+    assert rows[1]["n_docs"] == 2 and rows[1]["pad_tokens"] == (62 + 61)
+    assert rows[6]["n_docs"] == 2
+    # 64 pads 0; 65 pads to 128 -> 63
+    assert rows[6]["pad_tokens"] == 63
+    with pytest.raises(ValueError):
+        length_histogram(df, "n", context_len=0)
