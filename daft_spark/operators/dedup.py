@@ -828,6 +828,23 @@ def near_dup_resolve(
     return duplicate_clusters(df, edges, id_col, max_iterations=max_iterations)
 
 
+def _shingle_hash_frame(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, xxhash64 of each k-token shingle) keys-only frame — the
+    shared explode path of the decontamination operators (in-row
+    neighbor lookup, full 64-bit hashes, no text past the projection)."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("__id"), tokens_of(F.col(text_col)).alias("__ts")
+    )
+    ex = toks.select("__id", "__ts", F.posexplode("__ts").alias("__p", "__t"))
+    neigh = [
+        F.coalesce(F.get("__ts", F.col("__p") + j), F.lit(""))
+        for j in range(1, shingle_k)
+    ]
+    return ex.select("__id", F.xxhash64(F.col("__t"), *neigh).alias("__h"))
+
+
 def benchmark_contamination(
     docs: DataFrame,
     bench: DataFrame,
@@ -851,15 +868,7 @@ def benchmark_contamination(
     only exchange is the per-doc count keyed by id."""
 
     def _hashes(df: DataFrame) -> DataFrame:
-        toks = _spread(df).select(
-            F.col(id_col).alias("__id"), tokens_of(F.col(text_col)).alias("__ts")
-        )
-        ex = toks.select("__id", "__ts", F.posexplode("__ts").alias("__p", "__t"))
-        neigh = [
-            F.coalesce(F.get("__ts", F.col("__p") + j), F.lit(""))
-            for j in range(1, shingle_k)
-        ]
-        return ex.select("__id", F.xxhash64(F.col("__t"), *neigh).alias("__h"))
+        return _shingle_hash_frame(df, text_col, id_col, shingle_k)
 
     bmark_set = _hashes(bench).select("__h").distinct()
     per_doc = (
@@ -1089,4 +1098,114 @@ def incremental_novel(
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select(id_col, "n_copies")
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    bits_per_key: int = 20,
+    num_hashes: int = 14,
+) -> DataFrame:
+    """BLOOM-FILTER decontamination — ``benchmark_contamination`` with
+    the broadcast side compressed into a bit array: at 10^9 benchmark
+    shingles the distinct-hash broadcast is 8 GB, the Bloom bitset at
+    ``bits_per_key`` bits is ~3x smaller and constant-time to probe.
+    The error is ONE-SIDED in the safe direction: contaminated
+    documents are NEVER missed (no false negatives, the Bloom
+    guarantee); a tunably small fraction of clean documents is flagged
+    extra (shingle-level fp ~(1-e^-0.7)^k; at the 20/14 defaults
+    ~7e-5, amplifying to well under 1% doc-level on ~60-shingle docs).
+    Returns (id, flagged boolean).
+
+    Plan: the benchmark reduces to DISTINCT 64-bit shingle hashes,
+    folds into (word_idx, OR of bit masks) via one map-side-combining
+    groupBy, and the word table collects into a numpy uint64 array
+    broadcast once per job (exactly how Spark's own runtime-filter
+    BloomFilterAggregate materializes — the bitset must exist
+    somewhere to broadcast). Corpus shingles probe it inside an
+    Arrow-batched pandas UDF (vectorized double hashing, Kirsch &
+    Mitzenmacher 2006: pos_i = (h1 + i*h2) mod m with m a power of
+    two; h1/h2 masked to 47/32 bits so the arithmetic never
+    overflows a signed long). The corpus side stays keys-only:
+    (id, h1, h2) rows, one groupBy(id) for the per-doc flag."""
+    n = (
+        _shingle_hash_frame(bench, text_col, id_col, shingle_k)
+        .select("__h")
+        .distinct()
+        .count()
+    )
+    m_bits = 1 << max(6, int(n * bits_per_key - 1).bit_length())
+    mask = m_bits - 1
+    h1m, h2m = (1 << 47) - 1, (1 << 32) - 1
+    bset = (
+        _shingle_hash_frame(bench, text_col, id_col, shingle_k)
+        .select("__h")
+        .distinct()
+        .select(
+            F.col("__h").bitwiseAND(F.lit(h1m)).alias("__h1"),
+            F.xxhash64("__h").bitwiseAND(F.lit(h2m)).alias("__h2"),
+        )
+    )
+    pos = bset.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: (F.col("__h1") + i * F.col("__h2")).bitwiseAND(
+                    F.lit(mask)
+                ),
+            )
+        ).alias("__pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright("__pos", 6).alias("__w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    import numpy as np
+
+    arr = np.zeros(m_bits >> 6, dtype=np.uint64)
+    for r in words:
+        arr[int(r["__w"])] = np.uint64(r["__bits"] & 0xFFFFFFFFFFFFFFFF)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(arr)
+    nh, mk = int(num_hashes), mask
+
+    @F.pandas_udf("boolean")
+    def _probe(h1, h2):
+        import pandas as pd
+
+        w = bc.value
+        a = h1.to_numpy(dtype="int64").astype(np.uint64) & np.uint64(h1m)
+        b = h2.to_numpy(dtype="int64").astype(np.uint64) & np.uint64(h2m)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(nh):
+            p = (a + np.uint64(i) * b) & np.uint64(mk)
+            bit = (w[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63))) & np.uint64(1)
+            ok &= bit.astype(bool)
+        return pd.Series(ok)
+
+    ch = _shingle_hash_frame(docs, text_col, id_col, shingle_k).select(
+        "__id",
+        F.col("__h").alias("__h1raw"),
+        F.xxhash64("__h").alias("__h2raw"),
+    )
+    probed = ch.select(
+        "__id", _probe(F.col("__h1raw"), F.col("__h2raw")).alias("__hit")
+    )
+    per_doc = probed.groupBy("__id").agg(F.max("__hit").alias("__f"))
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("__id", id_col), [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__f"), F.lit(False)).alias("flagged"),
+        )
     )

@@ -128,3 +128,81 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def top_ngrams_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 100,
+    capacity: int = 2000,
+) -> DataFrame:
+    """APPROXIMATE corpus top-k n-grams via a merged MISRA–GRIES
+    summary — the fixed-memory counterpart of ``top_ngrams`` for
+    streams where even the map-side-combined exact shuffle is too
+    large (open-vocabulary n>=3 grams over 100 TB: the distinct-gram
+    set exceeds executor memory; MG caps it at ``capacity`` counters
+    per partition, full stop).
+
+    Per partition, a batched Misra–Gries runs inside one
+    ``mapInPandas`` pass (inherently stateful Python — the right tool;
+    batches pre-aggregate through value_counts before touching the
+    dict): whenever the counter set exceeds ``capacity``, the
+    (capacity+1)-th largest count is subtracted from every counter and
+    non-positive ones drop — each such cut removes >= (capacity+1) *
+    cut occurrences of stream mass, which yields the classic MG
+    guarantee per partition: undercount <= floor(n_p / (capacity+1)).
+    Summaries merge by summing per-gram counts (MG summaries are
+    mergeable, Agarwal et al. 2013), so globally: true_count -
+    floor(N / (capacity+1)) <= estimate <= true_count, and every gram
+    with true count > floor(N/(capacity+1)) survives in at least one
+    partition. Returns the top ``k`` by estimate (deterministic
+    lexicographic tiebreak) with the global ``err_bound`` attached.
+
+    Scale: the exchange moves at most #partitions * capacity rows
+    regardless of corpus size; the total-stream count N (for the
+    bound) is one map-side-combining count aggregate."""
+    from daft_spark.operators.dedup import tokens_of
+
+    if n < 1 or k < 1 or capacity < 1:
+        raise ValueError("n, k, capacity must be >= 1")
+    arr = tokens_of(F.col(text_col))
+    ntok = F.size(arr)
+    idx = F.sequence(F.lit(1), ntok - (n - 1))
+    grams = F.when(
+        ntok >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.explode(grams).alias("ngram"))
+
+    cap = int(capacity)
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for b in batches:
+            for g, c in b["ngram"].value_counts().items():
+                counters[g] = counters.get(g, 0) + int(c)
+            if len(counters) > cap:
+                vals = sorted(counters.values(), reverse=True)
+                cut = vals[cap]
+                counters = {g: c - cut for g, c in counters.items() if c > cut}
+        yield pd.DataFrame(
+            {"ngram": list(counters), "cnt": list(counters.values())}
+        )
+
+    summaries = ex.mapInPandas(mg, schema="ngram string, cnt long")
+    merged = summaries.groupBy("ngram").agg(F.sum("cnt").alias("est_count"))
+    total = ex.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        merged.crossJoin(F.broadcast(total))
+        .select(
+            "ngram",
+            "est_count",
+            F.floor(F.col("__n") / F.lit(cap + 1)).cast("long").alias("err_bound"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

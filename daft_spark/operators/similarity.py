@@ -597,3 +597,280 @@ def topk_cosine_quantized_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION codebook training (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): the vector is
+    split into ``m`` contiguous subvectors and each subspace gets its
+    own ``ksub``-centroid k-means codebook, so a d-dim float vector
+    compresses to m small codes (m bytes at ksub<=256 — 32x smaller
+    than float32 at d=64/m=8) while distances remain computable from
+    codebooks alone.
+
+    All m k-means runs execute as ONE DataFrame job per Lloyd round:
+    the corpus explodes to (id, subspace, subvec) rows, assignment is
+    a broadcast join + min_by over the m*ksub codebook table, and the
+    recompute is two hash aggregations — no vectors on the driver,
+    lineage checkpointed per round (the ivf_train discipline). Init:
+    per subspace, the ksub rows with the smallest xxhash64(id, seed)
+    — deterministic. Returns (subspace int, code int,
+    centroid array<double>, cnorm2 double).
+    """
+    dim_row = corpus.select(F.size(corpus_vec).alias("d")).first()
+    d = int(dim_row["d"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    ex = corpus.select(
+        F.col(corpus_id).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.slice(F.col(corpus_vec), s * sub + 1, sub),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("subspace", "subvec"),
+    )
+    wsp = Window.partitionBy("subspace").orderBy("__h")
+    books = (
+        ex.withColumn(
+            "__h", F.xxhash64(F.col("__id").cast("string"), F.lit(seed))
+        )
+        .withColumn("__rn", F.row_number().over(wsp))
+        .filter(F.col("__rn") <= ksub)
+        .select(
+            "subspace", (F.col("__rn") - 1).alias("code"),
+            F.col("subvec").alias("centroid"),
+        )
+    )
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    for _ in range(iters):
+        assigned = (
+            ex.join(F.broadcast(books), "subspace")
+            .withColumn("__d2", l2(F.col("subvec"), F.col("centroid")))
+            .groupBy("__id", "subspace")
+            .agg(
+                F.min_by(
+                    F.struct("code", "subvec"), F.struct("__d2", "code")
+                ).alias("__best")
+            )
+            .select("__id", "subspace", F.col("__best.code").alias("code"),
+                    F.col("__best.subvec").alias("subvec"))
+        )
+        comp = assigned.select(
+            "subspace", "code", F.posexplode("subvec").alias("__i", "__x")
+        ).groupBy("subspace", "code", "__i").agg(F.avg("__x").alias("__cx"))
+        books = comp.groupBy("subspace", "code").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__i", "__cx"))),
+                lambda s: s.getField("__cx"),
+            ).alias("centroid")
+        )
+        books = books.localCheckpoint(eager=True)
+    return books.withColumn(
+        "cnorm2",
+        F.aggregate(F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: DataFrame,
+    m: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Encode each corpus vector to its ``m`` nearest sub-codewords.
+    Returns (id, codes array<int> length m, recon_norm2 double —
+    the squared norm of the reconstruction, precomputed so ADC search
+    never touches the codebooks for the corpus side again).
+
+    Shape: explode to subvectors, broadcast-join the m*ksub codebook,
+    min_by per (id, subspace), reassemble in one collect_list — the
+    index build is one pass over the corpus; the stored index is
+    m ints + 1 double per vector."""
+    dim_row = corpus.select(F.size(corpus_vec).alias("d")).first()
+    d = int(dim_row["d"])
+    sub = d // m
+    ex = corpus.select(
+        F.col(corpus_id),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.slice(F.col(corpus_vec), s * sub + 1, sub),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("subspace", "subvec"),
+    )
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    best = (
+        ex.join(F.broadcast(books), "subspace")
+        .withColumn("__d2", l2(F.col("subvec"), F.col("centroid")))
+        .groupBy(corpus_id, "subspace")
+        .agg(
+            F.min_by(
+                F.struct("code", "cnorm2"), F.struct("__d2", "code")
+            ).alias("__best")
+        )
+    )
+    return best.groupBy(corpus_id).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("subspace", "__best"))),
+            lambda s: s.getField("__best").getField("code"),
+        ).alias("codes"),
+        F.sum(F.col("__best.cnorm2")).alias("recon_norm2"),
+    )
+
+
+def topk_cosine_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int = 8,
+    ksub: int = 16,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    iters: int = 3,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ-ADC top-k cosine search (Jégou et al. 2011): corpus vectors
+    live only as m-byte PQ codes; each query precomputes a lookup
+    table lut[s][j] = <q_s, codeword_{s,j}> (m*ksub doubles — tiny),
+    and the asymmetric distance is a pure table-lookup sum:
+    cos(q, x̂) = sum_s lut[s][codes[s]] / sqrt(||q||^2 * ||x̂||^2),
+    with ||x̂||^2 precomputed at encode time.
+
+    100 TB shape: the index build (codebooks + codes) is one corpus
+    pass amortized across queries; search broadcasts the per-query
+    LUTs (queries x m*ksub doubles), the corpus scan reads 8-byte
+    codes instead of float vectors (32x less IO at d=64), scoring is
+    in-row element_at arithmetic — no crossJoin of float vectors, no
+    corpus shuffle, top-k via the standard (query_id, sim) window.
+
+    ``rerank=R`` adds the production second stage (IVFADC-style
+    shortlist + exact re-rank): the ADC scan keeps the top R
+    candidates per query, ONLY those R*queries rows join back to the
+    float vectors (a keys-only semi-join of the corpus — the full
+    float table is still never broadcast or crossed), and the final
+    top-k is exact cosine. This is how PQ reaches exact-level recall
+    while the bulk scan still reads only codes.
+    Reference surface: src/daft-functions/src/distance/cosine.rs ships
+    the exact kernel; PQ is this engine's scale extension on top."""
+    from daft_spark.operators.spread import spread
+
+    books = pq_train(
+        corpus, m=m, ksub=ksub, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        iters=iters,
+    ).persist()
+    codes = pq_encode(
+        spread(corpus), books, m=m, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+    qv = queries.select(
+        F.col(query_id),
+        F.transform(F.col(query_vec), lambda x: x.cast("double")).alias("__q"),
+    )
+    dim_row = corpus.select(F.size(corpus_vec).alias("d")).first()
+    sub = int(dim_row["d"]) // m
+    qex = qv.select(
+        F.col(query_id), "__q",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("__q"), s * sub + 1, sub),
+            )
+        ).alias("subspace", "qsub"),
+    )
+    luts = (
+        qex.join(F.broadcast(books), "subspace")
+        .withColumn(
+            "__dot",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qsub"), F.col("centroid"), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .groupBy(query_id)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("subspace", "code", "__dot"))
+                ),
+                lambda s: s.getField("__dot"),
+            ).alias("__lut"),
+            F.first(
+                F.aggregate(
+                    F.col("__q"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("__qnorm2"),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(
+                F.col("__lut"), (s * ksub + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.when(
+            (F.col("__qnorm2") > 0) & (F.col("recon_norm2") > 0),
+            adc / F.sqrt(F.col("__qnorm2") * F.col("recon_norm2")),
+        ).otherwise(F.lit(0.0)).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
+    if rerank is None:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    if rerank < k:
+        raise ValueError("rerank shortlist must be >= k")
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rerank)
+        .select(query_id, corpus_id)
+    )
+    cand = corpus.join(shortlist, corpus_id).select(
+        F.col(query_id), F.col(corpus_id), F.col(corpus_vec)
+    )
+    exact = cand.join(F.broadcast(qv), query_id).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(F.col(corpus_vec), F.col("__q")).alias("sim"),
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

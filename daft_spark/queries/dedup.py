@@ -913,3 +913,72 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
     return incremental_novel(corpus, batch, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "dedup_bloom_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)+1),
+                i -> t[i] || chr(31) || coalesce(t[i+1],'') || chr(31) || coalesce(t[i+2],''))) AS s
+      FROM toks),
+    bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 41 = 0),
+    hits AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh) d
+      JOIN bench USING (g))
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_contaminated,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_rate_ok
+    FROM sh
+    """,
+    comparable=False,
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/dedup.py
+    bloom_contamination) vs the EXACT shingle-overlap rule, same
+    benchmark slice as dedup_contamination (doc_id % 41): the Bloom
+    one-sided-error contract checked from the real output — every
+    exactly-contaminated doc is flagged (no false negatives, the
+    Bloom guarantee), and the extra-flag rate over exactly-clean docs
+    stays under 5% (20 bits/key, 14 hashes: shingle fp ~7e-5,
+    doc-level well under 1%). The oracle recomputes n_docs and the
+    exact contaminated count cross-engine, so the fixture itself is
+    verified too."""
+    from daft_spark.operators.dedup import (
+        benchmark_contamination,
+        bloom_contamination,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    bloom = bloom_contamination(d, bench, "text", "doc_id", shingle_k=3)
+    exact = benchmark_contamination(d, bench, "text", "doc_id", shingle_k=3)
+    j = bloom.join(
+        exact.select("doc_id", "contaminated"), "doc_id"
+    ).persist()
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.min(~F.col("contaminated") | F.col("flagged")).alias(
+            "no_false_negatives"
+        ),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(~F.col("contaminated") & F.col("flagged"), 1).otherwise(0)
+                )
+                / F.nullif(F.sum(F.when(~F.col("contaminated"), 1).otherwise(0)), F.lit(0)),
+                F.lit(0.0),
+            )
+            <= 0.05
+        ).alias("fp_rate_ok"),
+    )

@@ -1744,3 +1744,79 @@ def pipeline_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
     return length_histogram(d, "n_tokens", context_len=64)
+
+
+@register(
+    "text_top_ngrams_sketch",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             array_to_string(t[i:i+1], ' ') AS ngram
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i) u)
+    SELECT CAST(count(*) AS BIGINT) AS n_grams,
+           TRUE AS bounds_hold,
+           TRUE AS heavy_covered,
+           TRUE AS nonvacuous
+    FROM g
+    """,
+    comparable=False,
+)
+def text_top_ngrams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy-hitter sketch over corpus bigrams (operators/
+    repetition.py top_ngrams_sketch) checked against the EXACT counts:
+    (a) every sketched estimate obeys the MG sandwich true -
+    floor(N/(cap+1)) <= est <= true, and (b) every gram whose exact
+    count exceeds the error bound appears in the merged summary — the
+    published guarantees, verified from the real output (the
+    dedup_resolve invariant pattern; per-partition summaries are not
+    SQL-replicable). The oracle recomputes the exact total gram count
+    N cross-engine, so a tokenization or stream-length drift also
+    mismatches. capacity=2000 caps executor memory regardless of
+    corpus size — the 100 TB contract."""
+    from daft_spark.operators.repetition import top_ngrams_sketch
+
+    d = _docs(spark, sf_dir)
+    sk = top_ngrams_sketch(
+        d, "text", "doc_id", n=2, k=1_000_000, capacity=2000
+    ).persist()
+    exact = (
+        d.select(
+            F.explode(
+                F.when(
+                    F.size(F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " ")), " ")) >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')), ' ')) - 1), "
+                        "i -> concat_ws(' ', slice(split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')), ' '), i, 2)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    ).persist()
+    n_grams = exact.agg(F.sum("true_count").cast("long").alias("n_grams"))
+    joined = sk.join(exact, "ngram", "left")
+    bounds = joined.agg(
+        F.min(
+            (F.col("est_count") <= F.col("true_count"))
+            & (F.col("est_count") >= F.col("true_count") - F.col("err_bound"))
+        ).alias("bounds_hold")
+    )
+    bound_row = sk.agg(F.max("err_bound").alias("__b"))
+    heavy = (
+        exact.crossJoin(F.broadcast(bound_row))
+        .filter(F.col("true_count") > F.col("__b"))
+        .join(sk.select("ngram", F.lit(1).alias("__in")), "ngram", "left")
+        .agg(
+            F.min(F.col("__in").isNotNull()).alias("heavy_covered"),
+            (F.count(F.lit(1)) > 0).alias("nonvacuous"),
+        )
+    )
+    return (
+        n_grams.crossJoin(F.broadcast(bounds)).crossJoin(F.broadcast(heavy))
+    )

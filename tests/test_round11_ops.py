@@ -203,3 +203,69 @@ def test_length_histogram_buckets_and_padding(spark):
     assert rows[6]["pad_tokens"] == 63
     with pytest.raises(ValueError):
         length_histogram(df, "n", context_len=0)
+
+
+def test_pq_roundtrip_and_rerank_guard(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(4)], ["query_id", "query_vec"]
+    )
+    from daft_spark.operators.similarity import pq_train, pq_encode, topk_cosine_pq
+
+    books = pq_train(corpus, m=4, ksub=8, iters=2)
+    assert books.count() == 32  # 4 subspaces x 8 codes
+    codes = pq_encode(corpus, books, m=4)
+    crow = codes.first()
+    assert len(crow["codes"]) == 4 and crow["recon_norm2"] > 0
+    # a query that IS a corpus vector must rank itself first after rerank
+    out = topk_cosine_pq(queries, corpus, k=1, m=4, ksub=8, rerank=10, iters=2)
+    got = {r["query_id"]: r["vec_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    with pytest.raises(ValueError):
+        topk_cosine_pq(queries, corpus, k=5, m=4, ksub=8, rerank=2)
+    with pytest.raises(ValueError):
+        pq_train(corpus, m=5)  # 16 % 5 != 0
+
+
+def test_top_ngrams_sketch_guarantees(spark):
+    # a heavy hitter plus unique tail: the sketch must keep the heavy
+    # gram with a count inside the MG sandwich
+    docs = [(0, "x y " * 50)] + [
+        (i, f"u{i} v{i} w{i}") for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from daft_spark.operators.repetition import top_ngrams_sketch
+
+    out = top_ngrams_sketch(df, "text", "doc_id", n=2, k=5, capacity=10)
+    rows = {r["ngram"]: r for r in out.collect()}
+    assert "x y" in rows
+    r = rows["x y"]
+    # true count of 'x y' is 50; estimate within [50 - bound, 50]
+    assert r["est_count"] <= 50
+    assert r["est_count"] >= 50 - r["err_bound"]
+    with pytest.raises(ValueError):
+        top_ngrams_sketch(df, capacity=0)
+
+
+def test_bloom_contamination_one_sided(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "completely different words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    from daft_spark.operators.dedup import bloom_contamination
+
+    out = {r["doc_id"]: r["flagged"] for r in
+           bloom_contamination(docs, bench, "text", "doc_id").collect()}
+    assert out[1] is True          # exact contamination always flagged
+    assert set(out) == {1, 2, 3}   # row conservation
