@@ -156,6 +156,20 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # recursive-CTE oracle), rel_range_join + rel_interval_overlap
 # (binned grid range joins, brute-force-oracled exactly-once) — then
 # the stalest r8 rows. After r12 no green row will predate r8.
+# Late-r11 additions (second work session, all exact/invariant-green in
+# pytest at sf0.001 AND sf0.01, the three invariant rows also at
+# sf0.1) join the r12 post-freeze queue: dedup_lines (RefinedWeb
+# corpus line dedup, exact rebuilt-text oracle), dedup_incremental
+# (batch-vs-corpus anti-join dedup, exact), pipeline_temperature_mix
+# (UniMax water-filling, exact closed-form replay),
+# pipeline_length_histogram (bit-length buckets + padding waste,
+# exact), rel_reservoir_sample + rel_weighted_sample (md5/A-ES
+# deterministic per-group samples, exact), sim_ann_pq_recall (product
+# quantization + ADC + exact rerank, recall floor),
+# text_top_ngrams_sketch (Misra-Gries merged summary, MG-sandwich +
+# coverage invariants vs exact counts), dedup_bloom_decontaminate
+# (Bloom bitset decontamination, no-false-negative + fp-rate
+# invariants vs the exact rule).
 #
 # ROUND-11 ROTATION NOTE (r10 bookkeeping): queries registered AFTER the frozen r10
 # window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue
