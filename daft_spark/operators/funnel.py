@@ -1,0 +1,133 @@
+"""Event-sequence analytics: ordered funnels and retention cohorts —
+the two queries every product-analytics workload runs over an event
+stream (the reference's users run them over the same event tables its
+time-series/window operators serve; this engine expresses them as
+plain aggregations so Catalyst plans them like any other groupBy).
+
+Scale design (100 TB posture): both operators reduce the event stream
+per user with map-side-combining conditional aggregations — the only
+exchanges are keyed on user_id (then on the tiny cohort/stage grain).
+No window over the raw stream, no per-user event materialization, no
+driver loops: an n-step funnel is n narrow hash-agg passes over an
+ever-shrinking survivor set, retention is two aggs total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps", "retention_cohorts"]
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """ORDERED FUNNEL: for each user, the earliest time they completed
+    each step STRICTLY AFTER completing the previous one (the standard
+    product-analytics conversion query: view -> click -> purchase).
+    Returns one row per user who completed step 1, with one timestamp
+    column per step (``t1..tn``, NULL once the funnel breaks) and the
+    deepest ``stage_reached``.
+
+    Semantics: t1 = min ts of steps[0]; t_{i+1} = min ts of steps[i+1]
+    with ts > t_i — the unambiguous "first qualifying chain" funnel
+    (re-orderings of later events cannot resurrect a broken step, and
+    every t_i is a real event time). Repeated step names are allowed
+    (e.g. click -> click counts a second distinct click after the
+    first).
+
+    Scale: step i is one conditional min() aggregation over events
+    pre-filtered to that step's type, joined to the step-(i-1)
+    survivors on user_id — each pass shrinks the frame and every
+    aggregation combines map-side. No window over the event stream,
+    no collect_list of per-user histories (funnels over power users
+    with 10^7 events would OOM an in-row list; this shape never
+    builds one)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    ev = df.select(
+        F.col(user_col), F.col(ts_col).alias("__ts"), F.col(event_col).alias("__e")
+    )
+    cur = (
+        ev.filter(F.col("__e") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("__ts").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("__e") == step)
+            .join(cur.select(user_col, F.col(f"t{i-1}").alias("__prev")), user_col)
+            .filter(F.col("__ts") > F.col("__prev"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    stage = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage = F.when(F.col(f"t{i}").isNotNull(), i).otherwise(stage)
+    # stage_reached must be the deepest CONTIGUOUS step; since t_i is
+    # only computed from t_{i-1} survivors, t_i isNotNull implies all
+    # earlier steps — the last non-null wins.
+    cols = [F.col(user_col)] + [F.col(f"t{i}") for i in range(1, len(steps) + 1)]
+    return cur.select(*cols, stage.cast("int").alias("stage_reached"))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """RETENTION COHORTS: users are cohorted by the period of their
+    FIRST event, and counted in every later period they returned —
+    the classic triangle ``(cohort_period, period_n, n_active,
+    retention)`` with retention = n_active / cohort size (period 0
+    row is the cohort size itself, retention 1.0 by construction).
+
+    Period arithmetic is integer epoch-second math — floor((t -
+    t_first)/period) — not calendar truncation, so it is replayable
+    bit-exactly in any engine and has no timezone/week-start
+    ambiguity. ``cohort_period`` is the cohort's period start as an
+    epoch-second long (cast to timestamp downstream if wanted).
+
+    Scale: one groupBy(user) for first-event times (map-side
+    combined), one broadcast-friendly join back keyed on user, one
+    groupBy((cohort, period)) with count_distinct, one tiny self-join
+    on the cohort grain for the denominator — the event payload never
+    shuffles (only (user, epoch) pairs)."""
+    if period_seconds < 1:
+        raise ValueError("period_seconds must be >= 1")
+    p = F.lit(int(period_seconds)).cast("long")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.unix_timestamp(F.col(ts_col)).alias("__t"),
+    )
+    first = ev.groupBy("__u").agg(F.min("__t").alias("__t0"))
+    cohorted = ev.join(first, "__u").select(
+        "__u",
+        (F.floor(F.col("__t0") / p) * p).alias("cohort_period"),
+        F.floor((F.col("__t") - F.col("__t0")) / p).cast("int").alias("period_n"),
+    )
+    active = cohorted.groupBy("cohort_period", "period_n").agg(
+        F.count_distinct("__u").alias("n_active")
+    )
+    size = (
+        cohorted.filter(F.col("period_n") == 0)
+        .groupBy("cohort_period")
+        .agg(F.count_distinct("__u").alias("__size"))
+    )
+    return (
+        active.join(size, "cohort_period")
+        .select(
+            "cohort_period",
+            "period_n",
+            "n_active",
+            F.round(F.col("n_active") / F.col("__size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_period", "period_n")
+    )

@@ -805,3 +805,82 @@ def rel_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reservoir_sample(
         d, ["lang"], k=5, id_col="doc_id", salt="ws", weight_col="n_chars"
     ).select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+@register(
+    "rel_funnel_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage_reached
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ORDER BY s1.user_id
+    """,
+)
+def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase over the
+    event stream (operators/funnel.py funnel_steps): per user, the
+    earliest completion of each step strictly after the previous one,
+    plus the deepest stage reached. Expressed as n shrinking
+    conditional-min aggregations (no window over the stream, no
+    per-user event lists) — the oracle replays the identical chain."""
+    from daft_spark.operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, ["view", "click", "purchase"], "user_id", "ts", "event_type"
+    ).orderBy("user_id")
+
+
+@register(
+    "rel_retention_cohorts",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+    first AS (
+      SELECT user_id, min(t) AS t0 FROM ev GROUP BY user_id),
+    cohorted AS (
+      SELECT ev.user_id,
+             CAST(floor(t0 / 604800) * 604800 AS BIGINT) AS cohort_period,
+             CAST(floor((t - t0) / 604800) AS INT) AS period_n
+      FROM ev JOIN first USING (user_id)),
+    active AS (
+      SELECT cohort_period, period_n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM cohorted GROUP BY cohort_period, period_n),
+    size AS (
+      SELECT cohort_period, count(DISTINCT user_id) AS sz
+      FROM cohorted WHERE period_n = 0 GROUP BY cohort_period)
+    SELECT a.cohort_period, a.period_n, a.n_active,
+           round(a.n_active / s.sz, 6) AS retention
+    FROM active a JOIN size s USING (cohort_period)
+    ORDER BY a.cohort_period, a.period_n
+    """,
+)
+def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (operators/funnel.py
+    retention_cohorts): cohort = 7-day period of the user's first
+    event (integer epoch math — no calendar/timezone ambiguity),
+    n_active + retention per (cohort, periods-since-first). Two
+    keyed aggregations and a cohort-grain join; the event payload
+    never shuffles. The oracle replays the identical epoch
+    arithmetic."""
+    from daft_spark.operators.funnel import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", period_seconds=604800)

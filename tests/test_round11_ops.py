@@ -269,3 +269,77 @@ def test_bloom_contamination_one_sided(spark):
            bloom_contamination(docs, bench, "text", "doc_id").collect()}
     assert out[1] is True          # exact contamination always flagged
     assert set(out) == {1, 2, 3}   # row conservation
+
+
+def test_funnel_steps_strict_ordering(spark):
+    from datetime import datetime as dt
+
+    from daft_spark.operators.funnel import funnel_steps
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes all three in order
+            (1, dt(2024, 1, 1), "view"),
+            (1, dt(2024, 1, 2), "click"),
+            (1, dt(2024, 1, 3), "purchase"),
+            # u2's purchase PRECEDES the click -> funnel breaks at 2
+            (2, dt(2024, 1, 1), "view"),
+            (2, dt(2024, 1, 2), "purchase"),
+            (2, dt(2024, 1, 3), "click"),
+            # u3 never views -> not in the funnel at all
+            (3, dt(2024, 1, 1), "click"),
+            (3, dt(2024, 1, 2), "purchase"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["stage_reached"] == 3 and out[1]["t3"] == dt(2024, 1, 3)
+    assert out[2]["stage_reached"] == 2 and out[2]["t3"] is None
+    with pytest.raises(ValueError):
+        funnel_steps(ev, ["view"])
+
+
+def test_funnel_repeated_step(spark):
+    from datetime import datetime as dt
+
+    from daft_spark.operators.funnel import funnel_steps
+
+    ev = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), "click"), (1, dt(2024, 1, 5), "click"),
+         (2, dt(2024, 1, 1), "click")],
+        ["user_id", "ts", "event_type"],
+    )
+    out = {r["user_id"]: r for r in funnel_steps(ev, ["click", "click"]).collect()}
+    # a second DISTINCT click is required for stage 2
+    assert out[1]["stage_reached"] == 2 and out[1]["t2"] == dt(2024, 1, 5)
+    assert out[2]["stage_reached"] == 1
+
+
+def test_retention_cohorts_triangle(spark):
+    from datetime import datetime as dt
+
+    from daft_spark.operators.funnel import retention_cohorts
+
+    day = 24 * 3600
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1)), (1, dt(2024, 1, 2)),   # periods 0, 1
+            (2, dt(2024, 1, 1)), (2, dt(2024, 1, 3)),   # periods 0, 2
+            (3, dt(2024, 1, 2)),                         # its own cohort
+        ],
+        ["user_id", "ts"],
+    )
+    rows = retention_cohorts(ev, "user_id", "ts", period_seconds=day).collect()
+    by = {(r["cohort_period"], r["period_n"]): r for r in rows}
+    c1 = min(k[0] for k in by)
+    assert by[(c1, 0)]["n_active"] == 2 and by[(c1, 0)]["retention"] == 1.0
+    assert by[(c1, 1)]["n_active"] == 1 and abs(by[(c1, 1)]["retention"] - 0.5) < 1e-9
+    assert by[(c1, 2)]["n_active"] == 1
+    # user 3 forms a separate cohort one day later
+    assert (c1 + day, 0) in by and by[(c1 + day, 0)]["n_active"] == 1
+    with pytest.raises(ValueError):
+        retention_cohorts(ev, period_seconds=0)
