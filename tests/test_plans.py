@@ -736,3 +736,97 @@ def test_bm25_single_stats_agg_take_ordered(spark):
     assert plan.count("Scan parquet") == 4, plan
     final = plan.split("* Sort")[0]
     assert "Window" not in final, plan
+
+
+def test_line_dedup_explode_keys_only(spark):
+    """remove_duplicated_lines explodes (doc_id, pos, line-hash)
+    ONLY — the raw line/text strings must never ride through the
+    Generate (they hash in-row; removal positions come back as one
+    small int array per doc)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.dedup import remove_duplicated_lines
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = remove_duplicated_lines(d, "text", "doc_id", sep=" ")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    gen = [i for i, ln in enumerate(lines) if "Generate posexplode" in ln]
+    assert gen, plan
+    for i in gen:
+        assert "text#" not in lines[i], plan
+
+
+def test_incremental_novel_keys_only_anti_join(spark):
+    """incremental_novel's anti-join exchanges 16-byte (hash, len)
+    keys: no text column may appear in or above the Join, and the
+    corpus side must pre-aggregate (map-side combine) before it."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.dedup import incremental_novel
+
+    d = load_table(spark, SF_DIR, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    out = incremental_novel(corpus, batch, "text", "doc_id")
+    plan = plan_of(out)
+    assert "LeftAnti" in plan, plan
+    # text is consumed by the hash projection below the join: the
+    # join condition and aggregate keys reference only __h/__len
+    joinish = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "BroadcastHashJoin" in ln or "HashAggregate" in ln
+    ]
+    for ln in joinish:
+        assert "text#" not in ln, ln
+
+
+def test_funnel_no_window_all_hash_aggs(spark):
+    """funnel_steps must plan as shrinking conditional aggregations:
+    no Window over the event stream, no collect_list of histories."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.funnel import funnel_steps
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = funnel_steps(ev, ["view", "click", "purchase"])
+    plan = plan_of(out)
+    assert "Window" not in plan, plan
+    assert "collect_list" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_pq_search_no_float_vector_crossjoin(spark):
+    """topk_cosine_pq's only cross join is codes x broadcast LUTs —
+    the float embedding column must never appear in a cross-join
+    operand (the bulk scan reads codes, not vectors)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.similarity import topk_cosine_pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    out = topk_cosine_pq(queries, corpus, k=3, m=16, ksub=8, iters=1)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    # every Join line in the ADC scoring subtree must not carry the
+    # corpus float vector; 'embedding#' may appear only below the
+    # encode aggregation (where codes are built)
+    for i, ln in enumerate(lines):
+        if "Join Cross" in ln:
+            assert "embedding#" not in ln, plan
+
+
+def test_retention_event_payload_not_shuffled(spark):
+    """retention_cohorts exchanges only (user, epoch) pairs — the
+    props/event_type payload columns must be pruned at the scan."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.funnel import retention_cohorts
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = retention_cohorts(ev)
+    plan = plan_of(out)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    for ln in scan:
+        assert "props" not in ln and "event_type" not in ln, ln

@@ -242,3 +242,83 @@ def test_bpe_roundtrip_property(spark, parts):
         ).alias("t")
     ).collect()[0]["t"]
     assert back == text
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8),
+    budget_frac=st.floats(min_value=0.05, max_value=2.0),
+    max_epochs=st.sampled_from([0.5, 1.0, 3.0]),
+)
+def test_temperature_mixture_water_filling_invariants(
+    spark, weights, budget_frac, max_epochs
+):
+    """UniMax water-filling against its defining properties: the
+    budget is met exactly whenever capacity allows (else everyone
+    caps), no group exceeds its epoch cap, allocations are
+    non-negative, and equal-weight groups allocate identically."""
+    from daft_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, f"g{i}", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    total = sum(weights)
+    budget = budget_frac * total
+    out = temperature_mixture(
+        df, ["grp"], budget=budget, temperature=2.0,
+        max_epochs=max_epochs, weight_col="w",
+    ).collect()
+    alloc = {r["grp"]: r["alloc"] for r in out}
+    caps = {f"g{i}": max_epochs * w for i, w in enumerate(weights)}
+    for g, a in alloc.items():
+        assert -1e-6 <= a <= caps[g] + 1e-6 * max(1.0, caps[g])
+    total_alloc = sum(alloc.values())
+    expected = min(budget, max_epochs * total)
+    assert math.isclose(total_alloc, expected, rel_tol=1e-5, abs_tol=1e-4)
+    # equal weights -> equal allocation (rounded to the same 6 dp)
+    by_w = {}
+    for i, w in enumerate(weights):
+        by_w.setdefault(w, []).append(alloc[f"g{i}"])
+    for vals in by_w.values():
+        assert max(vals) - min(vals) <= 2e-6
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    ),
+    keep=st.sampled_from(["first", "none"]),
+)
+def test_line_dedup_matches_python_model(spark, docs, keep):
+    """remove_duplicated_lines vs a direct python model: occurrence
+    counting across the corpus, keep-first by (doc, pos), rebuild."""
+    from collections import Counter
+
+    from daft_spark.operators.dedup import remove_duplicated_lines
+
+    texts = ["\n".join(d) for d in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_lines(
+            df, "text", "doc_id", keep=keep
+        ).collect()
+    }
+    counts = Counter(l for d in docs for l in d)
+    firsts = {}
+    for di, d in enumerate(docs):
+        for pi, l in enumerate(d):
+            firsts.setdefault(l, (di, pi))
+    for di, d in enumerate(docs):
+        kept = []
+        for pi, l in enumerate(d):
+            if counts[l] < 2:
+                kept.append(l)
+            elif keep == "first" and firsts[l] == (di, pi):
+                kept.append(l)
+        r = out[di]
+        assert r["clean_text"] == "\n".join(kept)
+        assert r["n_lines"] == len(d)
+        assert r["n_removed"] == len(d) - len(kept)
