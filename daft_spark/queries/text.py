@@ -1820,3 +1820,125 @@ def text_top_ngrams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_grams.crossJoin(F.broadcast(bounds)).crossJoin(F.broadcast(heavy))
     )
+
+
+@register(
+    "pipeline_corpus_curation_v3",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    lined AS (
+      SELECT doc_id, lang,
+             list_transform(range(0, CAST(ceil(len(toks) / 12.0) AS INT)), i ->
+               array_to_string(toks[i * 12 + 1 : (i + 1) * 12], ' ')) AS lines
+      FROM t),
+    ex AS (
+      SELECT doc_id, lang, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS i
+      FROM lined),
+    marked AS (
+      SELECT doc_id, lang, line, i,
+             count(*) OVER (PARTITION BY line) AS cnt
+      FROM ex),
+    rebuilt AS (
+      SELECT doc_id, lang, string_agg(line, chr(10) ORDER BY i) AS clean
+      FROM marked WHERE cnt < 2 GROUP BY doc_id, lang),
+    survivors AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(clean, '[ \n]')) AS BIGINT) AS tok
+      FROM rebuilt
+      WHERE len(string_split_regex(clean, '[ \n]')) >= 20),
+    g AS (SELECT lang, CAST(sum(tok) AS DOUBLE) AS c FROM survivors GROUP BY lang),
+    tot AS (SELECT 0.5 * sum(c) AS b FROM g),
+    r AS (SELECT lang, c, sqrt(c) AS p, 1.0 * c AS cap,
+                 (1.0 * c) / sqrt(c) AS r FROM g),
+    w AS (
+      SELECT lang, c, p, cap, r,
+             sum(cap) OVER (ORDER BY r, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cap AS sprev,
+             sum(p) OVER (ORDER BY r, lang
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pafter,
+             lag(r) OVER (ORDER BY r, lang) AS rprev
+      FROM r),
+    cand AS (
+      SELECT *, ((SELECT b FROM tot) - sprev) / pafter AS theta_cand FROM w),
+    theta AS (
+      SELECT max(CASE WHEN (rprev IS NULL OR rprev <= theta_cand)
+                       AND theta_cand < r THEN theta_cand END) AS th
+      FROM cand),
+    rates AS (
+      SELECT lang,
+             round(CASE WHEN (SELECT th FROM theta) IS NULL
+                          OR r <= (SELECT th FROM theta)
+                        THEN cap
+                        ELSE (SELECT th FROM theta) * p END / c, 6) AS rate
+      FROM r),
+    sel AS (
+      SELECT s.doc_id, s.lang, s.tok
+      FROM survivors s JOIN rates USING (lang)
+      WHERE list_sum(list_transform(range(1, 14), i ->
+              (strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR) || 'v3'), i, 1)) - 1)
+              * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 < rates.rate)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS tok_sum,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM sel GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEW-FAMILY curation loop in one checked composition:
+    corpus-level line dedup (remove-all boilerplate, RefinedWeb mode)
+    -> min-length quality gate on the CLEANED text -> UniMax
+    temperature-2 budget allocation over languages (budget = half the
+    surviving token mass) -> apply_mixture materializing the epochs as
+    md5-membership rates (salt 'v3'). Every stage is deterministic, so
+    the oracle replays the WHOLE pipeline — line counting, keep
+    decisions, string rebuild, token gating, the water-filling level,
+    the 6-dp rates, and each document's membership draw — and compares
+    per-language doc counts, token mass, and the id-sum membership
+    digest. One resurrected line or reassigned document mismatches.
+    Scale shape: line hashes shuffle keys-only, water-filling runs on
+    the #langs audit frame, rates broadcast — the corpus never
+    shuffles."""
+    from daft_spark.operators.dedup import remove_duplicated_lines
+    from daft_spark.operators.sampling import apply_mixture, temperature_mixture
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(12.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 12 + 1, 12)),
+    )
+    lined = d.select("doc_id", "lang", F.concat_ws("\n", lines).alias("text"))
+    deduped = remove_duplicated_lines(
+        lined, "text", "doc_id", sep="\n", min_occurrences=2, keep="none"
+    )
+    survivors = (
+        deduped.filter(F.col("clean_text") != "")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("clean_text"), "[ \n]")).cast("long").alias("tok"),
+        )
+        .filter(F.col("tok") >= 20)
+    )
+    survivors = survivors.persist()
+    total = survivors.agg(F.sum(F.col("tok").cast("double"))).collect()[0][0]
+    tm = temperature_mixture(
+        survivors, ["lang"], budget=0.5 * float(total),
+        temperature=2.0, max_epochs=1.0, weight_col="tok",
+    )
+    rates = tm.select("lang", F.col("epochs").alias("sample_rate"))
+    sel = apply_mixture(survivors, rates, ["lang"], id_col="doc_id", salt="v3")
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("tok_sum"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
