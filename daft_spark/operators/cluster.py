@@ -150,3 +150,76 @@ def duplicate_clusters(
     return out.withColumn("cluster_id", cluster).drop("component").withColumn(
         "is_representative", F.col(id_col) == F.col("cluster_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PAGERANK as DataFrame aggregations — the canonical iterative
+    graph algorithm expressed Spark-first (the companion of
+    ``connected_components``; together they cover the two graph
+    reductions a dedup/link-analysis pipeline needs). Fixed
+    ``iters`` power iterations of rank = (1-d)/n + d * (in-flow +
+    dangling/n), with dangling mass (nodes without out-edges)
+    redistributed uniformly — rank stays a probability distribution
+    (sums to 1) every round.
+
+    A FIXED iteration count (not convergence-to-epsilon) keeps the
+    computation a pure deterministic function of the edge list, so a
+    SQL oracle can replay it as chained CTEs — the production pattern
+    is the same loop with more rounds.
+
+    100 TB posture: the edge list shuffles ONCE into (src, dst) form;
+    each round is one join keyed on src + two map-side-combining
+    aggregations (in-flow per dst, dangling scalar) with the rank
+    frame's lineage truncated per round (localCheckpoint — the
+    connected_components / ivf_train discipline against exponential
+    plan growth). Node payloads never move; rows are (node, double)."""
+    if iters < 1 or not (0.0 < damping < 1.0):
+        raise ValueError("iters must be >= 1 and damping in (0, 1)")
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")).distinct()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        with_deg = ranks.join(
+            outdeg.withColumnRenamed("__s", "node"), "node", "left"
+        )
+        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("__deg").isNotNull()).select(
+                    F.col("node").alias("__s"),
+                    (F.col("rank") / F.col("__deg")).alias("__c"),
+                ),
+                "__s",
+            )
+            .groupBy("__d")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("__d", "node"), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "retention_cohorts"]
+__all__ = ["funnel_steps", "retention_cohorts", "top_event_paths"]
 
 
 def funnel_steps(
@@ -26,6 +26,7 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """ORDERED FUNNEL: for each user, the earliest time they completed
     each step STRICTLY AFTER completing the previous one (the standard
@@ -39,7 +40,11 @@ def funnel_steps(
     (re-orderings of later events cannot resurrect a broken step, and
     every t_i is a real event time). Repeated step names are allowed
     (e.g. click -> click counts a second distinct click after the
-    first).
+    first). ``within_seconds`` adds the standard CONVERSION WINDOW:
+    each step must also land within that many seconds of the
+    PREVIOUS step (per-hop window, the product-analytics default) —
+    a later qualifying event outside the window breaks the funnel for
+    that user, matching the first-qualifying-chain semantics.
 
     Scale: step i is one conditional min() aggregation over events
     pre-filtered to that step's type, joined to the step-(i-1)
@@ -59,10 +64,16 @@ def funnel_steps(
         .agg(F.min("__ts").alias("t1"))
     )
     for i, step in enumerate(steps[1:], start=2):
+        cond = F.col("__ts") > F.col("__prev")
+        if within_seconds is not None:
+            cond = cond & (
+                F.unix_timestamp(F.col("__ts"))
+                <= F.unix_timestamp(F.col("__prev")) + int(within_seconds)
+            )
         nxt = (
             ev.filter(F.col("__e") == step)
             .join(cur.select(user_col, F.col(f"t{i-1}").alias("__prev")), user_col)
-            .filter(F.col("__ts") > F.col("__prev"))
+            .filter(cond)
             .groupBy(user_col)
             .agg(F.min("__ts").alias(f"t{i}"))
         )
@@ -130,4 +141,50 @@ def retention_cohorts(
             F.round(F.col("n_active") / F.col("__size"), 6).alias("retention"),
         )
         .orderBy("cohort_period", "period_n")
+    )
+
+
+def top_event_paths(
+    df: DataFrame,
+    length: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """TOP USER PATHS: the most frequent ``length``-event sequences
+    users actually perform (the path-analysis counterpart of the
+    funnel — funnels check a HYPOTHESIZED sequence, this surfaces the
+    observed ones). Events order per user by (ts, event_type) — the
+    deterministic tiebreak for simultaneous events — and every
+    window of ``length`` consecutive events becomes one path string
+    'a>b>c'. Returns (path, n_occurrences, n_users) top-k by
+    occurrences with a lexicographic tiebreak.
+
+    Scale: one shuffle on user_id for the per-user window (the same
+    shape as any sessionization), then a map-side-combining count and
+    a TakeOrderedAndProject top-k — no global sort, no per-user
+    event-list materialization."""
+    from pyspark.sql import Window
+
+    if length < 2 or k < 1:
+        raise ValueError("length must be >= 2 and k >= 1")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(event_col))
+    steps = [F.col(event_col)] + [
+        F.lead(event_col, i).over(w) for i in range(1, length)
+    ]
+    paths = df.select(
+        F.col(user_col),
+        F.when(
+            steps[-1].isNotNull(), F.concat_ws(">", *steps)
+        ).alias("path"),
+    ).filter(F.col("path").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(user_col).alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(k)
     )

@@ -884,3 +884,155 @@ def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev, "user_id", "ts", period_seconds=604800)
+
+
+@register(
+    "rel_funnel_window",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND floor(epoch(e.ts)) <= floor(epoch(s1.t1)) + 172800
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND floor(epoch(e.ts)) <= floor(epoch(s2.t2)) + 172800
+      GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage_reached
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ORDER BY s1.user_id
+    """,
+)
+def rel_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-window funnel: view -> click -> purchase with
+    each hop required within 48 h of the previous step (operators/
+    funnel.py funnel_steps(within_seconds=172800) — per-hop windows,
+    the product-analytics default). Epoch-second integer arithmetic
+    keeps the window check engine-exact; the oracle replays the
+    identical chain."""
+    from daft_spark.operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, ["view", "click", "purchase"], "user_id", "ts", "event_type",
+        within_seconds=172800,
+    ).orderBy("user_id")
+
+
+@register(
+    "rel_event_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+    p AS (
+      SELECT user_id, event_type || '>' || e2 || '>' || e3 AS path
+      FROM seq WHERE e3 IS NOT NULL)
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC LIMIT 15
+    """,
+)
+def rel_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 observed 3-event user paths (operators/funnel.py
+    top_event_paths): per-user (ts, event_type)-ordered lead windows
+    assemble 'a>b>c' path strings, counted with map-side combine and
+    topped with TakeOrderedAndProject. The oracle replays the window,
+    the concatenation, and the deterministic tiebreak."""
+    from daft_spark.operators.funnel import top_event_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_event_paths(ev, length=3, k=15)
+
+
+@register(
+    "rel_pagerank",
+    """
+    WITH raw AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT src, dst FROM raw
+      UNION
+      SELECT dst AS src, src AS dst FROM raw),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM e
+      UNION SELECT DISTINCT dst FROM e),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM nodes),
+    i1 AS (
+      SELECT nd.node,
+             (1 - 0.85) / (SELECT n FROM n)
+             + 0.85 * (coalesce(f.inflow, 0)
+                       + (SELECT coalesce(sum(r.rank), 0) FROM r0 r
+                          LEFT JOIN deg ON r.node = deg.src
+                          WHERE deg.src IS NULL) / (SELECT n FROM n)) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / deg.d) AS inflow
+        FROM e JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) f ON nd.node = f.node),
+    i2 AS (
+      SELECT nd.node,
+             (1 - 0.85) / (SELECT n FROM n)
+             + 0.85 * (coalesce(f.inflow, 0)
+                       + (SELECT coalesce(sum(r.rank), 0) FROM i1 r
+                          LEFT JOIN deg ON r.node = deg.src
+                          WHERE deg.src IS NULL) / (SELECT n FROM n)) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / deg.d) AS inflow
+        FROM e JOIN i1 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) f ON nd.node = f.node),
+    i3 AS (
+      SELECT nd.node,
+             (1 - 0.85) / (SELECT n FROM n)
+             + 0.85 * (coalesce(f.inflow, 0)
+                       + (SELECT coalesce(sum(r.rank), 0) FROM i2 r
+                          LEFT JOIN deg ON r.node = deg.src
+                          WHERE deg.src IS NULL) / (SELECT n FROM n)) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / deg.d) AS inflow
+        FROM e JOIN i2 r ON e.src = r.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) f ON nd.node = f.node)
+    SELECT node, rank FROM i3 ORDER BY node
+    """,
+)
+def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85, dangling mass
+    redistributed) over the customer-supplier interaction graph
+    (operators/cluster.py pagerank; undirected edges from
+    orders x lineitem). A fixed iteration count keeps the loop a pure
+    function of the edge list, so the oracle replays all three rounds
+    as chained CTEs — in-flows, dangling scalars, and the final
+    distribution (floats compared at 1e-6). The Spark loop truncates
+    lineage per round (localCheckpoint), the connected_components
+    discipline."""
+    from daft_spark.operators.cluster import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iters=3, damping=0.85).orderBy("node")

@@ -343,3 +343,76 @@ def test_retention_cohorts_triangle(spark):
     assert (c1 + day, 0) in by and by[(c1 + day, 0)]["n_active"] == 1
     with pytest.raises(ValueError):
         retention_cohorts(ev, period_seconds=0)
+
+
+def test_funnel_within_seconds_breaks_late_hops(spark):
+    from datetime import datetime as dt
+
+    from daft_spark.operators.funnel import funnel_steps
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 0, 0), "view"),
+            (1, dt(2024, 1, 1, 0, 30), "click"),     # 30 min later: inside 1h
+            (1, dt(2024, 1, 1, 3, 0), "purchase"),   # 2.5h after click: outside
+            (2, dt(2024, 1, 1, 0, 0), "view"),
+            (2, dt(2024, 1, 1, 2, 0), "click"),      # 2h later: outside 1h
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    out = {
+        r["user_id"]: r["stage_reached"]
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], within_seconds=3600
+        ).collect()
+    }
+    assert out == {1: 2, 2: 1}
+
+
+def test_top_event_paths_model(spark):
+    from datetime import datetime as dt
+
+    from daft_spark.operators.funnel import top_event_paths
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1), "a"), (1, dt(2024, 1, 2), "b"),
+            (1, dt(2024, 1, 3), "c"), (1, dt(2024, 1, 4), "b"),
+            (2, dt(2024, 1, 1), "a"), (2, dt(2024, 1, 2), "b"),
+            (2, dt(2024, 1, 3), "c"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    rows = top_event_paths(ev, length=3, k=10).collect()
+    by = {r["path"]: (r["n_occurrences"], r["n_users"]) for r in rows}
+    assert by["a>b>c"] == (2, 2)
+    assert by["b>c>b"] == (1, 1)
+    with pytest.raises(ValueError):
+        top_event_paths(ev, length=1)
+
+
+def test_pagerank_properties(spark):
+    import math
+
+    from daft_spark.operators.cluster import pagerank
+
+    # star graph: hub <-> 4 spokes; hub must dominate, ranks sum to 1
+    edges = []
+    for s in ["s1", "s2", "s3", "s4"]:
+        edges.append(("hub", s))
+        edges.append((s, "hub"))
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+    assert math.isclose(sum(out.values()), 1.0, rel_tol=1e-9)
+    assert out["hub"] > max(v for k, v in out.items() if k != "hub")
+    spoke_vals = [v for k, v in out.items() if k != "hub"]
+    assert max(spoke_vals) - min(spoke_vals) < 1e-12  # symmetry
+    # dangling-only graph: one edge a->b, b dangles; mass conserved
+    e2 = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    out2 = {r["node"]: r["rank"] for r in pagerank(e2, iters=3).collect()}
+    assert math.isclose(sum(out2.values()), 1.0, rel_tol=1e-9)
+    assert out2["b"] > out2["a"]
+    with pytest.raises(ValueError):
+        pagerank(e, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(e, damping=1.0)
