@@ -23,22 +23,34 @@ from pyspark.sql import functions as F
 __all__ = ["ngram_repetition_fractions", "top_ngrams"]
 
 
-def _ngram_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, __h, __len) — one row per n-gram occurrence, hashed and
-    char-measured in-row. Docs with fewer than ``n`` tokens contribute
-    nothing."""
+def _gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, __g) — one row per n-gram occurrence, assembled by
+    posexplode with the token ARRAY kept in scope so each gram is
+    concat_ws(token, F.get(arr, p+1), ...) — the shingle_hashes shape.
+    The transform(sequence(...), slice+concat) formulation evaluates
+    INTERPRETED per element and measured ~20x slower at corpus scale
+    (A/B at sf1: 108.6 s vs 5.3 s for the same 2.7M bigrams); this is
+    the same defect class the dedup module's docstring records for
+    windowed shingles. Docs with fewer than ``n`` tokens contribute
+    nothing (the trailing F.get is NULL and filtered)."""
     from daft_spark.operators.dedup import tokens_of
 
-    arr = tokens_of(F.col(text_col))
-    ntok = F.size(arr)
-    idx = F.sequence(F.lit(1), ntok - (n - 1))
-    grams = F.when(
-        ntok >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col), F.explode(grams).alias("__g")
-    ).select(
+    toks = df.select(
+        F.col(id_col), tokens_of(F.col(text_col)).alias("__ts")
+    )
+    ex = toks.select(id_col, "__ts", F.posexplode("__ts").alias("__p", "__t"))
+    neigh = [F.get("__ts", F.col("__p") + j) for j in range(1, n)]
+    if neigh:
+        ex = ex.filter(neigh[-1].isNotNull())
+    return ex.select(
+        id_col, F.concat_ws(" ", F.col("__t"), *neigh).alias("__g")
+    )
+
+
+def _ngram_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, __h, __len) — one row per n-gram occurrence, hashed and
+    char-measured in-row."""
+    return _gram_rows(df, text_col, id_col, n).select(
         id_col,
         F.xxhash64("__g").alias("__h"),
         F.length("__g").alias("__len"),
@@ -100,25 +112,20 @@ def top_ngrams(
     Returns (ngram, n_occurrences, n_docs) ordered by occurrences
     descending with a deterministic lexicographic tiebreak.
 
-    Scale: n-grams assemble IN-ROW (sequence + slice + concat_ws, one
-    codegen projection — no window); the count is one groupBy whose
-    map-side partial aggregation collapses each partition's duplicate
-    grams before the exchange (Zipf distributions collapse hard, so
-    the shuffle moves far fewer rows than occurrences); the top-k is
-    orderBy+limit, which Spark plans as TakeOrderedAndProject — per-
-    partition heaps, never a global sort (plan-asserted)."""
-    from daft_spark.operators.dedup import tokens_of
-
+    Scale: n-grams assemble IN-ROW via the posexplode + F.get neighbor
+    shape (``_gram_rows`` — the transform/slice formulation evaluated
+    interpreted and was 20x slower, A/B'd at sf1); the count is one
+    groupBy whose map-side partial aggregation collapses each
+    partition's duplicate grams before the exchange (Zipf
+    distributions collapse hard, so the shuffle moves far fewer rows
+    than occurrences); the top-k is orderBy+limit, which Spark plans
+    as TakeOrderedAndProject — per-partition heaps, never a global
+    sort (plan-asserted)."""
     if n < 1 or k < 1:
         raise ValueError("n and k must be >= 1")
-    arr = tokens_of(F.col(text_col))
-    ntok = F.size(arr)
-    idx = F.sequence(F.lit(1), ntok - (n - 1))
-    grams = F.when(
-        ntok >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("ngram"))
+    ex = _gram_rows(df, text_col, id_col, n).select(
+        F.col(id_col).alias("__id"), F.col("__g").alias("ngram")
+    )
     return (
         ex.groupBy("ngram")
         .agg(
@@ -167,30 +174,28 @@ def top_ngrams_sketch(
 
     if n < 1 or k < 1 or capacity < 1:
         raise ValueError("n, k, capacity must be >= 1")
-    arr = tokens_of(F.col(text_col))
-    ntok = F.size(arr)
-    idx = F.sequence(F.lit(1), ntok - (n - 1))
-    grams = F.when(
-        ntok >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.explode(grams).alias("ngram"))
+    ex = _gram_rows(df, text_col, id_col, n).select(F.col("__g").alias("ngram"))
 
     cap = int(capacity)
 
     def mg(batches):
         import pandas as pd
 
-        counters: dict[str, int] = {}
+        # fully vectorized batched Misra-Gries: per batch one
+        # value_counts + one aligned Series.add; the shrink subtracts
+        # the (capacity+1)-th largest count from everyone (each such
+        # cut removes >= (cap+1)*cut stream mass -> the MG bound).
+        # A python dict loop here was 10x slower and dominated the
+        # whole sketch at sf1.
+        counters = pd.Series(dtype="int64")
         for b in batches:
-            for g, c in b["ngram"].value_counts().items():
-                counters[g] = counters.get(g, 0) + int(c)
+            counters = counters.add(b["ngram"].value_counts(), fill_value=0)
             if len(counters) > cap:
-                vals = sorted(counters.values(), reverse=True)
-                cut = vals[cap]
-                counters = {g: c - cut for g, c in counters.items() if c > cut}
+                cut = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters[counters > cut] - cut
+        counters = counters.astype("int64")
         yield pd.DataFrame(
-            {"ngram": list(counters), "cnt": list(counters.values())}
+            {"ngram": counters.index.astype(str), "cnt": counters.to_numpy()}
         )
 
     summaries = ex.mapInPandas(mg, schema="ngram string, cnt long")

@@ -1784,18 +1784,11 @@ def text_top_ngrams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = top_ngrams_sketch(
         d, "text", "doc_id", n=2, k=1_000_000, capacity=2000
     ).persist()
+    from daft_spark.operators.repetition import _gram_rows
+
     exact = (
-        d.select(
-            F.explode(
-                F.when(
-                    F.size(F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " ")), " ")) >= 2,
-                    F.expr(
-                        "transform(sequence(1, size(split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')), ' ')) - 1), "
-                        "i -> concat_ws(' ', slice(split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')), ' '), i, 2)))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("ngram")
-        )
+        _gram_rows(d, "text", "doc_id", 2)
+        .select(F.col("__g").alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("true_count"))
     ).persist()
@@ -1927,6 +1920,14 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = survivors.persist()
     total = survivors.agg(F.sum(F.col("tok").cast("double"))).collect()[0][0]
+    if total is None:
+        # an all-duplicate corpus (e.g. a x10 replicated fixture) leaves
+        # no survivors; the mix over an empty frame is empty
+        return survivors.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("tok_sum"),
+            F.sum("doc_id").alias("id_sum"),
+        )
     tm = temperature_mixture(
         survivors, ["lang"], budget=0.5 * float(total),
         temperature=2.0, max_epochs=1.0, weight_col="tok",
@@ -1941,4 +1942,69 @@ def pipeline_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "pipeline_bpe_train",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS word
+      FROM documents)
+    SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           10 AS n_merges,
+           TRUE AS roundtrip_ok,
+           TRUE AS compressed,
+           TRUE AS serving_parity
+    FROM w WHERE word <> ''
+    """,
+    comparable=False,
+)
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge training (operators/bpe_train.py,
+    Sennrich et al. 2016): 10 merges learned from the corpus word
+    table, checked against the algorithm's defining invariants from
+    the REAL output — lossless segmentation (every word's final
+    symbols concatenate back to the word), strict compression (the
+    merged table holds fewer total symbols than the char-split
+    start), and serving parity (re-applying the learned merge list
+    to a fresh char split reproduces the training-final segmentation
+    EXACTLY — the determinism a deployed vocabulary needs). The
+    argmax-per-round loop is not SQL-replicable; the oracle instead
+    recomputes the distinct-word count cross-engine so the trained
+    table's fixture is verified too."""
+    from daft_spark.operators.bpe_train import (
+        bpe_apply_merges,
+        bpe_train,
+    )
+
+    d = _docs(spark, sf_dir)
+    merges, final = bpe_train(d, "text", num_merges=10)
+    final = final.persist()
+    n_words = final.agg(F.count(F.lit(1)).alias("n_words"))
+    roundtrip = final.agg(
+        F.min(F.concat_ws("", F.col("syms")) == F.col("word")).alias("roundtrip_ok")
+    )
+    totals = final.agg(
+        (F.sum(F.size("syms")) < F.sum(F.length("word"))).alias("compressed")
+    )
+    from daft_spark.operators.bpe_train import char_split
+
+    fresh = final.select("word", "freq", char_split(F.col("word")).alias("syms"))
+    reapplied = bpe_apply_merges(fresh, merges).select(
+        "word", F.col("syms").alias("syms2")
+    )
+    parity = (
+        final.join(reapplied, "word")
+        .agg(F.min(F.col("syms") == F.col("syms2")).alias("serving_parity"))
+    )
+    n_merges = spark.range(1).select(
+        F.lit(len(merges)).cast("int").alias("n_merges")
+    )
+    return (
+        n_words.crossJoin(F.broadcast(n_merges))
+        .crossJoin(F.broadcast(roundtrip))
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(parity))
     )

@@ -416,3 +416,37 @@ def test_pagerank_properties(spark):
         pagerank(e, iters=0)
     with pytest.raises(ValueError):
         pagerank(e, damping=1.0)
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from daft_spark.operators.bpe_train import bpe_apply_merges, bpe_train
+
+    # 'abab' dominates: first merge must be (a,b), second fuses 'ab'+'ab'
+    df = spark.createDataFrame(
+        [(0, "abab abab abab xy")], ["doc_id", "text"]
+    )
+    merges, final = bpe_train(df, "text", num_merges=2)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "ab")
+    rows = {r["word"]: r["syms"] for r in final.collect()}
+    assert rows["abab"] == ["abab"]
+    assert rows["xy"] == ["x", "y"]
+    # serving parity: re-applying merges to fresh char splits agrees
+    from daft_spark.operators.bpe_train import char_split
+
+    fresh = final.select("word", "freq", char_split(F.col("word")).alias("syms"))
+    re2 = {r["word"]: r["syms"] for r in bpe_apply_merges(fresh, merges).collect()}
+    assert re2 == rows
+    with pytest.raises(ValueError):
+        bpe_train(df, num_merges=0)
+
+
+def test_bpe_merge_non_overlapping_left_to_right(spark):
+    from daft_spark.operators.bpe_train import bpe_apply_merges
+
+    words = spark.createDataFrame(
+        [("aaa", 1, ["a", "a", "a"])], ["word", "freq", "syms"]
+    )
+    out = bpe_apply_merges(words, [("a", "a")]).collect()[0]["syms"]
+    # left-to-right non-overlapping: aa + a, never a + aa
+    assert out == ["aa", "a"]
