@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "retention_cohorts", "top_event_paths"]
+__all__ = ["funnel_steps", "retention_cohorts", "top_event_paths", "resample_gapfill", "profile_columns"]
 
 
 def funnel_steps(
@@ -187,4 +187,125 @@ def top_event_paths(
         )
         .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
         .limit(k)
+    )
+
+
+def resample_gapfill(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period_seconds: int = 24 * 3600,
+) -> DataFrame:
+    """RESAMPLE + GAP-FILL: per entity, bucket a time series into
+    fixed ``period_seconds`` periods (sum + count per bucket), emit
+    EVERY period between the entity's first and last event — gaps
+    included — and forward-fill each empty bucket's value with the
+    last observed bucket sum (the standard dashboarding/feature-store
+    densification). Returns (user, period_start epoch-seconds long,
+    n_events, period_sum, filled_sum, is_gap).
+
+    The dense period axis is generated IN-ROW per entity (sequence()
+    over the entity's own [first, last] span — no driver-side
+    calendar, no cross joins with a global axis, so a 100 TB stream
+    with million-period entities explodes keys-only (user, period)
+    rows). The forward fill is one last_value(ignorenulls) window per
+    entity — the same single shuffle the bucketing already paid.
+    Integer epoch arithmetic end-to-end (engine-exact, no calendar
+    ambiguity)."""
+    if period_seconds < 1:
+        raise ValueError("period_seconds must be >= 1")
+    p = F.lit(int(period_seconds)).cast("long")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / p) * p).alias("__pd"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    buckets = ev.groupBy("__u", "__pd").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("__v").alias("period_sum")
+    )
+    span = buckets.groupBy("__u").agg(
+        F.min("__pd").alias("__lo"), F.max("__pd").alias("__hi")
+    )
+    axis = span.select(
+        "__u", F.explode(F.sequence(F.col("__lo"), F.col("__hi"), p)).alias("__pd")
+    )
+    from pyspark.sql import Window
+
+    dense = axis.join(buckets, ["__u", "__pd"], "left")
+    w = (
+        Window.partitionBy("__u")
+        .orderBy("__pd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        F.col("__u").alias(user_col),
+        F.col("__pd").alias("period_start"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("period_sum"),
+        F.last("period_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], approx_distinct: bool = False
+) -> DataFrame:
+    """COLUMN PROFILE — the data-quality audit every ingest runs:
+    one row per column with (column, n_rows, n_nulls, null_frac,
+    n_distinct, min_value, max_value) — min/max rendered as strings
+    so heterogeneous columns share one schema. All statistics
+    compute in ONE aggregation pass over the table (a single
+    map-side-combining job regardless of column count), then melt
+    in-row to the per-column layout.
+
+    ``approx_distinct=True`` swaps exact count_distinct (a shuffle
+    per high-cardinality column at 100 TB) for HLL
+    approx_count_distinct — the scale default for wide audits; the
+    exact mode is kept for oracle checks. Caveat: floating-point
+    min/max stringification is engine-specific at extreme magnitudes
+    (Java flips to scientific notation at 1e7) — profile doubles
+    with explicit rounding upstream if the output must be
+    cross-engine stable."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    nd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx_distinct
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            nd(c).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    melted = row.select(
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__nulls_{c}").alias("n_nulls"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_value"),
+                        F.col(f"__max_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__s"),
+    )
+    return melted.select(
+        F.col("__s.column").alias("column"),
+        F.col("__n").alias("n_rows"),
+        F.col("__s.n_nulls").alias("n_nulls"),
+        F.round(F.col("__s.n_nulls") / F.col("__n"), 6).alias("null_frac"),
+        F.col("__s.n_distinct").alias("n_distinct"),
+        F.col("__s.min_value").alias("min_value"),
+        F.col("__s.max_value").alias("max_value"),
     )

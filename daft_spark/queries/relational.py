@@ -1036,3 +1036,93 @@ def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(edges, iters=3, damping=0.85).orderBy("node")
+
+
+@register(
+    "rel_resample_gapfill",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT) AS pd,
+             value FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT user_id, pd, CAST(count(*) AS BIGINT) AS n_events,
+             sum(value) AS period_sum
+      FROM ev GROUP BY user_id, pd),
+    span AS (
+      SELECT user_id, min(pd) AS lo, max(pd) AS hi FROM b GROUP BY user_id),
+    axis AS (
+      SELECT user_id, unnest(range(lo, hi + 21600, 21600)) AS pd FROM span),
+    dense AS (
+      SELECT a.user_id, a.pd, b.n_events, b.period_sum
+      FROM axis a LEFT JOIN b ON a.user_id = b.user_id AND a.pd = b.pd)
+    SELECT user_id, pd AS period_start,
+           coalesce(n_events, 0) AS n_events,
+           period_sum,
+           last_value(period_sum IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY pd
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+           n_events IS NULL AS is_gap
+    FROM dense ORDER BY user_id, period_start
+    """,
+)
+def rel_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour resampling of per-user purchase values with gap-filled
+    dense periods and forward-filled sums (operators/funnel.py
+    resample_gapfill): the dense axis generates in-row from each
+    user's own span (sequence + explode — keys only), the forward
+    fill is one last_value(ignorenulls) window. Integer epoch
+    arithmetic; the oracle replays buckets, axis, and fill exactly."""
+    from daft_spark.operators.funnel import resample_gapfill
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return resample_gapfill(
+        ev, "user_id", "ts", "value", period_seconds=21600
+    ).orderBy("user_id", "period_start")
+
+
+@register(
+    "rel_profile_columns",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_status,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+             CAST(min(o_orderstatus) AS VARCHAR) AS min_status,
+             CAST(max(o_orderstatus) AS VARCHAR) AS max_status,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_cust,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+             CAST(min(o_custkey) AS VARCHAR) AS min_cust,
+             CAST(max(o_custkey) AS VARCHAR) AS max_cust,
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_prio,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+             CAST(min(o_orderpriority) AS VARCHAR) AS min_prio,
+             CAST(max(o_orderpriority) AS VARCHAR) AS max_prio
+      FROM orders)
+    SELECT 'o_orderstatus' AS col_name, n AS n_rows, nulls_status AS n_nulls,
+           round(nulls_status / n, 6) AS null_frac, nd_status AS n_distinct,
+           min_status AS min_value, max_status AS max_value FROM s
+    UNION ALL
+    SELECT 'o_custkey', n, nulls_cust, round(nulls_cust / n, 6), nd_cust,
+           min_cust, max_cust FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n, nulls_prio, round(nulls_prio / n, 6), nd_prio,
+           min_prio, max_prio FROM s
+    ORDER BY col_name
+    """,
+)
+def rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of orders (operators/funnel.py
+    profile_columns): nulls, exact distinct counts, stringified
+    min/max per column from a SINGLE aggregation job, melted in-row.
+    The oracle recomputes each statistic per column. (approx_distinct
+    =True is the 100 TB default — HLL instead of one exact distinct
+    shuffle per column — kept off here for the exact oracle.)"""
+    from daft_spark.operators.funnel import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderstatus", "o_custkey", "o_orderpriority"]
+    ).withColumnRenamed("column", "col_name").orderBy("col_name")

@@ -450,3 +450,47 @@ def test_bpe_merge_non_overlapping_left_to_right(spark):
     out = bpe_apply_merges(words, [("a", "a")]).collect()[0]["syms"]
     # left-to-right non-overlapping: aa + a, never a + aa
     assert out == ["aa", "a"]
+
+
+def test_resample_gapfill_forward_fill(spark):
+    from datetime import datetime as dt
+
+    from daft_spark.operators.funnel import resample_gapfill
+
+    day = 24 * 3600
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1), 10.0),
+            (1, dt(2024, 1, 1, 12), 5.0),   # same bucket -> sum 15
+            (1, dt(2024, 1, 4), 7.0),       # two-day gap
+        ],
+        ["user_id", "ts", "value"],
+    )
+    rows = resample_gapfill(ev, period_seconds=day).orderBy("period_start").collect()
+    assert len(rows) == 4  # 1st..4th dense
+    assert rows[0]["period_sum"] == 15.0 and rows[0]["is_gap"] is False
+    assert rows[1]["is_gap"] is True and rows[1]["period_sum"] is None
+    assert rows[1]["filled_sum"] == 15.0 and rows[2]["filled_sum"] == 15.0
+    assert rows[3]["period_sum"] == 7.0 and rows[3]["filled_sum"] == 7.0
+    with pytest.raises(ValueError):
+        resample_gapfill(ev, period_seconds=0)
+
+
+def test_profile_columns_stats(spark):
+    from daft_spark.operators.funnel import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (3, "a")], ["x", "y"]
+    )
+    rows = {r["column"]: r for r in profile_columns(df, ["x", "y"]).collect()}
+    assert rows["x"]["n_rows"] == 4 and rows["x"]["n_nulls"] == 0
+    assert rows["x"]["n_distinct"] == 3
+    assert rows["x"]["min_value"] == "1" and rows["x"]["max_value"] == "3"
+    assert rows["y"]["n_nulls"] == 1 and abs(rows["y"]["null_frac"] - 0.25) < 1e-9
+    assert rows["y"]["n_distinct"] == 2  # count_distinct ignores nulls
+    # approx mode returns plausible estimates without an exact shuffle
+    approx = {r["column"]: r["n_distinct"]
+              for r in profile_columns(df, ["x"], approx_distinct=True).collect()}
+    assert approx["x"] >= 2
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
