@@ -169,7 +169,16 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # text_top_ngrams_sketch (Misra-Gries merged summary, MG-sandwich +
 # coverage invariants vs exact counts), dedup_bloom_decontaminate
 # (Bloom bitset decontamination, no-false-negative + fp-rate
-# invariants vs the exact rule).
+# invariants vs the exact rule), rel_funnel_steps + rel_funnel_window
+# (ordered conversion funnels, exact), rel_retention_cohorts (epoch
+# cohort triangle, exact), rel_event_paths (top path sequences,
+# exact), rel_pagerank (3-iteration power method, oracle replays all
+# rounds), pipeline_corpus_curation_v3 (line dedup -> quality gate ->
+# UniMax -> materialized mix, whole-pipeline exact),
+# pipeline_bpe_train (distributed BPE-merge training, segmentation/
+# compression/serving-parity invariants), rel_resample_gapfill (dense
+# period axis + forward fill, exact), rel_profile_columns (one-pass
+# column audit, exact).
 #
 # ROUND-11 ROTATION NOTE (r10 bookkeeping): queries registered AFTER the frozen r10
 # window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue
