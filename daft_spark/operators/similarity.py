@@ -874,3 +874,112 @@ def topk_cosine_pq(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def binarize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BINARY QUANTIZATION: each dimension collapses to its sign bit,
+    packed 63 dims per BIGINT word (63, not 64 — setting bit 63 would
+    overflow the signed long under ANSI arithmetic; the extra word per
+    4k dims is noise). A 64-dim float32 vector becomes two longs
+    (256 -> 16 bytes). The standard first-stage filter of modern
+    vector stores: Hamming distance on sign bits approximates angular
+    distance (Charikar 2002 — each sign bit is an SRP hash against a
+    coordinate plane). Returns (id, bits array<long>).
+
+    Pure Column expressions: one aggregate over a 63-element slice per
+    word — bit math inside codegen, no UDF, a 100 TB embedding table
+    binarizes at scan speed."""
+    d_row = df.select(F.size(vec_col).alias("d")).first()
+    d = int(d_row["d"])
+    nwords = (d + 62) // 63
+    v = F.col(vec_col)
+
+    def word(w):
+        sl = F.slice(v, w * 63 + 1, 63)
+        return F.aggregate(
+            F.zip_with(
+                sl,
+                F.sequence(F.lit(0), F.size(sl) - 1),
+                lambda x, i: F.when(
+                    x > 0, F.pow(F.lit(2.0), i).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + b,
+        )
+
+    words = F.array(*[word(w) for w in range(nwords)])
+    return df.select(F.col(id_col), words.alias("bits"))
+
+
+def topk_cosine_binary(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    rerank: int = 100,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary ANN: the bulk scan ranks the corpus by HAMMING
+    distance over sign-bit words (popcount of XOR — integer ops on
+    8-byte words, the cheapest possible first pass), keeps the top
+    ``rerank`` candidates per query, and ONLY those rows join back to
+    float vectors for the exact cosine top-k. The same
+    shortlist+rerank shape as ``topk_cosine_pq`` — binary trades more
+    first-stage error for a 16x smaller index and pure popcount math.
+
+    Scale: binarized queries BROADCAST; the corpus scan reads packed
+    words, never floats; the rerank join is a keys-only semi-join of
+    the corpus. Ties (equal Hamming) break on corpus id — fully
+    deterministic."""
+    from daft_spark.operators.spread import spread
+
+    if rerank < k:
+        raise ValueError("rerank shortlist must be >= k")
+    qb = binarize_embeddings(queries, query_vec, query_id).select(
+        F.col(query_id), F.col("bits").alias("__qa")
+    )
+    cb = binarize_embeddings(spread(corpus), corpus_vec, corpus_id).select(
+        F.col(corpus_id), F.col("bits").alias("__qb")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("__qa"), F.col("__qb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cb.crossJoin(F.broadcast(qb)).select(
+        F.col(query_id), F.col(corpus_id), hamming.alias("__ham")
+    )
+    wham = Window.partitionBy(query_id).orderBy(
+        F.col("__ham").asc(), F.col(corpus_id)
+    )
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(wham))
+        .filter(F.col("__r") <= rerank)
+        .select(query_id, corpus_id)
+    )
+    qv = queries.select(
+        F.col(query_id),
+        F.transform(F.col(query_vec), lambda x: x.cast("double")).alias("__q"),
+    )
+    cand = corpus.join(shortlist, corpus_id).select(
+        F.col(query_id), F.col(corpus_id), F.col(corpus_vec)
+    )
+    exact = cand.join(F.broadcast(qv), query_id).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(F.col(corpus_vec), F.col("__q")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -423,3 +423,28 @@ def sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(queries, corpus, approx).select(
         "n_queries", (F.col("avg_recall") >= 0.85).alias("recall_ge_085")
     )
+
+
+@register(
+    "sim_ann_binary_recall",
+    "SELECT 8 AS n_queries, TRUE AS recall_ge_075",
+    comparable=False,
+)
+def sim_ann_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (operators/similarity.py
+    binarize_embeddings/topk_cosine_binary; Charikar 2002 sign-bit
+    SRP): the bulk scan ranks by popcount-of-XOR Hamming distance
+    over 63-bit packed words (a 64-dim float vector is 16 bytes in
+    the index), the top-200 shortlist re-ranks with exact cosine.
+    Invariant oracle: avg recall@5 over 8 queries >= 0.75 (measured
+    1.0 / 1.0 / 0.825 at sf0.001/0.01/0.1 — near-random embeddings
+    are the worst case for sign bits; clustered real-world embeddings
+    preserve far more angular signal). Deterministic: Hamming and
+    cosine ties break on corpus id."""
+    from daft_spark.operators.similarity import topk_cosine_binary
+
+    queries, corpus = _queries_corpus(spark, sf_dir)
+    approx = topk_cosine_binary(queries, corpus, k=5, rerank=200)
+    return _recall_vs_exact(queries, corpus, approx).select(
+        "n_queries", (F.col("avg_recall") >= 0.75).alias("recall_ge_075")
+    )

@@ -494,3 +494,31 @@ def test_profile_columns_stats(spark):
     assert approx["x"] >= 2
     with pytest.raises(ValueError):
         profile_columns(df, [])
+
+
+def test_binarize_and_hamming_model(spark):
+    from daft_spark.operators.similarity import binarize_embeddings, topk_cosine_binary
+
+    # 64-dim vectors -> 2 words (63+1). Identical vectors have Hamming 0,
+    # so a query that IS a corpus vector must rank itself first.
+    import random
+
+    random.seed(3)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bits = binarize_embeddings(corpus).collect()
+    assert all(len(r["bits"]) == 2 for r in bits)
+    # python model of the packing
+    r0 = next(r for r in bits if r["vec_id"] == 0)
+    v0 = rows[0][1]
+    w0 = sum(1 << i for i in range(63) if v0[i] > 0)
+    w1 = sum(1 << i for i, x in enumerate(v0[63:]) if x > 0)
+    assert (r0["bits"][0], r0["bits"][1]) == (w0, w1)
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(3)], ["query_id", "query_vec"]
+    )
+    out = topk_cosine_binary(queries, corpus, k=1, rerank=5)
+    got = {r["query_id"]: r["vec_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    with pytest.raises(ValueError):
+        topk_cosine_binary(queries, corpus, k=10, rerank=5)
