@@ -937,17 +937,20 @@ def _stage_data_files(
             dst = os.path.join(path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.move(os.path.join(root, f), dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": pvals,
+                "size": os.path.getsize(dst),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            # per-file stats (data skipping; delta-spark writes these
+            # by default) — conservative footer lift, never blocks the
+            # write
+            st = _file_stats_json(dst)
+            if st:
+                add["stats"] = st
+            adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 
@@ -2474,3 +2477,219 @@ def merge_deltalake_py(
         path, adds, affected, out, partition_cols, "MERGE",
         {"predicate": on}, extra,
     )
+
+
+# ---------------------------------------------------------------------------
+# Data skipping (per-file stats) + OPTIMIZE ZORDER
+# ---------------------------------------------------------------------------
+
+def _file_stats_json(file_path: str) -> str | None:
+    """Delta per-file ``stats`` JSON lifted from the parquet footer:
+    numRecords plus min/max/nullCount for top-level primitive columns
+    whose row groups all carry exact statistics (ints, floats without
+    NaN flags, strings, bools). Conservative: a column with any
+    stat-less or unordered row group is omitted — absent stats never
+    prune. Dates/timestamps/nested/binary are skipped (this engine's
+    pruning handles the numeric/string predicates that matter for
+    Z-ORDER; everything else scans)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(file_path).metadata
+    except Exception:
+        return None
+    n = md.num_rows
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    if md.num_row_groups == 0 or n == 0:
+        return json.dumps(
+            {"numRecords": n, "minValues": {}, "maxValues": {}, "nullCount": {}}
+        )
+    ok_types = {"INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY", "BOOLEAN"}
+    for ci in range(md.num_columns):
+        col0 = md.row_group(0).column(ci)
+        name = col0.path_in_schema
+        if "." in name:  # nested leaf
+            continue
+        if col0.physical_type not in ok_types:
+            continue
+        lo = hi = None
+        nc = 0
+        good = True
+        for rg in range(md.num_row_groups):
+            c = md.row_group(rg).column(ci)
+            s = c.statistics
+            if s is None or not s.has_min_max or s.min is None or s.max is None:
+                good = False
+                break
+            nc += s.null_count if s.null_count is not None else 0
+            mn, mx = s.min, s.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    good = False
+                    break
+            if isinstance(mn, float) and (mn != mn or mx != mx):  # NaN
+                good = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if good and lo is not None:
+            mins[name] = lo
+            maxs[name] = hi
+            nulls[name] = nc
+    return json.dumps(
+        {"numRecords": n, "minValues": mins, "maxValues": maxs,
+         "nullCount": nulls}
+    )
+
+
+def delta_admitted_files(
+    path: str,
+    filters: list[tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Plan a filtered Delta scan: return (admitted add paths, total
+    live adds) keeping every file whose ``stats`` ranges could satisfy
+    ALL of ``filters`` ([(column, op, literal)], AND semantics — the
+    iceberg reader's filter shape, evaluated with the same
+    ``stats_admit`` bounds logic). Files without stats for a filtered
+    column are always admitted (absent stats never prune) — so the
+    planner is sound for tables written before stats collection."""
+    from daft_spark.io.iceberg_transforms import stats_admit
+
+    _schema_json, _parts, adds, _cfg, _proto = _replay_log_full(path, version)
+    admitted = []
+    for rel, add in sorted(adds.items()):
+        st = add.get("stats")
+        keep = True
+        if st:
+            try:
+                parsed = json.loads(st)
+                mins = parsed.get("minValues") or {}
+                maxs = parsed.get("maxValues") or {}
+            except (ValueError, TypeError):
+                mins = maxs = {}
+            for col, op, val in filters:
+                lo, hi = mins.get(col), maxs.get(col)
+                if lo is None and hi is None:
+                    continue
+                if not stats_admit(lo, hi, op, val):
+                    keep = False
+                    break
+        if keep:
+            admitted.append(rel)
+    return admitted, len(adds)
+
+
+def zorder_deltalake_py(
+    path: str,
+    spark: SparkSession,
+    zorder_by: list[str],
+    target_files: int = 4,
+) -> dict:
+    """OPTIMIZE ZORDER: rewrite the table clustered on the Morton
+    (Z-order) curve over ``zorder_by`` — multi-column data skipping
+    where a plain sort only skips on its leading column. Each z
+    column maps to a 16-bit rank (percent_rank over the column, so
+    skew cannot collapse the curve), the ranks bit-interleave into
+    one z-value (pure integer Column expressions), and the table
+    rewrites range-partitioned + sorted by z into ``target_files``
+    files. The commit retires every live file and adds the clustered
+    replacements with ``dataChange=false`` (streaming sources skip it,
+    same contract as OPTIMIZE) and fresh per-file stats, which is
+    what makes ``delta_admitted_files`` prune point/range predicates
+    on EITHER z column afterwards.
+
+    Scale: the per-column 16-bit coordinate is a LINEAR bin over the
+    column's [min, max] (one broadcast 1-row aggregate — a global
+    rank window would single-partition the table, the exact defect
+    this engine plan-audits elsewhere); heavy skew in a z column
+    degrades its share of the curve but never correctness — the
+    stats pruning stays sound either way. Numeric z columns only.
+    Nothing touches the driver but file metadata.
+    Returns {"removed": n, "added": m}."""
+    from pyspark.sql import functions as F
+
+    if not zorder_by:
+        raise ValueError("zorder_by must be non-empty")
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    _schema_json, partition_cols, adds, _cfg, _proto = _replay_log_full(path)
+    if partition_cols:
+        raise NotImplementedError("zorder of a partitioned table")
+    if not adds:
+        return {"removed": 0, "added": 0}
+    df = read_deltalake_py(path, spark)
+    bits = 16
+    rng = df.agg(
+        *[
+            x
+            for c in zorder_by
+            for x in (
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            )
+        ]
+    )
+    ranked = df.crossJoin(F.broadcast(rng))
+    for c in zorder_by:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        frac = (F.col(c).cast("double") - lo) / span
+        ranked = ranked.withColumn(
+            f"__r_{c}",
+            F.least(
+                F.floor(frac * (1 << bits)).cast("long"),
+                F.lit((1 << bits) - 1).cast("long"),
+            ),
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(zorder_by):
+            bit = F.shiftright(F.col(f"__r_{c}"), i).bitwiseAND(F.lit(1))
+            z = z + bit * F.lit(1 << (i * len(zorder_by) + j)).cast("long")
+    clustered = (
+        ranked.withColumn("__z", z)
+        .repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop(
+            "__z",
+            *[f"__r_{c}" for c in zorder_by],
+            *[f"__lo_{c}" for c in zorder_by],
+            *[f"__hi_{c}" for c in zorder_by],
+        )
+    )
+    now_ms = int(time.time() * 1000)
+    new_adds = _stage_data_files(clustered, path, 0, [], now_ms)
+    actions: list[dict] = []
+    for rel in sorted(adds):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    for a in new_adds:
+        a["add"]["dataChange"] = False
+        actions.append(a)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "zOrderBy": json.dumps(zorder_by),
+                },
+                "engineInfo": "daft_spark pure-python delta writer",
+            }
+        }
+    )
+    version = max(_list_versions(path) + _checkpoint_versions(path)) + 1
+    _commit_actions(path, version, actions)
+    return {"removed": len(adds), "added": len(new_adds)}

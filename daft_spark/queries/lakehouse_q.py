@@ -1817,3 +1817,82 @@ def lake_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg_incremental(path, spark, start_snapshot_id=s0).orderBy(
         "o_orderkey"
     )
+
+
+@register(
+    "lake_delta_zorder",
+    """
+    SELECT CAST(l_orderkey % 7 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(l_partkey) AS BIGINT) AS part_sum
+    FROM lineitem WHERE l_orderkey < 2400
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def lake_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE ZORDER + per-file stats data skipping
+    (zorder_deltalake_py / delta_admitted_files): the table is written
+    as orderkey-ranged appends — so partkey predicates admit EVERY
+    file — then rewritten clustered on the Morton curve over
+    (l_orderkey, l_partkey). Asserted in-query: before zorder a
+    partkey range admits all files; after, the SAME predicate prunes
+    (admitted < total) AND an orderkey range still prunes — the
+    multi-column skipping a linear sort cannot give. Content is then
+    hash-checked against the oracle's restatement, so a rewrite that
+    drops/duplicates rows fails. Stats themselves are footer-lifted
+    at write time (delta-spark writes stats by default; this engine
+    now does too)."""
+    import shutil
+
+    from daft_spark.io.delta import (
+        delta_admitted_files,
+        read_deltalake_py,
+        write_deltalake_py,
+        zorder_deltalake_py,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).filter(F.col("l_orderkey") < 2400)
+    path = os.path.join(
+        "/tmp/daft_spark_delta",
+        f"lineitem_zorder_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for lo in (0, 800, 1600):
+        write_deltalake_py(
+            li.filter(
+                (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < lo + 800)
+            ).coalesce(1),
+            path, mode="append" if lo else "error",
+        )
+    part_pred = [("l_partkey", "<", 30)]
+    adm_before, total_before = delta_admitted_files(path, part_pred)
+    if len(adm_before) < total_before:
+        raise AssertionError(
+            "fixture broken: partkey predicate pruned before zorder"
+        )
+    res = zorder_deltalake_py(
+        spark=spark, path=path, zorder_by=["l_orderkey", "l_partkey"],
+        target_files=4,
+    )
+    if res["removed"] < 3 or res["added"] < 2:
+        raise AssertionError(f"zorder rewrite unexpected: {res}")
+    adm_part, total = delta_admitted_files(path, part_pred)
+    adm_key, _ = delta_admitted_files(path, [("l_orderkey", "<", 300)])
+    if not (len(adm_part) < total and len(adm_key) < total):
+        raise AssertionError(
+            f"zorder stats did not prune: partkey {len(adm_part)}/{total}, "
+            f"orderkey {len(adm_key)}/{total}"
+        )
+    back = read_deltalake_py(path, spark)
+    return (
+        back.groupBy((F.col("l_orderkey") % 7).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.sum("l_partkey").alias("part_sum"),
+        )
+        .orderBy("bucket")
+    )

@@ -1389,3 +1389,37 @@ def test_timestamp_travel_checkpoint_with_no_add_rows(spark, tmp_path):
     # coerced ts=0 — it raises before-earliest
     with pytest.raises(ValueError, match="history starts later"):
         version_at_timestamp_delta_py(p, 1_000)
+
+
+def test_delta_stats_and_admitted_planner(spark, tmp_path):
+    from daft_spark.io.delta import (
+        delta_admitted_files,
+        write_deltalake_py,
+        zorder_deltalake_py,
+        read_deltalake_py,
+    )
+
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([(i, f"s{i}") for i in range(100)], ["x", "s"])
+    b = spark.createDataFrame([(i, f"s{i}") for i in range(100, 200)], ["x", "s"])
+    write_deltalake_py(a.coalesce(1), path, mode="error")
+    write_deltalake_py(b.coalesce(1), path, mode="append")
+    # footer stats admit only the file whose [min,max] spans the value
+    adm, total = delta_admitted_files(path, [("x", "=", 150)])
+    assert total == 2 and len(adm) == 1
+    # a filter on a column without usable stats admits everything
+    adm2, _ = delta_admitted_files(path, [("nope", "<", 1)])
+    assert len(adm2) == 2
+    # unfiltered plan admits all
+    adm3, _ = delta_admitted_files(path, [])
+    assert len(adm3) == 2
+    # zorder rewrites with dataChange=false and keeps content
+    before = {tuple(r) for r in read_deltalake_py(path, spark).collect()}
+    res = zorder_deltalake_py(path, spark, ["x"], target_files=2)
+    assert res["removed"] == 2 and res["added"] >= 1
+    after = {tuple(r) for r in read_deltalake_py(path, spark).collect()}
+    assert before == after
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_deltalake_py(path, spark, [], target_files=2)
