@@ -1209,3 +1209,68 @@ def bloom_contamination(
             F.coalesce(F.col("__f"), F.lit(False)).alias("flagged"),
         )
     )
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """NEAR-DUP decontamination — the fuzzy upgrade of
+    ``benchmark_contamination``: that operator catches VERBATIM k-gram
+    overlap; this one catches paraphrase-level contamination (lightly
+    edited benchmark items inside the training corpus) the way modern
+    release reports decontaminate — MinHash Jaccard against the eval
+    set rather than exact n-grams. A corpus document is flagged when
+    its verified shingle-set Jaccard against ANY benchmark document
+    reaches ``threshold``. Returns (id, n_bench_matches, max_jaccard,
+    contaminated) for every corpus document.
+
+    Plumbing: the two frames stack into one id space (benchmark ids
+    fold to the negative range, so no remap table is needed), the
+    standard banded MinHash pipeline mines candidates, and only
+    CROSS-side pairs survive — corpus-internal and bench-internal
+    duplicates never verify, so the bench side adds O(|bench|) to the
+    banding, not O(|corpus|^2). Same 100 TB posture as the dedup
+    pipeline: signatures in-row, band keys only in the exchange,
+    payloads join only for candidate pairs."""
+    c = docs.select(
+        F.col(id_col).cast("long").alias("__sid"), F.col(text_col).alias("__text")
+    )
+    b = bench.select(
+        (-F.col(id_col).cast("long") - 1).alias("__sid"),
+        F.col(text_col).alias("__text"),
+    )
+    pairs = minhash_near_dups(
+        c.unionByName(b), "__text", "__sid",
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    cross = pairs.filter((F.col("id_a") < 0) != (F.col("id_b") < 0))
+    hits = cross.select(
+        F.when(F.col("id_a") >= 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("__did"),
+        F.col("jaccard"),
+    )
+    per_doc = hits.groupBy("__did").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(per_doc.withColumnRenamed("__did", id_col), [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bench_matches"), F.lit(0)).cast("long").alias(
+                "n_bench_matches"
+            ),
+            F.col("max_jaccard"),
+            (F.coalesce(F.col("n_bench_matches"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -982,3 +982,101 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("fp_rate_ok"),
     )
+
+
+@register(
+    "dedup_fuzzy_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)+1),
+                i -> t[i] || chr(31) || coalesce(t[i+1],'') || chr(31) || coalesce(t[i+2],''))) AS s
+      FROM toks),
+    cross_pairs AS (
+      SELECT c.doc_id AS cid,
+             CAST(len(list_intersect(c.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(c.s, b.s))) AS j
+      FROM sh c JOIN sh b
+        ON c.doc_id % 7 <> 0 AND b.doc_id % 7 = 0)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE doc_id % 7 <> 0) AS n_corpus_docs,
+           CAST(count(DISTINCT CASE WHEN j >= 0.5 THEN cid END) AS BIGINT)
+             AS n_docs_exact_05,
+           TRUE AS flagged_subset_of_exact,
+           TRUE AS recall_at_09,
+           TRUE AS has_contamination
+    FROM cross_pairs
+    """,
+    comparable=False,
+)
+def dedup_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP decontamination (operators/dedup.py
+    fuzzy_contamination): corpus docs (doc_id % 7 != 0) flagged when
+    their verified MinHash Jaccard against any benchmark doc (% 7 ==
+    0) reaches 0.5 — the paraphrase-level check release reports run
+    beside the exact n-gram rule (dedup_contamination). Invariants
+    from the REAL output (banding is not SQL-expressible): every
+    flagged doc has an exact cross Jaccard >= 0.5 partner (no false
+    positives), every doc with an exact cross pair >= 0.9 is flagged
+    (banding recall floor, P(miss) ~ 4e-8), non-vacuity, and the
+    exact-0.5 doc count is value-checked cross-engine (DuckDB
+    recomputes it from the same shingle definition)."""
+    from daft_spark.operators.dedup import fuzzy_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    out = fuzzy_contamination(
+        corpus, bench, "text", "doc_id", threshold=0.5
+    ).persist()
+    # exact cross ground truth, same hashed-shingle definition
+    stacked = corpus.select("doc_id", "text").unionByName(
+        bench.select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+    )
+    exact = (
+        jaccard_pairs_hashed(stacked, "text", "doc_id", threshold=0.5)
+        .filter((F.col("id_a") < 0) != (F.col("id_b") < 0))
+        .select(
+            F.when(F.col("id_a") >= 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("cid"),
+            "jaccard",
+        )
+        .persist()
+    )
+    n_corpus = out.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    n_exact = exact.filter(F.col("jaccard") >= 0.5).agg(
+        F.count_distinct("cid").alias("n_docs_exact_05")
+    )
+    subset = (
+        out.filter(F.col("contaminated"))
+        .join(
+            exact.filter(F.col("jaccard") >= 0.5).select(
+                F.col("cid").alias("doc_id")
+            ).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        .agg((F.count(F.lit(1)) == 0).alias("flagged_subset_of_exact"))
+    )
+    recall = (
+        exact.filter(F.col("jaccard") >= 0.9)
+        .select(F.col("cid").alias("doc_id"))
+        .distinct()
+        .join(out.filter(F.col("contaminated")).select("doc_id"), "doc_id", "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("recall_at_09"))
+    )
+    nonvac = out.agg(
+        (F.sum(F.col("contaminated").cast("long")) > 0).alias("has_contamination")
+    )
+    return (
+        n_corpus.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(subset))
+        .crossJoin(F.broadcast(recall))
+        .crossJoin(F.broadcast(nonvac))
+    )
