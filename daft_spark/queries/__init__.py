@@ -178,7 +178,15 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # pipeline_bpe_train (distributed BPE-merge training, segmentation/
 # compression/serving-parity invariants), rel_resample_gapfill (dense
 # period axis + forward fill, exact), rel_profile_columns (one-pass
-# column audit, exact).
+# column audit, exact), sim_ann_binary_recall (sign-bit Hamming
+# shortlist + exact rerank, recall floor), lake_delta_zorder (Morton
+# rewrite + per-file stats data skipping, in-query pruning asserts +
+# exact content), dedup_fuzzy_decontaminate (near-dup benchmark
+# decontamination, subset/recall invariants + value-checked exact
+# count), sim_ann_ivfpq_recall (IVF-blocked PQ-ADC + rerank, recall
+# floor). All verified by the mid-session driver-grade sweep
+# (probes/DRIVER_SIM_r11b.txt: 249/249 exact at sf0.01) or their
+# individual sf0.001+sf0.01 oracle tests.
 #
 # ROUND-11 ROTATION NOTE (r10 bookkeeping): queries registered AFTER the frozen r10
 # window (pytest-oracle-green at sf0.001 and sf0.01 this round) queue
