@@ -522,3 +522,43 @@ def test_binarize_and_hamming_model(spark):
     assert got == {0: 0, 1: 1, 2: 2}
     with pytest.raises(ValueError):
         topk_cosine_binary(queries, corpus, k=10, rerank=5)
+
+
+def test_ivfpq_self_retrieval_and_fuzzy_contamination(spark):
+    import random
+
+    from daft_spark.operators.dedup import fuzzy_contamination
+    from daft_spark.operators.similarity import topk_cosine_ivfpq
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(3)], ["query_id", "query_vec"]
+    )
+    out = topk_cosine_ivfpq(
+        queries, corpus, k=1, num_centroids=4, nprobe=4, m=4, ksub=8,
+        rerank=10, iters=2,
+    )
+    got = {r["query_id"]: r["vec_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # nprobe=all -> self always found
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark aggregation plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        # near-copy of doc 1 (one word changed)
+        [(7, "the quick brown fox jumps over the lazy cat today")],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in fuzzy_contamination(docs, bench, threshold=0.3).collect()
+    }
+    assert out2[1]["contaminated"] is True and out2[1]["n_bench_matches"] == 1
+    assert out2[2]["contaminated"] is False
+    assert out2[1]["max_jaccard"] > 0.3
