@@ -443,3 +443,40 @@ def agg_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats("value").unionAll(stats("user_id")).orderBy("col_name")
+
+
+@register(
+    "agg_mode_deterministic",
+    """
+    WITH c AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY lang, source),
+    r AS (
+      SELECT lang, source, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, source DESC) AS rn
+      FROM c)
+    SELECT lang, source AS mode_source, CAST(n AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1 ORDER BY lang
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent source per
+    language with ties broken toward the LARGEST source value — built
+    as count-then-max_by(struct(n, source)) because both engines'
+    native mode() pick an arbitrary row on ties (Spark's mode() is
+    explicitly non-deterministic there). Two map-side-combining
+    aggregations, no window; the oracle replays the identical
+    tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.max_by("source", F.struct(F.col("n"), F.col("source"))).alias(
+                "mode_source"
+            ),
+            F.max("n").alias("mode_count"),
+        )
+        .orderBy("lang")
+    )
