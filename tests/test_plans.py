@@ -830,3 +830,29 @@ def test_retention_event_payload_not_shuffled(spark):
     assert scan, plan
     for ln in scan:
         assert "props" not in ln and "event_type" not in ln, ln
+
+
+def test_ivfpq_no_corpus_crossjoin(spark):
+    """topk_cosine_ivfpq: the corpus meets queries ONLY through the
+    broadcast equi-join on centroid_id over PQ codes — no cross join
+    may carry the corpus float vectors or the code table (the only
+    legitimate cross joins build against the tiny centroid/LUT
+    frames)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.similarity import topk_cosine_ivfpq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    )
+    out = topk_cosine_ivfpq(
+        queries, corpus, k=3, num_centroids=4, nprobe=2, m=16, ksub=8,
+        rerank=10, iters=1,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for ln in plan.splitlines():
+        if "Join Cross" in ln:
+            assert "embedding#" not in ln and "codes#" not in ln, plan
