@@ -225,33 +225,40 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # text_stopword_filter, text_token_count) are frozen pure-Column /
 # catalog code re-verified by the pytest oracle sweep; they lead the
 # r11 rotation together with any post-freeze r10 registrations.
+# Round-12 rotation (FROZEN at round start, first commit, per the r11
+# verdict task 1 and the committed ROUND-12 ROTATION NOTE above): the
+# 20 r7-stale rows lead (the oldest green evidence in the ledger),
+# then 30 of the 34 post-freeze r11 registrations (never driver-seen;
+# all re-verified exact by the r11 judge's independent driver_sim run).
+# The 4 deferred to r13 — rel_key_skew_report_approx (its exact twin
+# rel_key_skew_report was r11-green on shared code),
+# pipeline_corpus_curation_v3 (a composition of already-rotated
+# stages), text_top_ngrams_sketch (invariant twin of the r11-green
+# text_top_ngrams), agg_mode_deterministic (single frozen aggregate,
+# sim✓) — plus any post-freeze r12 registrations lead the r13 window.
+# After r12 no green row predates r8.
 DRIVER_PRIORITY: list[str] = [
-    # the 9 post-freeze r10 queries, never driver-seen (9)
-    "rel_key_skew_report", "pipeline_apply_mixture",
-    "pipeline_mix_split_pack", "pipeline_chunk_text", "text_top_ngrams",
-    "sim_quantize_int8", "sim_ann_quantized_recall",
-    "fn_url_parse_struct", "fn_bpe_file_roundtrip",
-    # the 11 r6-stale rows (4 rounds behind the ledger policy) (11)
-    "agg_string_collect", "sim_centroid_cosine", "sql_session_catalog",
-    "stream_window_counts", "text_fingerprint", "text_langid_agreement",
-    "text_quality", "text_quality_score_dist", "text_stats_by_source",
-    "text_stopword_filter", "text_token_count",
-    # 30 of the 50 r7-stale rows: similarity first (similarity.py
-    # churns this round — quantized-ANN composition), then the tpch
-    # bench headliners, asof, dedup_exact, lakehouse DML/pruning,
-    # relational joins/pivot, streaming join, kafka (30)
-    "sim_ann_ivf_recall",
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q10",
-    "tpch_q13", "tpch_q17", "tpch_q18", "tpch_q21",
-    "asof_backward_by", "asof_backward_global", "asof_forward_by",
-    "asof_nearest_by", "dedup_exact",
-    "lake_delta_dml", "lake_delta_dv",
-    "lake_iceberg_roundtrip", "lake_iceberg_deletes",
-    "lake_iceberg_pos_deletes", "lake_iceberg_pruned",
-    "lake_iceberg_stats_pruned",
-    "rel_join_full_outer", "rel_join_right_outer", "rel_join_hints",
-    "rel_topn", "rel_pivot", "rel_unpivot",
-    "stream_stream_join", "io_kafka_bounded",
+    # the 20 r7-stale rows (5 rounds behind) (20)
+    "fn_conditional_struct", "fn_datetime_arith", "fn_datetime_numeric",
+    "fn_hash_invariant", "fn_json_bitwise", "fn_list_binary_url",
+    "fn_strings_regex", "io_from_pydict_family", "io_hf_mirror",
+    "io_push_sink_roundtrip", "io_text_roundtrip", "mm_classify_text",
+    "mm_embed_text", "mm_image_decode", "mm_llm_generate",
+    "mm_url_download", "mm_video_frames", "rel_sample_seeded",
+    "sql_rest_catalog", "sql_table_function",
+    # 30 of the 34 post-freeze r11 registrations, never driver-seen (30)
+    "sim_ann_quantized_ivf", "sim_pca_whiten", "sim_ann_pq_recall",
+    "sim_ann_binary_recall", "sim_ann_ivfpq_recall",
+    "pipeline_dsir_weights", "pipeline_dsir_select", "text_bm25_topk",
+    "pipeline_quality_classifier", "pipeline_temperature_mix",
+    "pipeline_length_histogram", "pipeline_bpe_train",
+    "dedup_fuzzy_pairs", "dedup_fuzzy_resolve", "dedup_lines",
+    "dedup_incremental", "dedup_bloom_decontaminate",
+    "dedup_fuzzy_decontaminate",
+    "rel_range_join", "rel_interval_overlap", "rel_reservoir_sample",
+    "rel_weighted_sample", "rel_funnel_steps", "rel_retention_cohorts",
+    "rel_funnel_window", "rel_event_paths", "rel_pagerank",
+    "rel_resample_gapfill", "rel_profile_columns", "lake_delta_zorder",
 ]
 
 
