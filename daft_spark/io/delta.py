@@ -63,6 +63,8 @@ pushdowns, so scale behavior is identical to reading raw parquet.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
@@ -2519,12 +2521,18 @@ def _file_stats_json(file_path: str) -> str | None:
         good = True
         for rg in range(md.num_row_groups):
             c = md.row_group(rg).column(ci)
-            s = c.statistics
-            if s is None or not s.has_min_max or s.min is None or s.max is None:
+            try:
+                s = c.statistics
+                if (s is None or not s.has_min_max
+                        or s.min is None or s.max is None):
+                    good = False
+                    break
+                mn_mx = (s.min, s.max)
+            except Exception:  # pyarrow can't materialize some logical types
                 good = False
                 break
             nc += s.null_count if s.null_count is not None else 0
-            mn, mx = s.min, s.max
+            mn, mx = mn_mx
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
@@ -2537,13 +2545,42 @@ def _file_stats_json(file_path: str) -> str | None:
             lo = mn if lo is None or mn < lo else lo
             hi = mx if hi is None or mx > hi else hi
         if good and lo is not None:
+            lo, hi = _stats_scalar(lo), _stats_scalar(hi)
+            if lo is None or hi is None:
+                continue
             mins[name] = lo
             maxs[name] = hi
             nulls[name] = nc
-    return json.dumps(
-        {"numRecords": n, "minValues": mins, "maxValues": maxs,
-         "nullCount": nulls}
-    )
+    try:
+        return json.dumps(
+            {"numRecords": n, "minValues": mins, "maxValues": maxs,
+             "nullCount": nulls}
+        )
+    except (TypeError, ValueError):  # never block the write on stats
+        return json.dumps(
+            {"numRecords": n, "minValues": {}, "maxValues": {},
+             "nullCount": {}}
+        )
+
+
+def _stats_scalar(v):
+    """Normalize a parquet footer min/max to a JSON-serializable Delta
+    stats value. pyarrow materializes logical types over INT32/INT64
+    physical — DATE as datetime.date, TIMESTAMP as datetime.datetime,
+    DECIMAL as Decimal — which json.dumps rejects; the Delta protocol
+    serializes date/timestamp stats as ISO-8601 strings (stats_admit
+    falls back to admit-all on any cross-type compare, so string-form
+    bounds are sound). Returns None for anything else → column skipped
+    (absent stats never prune)."""
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep="T", timespec="milliseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return None
 
 
 def delta_admitted_files(
@@ -2623,7 +2660,15 @@ def zorder_deltalake_py(
     if not adds:
         return {"removed": 0, "added": 0}
     df = read_deltalake_py(path, spark)
-    bits = 16
+    # Per-column quantization bits shrink with column count so the
+    # interleaved key never shifts past bit 62 (bit 63 would overflow
+    # the signed long: r11 ADVICE low). 1 col -> 16 bits, 2 -> 16,
+    # 3 -> 16, 4 -> 15, 8 -> 7 ...
+    bits = min(16, 62 // len(zorder_by))
+    if bits == 0:
+        raise ValueError(
+            f"zorder_by supports at most 62 columns, got {len(zorder_by)}"
+        )
     rng = df.agg(
         *[
             x

@@ -520,7 +520,25 @@ def reservoir_sample(
     if weight_col is None:
         order = [u.asc(), F.col(id_col).asc()]
     else:
-        key = F.log(u + F.lit(2.0 ** -53)) / F.col(weight_col).cast("double")
+        # A-ES is only defined for w > 0: w=0 makes the key -inf (row
+        # unsampleable) and w<0 flips the key sign (row always wins) —
+        # both silent corruptions (r11 ADVICE low). Null/zero/negative
+        # weights raise at execution, matching the k<1 validation style.
+        wraw = F.col(weight_col).cast("double")
+        wchecked = F.when(wraw > 0, wraw).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"reservoir_sample: weight_col '{weight_col}' must "
+                        "be > 0 and non-null; got "
+                    ),
+                    F.coalesce(wraw.cast("string"), F.lit("NULL")),
+                    F.lit(" at id "),
+                    F.col(id_col).cast("string"),
+                )
+            ).cast("double")
+        )
+        key = F.log(u + F.lit(2.0 ** -53)) / wchecked
         order = [key.desc(), F.col(id_col).asc()]
     w = Window.partitionBy(*by).orderBy(*order) if by else Window.orderBy(*order)
     return (

@@ -676,13 +676,23 @@ def pq_train(
         comp = assigned.select(
             "subspace", "code", F.posexplode("subvec").alias("__i", "__x")
         ).groupBy("subspace", "code", "__i").agg(F.avg("__x").alias("__cx"))
-        books = comp.groupBy("subspace", "code").agg(
+        new_books = comp.groupBy("subspace", "code").agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("__i", "__cx"))),
                 lambda s: s.getField("__cx"),
             ).alias("centroid")
         )
-        books = books.localCheckpoint(eager=True)
+        # A code with zero members this round (duplicate init subvecs,
+        # tiny corpora) keeps its previous centroid — the code set
+        # stays exactly the contiguous 0..c-1 init set per subspace,
+        # which the ADC LUT's positional indexing depends on
+        # (r11 ADVICE: dropped codes shifted every later subspace's
+        # slice of the flattened LUT).
+        kept = books.select("subspace", "code", "centroid").join(
+            new_books.select("subspace", "code"), ["subspace", "code"],
+            "left_anti",
+        )
+        books = new_books.unionByName(kept).localCheckpoint(eager=True)
     return books.withColumn(
         "cnorm2",
         F.aggregate(F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x),
@@ -836,8 +846,15 @@ def topk_cosine_pq(
         F.zip_with(
             F.col("codes"),
             F.sequence(F.lit(0), F.lit(m - 1)),
+            # index by the LUT's ACTUAL per-subspace stride, not the
+            # requested ksub — on corpora smaller than ksub the trained
+            # codebook has min(ksub, n) codes per subspace (uniform and
+            # contiguous by construction; pq_train preserves empty
+            # codes' centroids), so size(lut)/m is the true stride.
             lambda c, s: F.element_at(
-                F.col("__lut"), (s * ksub + c + 1).cast("int")
+                F.col("__lut"),
+                (s * (F.size(F.col("__lut")) / F.lit(m)).cast("int") + c + 1)
+                .cast("int"),
             ),
         ),
         F.lit(0.0),
@@ -1081,8 +1098,15 @@ def topk_cosine_ivfpq(
         F.zip_with(
             F.col("codes"),
             F.sequence(F.lit(0), F.lit(m - 1)),
+            # index by the LUT's ACTUAL per-subspace stride, not the
+            # requested ksub — on corpora smaller than ksub the trained
+            # codebook has min(ksub, n) codes per subspace (uniform and
+            # contiguous by construction; pq_train preserves empty
+            # codes' centroids), so size(lut)/m is the true stride.
             lambda c, s: F.element_at(
-                F.col("__lut"), (s * ksub + c + 1).cast("int")
+                F.col("__lut"),
+                (s * (F.size(F.col("__lut")) / F.lit(m)).cast("int") + c + 1)
+                .cast("int"),
             ),
         ),
         F.lit(0.0),

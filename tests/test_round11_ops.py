@@ -562,3 +562,82 @@ def test_ivfpq_self_retrieval_and_fuzzy_contamination(spark):
     assert out2[1]["contaminated"] is True and out2[1]["n_bench_matches"] == 1
     assert out2[2]["contaminated"] is False
     assert out2[1]["max_jaccard"] > 0.3
+
+
+def test_pq_empty_cluster_codes_preserved_and_adc_exact(spark):
+    """Regression (r11 ADVICE medium): a corpus with fewer distinct
+    subvectors than ksub guarantees empty k-means clusters every Lloyd
+    round; pq_train must keep the dropped codes' previous centroids so
+    every subspace retains its full contiguous code set, and the ADC
+    LUT must index by the lut's true per-subspace stride. Oracle: ADC
+    scores replayed exactly from the collected (tiny) codebook."""
+    import math
+
+    from daft_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+        topk_cosine_pq,
+    )
+
+    # 40 rows but only 3 distinct vectors -> duplicate init centroids
+    base = [[1.0] * 16, [0.5] * 8 + [-0.5] * 8, [-1.0] * 16]
+    rows = [(i, base[i % 3]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(0, base[0]), (1, base[2])], ["query_id", "query_vec"]
+    )
+    m, ksub = 4, 8
+    books = pq_train(corpus, m=m, ksub=ksub, iters=3)
+    per_sub = {r["subspace"]: r["n"] for r in
+               books.groupBy("subspace").agg(F.count("*").alias("n")).collect()}
+    # full contiguous code set survives empty clusters, uniformly
+    assert set(per_sub) == {0, 1, 2, 3} and set(per_sub.values()) == {ksub}
+    code_rows = {(r["subspace"], r["code"]): r["centroid"]
+                 for r in books.collect()}
+    for s in range(m):
+        assert sorted(c for (ss, c) in code_rows if ss == s) == list(range(ksub))
+
+    # ADC with rerank=None must equal the python replay from books+codes
+    codes = {r["vec_id"]: r["codes"] for r in
+             pq_encode(corpus, books, m=m).collect()}
+    out = topk_cosine_pq(
+        queries, corpus, k=40, m=m, ksub=ksub, rerank=None, iters=3
+    ).collect()
+    assert len(out) == 80 and all(r["sim"] is not None for r in out)
+    sub = 16 // m
+    for r in out:
+        q = dict(zip([0, 1], [base[0], base[2]]))[r["query_id"]]
+        recon = []
+        for s in range(m):
+            recon += code_rows[(s, codes[r["vec_id"]][s])]
+        dot = sum(a * b for a, b in zip(q, recon))
+        expect = dot / math.sqrt(
+            sum(x * x for x in q) * sum(x * x for x in recon)
+        )
+        assert abs(r["sim"] - expect) < 1e-9, (r, expect)
+
+
+def test_reservoir_weighted_rejects_nonpositive_weights(spark):
+    """Regression (r11 ADVICE low): w<=0 or null weights are undefined
+    under A-ES (w=0 never sampled, w<0 always wins) — must raise, not
+    silently skew the sample."""
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 0.0), (3, "a", 1.0)], ["id", "grp", "w"]
+    )
+    with pytest.raises(Exception) as ei:
+        reservoir_sample(bad, ["grp"], k=2, id_col="id", weight_col="w").collect()
+    assert "must be > 0" in str(ei.value)
+    neg = spark.createDataFrame([(1, "a", -1.0)], ["id", "grp", "w"])
+    with pytest.raises(Exception):
+        reservoir_sample(neg, ["grp"], k=1, id_col="id", weight_col="w").collect()
+    nul = spark.createDataFrame(
+        [(1, "a", None)], "id long, grp string, w double"
+    )
+    with pytest.raises(Exception):
+        reservoir_sample(nul, ["grp"], k=1, id_col="id", weight_col="w").collect()
+    ok = spark.createDataFrame(
+        [(i, "a", float(i % 3 + 1)) for i in range(20)], ["id", "grp", "w"]
+    )
+    assert reservoir_sample(ok, ["grp"], k=5, id_col="id", weight_col="w").count() == 5
