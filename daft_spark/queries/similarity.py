@@ -5,6 +5,8 @@ threshold pair mining, SRP-LSH approximate top-k with recall check.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -474,4 +476,60 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _recall_vs_exact(queries, corpus, approx).select(
         "n_queries", (F.col("avg_recall") >= 0.7).alias("recall_ge_070")
+    )
+
+
+@register(
+    "sim_ann_ivf_stored",
+    """
+    SELECT 8 AS n_queries, TRUE AS stored_equals_inmemory,
+           0 AS missing_rows, TRUE AS recall_ge_070
+    """,
+    comparable=False,
+)
+def sim_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index (operators/ann_index.py): build writes
+    centroids + the corpus partitioned by centroid_id (hive inverted
+    lists); search reads ONLY the probed lists via a static
+    ``centroid_id IN (...)`` partition filter — no k-means stage in
+    the search plan (plan-asserted in tests/test_plans.py). Invariant
+    oracle: the stored-index search equals the in-memory
+    ``topk_cosine_ivf`` row-for-row (same deterministic training
+    seed), and recall@5 vs exact >= 0.7. This is the amortization
+    artifact the 100 TB story needs: train once, then every search is
+    a partition-pruned scan."""
+    import tempfile
+
+    from daft_spark.operators.ann_index import build_ivf_index, search_ivf_index
+    from daft_spark.operators.similarity import topk_cosine_ivf
+
+    queries, corpus = _queries_corpus(spark, sf_dir)
+    idx = os.path.join(
+        tempfile.gettempdir(), "daft_spark_ann",
+        f"ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    build_ivf_index(corpus, idx, num_centroids=8, iters=3)
+    stored = search_ivf_index(spark, idx, queries, k=5, nprobe=4).persist()
+    mem = topk_cosine_ivf(queries, corpus, k=5, num_centroids=8, nprobe=4)
+    j = stored.alias("s").join(
+        mem.alias("m"),
+        ["query_id", "vec_id", "rank"],
+        "full_outer",
+    ).select(
+        F.col("s.sim").alias("ss"), F.col("m.sim").alias("ms")
+    )
+    eq = j.agg(
+        F.sum(
+            (F.col("ss").isNull() | F.col("ms").isNull()).cast("long")
+        ).alias("missing"),
+        F.max(F.abs(F.col("ss") - F.col("ms"))).alias("maxdiff"),
+    )
+    rec = _recall_vs_exact(queries, corpus, stored)
+    return rec.crossJoin(eq).select(
+        "n_queries",
+        ((F.col("missing") == 0) & (F.col("maxdiff") < 1e-9)).alias(
+            "stored_equals_inmemory"
+        ),
+        F.col("missing").cast("int").alias("missing_rows"),
+        (F.col("avg_recall") >= 0.7).alias("recall_ge_070"),
     )

@@ -856,3 +856,38 @@ def test_ivfpq_no_corpus_crossjoin(spark):
     for ln in plan.splitlines():
         if "Join Cross" in ln:
             assert "embedding#" not in ln and "codes#" not in ln, plan
+
+
+def test_stored_ivf_search_partition_pruned_no_training(spark, tmp_path):
+    """search_ivf_index (operators/ann_index.py): the search plan must
+    read the index's inverted lists through a STATIC centroid_id
+    partition filter (PartitionFilters / partition count < total) and
+    contain no k-means stage — training never appears in the search
+    lineage (r11 verdict task 4)."""
+    from daft_spark.io.readers import load_table
+    from daft_spark.operators.ann_index import build_ivf_index, search_ivf_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, idx, num_centroids=8, iters=1)
+    out = search_ivf_index(spark, idx, queries, k=3, nprobe=2)
+    plan = plan_of(out)
+    # the vectors scan carries the centroid_id IN pushdown as a
+    # partition filter (centroid_id is a hive partition column)
+    assert "centroid_id" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*\]", plan)
+    assert m, plan
+    # no aggregation over training's element-average columns anywhere
+    assert "__cx" not in plan and "__i" not in plan, plan
+    # corpus data comes only from the index; the sole non-index scans
+    # are the query-side embeddings input (vec_id < 2 pushed down)
+    locs = re.findall(r"Location:.*", plan)
+    assert any("ivf_idx/vectors" in ln for ln in locs), plan
+    assert any("ivf_idx/centroids" in ln for ln in locs), plan
+    for ln in locs:
+        assert "ivf_idx" in ln or "embeddings" in ln, ln
