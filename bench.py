@@ -64,6 +64,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pipeline",
     "dedup_resolve",
+    # r12 addition (r11 verdict task 6): the dedup-RESOLUTION row with a
+    # genuinely comparable DuckDB reference — same exact-collapse +
+    # containment-edge mining + connected components, replayed by the
+    # oracle as a recursive CTE. dedup_resolve (minhash) stays in the
+    # mix for r6-r11 continuity but its banding is probabilistic, so
+    # its oracle is invariant-only (rows-only stat, excluded from the
+    # ratio); this row gives the dedup family a paired ratio.
+    "dedup_resolve_containment",
     # dedup_embedding_resolve/lsh stay OUT of the headline: both are
     # VALIDATION queries that compute the exact label-blocked pair set
     # (the resolve's oracle contract; the lsh query additionally mines
@@ -297,7 +305,18 @@ def main() -> None:
         "duckdb_total_sec": vs_ref.get("duckdb_total_sec"),
         "ratio_comparable": vs_ref.get("ratio"),
         "ratio_raw": vs_ref.get("ratio_raw"),
+        # PRIMARY perf stat (r11 verdict task 2): interleaved
+        # time-adjacent spark/duckdb pairs — per-query medians of
+        # per-pass ratios plus the per-sweep suite ratio; host drift
+        # cancels in the division, unlike the separate-sweep medians.
         "paired_ratio_suite": vs_ref.get("paired_ratio_suite"),
+        "paired_ratio_per_query": vs_ref.get("paired_ratio_per_query"),
+        # headline rows whose driver oracle is invariant-only (their
+        # spark medians are rows-only stats, excluded from ratios —
+        # e.g. dedup_resolve's probabilistic banding; its comparable
+        # sibling dedup_resolve_containment carries the dedup family's
+        # paired ratio)
+        "rows_only": sorted(set(names) - comparable),
         "scale": scale_summary or None,
         "detail_file": "BENCH_DETAIL.json",
     }

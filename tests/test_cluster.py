@@ -110,3 +110,34 @@ def test_near_dup_resolve_edge_sources_and_extra_edges(spark):
 
     with pytest.raises(ValueError, match="unknown edge_sources"):
         near_dup_resolve(df, "text", "doc_id", edge_sources=("spans",))
+
+
+def test_pagerank_tol_early_exit_and_validation(spark):
+    """r11 verdict task 9: with tol set, iteration stops once the L1
+    rank delta converges — a symmetric cycle converges after round 1,
+    so iters=50 with tol must return the same ranks as iters=2 (and
+    fast); tol<=0 raises."""
+    import time
+
+    from daft_spark.operators.cluster import pagerank
+
+    # 4-cycle: uniform ranks are the fixed point -> delta hits 0 at
+    # the first check
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"]
+    )
+    t0 = time.time()
+    r = pagerank(edges, iters=50, tol=1e-12)
+    got = {row["node"]: row["rank"] for row in r.collect()}
+    elapsed = time.time() - t0
+    assert all(abs(v - 0.25) < 1e-12 for v in got.values()), got
+    # 50 fixed rounds of job launches would take far longer than the
+    # one-round early exit; bound generously for CI noise
+    assert elapsed < 60, elapsed
+    want = {row["node"]: row["rank"]
+            for row in pagerank(edges, iters=2).collect()}
+    assert got == want
+    import pytest as _p
+
+    with _p.raises(ValueError, match="tol"):
+        pagerank(edges, iters=3, tol=0.0)
