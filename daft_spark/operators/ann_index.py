@@ -116,6 +116,48 @@ def build_ivf_index(
     return meta
 
 
+def add_to_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+) -> dict:
+    """INCREMENTAL append: assign a new batch to the EXISTING centroids
+    (no retraining — the IVF update discipline: coarse quantizers are
+    retrained offline, inverted lists grow online) and append to the
+    partitioned vectors (and codes, for ivfpq, encoded with the stored
+    codebooks). At 100 TB this is the only affordable ingest path:
+    one broadcast-join assignment pass over the batch; existing lists
+    untouched (parquet append into matching partitions). Returns
+    {"appended": n}. Searches over the index immediately see the new
+    rows — equivalence with a from-scratch search over the same
+    centroids is tested in tests/test_ann_index.py."""
+    meta = read_index_meta(path)
+    corpus_id, corpus_vec = meta["id_col"], meta["vec_col"]
+    spark = new_rows.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "centroids")).select(
+        "centroid_id", "centroid"
+    )
+    assigned = ivf_assign(
+        new_rows, cents, corpus_id=corpus_id, corpus_vec=corpus_vec
+    ).select(corpus_id, corpus_vec, "centroid_id").persist()
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    if meta["kind"] == "ivfpq":
+        books = spark.read.parquet(os.path.join(path, "codebooks")).select(
+            "subspace", "code", "centroid", "cnorm2"
+        )
+        codes = pq_encode(
+            assigned, books, m=meta["m"], corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+        ).join(assigned.select(corpus_id, "centroid_id"), corpus_id)
+        codes.write.mode("append").partitionBy("centroid_id").parquet(
+            os.path.join(path, "codes")
+        )
+    assigned.unpersist()
+    return {"appended": n}
+
+
 def read_index_meta(path: str) -> dict:
     with open(os.path.join(path, _META)) as f:
         return json.load(f)

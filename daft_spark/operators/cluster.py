@@ -213,6 +213,7 @@ def pagerank(
     for _ in range(iters):
         if stats is not None:
             stats["rounds"] += 1
+        prev_ranks = ranks  # checkpointed (or the trivial init select)
         with_deg = ranks.join(
             outdeg.withColumnRenamed("__s", "node"), "node", "left"
         )
@@ -244,11 +245,16 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         if tol is not None:
-            prev = with_deg  # carries last round's rank per node
+            # join the two CHECKPOINTED rank frames — never re-derive
+            # the round's with_deg lineage (sf10 probe: re-deriving
+            # cost +50% per round; this join is two narrow scans)
             delta_row = (
                 ranks.select("node", "rank")
                 .join(
-                    prev.select("node", F.col("rank").alias("__prev")), "node"
+                    prev_ranks.select(
+                        "node", F.col("rank").alias("__prev")
+                    ),
+                    "node",
                 )
                 .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
                 .first()

@@ -205,6 +205,28 @@ def hash_split(
     return df.withColumn(split_col, out)
 
 
+def grouped_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the md5 split assignment is
+    keyed on a GROUP column (url domain, source, author, dedup
+    cluster_id) instead of the row id, so every row of a group lands in
+    the SAME split — near-duplicate documents from one site can never
+    straddle train and test, the contamination mode row-level splits
+    (``hash_split``) cannot prevent. Weights apportion GROUPS (group
+    sizes may skew realized row shares — that is the price of
+    leakage-safety and exactly how production eval splits are cut).
+    Pure column expression, no shuffle; identical assignment in any
+    engine (the DuckDB oracle replays it)."""
+    return hash_split(
+        df, weights, id_col=group_col, split_col=split_col, salt=salt
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     by: list[str],

@@ -1,0 +1,125 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+"Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+algorithm): hash every character k-gram of the normalized text, slide a
+window of w consecutive hashes, keep each window's MINIMUM — the
+selected set is guaranteed to share a fingerprint with any copy of a
+substring longer than w+k-1 chars (the winnowing guarantee), at ~2/(w+1)
+the density of full k-gram hashing.
+
+Spark shape: everything is IN-ROW column expressions (substr/md5/conv
+inside transform lambdas — whole-stage codegen, no UDF); the text never
+shuffles, and the output is (doc_id, fp) pairs whose count per doc is
+O(len/w). Hashes are the engine's deterministic-random convention — the
+first 52 bits of md5 (operators/sampling.py module doc) — so a DuckDB
+oracle replays every fingerprint bit-exactly.
+
+Reference parity: the reference ships minhash (src/daft-functions/src/
+minhash/) and hash functions for content fingerprinting; winnowing is
+the position-robust fingerprint the plagiarism/dedup literature builds
+on the same primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from daft_spark.operators.dedup import normalize_text
+
+
+def _gram_hash52(gram: Column) -> Column:
+    """First 52 bits of md5(gram) as a non-negative long — bit-exactly
+    replayable in any engine with md5 + hex arithmetic."""
+    return F.conv(F.substring(F.md5(gram), 1, 13), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """One (id, fp) row per distinct selected fingerprint. Documents
+    whose normalized text is shorter than ``k + w - 1`` chars (no full
+    window) yield no rows — the standard winnowing domain condition."""
+    if k < 2 or w < 1:
+        raise ValueError("k must be >= 2 and w >= 1")
+    from pyspark.sql import Window
+
+    # posexplode + per-row hash, NOT transform-lambdas: a lambda body
+    # re-evaluates its input expression per element (the interpreted-
+    # transform defect class documented in operators/repetition.py —
+    # the inline formulation here re-ran the regex normalization and
+    # the whole hash-array build per window, O(len^2) md5 calls).
+    # Exploded, each gram hashes exactly once and the window minimum
+    # is Spark's native sliding frame over (id, position) rows.
+    norm_df = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+    ).filter(F.length("__norm") >= k + w - 1)
+    grams = norm_df.select(
+        F.col(id_col),
+        F.length("__norm").alias("__len"),
+        F.posexplode(
+            F.sequence(F.lit(1), F.length("__norm") - F.lit(k - 1))
+        ).alias("__p", "__i"),
+        F.col("__norm"),
+    ).select(
+        F.col(id_col),
+        (F.col("__len") - F.lit(k - 1)).alias("__ngrams"),
+        F.col("__i"),
+        _gram_hash52(F.col("__norm").substr(F.col("__i"), F.lit(k))).alias(
+            "__h"
+        ),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("__i").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.withColumn("__wmin", F.min("__h").over(win))
+        .filter(F.col("__i") <= F.col("__ngrams") - F.lit(w - 1))
+        .select(F.col(id_col), F.col("__wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_similarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Fingerprint-overlap candidate pairs: documents sharing >=
+    ``min_shared`` winnowed fingerprints, with their fingerprint
+    Jaccard. The inverted-index join shape (fp -> docs), keys only —
+    the text never shuffles; at 100 TB the fp table is ~2/(w+1) of a
+    full shingle index and the join is an ordinary hash-partitioned
+    equi-join on an 8-byte key."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("__shared").alias("shared_fps"),
+            F.round(
+                F.col("__shared")
+                / (F.col("__na") + F.col("__nb") - F.col("__shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -225,6 +225,14 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # text_stopword_filter, text_token_count) are frozen pure-Column /
 # catalog code re-verified by the pytest oracle sweep; they lead the
 # r11 rotation together with any post-freeze r10 registrations.
+# ROUND-13 ROTATION NOTE: queries registered AFTER the frozen r12
+# window (exact/invariant-oracle-green in pytest at sf0.001 AND sf0.01
+# this round) queue for the r13 rotation alongside the 4 rows deferred
+# below: sim_ann_ivf_stored + sim_ann_ivfpq_stored (persisted ANN
+# index build/search/append equivalence + recall invariants),
+# text_winnow_fingerprints + dedup_winnow_pairs (Schleimer et al.
+# winnowing, bit-exact md5-52 oracles), pipeline_grouped_split
+# (leakage-safe group-keyed split, exact md5 replay).
 # Round-12 rotation (FROZEN at round start, first commit, per the r11
 # verdict task 1 and the committed ROUND-12 ROTATION NOTE above): the
 # 20 r7-stale rows lead (the oldest green evidence in the ledger),

@@ -1080,3 +1080,52 @@ def dedup_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(recall))
         .crossJoin(F.broadcast(nonvac))
     )
+
+
+@register(
+    "dedup_winnow_pairs",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM n WHERE len(s) >= 11),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+      FROM h),
+    sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared_fps,
+           round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint candidate pairs (operators/winnow.py
+    winnow_similarity — Schleimer et al. 2003): docs sharing >= 2
+    selected fingerprints, with fingerprint Jaccard. The inverted-index
+    join moves (doc_id, fp) keys only — the winnowing guarantee bounds
+    recall (any shared run longer than w+k-1=11 chars must share a
+    fingerprint), and the oracle replays hashes, window minima, join,
+    and Jaccard bit-exactly."""
+    from daft_spark.operators.winnow import winnow_similarity
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return winnow_similarity(
+        d, "text", "doc_id", k=8, w=4, min_shared=2
+    ).orderBy("id_a", "id_b")

@@ -1126,3 +1126,50 @@ def rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         o, ["o_orderstatus", "o_custkey", "o_orderpriority"]
     ).withColumnRenamed("column", "col_name").orderBy("col_name")
+
+
+@register(
+    "pipeline_grouped_split",
+    """
+    WITH u AS (
+      SELECT source,
+             list_sum(list_transform(range(1, 14), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(source || 'gs'), i, 1)) - 1)
+               * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 AS x
+      FROM (SELECT DISTINCT source FROM documents)),
+    a AS (
+      SELECT source,
+             CASE WHEN x < 0.8 THEN 'train'
+                  WHEN x < 0.9 THEN 'val' ELSE 'test' END AS split
+      FROM u)
+    SELECT a.split, CAST(count(DISTINCT d.source) AS BIGINT) AS n_groups,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+    FROM documents d JOIN a ON d.source = a.source
+    GROUP BY a.split ORDER BY a.split
+    """,
+)
+def pipeline_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE split (operators/sampling.py grouped_split): the
+    80/10/10 assignment keys the md5 uniform on SOURCE, so a source's
+    documents can never straddle train and test — the contamination
+    mode row-hash splits can't prevent. Output: per-split group/row/
+    char totals; the oracle replays the group-keyed md5 assignment
+    bit-exactly (a row-keyed split would mismatch immediately)."""
+    from daft_spark.operators.sampling import grouped_split
+
+    d = load_table(spark, sf_dir, "documents")
+    s = grouped_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="source", salt="gs",
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count_distinct("source").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split")
+    )

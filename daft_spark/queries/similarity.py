@@ -533,3 +533,87 @@ def sim_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("missing").cast("int").alias("missing_rows"),
         (F.col("avg_recall") >= 0.7).alias("recall_ge_070"),
     )
+
+
+@register(
+    "sim_ann_ivfpq_stored",
+    """
+    SELECT 8 AS n_queries, TRUE AS stored_equals_inmemory,
+           0 AS missing_rows, TRUE AS recall_ge_070,
+           TRUE AS append_visible
+    """,
+    comparable=False,
+)
+def sim_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVFPQ index (operators/ann_index.py, kind='ivfpq'):
+    centroids + PQ codebooks + codes partitioned by centroid_id on
+    disk; search reads probed lists' CODES through broadcast LUTs and
+    re-ranks the shortlist against stored floats. Invariants: equals
+    the in-memory topk_cosine_ivfpq row-for-row; recall@5 >= 0.7; and
+    the INCREMENTAL path works — add_to_ivf_index appends a batch
+    (assign + encode with the STORED artifacts, no retraining) and a
+    follow-up search sees every appended id (append_visible)."""
+    import shutil
+    import tempfile
+
+    from daft_spark.operators.ann_index import (
+        add_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from daft_spark.operators.similarity import topk_cosine_ivfpq
+
+    queries, corpus = _queries_corpus(spark, sf_dir)
+    idx = os.path.join(
+        tempfile.gettempdir(), "daft_spark_ann",
+        f"ivfpq_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(idx, ignore_errors=True)  # append test needs a clean build
+    build_ivf_index(
+        corpus, idx, num_centroids=8, kind="ivfpq", m=16, ksub=16, iters=2
+    )
+    stored = search_ivf_index(spark, idx, queries, k=5, nprobe=4, rerank=50)
+    mem = topk_cosine_ivfpq(
+        queries, corpus, k=5, num_centroids=8, nprobe=4, m=16, ksub=16,
+        rerank=50, iters=2,
+    )
+    # The equality/recall scalars must be COLLECTED before the append:
+    # Spark's CacheManager recaches-by-path on write, so even a
+    # persisted pre-append search plan would silently recompute against
+    # the appended files when evaluated later. Scalars only — tiny.
+    j = stored.alias("s").join(
+        mem.alias("m"), ["query_id", "vec_id", "rank"], "full_outer"
+    ).select(F.col("s.sim").alias("ss"), F.col("m.sim").alias("ms"))
+    eq_row = j.agg(
+        F.sum((F.col("ss").isNull() | F.col("ms").isNull()).cast("long")).alias(
+            "missing"
+        ),
+        F.max(F.abs(F.col("ss") - F.col("ms"))).alias("maxdiff"),
+    ).first()
+    rec_row = _recall_vs_exact(queries, corpus, stored).first()
+    # incremental: append copies of the query vectors under new ids —
+    # an exact-duplicate neighbor must appear for every query
+    batch = queries.select(
+        (F.col("query_id") + 1_000_000).alias("vec_id"),
+        F.col("query_vec").alias("embedding"),
+    )
+    add_to_ivf_index(batch, idx)
+    after = search_ivf_index(spark, idx, queries, k=5, nprobe=4, rerank=50)
+    n_seen = (
+        after.filter(F.col("vec_id") == F.col("query_id") + 1_000_000)
+        .agg(F.count_distinct("query_id").alias("n_seen"))
+        .first()["n_seen"]
+    )
+    missing = int(eq_row["missing"] or 0)
+    maxdiff = eq_row["maxdiff"]
+    return spark.createDataFrame(
+        [(
+            int(rec_row["n_queries"]),
+            missing == 0 and maxdiff is not None and maxdiff < 1e-9,
+            missing,
+            float(rec_row["avg_recall"]) >= 0.7,
+            int(n_seen) == int(rec_row["n_queries"]),
+        )],
+        "n_queries int, stored_equals_inmemory boolean, "
+        "missing_rows int, recall_ge_070 boolean, append_visible boolean",
+    )

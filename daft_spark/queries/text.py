@@ -2008,3 +2008,43 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(parity))
     )
+
+
+@register(
+    "text_winnow_fingerprints",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM n WHERE len(s) >= 11),
+    w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fps
+      FROM h)
+    SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
+    FROM w ORDER BY doc_id, fp
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/winnow.py — Schleimer et al.
+    2003, the MOSS selection): md5-52bit hashes of char 8-grams over
+    the normalized text, minimum of each 4-hash window, distinct per
+    doc. In-row column expressions only (no UDF, text never shuffles);
+    the oracle replays every hash, window minimum, and the k+w-1
+    length domain condition bit-exactly."""
+    from daft_spark.operators.winnow import winnow_fingerprints
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return winnow_fingerprints(d, "text", "doc_id", k=8, w=4).orderBy(
+        "doc_id", "fp"
+    )

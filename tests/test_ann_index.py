@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from daft_spark.io.readers import load_table
 from daft_spark.operators.ann_index import (
+    add_to_ivf_index,
     build_ivf_index,
     read_index_meta,
     search_ivf_index,
@@ -99,3 +100,54 @@ def test_build_search_validation(spark, tmp_path):
     # meta file is the index contract
     with open(os.path.join(idx, "_index_meta.json")) as f:
         assert json.load(f)["num_centroids"] == 4
+
+
+def test_incremental_append_matches_fresh_assignment(spark, tmp_path):
+    """add_to_ivf_index: appended rows are assigned with the STORED
+    centroids/codebooks (no retraining) — a search after append equals
+    a search over an index built from the union corpus with the same
+    centroids (training is deterministic, so same seed = same
+    centroids = same assignment)."""
+    queries, emb = _qc(spark)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "inc")
+    build_ivf_index(emb, idx, num_centroids=8, iters=2)  # centroids on full
+    # rebuild vectors dir from half_a only, then append half_b
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "vectors"))
+    from daft_spark.operators.similarity import ivf_assign
+
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    ivf_assign(half_a, cents).select(
+        "vec_id", "embedding", "centroid_id"
+    ).write.partitionBy("centroid_id").parquet(os.path.join(idx, "vectors"))
+    r = add_to_ivf_index(half_b, idx)
+    assert r["appended"] == half_b.count()
+    got = search_ivf_index(spark, idx, queries, k=5, nprobe=4)
+    full = str(tmp_path / "full")
+    build_ivf_index(emb, full, num_centroids=8, iters=2)
+    want = search_ivf_index(spark, full, queries, k=5, nprobe=4)
+    assert _rows(got) == _rows(want)
+
+
+def test_incremental_append_ivfpq_codes(spark, tmp_path):
+    """ivfpq append also encodes the batch with the stored codebooks."""
+    queries, emb = _qc(spark)
+    idx = str(tmp_path / "pq")
+    build_ivf_index(
+        emb, idx, num_centroids=4, kind="ivfpq", m=8, ksub=8, iters=1
+    )
+    before = spark.read.parquet(os.path.join(idx, "codes")).count()
+    batch = queries.select(
+        (F.col("query_id") + 10_000).alias("vec_id"),
+        F.col("query_vec").alias("embedding"),
+    )
+    add_to_ivf_index(batch, idx)
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert codes.count() == before + 4
+    out = search_ivf_index(spark, idx, queries, k=3, nprobe=4, rerank=20)
+    hit = out.filter(F.col("vec_id") == F.col("query_id") + 10_000)
+    assert hit.count() == 4  # each query finds its appended duplicate
+    assert all(abs(r["sim"] - 1.0) < 1e-9 for r in hit.collect())
