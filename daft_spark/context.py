@@ -43,9 +43,17 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # MIN/MAX/COUNT served straight from parquet footers when possible.
     "spark.sql.parquet.aggregatePushdown": "true",
-    # 128 MB split targets — same ballpark as the reference's scan-task
-    # merge targets; right size so a 100 TB scan yields ~800k tasks, not 8M.
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # 512 MB split targets (was 128 MB): the r12 fresh-JVM isolated A/B
+    # (probes/TPCH_AQE_AB_r12.json + _sf1) measured 512 MB uniformly
+    # faster across the 9 TPC-H headliners at BOTH sf1 (-9% total,
+    # q6 -46%) and sf10 (-6.5% total, q3 -26%) — per-task fixed cost
+    # dominates scan parallelism at these shapes. Still sane at 100 TB
+    # (~200k scan tasks); the reference's scan-task merge targets are
+    # 96-384 MB (src/common/daft-config/src/lib.rs:169-171), and the
+    # same A/B recorded the AQE advisory-size knobs as losses.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "536870912"
+    ),
     # Cost-based join reordering (reference: DP-ccp in
     # src/daft-logical-plan/src/optimization/rules/reorder_joins/).
     "spark.sql.cbo.enabled": "true",

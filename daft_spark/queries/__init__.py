@@ -232,7 +232,11 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # index build/search/append equivalence + recall invariants),
 # text_winnow_fingerprints + dedup_winnow_pairs (Schleimer et al.
 # winnowing, bit-exact md5-52 oracles), pipeline_grouped_split
-# (leakage-safe group-keyed split, exact md5 replay).
+# (leakage-safe group-keyed split, exact md5 replay), rel_ewma +
+# rel_twap (closed-form EWMA / time-weighted averages over events,
+# exact oracles), text_source_divergence (per-source KL/JS language
+# drift, exact), agg_count_min_sketch (DataFrame-native CMS sketch,
+# paper-bound invariants vs exact counts).
 # Round-12 rotation (FROZEN at round start, first commit, per the r11
 # verdict task 1 and the committed ROUND-12 ROTATION NOTE above): the
 # 20 r7-stale rows lead (the oldest green evidence in the ledger),

@@ -480,3 +480,51 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS true_count,
+           TRUE AS estimate_ge_true, TRUE AS estimate_within_eps
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    comparable=False,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) built as
+    DataFrame aggregations (operators/cms.py — the sketch table IS a
+    (j, bucket, cnt) DataFrame; no driver sketch object, no UDF).
+    Invariants from the paper, checked per event_type against exact
+    counts: estimate >= true (one-sided error) and
+    estimate <= true + eps*N w.p. 1-delta (eps=0.001 -> width 2719,
+    depth 5; N=10k at sf0.01, slack ~10, so the bound is
+    non-vacuous). The corpus shuffles only (j, bucket) keys with
+    map-side combine; point queries broadcast-join the KB-size
+    sketch."""
+    from daft_spark.operators.cms import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    eps, delta = 0.001, 0.01
+    sketch = cms_build(ev, "event_type", eps=eps, delta=delta).persist()
+    true = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cms_estimate(
+        sketch, ev.select("event_type").distinct(), "event_type",
+        eps=eps, delta=delta,
+    )
+    n_total = ev.count()
+    return (
+        true.join(est, "event_type")
+        .select(
+            "event_type",
+            "true_count",
+            (F.col("estimate") >= F.col("true_count")).alias(
+                "estimate_ge_true"
+            ),
+            (
+                F.col("estimate")
+                <= F.col("true_count") + F.lit(eps * n_total)
+            ).alias("estimate_within_eps"),
+        )
+        .orderBy("event_type")
+    )

@@ -1173,3 +1173,86 @@ def pipeline_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "rel_ewma",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS i
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT user_id, event_id, i,
+             (CASE WHEN i = 0 THEN value ELSE 0.3 * value END)
+               / 0.7 ** i AS zinv
+      FROM e)
+    SELECT user_id, event_id,
+           round(0.7 ** i * sum(zinv) OVER (
+             PARTITION BY user_id ORDER BY i), 6) AS ewma
+    FROM s ORDER BY user_id, event_id
+    """,
+)
+def rel_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/timeseries.py ewma —
+    pandas ewm(alpha=0.3, adjust=False) semantics): the recurrence
+    unrolled to one running window sum of z_i/beta^i scaled by beta^i
+    (O(n), no per-row prefix re-scan), block-rebased against overflow.
+    The oracle replays the identical closed form — same seeding
+    (y_0 = x_0), same ordering, same float op order."""
+    from daft_spark.operators.timeseries import ewma
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = ewma(
+        ev, "value", ["ts", "event_id"], by=["user_id"], alpha=0.3
+    )
+    return out.select(
+        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "rel_twap",
+    """
+    WITH e AS (
+      SELECT user_id, value, epoch(ts) AS tsec, event_id
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT user_id, value, tsec, event_id,
+             lead(tsec) OVER (PARTITION BY user_id
+                              ORDER BY tsec, event_id) - tsec AS dt
+      FROM e)
+    SELECT user_id,
+           round(coalesce(sum(value * dt) / sum(dt),
+                          first(value ORDER BY tsec, event_id)), 6) AS twap,
+           round(min(tsec), 6) AS first_ts,
+           round(max(tsec), 6) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def rel_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of event values (operators/
+    timeseries.py time_weighted_avg): each value holds until the next
+    event (left-Riemann), single-event users fall back to the value.
+    Epoch arithmetic at microsecond precision; the oracle replays
+    hold intervals, weights, and the fallback exactly."""
+    from daft_spark.operators.timeseries import time_weighted_avg
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).alias(
+            "tsec"
+        ),
+    )
+    out = time_weighted_avg(
+        ev, "value", "tsec", by=["user_id"], tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.round("twap", 6).alias("twap"),
+        F.round("first_ts", 6).alias("first_ts"),
+        F.round("last_ts", 6).alias("last_ts"),
+        "n_events",
+    ).orderBy("user_id")

@@ -2048,3 +2048,88 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, "text", "doc_id", k=8, w=4).orderBy(
         "doc_id", "fp"
     )
+
+
+@register(
+    "text_source_divergence",
+    """
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+    st AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+    lt AS (SELECT lang, sum(n) AS ln_ FROM c GROUP BY 1),
+    tot AS (SELECT sum(n) AS all_n FROM c),
+    grid AS (
+      SELECT s.source, l.lang, s.tot,
+             coalesce(c.n, 0) AS n, l.ln_, t.all_n
+      FROM (SELECT DISTINCT source, tot FROM st) s
+      CROSS JOIN (SELECT DISTINCT lang, ln_ FROM lt) l
+      CROSS JOIN tot t
+      LEFT JOIN c ON c.source = s.source AND c.lang = l.lang),
+    pq AS (
+      SELECT source, lang,
+             CAST(n AS DOUBLE) / tot AS p,
+             CAST(ln_ AS DOUBLE) / all_n AS q
+      FROM grid)
+    SELECT source,
+           round(sum(CASE WHEN p > 0 THEN p * ln(p / q) ELSE 0 END), 6)
+             AS kl_pq,
+           round(0.5 * sum(CASE WHEN p > 0
+                                THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+                 + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js,
+           CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_langs
+    FROM pq GROUP BY source ORDER BY source
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-COMPOSITION AUDIT: per-source language-distribution
+    divergence from the corpus — KL(p_source || q_corpus) and
+    Jensen-Shannon (finite even where a source misses languages) —
+    the drift metric data-mixing recipes monitor per shard/snapshot.
+    Pure aggregations over (source, lang) counts: two tiny groupBys +
+    a dimension-grid join; the document text never moves. The oracle
+    replays both divergences term-for-term (natural log, zero-p terms
+    dropped from KL, q-side terms always present in JS)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    c = c.persist()
+    st = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    lt = c.groupBy("lang").agg(F.sum("n").alias("ln_"))
+    all_n = c.agg(F.sum("n").alias("all_n"))
+    grid = (
+        st.crossJoin(lt)
+        .crossJoin(F.broadcast(all_n))
+        .join(c, ["source", "lang"], "left")
+        .select(
+            "source", "lang",
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("tot")
+             ).alias("p"),
+            (F.col("ln_").cast("double") / F.col("all_n")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("p") > 0,
+                        F.col("p") * F.log(F.col("p") / F.col("q")),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("kl_pq"),
+            F.round(
+                F.lit(0.5)
+                * F.sum(
+                    F.when(
+                        F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)
+                    ).otherwise(F.lit(0.0))
+                )
+                + F.lit(0.5) * F.sum(F.col("q") * F.log(F.col("q") / m)),
+                6,
+            ).alias("js"),
+            F.sum(F.when(F.col("p") > 0, 1).otherwise(0)).alias("n_langs"),
+        )
+        .orderBy("source")
+    )

@@ -49,7 +49,7 @@ CONFIGS: dict[str, dict[str, str]] = {
 
 _CHILD = r"""
 import json, os, statistics, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 overrides = json.loads(os.environ["AB_OVERRIDES"])
 sf_dir = os.environ["AB_SF_DIR"]
 warm = int(os.environ.get("AB_WARM", "2"))
@@ -127,7 +127,7 @@ def main() -> None:
         )
         print(f"# config {cname} ...", file=sys.stderr)
         proc = subprocess.run(
-            [sys.executable, "-c", _CHILD.format(repo=REPO)],
+            [sys.executable, "-c", _CHILD.replace("@REPO@", REPO)],
             env=env, capture_output=True, text=True, timeout=3600,
         )
         line = [ln for ln in proc.stdout.splitlines()
