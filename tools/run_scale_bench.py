@@ -43,6 +43,46 @@ def ensure_fixture(tag: str) -> str:
     return dst
 
 
+# The r8-round headline mix — the round-over-round comparability stat:
+# later rounds added queries (lm_perplexity r9, mix_split_pack +
+# dsir_weights r11, dedup_resolve_containment r12), so the suite ratio
+# alone can't be compared across rounds; the paired ratio over this
+# FIXED mix can. Only comparable (duckdb-paired) members contribute.
+R8_MIX = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q10",
+    "tpch_q13", "tpch_q18", "tpch_q21", "w_running_agg",
+    "asof_backward_by", "dedup_exact", "dedup_minhash_lsh_pipeline",
+    "dedup_resolve", "text_quality", "sim_topk_cosine",
+]
+
+
+def r8_mix_paired(data: dict) -> float | None:
+    """Median over sweeps of (sum spark pass k / sum duckdb pass k)
+    restricted to the r8 mix — same shape as bench.py's suite stat."""
+    import statistics
+
+    vref = data.get("vs_local_reference") or {}
+    dpasses = vref.get("passes") or {}
+    spasses = data.get("passes") or {}
+    sweeps = []
+    k = 0
+    while True:
+        snum = dnum = 0.0
+        hit = False
+        for n in R8_MIX:
+            sr, dr = spasses.get(n, []), dpasses.get(n, [])
+            if len(sr) > k and len(dr) > k:
+                snum += sr[k]
+                dnum += dr[k]
+                hit = True
+        if not hit:
+            break
+        if dnum > 0:
+            sweeps.append(snum / dnum)
+        k += 1
+    return round(statistics.median(sweeps), 2) if sweeps else None
+
+
 def run_bench(sf_dir: str) -> dict:
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
     out = subprocess.run(
@@ -65,6 +105,7 @@ def run_bench(sf_dir: str) -> dict:
         print(f"# no sidecar detail: {e}", file=sys.stderr)
     for k in ("sf1", "sf10", "scale", "detail_file"):
         data.pop(k, None)
+    data["r8_mix_paired_ratio"] = r8_mix_paired(data)
     return data
 
 
