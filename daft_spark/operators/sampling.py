@@ -227,6 +227,70 @@ def grouped_split(
     )
 
 
+def calibrated_group_filter(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    quantile: float,
+    keep: str = "below",
+) -> DataFrame:
+    """PER-GROUP CALIBRATED threshold filter: each group's cutoff is
+    its own exact ``quantile`` of ``metric_col`` (keep="below" keeps
+    rows <= cutoff; "above" keeps >=). The adaptive-threshold curation
+    move — a single corpus-wide cutoff over-prunes clean domains and
+    under-prunes noisy ones; calibrating per source/language keeps each
+    group's best ``quantile`` share. Two passes: one tiny groupBy for
+    the cutoffs (broadcast back), one filter scan — the metric column
+    shuffles only as (group, double) rows. Adds a ``cutoff`` column."""
+    if not (0.0 < quantile < 1.0):
+        raise ValueError("quantile must be in (0, 1)")
+    if keep not in ("below", "above"):
+        raise ValueError("keep must be 'below' or 'above'")
+    cuts = df.groupBy(group_col).agg(
+        F.percentile(metric_col, quantile).alias("cutoff")
+    )
+    joined = df.join(F.broadcast(cuts), group_col)
+    cond = (
+        F.col(metric_col) <= F.col("cutoff")
+        if keep == "below"
+        else F.col(metric_col) >= F.col("cutoff")
+    )
+    return joined.filter(cond)
+
+
+def curriculum_order(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    salt: str = "curriculum",
+    out_col: str = "curriculum_rank",
+) -> DataFrame:
+    """GLOBAL CURRICULUM RANK without a global sort: rows order by
+    (bucket desc, md5-uniform, id) — easy/high-quality buckets first,
+    deterministic shuffle within a bucket — but the rank is assembled
+    as per-bucket row_number + broadcast bucket OFFSETS (cumulative
+    counts over the handful of buckets), so no single-partition window
+    ever materializes. The data-ordering step of curriculum training
+    schedules; ranks are 1-based, dense, and identical in any engine."""
+    u = _md5_uniform(id_col, salt)
+    w = Window.partitionBy(bucket_col).orderBy(u.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("__bucket_rn", F.row_number().over(w))
+    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("__n"))
+    woff = (
+        Window.orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # window over the tiny bucket-count table only
+    offsets = counts.select(
+        bucket_col,
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), bucket_col)
+        .withColumn(out_col, (F.col("__off") + F.col("__bucket_rn")).cast("long"))
+        .drop("__bucket_rn", "__off")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     by: list[str],

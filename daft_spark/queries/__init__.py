@@ -236,7 +236,10 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # rel_twap (closed-form EWMA / time-weighted averages over events,
 # exact oracles), text_source_divergence (per-source KL/JS language
 # drift, exact), agg_count_min_sketch (DataFrame-native CMS sketch,
-# paper-bound invariants vs exact counts).
+# paper-bound invariants vs exact counts), pipeline_calibrated_filter
+# (per-source exact-quantile adaptive threshold, exact oracle),
+# pipeline_curriculum_order (bucket-desc + md5-shuffle global rank
+# without a global sort, exact oracle).
 # Round-12 rotation (FROZEN at round start, first commit, per the r11
 # verdict task 1 and the committed ROUND-12 ROTATION NOTE above): the
 # 20 r7-stale rows lead (the oldest green evidence in the ledger),

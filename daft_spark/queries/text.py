@@ -2133,3 +2133,96 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_calibrated_filter",
+    """
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1) AS pr
+      FROM documents),
+    c AS (
+      SELECT source, quantile_cont(pr, 0.7) AS cutoff FROM m GROUP BY source)
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_kept,
+           round(any_value(c.cutoff), 6) AS cutoff
+    FROM m JOIN c ON m.source = c.source
+    WHERE m.pr <= c.cutoff
+    GROUP BY m.source ORDER BY m.source
+    """,
+)
+def pipeline_calibrated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE CALIBRATED quality filter (operators/sampling.py
+    calibrated_group_filter): each source keeps its own cleanest 70%
+    by punctuation ratio — the adaptive-threshold curation move (one
+    global cutoff over-prunes clean domains, under-prunes noisy ones).
+    Exact per-group percentile cutoffs broadcast back; the oracle
+    replays metric, quantile_cont cutoff, and membership exactly."""
+    from daft_spark.operators.sampling import calibrated_group_filter
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", punct_ratio(F.col("text")).alias("pr")
+    )
+    kept = calibrated_group_filter(d, "pr", "source", 0.7, keep="below")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.any_value("cutoff"), 6).alias("cutoff"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipeline_curriculum_order",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             (CASE WHEN len({_TOKS_SQL}) BETWEEN 5 AND 100000
+                   THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(coalesce(list_sum(
+                     [length(t) FOR t IN {_TOKS_SQL}]), 0) AS DOUBLE)
+                     / greatest(len({_TOKS_SQL}), 1) BETWEEN 2.0 AND 12.0
+                   THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9 ]',
+                     '', 'g')) AS DOUBLE) / greatest(length(text), 1) <= 0.2
+                   THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(len(list_filter({_TOKS_SQL},
+                     t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+                     / greatest(len({_TOKS_SQL}), 1) >= 0.01
+                   THEN 0.25 ELSE 0.0 END) AS q
+      FROM documents),
+    u AS (
+      SELECT doc_id, q,
+             list_sum(list_transform(range(1, 14), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || 'curriculum'),
+                              i, 1)) - 1)
+               * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 AS x
+      FROM m)
+    SELECT doc_id, q AS quality_bucket,
+           CAST(row_number() OVER (ORDER BY q DESC, x, doc_id) AS BIGINT)
+             AS curriculum_rank
+    FROM u ORDER BY curriculum_rank
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM DATA ORDERING (operators/sampling.py
+    curriculum_order): global training order = quality bucket
+    descending (the composite C4/Gopher score), md5-shuffled within a
+    bucket — computed WITHOUT a global sort (per-bucket row_number +
+    broadcast bucket offsets; no single-partition window). The oracle
+    replays the bucket score, the md5 shuffle key, and the dense
+    1-based global rank exactly."""
+    from daft_spark.operators.sampling import curriculum_order
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality_bucket")
+    )
+    out = curriculum_order(d, "quality_bucket", "doc_id")
+    return out.select(
+        "doc_id", "quality_bucket",
+        F.col("curriculum_rank"),
+    ).orderBy("curriculum_rank")

@@ -103,3 +103,42 @@ def test_cms_bounds_and_merge(spark):
 
     with _p.raises(ValueError):
         cms_build(df, "k", eps=0.0)
+
+
+def test_calibrated_group_filter_and_curriculum(spark):
+    from daft_spark.operators.sampling import (
+        calibrated_group_filter,
+        curriculum_order,
+    )
+
+    rows = [(i, "a" if i < 10 else "b", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "g", "m"])
+    kept = calibrated_group_filter(df, "m", "g", 0.5, keep="below")
+    by_g = {}
+    for r in kept.collect():
+        by_g.setdefault(r["g"], []).append(r["id"])
+    # each group keeps its own lower half (0..4 within 0..9; 10..14 within 10..19)
+    assert sorted(by_g["a"]) == [0, 1, 2, 3, 4] and sorted(by_g["b"]) == [10, 11, 12, 13, 14]
+    kept_hi = calibrated_group_filter(df, "m", "g", 0.5, keep="above")
+    assert kept_hi.count() == 10
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        calibrated_group_filter(df, "m", "g", 1.5)
+
+    buck = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], ["id", "b"]
+    )
+    out = curriculum_order(buck, "b", "id").collect()
+    ranks = sorted(r["curriculum_rank"] for r in out)
+    assert ranks == list(range(1, 31))  # dense 1-based global rank
+    # bucket order: all b=2 rows rank before b=1 before b=0
+    maxr = {b: max(r["curriculum_rank"] for r in out if r["b"] == b)
+            for b in (0, 1, 2)}
+    minr = {b: min(r["curriculum_rank"] for r in out if r["b"] == b)
+            for b in (0, 1, 2)}
+    assert maxr[2] < minr[1] and maxr[1] < minr[0]
+    # deterministic
+    again = {r["id"]: r["curriculum_rank"]
+             for r in curriculum_order(buck, "b", "id").collect()}
+    assert all(again[r["id"]] == r["curriculum_rank"] for r in out)
