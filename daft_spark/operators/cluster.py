@@ -71,6 +71,11 @@ def connected_components(
     loop_sp = min(int(session_sp), max(1, ecnt // 2_000_000 + 1))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+        # NOT pre-hashed by the loop's join key: A/B'd r12 — an extra
+        # repartition(loop_sp, "dst") + checkpoint before the loop read
+        # 9.1-9.9 s vs 8.3-8.9 s for dedup_resolve at sf0.1 (paired,
+        # idle box): with the loop width already clamped, the per-round
+        # exchange is cheaper than the up-front re-materialization.
         labels = _propagate_to_fixpoint(edges, max_iterations)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", session_sp)
@@ -193,7 +198,12 @@ def pagerank(
         raise ValueError("tol must be > 0 when set")
     # edges/outdeg feed every round's join — persist or each iteration
     # re-runs the distinct shuffle (A/B: 3 rounds over the 6M-edge sf1
-    # graph dropped ~40% wall time with the two persists)
+    # graph dropped ~40% wall time with the two persists).
+    # NOT repartitioned by the join key: A/B'd r12 — pre-hashing the
+    # cached edges by __s to let rounds reuse the layout was neutral at
+    # sf1 (13.9 vs 13.0 s paired) and a 9% LOSS at sf10 (226 vs 208 s
+    # paired, idle box): the up-front 117M-row string-key exchange +
+    # cache pressure costs more than the per-round exchanges it saves.
     e = (
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
         .distinct()
