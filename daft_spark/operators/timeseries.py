@@ -154,3 +154,62 @@ def time_weighted_avg(
         F.count(F.lit(1)).alias("n_events"),
     )
     return agg
+
+
+def ewma_windowed(
+    df: DataFrame,
+    value_col: str,
+    order_col: str | list[str],
+    by: list[str] | None = None,
+    k: int = 32,
+    scale: int = 100,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """ENGINE-EXACT truncated EWMA with alpha = 1/2: the recurrence
+    truncated to the last ``k`` observations (truncation error 2^-k —
+    below double resolution at k=32), computed ENTIRELY in integer
+    arithmetic so the result is bit-identical in any engine regardless
+    of summation order (float window sums are NOT: DuckDB aggregates
+    windows over a segment tree, Spark sequentially — same math,
+    different rounding; measured as driver-strictness flips in the
+    alpha=0.3 float formulation).
+
+    Derivation: with dyadic alpha, y_t * 2^L (L = min(t+1, k)) is an
+    INTEGER combination of the last L quantized values: position p
+    (oldest-first) carries coefficient 2^p, plus one extra +x_oldest —
+    the window's oldest value is always the restarted recurrence's
+    seed, so the weights sum to exactly 1.
+    ``scale`` quantizes values (exact when inputs have fixed decimals;
+    documented approximation otherwise). Magnitude bound:
+    max|x|*scale * 2^k * k must fit a long — k=32/scale=100 covers
+    |x| <= ~6e9."""
+    if k < 1 or k > 53:
+        raise ValueError("k must be in [1, 53]")
+    keys = by or []
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    wf = Window.partitionBy(*keys).orderBy(*order).rowsBetween(-(k - 1), 0)
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn(
+            "__xi", F.round(F.col(value_col) * scale).cast("long")
+        )
+        .withColumn("__vals", F.collect_list("__xi").over(wf))
+    )
+    L = F.size("__vals")
+    s = F.aggregate(
+        F.zip_with(
+            F.col("__vals"),
+            F.sequence(F.lit(0), L - 1),
+            # 2^p via double pow, exact for p <= 52, cast back to long
+            lambda x, p: x * F.pow(F.lit(2.0), p).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    # the oldest kept value is ALWAYS the window's seed (y = x_oldest,
+    # recurrence restarted within the window): its weight is
+    # 2^-(L-1) = twice the non-seed 2^-L coefficient, so the weights
+    # sum to exactly 1 — the renormalized truncation
+    seed_extra = F.element_at(F.col("__vals"), 1)
+    y = (s + seed_extra) / F.pow(F.lit(2.0), L) / F.lit(float(scale))
+    return d.withColumn(out_col, y).drop("__xi", "__vals")

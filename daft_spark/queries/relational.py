@@ -1179,37 +1179,47 @@ def pipeline_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_ewma",
     """
     WITH e AS (
-      SELECT user_id, event_id, value,
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS xi,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) - 1 AS i
+                                ORDER BY ts, event_id) AS rn
       FROM events WHERE value IS NOT NULL),
-    s AS (
-      SELECT user_id, event_id, i,
-             (CASE WHEN i = 0 THEN value ELSE 0.3 * value END)
-               / 0.7 ** i AS zinv
+    v AS (
+      SELECT user_id, event_id, rn,
+             array_agg(xi) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS vals
       FROM e)
     SELECT user_id, event_id,
-           round(0.7 ** i * sum(zinv) OVER (
-             PARTITION BY user_id ORDER BY i), 6) AS ewma
-    FROM s ORDER BY user_id, event_id
+           (list_sum(list_transform(range(1, len(vals) + 1),
+                    p -> vals[p] * (CAST(1 AS BIGINT) << (p - 1))))
+                  + vals[1])
+                 / 2.0 ** len(vals) / 100 AS ewma
+    FROM v ORDER BY user_id, event_id
     """,
 )
 def rel_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user EWMA of event values (operators/timeseries.py ewma —
-    pandas ewm(alpha=0.3, adjust=False) semantics): the recurrence
-    unrolled to one running window sum of z_i/beta^i scaled by beta^i
-    (O(n), no per-row prefix re-scan), block-rebased against overflow.
-    The oracle replays the identical closed form — same seeding
-    (y_0 = x_0), same ordering, same float op order."""
-    from daft_spark.operators.timeseries import ewma
+    """Per-user truncated EWMA of event values (operators/timeseries.py
+    ewma_windowed — alpha=1/2, last-32 window): y_t * 2^L is an exact
+    INTEGER combination of the last L quantized values, so both
+    engines produce bit-identical doubles regardless of their window
+    summation order (DuckDB's segment-tree vs Spark's sequential fold
+    flipped round-6 digits in the float closed-form at driver
+    strictness — the general float operator stays available as
+    ``ewma``, recurrence-tested in pytest). The oracle replays the
+    quantization, coefficients, seed adjustment, and scaling
+    term-for-term."""
+    from daft_spark.operators.timeseries import ewma_windowed
 
     ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
-    out = ewma(
-        ev, "value", ["ts", "event_id"], by=["user_id"], alpha=0.3
+    out = ewma_windowed(
+        ev, "value", ["ts", "event_id"], by=["user_id"], k=32, scale=100
     )
-    return out.select(
-        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
-    ).orderBy("user_id", "event_id")
+    # no engine-side round(): the doubles are bit-identical by
+    # construction (integer S, power-of-two scaling, one /100), and
+    # Spark's HALF_UP vs DuckDB's round diverge on exact .5 boundaries
+    return out.select("user_id", "event_id", "ewma").orderBy(
+        "user_id", "event_id"
+    )
 
 
 @register(

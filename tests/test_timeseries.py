@@ -142,3 +142,24 @@ def test_calibrated_group_filter_and_curriculum(spark):
     again = {r["id"]: r["curriculum_rank"]
              for r in curriculum_order(buck, "b", "id").collect()}
     assert all(again[r["id"]] == r["curriculum_rank"] for r in out)
+
+
+def test_ewma_windowed_matches_truncated_recurrence(spark):
+    from daft_spark.operators.timeseries import ewma_windowed
+
+    vals = [round(0.01 * ((i * 137) % 991), 2) for i in range(80)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["i", "x"]
+    )
+    k = 8
+    out = {r["i"]: r["ewma"]
+           for r in ewma_windowed(df, "x", "i", k=k, scale=100).collect()}
+    for t in range(len(vals)):
+        lo = max(0, t - k + 1)
+        # replay the truncated definition: seed = oldest kept value
+        y = vals[lo]
+        for j in range(lo + 1, t + 1):
+            y = 0.5 * vals[j] + 0.5 * y
+        assert abs(out[t] - y) < 1e-9, (t, out[t], y)
+    with pytest.raises(ValueError):
+        ewma_windowed(df, "x", "i", k=0)
