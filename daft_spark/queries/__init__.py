@@ -252,28 +252,43 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # text_top_ngrams), agg_mode_deterministic (single frozen aggregate,
 # sim✓) — plus any post-freeze r12 registrations lead the r13 window.
 # After r12 no green row predates r8.
+# Round-13 rotation (FROZEN at round start, first commit, per the r12
+# verdict task 1): the 15 never-driver-seen rows lead (the 11 r12
+# registrations plus the 4 rows deferred from r11 — all 15 verified
+# exact by the r12 judge's independent driver_sim run), then 35 of
+# the 49 r8-stale rows. The 14 r8 rows deferred to r14 all share code
+# with greener twins: the 6 catalog adapters (sql_glue/gravitino/
+# paimon/postgres/s3tables/unity_catalog — same adapter surface as
+# sql_rest_catalog r12✓ / sql_session_catalog r11✓), the iceberg
+# maintenance family (lake_iceberg_refs/metadata_tables/compaction/
+# sorted — upsert/evolution rows rotate now), lake_delta_cdf_partitioned
+# (twin of lake_delta_cdf, rotating now), lake_maintenance,
+# lake_time_travel_hudi_paimon (twin of lake_time_travel, rotating
+# now), mm_classify_image (mm_classify_text r12✓ shares the
+# classifier plumbing). Those 14 plus any post-freeze r13
+# registrations lead the r14 window.
 DRIVER_PRIORITY: list[str] = [
-    # the 20 r7-stale rows (5 rounds behind) (20)
-    "fn_conditional_struct", "fn_datetime_arith", "fn_datetime_numeric",
-    "fn_hash_invariant", "fn_json_bitwise", "fn_list_binary_url",
-    "fn_strings_regex", "io_from_pydict_family", "io_hf_mirror",
-    "io_push_sink_roundtrip", "io_text_roundtrip", "mm_classify_text",
-    "mm_embed_text", "mm_image_decode", "mm_llm_generate",
-    "mm_url_download", "mm_video_frames", "rel_sample_seeded",
-    "sql_rest_catalog", "sql_table_function",
-    # 30 of the 34 post-freeze r11 registrations, never driver-seen (30)
-    "sim_ann_quantized_ivf", "sim_pca_whiten", "sim_ann_pq_recall",
-    "sim_ann_binary_recall", "sim_ann_ivfpq_recall",
-    "pipeline_dsir_weights", "pipeline_dsir_select", "text_bm25_topk",
-    "pipeline_quality_classifier", "pipeline_temperature_mix",
-    "pipeline_length_histogram", "pipeline_bpe_train",
-    "dedup_fuzzy_pairs", "dedup_fuzzy_resolve", "dedup_lines",
-    "dedup_incremental", "dedup_bloom_decontaminate",
-    "dedup_fuzzy_decontaminate",
-    "rel_range_join", "rel_interval_overlap", "rel_reservoir_sample",
-    "rel_weighted_sample", "rel_funnel_steps", "rel_retention_cohorts",
-    "rel_funnel_window", "rel_event_paths", "rel_pagerank",
-    "rel_resample_gapfill", "rel_profile_columns", "lake_delta_zorder",
+    # 15 never-driver-seen rows: 11 r12 registrations + 4 r11 deferrals
+    "sim_ann_ivf_stored", "sim_ann_ivfpq_stored",
+    "text_winnow_fingerprints", "dedup_winnow_pairs",
+    "pipeline_grouped_split", "rel_ewma", "rel_twap",
+    "text_source_divergence", "agg_count_min_sketch",
+    "pipeline_calibrated_filter", "pipeline_curriculum_order",
+    "agg_mode_deterministic", "rel_key_skew_report_approx",
+    "text_top_ngrams_sketch", "pipeline_corpus_curation_v3",
+    # 35 of the 49 r8-stale rows (oldest green evidence in the ledger)
+    "agg_count_modes", "agg_cube", "agg_hll_sketch",
+    "agg_map_groups_zscore", "agg_percentiles", "agg_rollup",
+    "agg_stats", "agg_summarize", "agg_udaf_weighted_mean",
+    "dedup_contamination", "dedup_embedding_lsh", "dedup_embedding_resolve",
+    "lake_delta_cdf", "lake_delta_column_mapping", "lake_delta_dv_update",
+    "lake_delta_merge", "lake_delta_optimize", "lake_iceberg_partition_evolution",
+    "lake_iceberg_schema_evolution", "lake_iceberg_upsert", "lake_time_travel",
+    "mm_prompt", "pipeline_corpus_curation", "stream_delta_sink",
+    "stream_delta_source", "stream_iceberg_source", "text_c4_rules",
+    "text_gopher_rules", "text_pii_scrub", "text_repetition",
+    "w_min_periods", "w_row_number", "w_running_agg",
+    "w_sessionize", "w_spark_extras",
 ]
 
 
