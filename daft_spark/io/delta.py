@@ -2570,12 +2570,18 @@ def _stats_scalar(v):
     DECIMAL as Decimal — which json.dumps rejects; the Delta protocol
     serializes date/timestamp stats as ISO-8601 strings (stats_admit
     falls back to admit-all on any cross-type compare, so string-form
-    bounds are sound). Returns None for anything else → column skipped
-    (absent stats never prune)."""
+    bounds are sound). Timestamps serialize at FULL microsecond
+    precision: a truncated-to-millisecond maxValue understates the
+    file's range and can wrongly prune it for a string-literal filter
+    (the protocol allows truncation only if max bounds round UP; exact
+    serialization sidesteps the rounding entirely — str-vs-str ISO
+    compares stay correct across mixed fractional widths because the
+    date/time prefix is fixed-width). Returns None for anything else →
+    column skipped (absent stats never prune)."""
     if isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, datetime.datetime):
-        return v.isoformat(sep="T", timespec="milliseconds")
+        return v.isoformat(sep="T", timespec="microseconds")
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):

@@ -172,7 +172,15 @@ def _probe_lists(
     query_vec: str,
 ) -> tuple[DataFrame, list[int]]:
     """Rank stored centroids per query; return (probes df, distinct
-    probed centroid ids). The collect is bounded by num_centroids."""
+    probed centroid ids). The collect is bounded by num_centroids.
+
+    Deliberately NOT persisted: the ranking is read twice (the eager
+    centroid-id collect here, then once more inside the returned
+    search plan), and a persist would outlive the lazy result —
+    repeated searches in a long-lived session would accumulate cached
+    blocks with no unpersist point. One recompute of a
+    broadcast-centroid crossJoin + per-query top-nprobe window is
+    cheaper than an unbounded cache."""
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     q = queries.select(F.col(query_id), F.col(query_vec))
     qc = q.crossJoin(F.broadcast(cents)).withColumn(
@@ -185,7 +193,6 @@ def _probe_lists(
         qc.withColumn("__pr", F.row_number().over(wq))
         .filter(F.col("__pr") <= nprobe)
         .select(F.col(query_id), F.col(query_vec), "centroid_id")
-        .persist()
     )
     probed = sorted(
         r["centroid_id"]

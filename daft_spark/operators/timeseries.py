@@ -142,11 +142,21 @@ def time_weighted_avg(
             - F.col(ts_col).cast("double")
         ),
     )
+    # Fallback (single event, or sum(dt)=0 when every timestamp ties):
+    # the FIRST value in (ts, tiebreak, value) order. min(struct) is
+    # order-deterministic across partitionings — a bare F.first() is
+    # not, and the sum(dt)=0 case reaches it with >1 candidate row.
+    first_val = F.min(
+        F.struct(
+            *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order)],
+            F.col(value_col).cast("double").alias("__v"),
+        )
+    ).getField("__v")
     agg = d.groupBy(*keys).agg(
         (
             F.coalesce(
                 F.sum(F.col(value_col) * F.col("__dt")) / F.sum("__dt"),
-                F.first(F.col(value_col).cast("double")),
+                first_val,
             )
         ).alias(out_col),
         F.min(ts_col).alias("first_ts"),
@@ -180,18 +190,35 @@ def ewma_windowed(
     the window's oldest value is always the restarted recurrence's
     seed, so the weights sum to exactly 1.
     ``scale`` quantizes values (exact when inputs have fixed decimals;
-    documented approximation otherwise). Magnitude bound:
-    max|x|*scale * 2^k * k must fit a long — k=32/scale=100 covers
-    |x| <= ~6e9."""
+    documented approximation otherwise). Magnitude bound: the window
+    weights sum to exactly 2^L (L <= k), so the integer accumulator is
+    bounded by max|x|*scale * 2^k and needs max|x|*scale < 2^(63-k) to
+    fit a long — k=32/scale=100 covers |x| <= ~2.1e7. Quantized inputs
+    past that bound raise at runtime (a silent wrap would corrupt
+    every window containing the row)."""
     if k < 1 or k > 53:
         raise ValueError("k must be in [1, 53]")
     keys = by or []
     order = [order_col] if isinstance(order_col, str) else list(order_col)
     wf = Window.partitionBy(*keys).orderBy(*order).rowsBetween(-(k - 1), 0)
+    xi_bound = 1 << (63 - k)  # |xi| >= this overflows sum(|xi|*2^p)
+    xi = F.round(F.col(value_col) * scale).cast("long")
     d = (
         df.filter(F.col(value_col).isNotNull())
         .withColumn(
-            "__xi", F.round(F.col(value_col) * scale).cast("long")
+            "__xi",
+            F.when(F.abs(xi) < F.lit(xi_bound), xi).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"ewma_windowed: |value*scale| must be < "
+                            f"2^{63 - k} (= {xi_bound}) to fit the "
+                            f"k={k} integer accumulator; got "
+                        ),
+                        xi.cast("string"),
+                    )
+                ).cast("long")
+            ),
         )
         .withColumn("__vals", F.collect_list("__xi").over(wf))
     )

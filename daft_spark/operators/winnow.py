@@ -105,7 +105,15 @@ def winnow_similarity(
     cut, operators/dedup.py): a fingerprint shared by thousands of
     documents carries no pair signal but dominates the join
     quadratically (A/B at sf0.1: the uncut join ran 47 s vs 2.8 s cut,
-    and grows ~quadratically in duplication factor)."""
+    and grows ~quadratically in duplication factor).
+
+    Cache lifecycle: ``fps``/``kept`` are persisted because the
+    returned LAZY plan reads each of them 2-3 times (Spark does not
+    reuse exchanges across self-join aliases), so this function cannot
+    unpersist them itself — the dedup-module policy (operators/
+    dedup.py module docstring). Blocks are LRU-evictable; long-lived
+    sessions reclaim deterministically between pipelines with
+    ``daft_spark.context.release_caches(spark)``."""
     if max_doc_freq < 1:
         raise ValueError("max_doc_freq must be >= 1")
     fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()

@@ -2090,8 +2090,15 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays both divergences term-for-term (natural log, zero-p terms
     dropped from KL, q-side terms always present in JS)."""
     d = load_table(spark, sf_dir, "documents")
-    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
-    c = c.persist()
+    # The (source, lang, n) contingency table is provably tiny
+    # (n_sources x n_langs rows) and the plan below reads it four
+    # times — collect it once and rebuild as a local DataFrame instead
+    # of persist(): same single computation, no cached blocks left
+    # behind in a long-lived session.
+    c_rows = (
+        d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    c = spark.createDataFrame(c_rows, "source string, lang string, n long")
     st = c.groupBy("source").agg(F.sum("n").alias("tot"))
     lt = c.groupBy("lang").agg(F.sum("n").alias("ln_"))
     all_n = c.agg(F.sum("n").alias("all_n"))
