@@ -1134,3 +1134,80 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_similarity(
         d, "text", "doc_id", k=8, w=4, min_shared=2, max_doc_freq=200
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_winnow_resolve",
+    """
+    WITH RECURSIVE uniq AS (
+      SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
+    n AS (
+      SELECT rep AS doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM uniq),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM n WHERE len(s) >= 11),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+      FROM h),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 200),
+    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+    wn AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    star AS (
+      SELECT u.rep AS id_a, d.doc_id AS id_b
+      FROM documents d JOIN uniq u ON d.text = u.text AND d.doc_id <> u.rep),
+    edges AS (
+      SELECT id_a, id_b FROM wn UNION SELECT id_b, id_a FROM wn
+      UNION SELECT id_a, id_b FROM star UNION SELECT id_b, id_a FROM star),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.node)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(lbl) AS BIGINT) AS cluster_id,
+           node = min(lbl) AS is_representative
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_winnow_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing edges folded into the unified dedup resolution (the
+    r12 verdict's family-closing task): exact collapse by text, the
+    Schleimer-et-al fingerprint pair miner (winnow_similarity, k=8 /
+    w=4 / min_shared=2 / stop-fp cut 200) run over the UNIQUE
+    representatives only — on a heavily-duplicated crawl the
+    fingerprint work shrinks by the duplication factor, the same
+    reps-only shape as the containment path and unlike fuzzy_resolve's
+    full-corpus mining — then star edges + one hash-to-min
+    connected-components pass (near_dup_resolve(extra_edges=...)).
+    Every stage is deterministic (md5-52 fingerprints, window minima,
+    df cut), so the oracle replays the ENTIRE composition: collapse,
+    winnowing, the pair mine, and the transitive closure via a
+    recursive CTE — a lost edge, a stop-fp miscut, or premature CC
+    convergence all mismatch. Keys-only throughout: the text rides no
+    shuffle past the 16-byte collapse keys and the (doc, fp) index."""
+    from daft_spark.operators.dedup import exact_dedup, near_dup_resolve
+    from daft_spark.operators.winnow import winnow_similarity
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    reps = exact_dedup(d, ["text"], "doc_id", keep="min")
+    edges = winnow_similarity(
+        reps, "text", "doc_id", k=8, w=4, min_shared=2, max_doc_freq=200
+    ).select("id_a", "id_b")
+    r = near_dup_resolve(
+        d, "text", "doc_id", edge_sources=(), extra_edges=edges
+    )
+    return r.select("doc_id", "cluster_id", "is_representative").orderBy(
+        "doc_id"
+    )

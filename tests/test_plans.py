@@ -891,3 +891,19 @@ def test_stored_ivf_search_partition_pruned_no_training(spark, tmp_path):
     assert any("ivf_idx/centroids" in ln for ln in locs), plan
     for ln in locs:
         assert "ivf_idx" in ln or "embeddings" in ln, ln
+
+
+def test_winnow_resolve_no_text_shuffle(spark):
+    """dedup_winnow_resolve's full composition (exact collapse ->
+    winnow pair mine over reps -> star edges -> connected components)
+    must never shuffle document text: every Exchange carries 16-byte
+    collapse keys, (doc, fp) index keys, or id-only CC labels."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["dedup_winnow_resolve"].spark_fn(spark, SF_DIR)
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    assert "CartesianProduct" not in plan
