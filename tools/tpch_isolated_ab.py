@@ -45,6 +45,14 @@ CONFIGS: dict[str, dict[str, str]] = {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
         "spark.sql.files.maxPartitionBytes": "536870912",
     },
+    # r12 verdict task 5 arms (512MB scan splits are the adopted
+    # default since r12, so these stack on base):
+    "shuf64": {"spark.sql.shuffle.partitions": "64"},
+    "bcast32m": {"spark.sql.autoBroadcastJoinThreshold": "33554432"},
+    "shuf64_bcast32m": {
+        "spark.sql.shuffle.partitions": "64",
+        "spark.sql.autoBroadcastJoinThreshold": "33554432",
+    },
 }
 
 _CHILD = r"""
