@@ -675,6 +675,87 @@ def minhash_lsh_stage_counts(
     return stats
 
 
+def lsh_banding_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Banding-quality audit: measure the MinHash banding's RECALL and
+    PRECISION against exact string-shingle Jaccard ground truth on a
+    (caller-bounded) document sample — the dial for choosing
+    (num_hashes, bands) on a NEW corpus before committing a 100 TB
+    dedup run to them. The theory curve P(candidate) = 1-(1-j^r)^b
+    assumes ideal permutations; this measures the real pipeline
+    (xxhash64 affine permutations, 32-bit folded shingles, bucket
+    caps) end to end.
+
+    Returns ONE row: n_docs, n_true_pairs (exact Jaccard >= threshold,
+    all pairs), n_candidate_pairs (banding output), n_found (true
+    pairs the banding surfaced), recall, precision (fraction of
+    candidates whose TRUE Jaccard clears the threshold — the share of
+    verify work that isn't wasted).
+
+    O(n^2) in the sample by construction (the ground truth IS the
+    brute force) — bound ``df`` to a few hundred docs; the audit's
+    point is that the sample is cheap while the measured recall
+    transfers to the full corpus (banding probability depends only on
+    pair Jaccard, not corpus size; bucket-cap effects grow with scale
+    and are why max_bucket_size is part of the audited config)."""
+    truth = jaccard_pairs(
+        df, text_col, id_col, threshold=threshold, shingle_k=shingle_k
+    ).select("id_a", "id_b")
+    ex = shingle_hashes(df, text_col, id_col, shingle_k)
+    aggs = [
+        F.min(
+            (F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    sig = ex.groupBy("__id").agg(*aggs)
+    cands = (
+        _band_candidates(sig, num_hashes, bands, max_bucket_size)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    t = truth.withColumn("__true", F.lit(1))
+    c = cands.withColumn("__cand", F.lit(1))
+    j = t.join(c, ["id_a", "id_b"], "full_outer")
+    stats = j.agg(
+        F.sum("__true").alias("n_true_pairs"),
+        F.sum("__cand").alias("n_candidate_pairs"),
+        F.sum(
+            F.when(
+                F.col("__true").isNotNull() & F.col("__cand").isNotNull(), 1
+            )
+        ).alias("n_found"),
+    ).select(
+        F.coalesce("n_true_pairs", F.lit(0)).alias("n_true_pairs"),
+        F.coalesce("n_candidate_pairs", F.lit(0)).alias("n_candidate_pairs"),
+        F.coalesce("n_found", F.lit(0)).alias("n_found"),
+    )
+    return n_docs.crossJoin(stats).select(
+        "n_docs",
+        "n_true_pairs",
+        "n_candidate_pairs",
+        "n_found",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.round(F.col("n_found") / F.col("n_true_pairs"), 6),
+        ).otherwise(F.lit(1.0)).alias("recall"),
+        F.when(
+            F.col("n_candidate_pairs") > 0,
+            F.round(F.col("n_found") / F.col("n_candidate_pairs"), 6),
+        ).otherwise(F.lit(1.0)).alias("precision"),
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str,

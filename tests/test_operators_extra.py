@@ -884,3 +884,33 @@ def test_range_joins_match_python_model_and_plan(spark):
         point_in_interval_join(p, v, "x", "lo", "hi", 0)
     with _pytest.raises(ValueError, match="colliding"):
         point_in_interval_join(p, p.withColumnRenamed("pid", "q"), "x", "x", "x", 1.0)
+
+
+def test_lsh_banding_audit_bounds(spark):
+    """Identical docs -> recall 1.0 (banding always pairs equal
+    signatures); fully distinct docs -> zero truth, recall/precision
+    degrade gracefully instead of dividing by zero."""
+    from daft_spark.operators.dedup import lsh_banding_audit
+
+    dup = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+        + [(10 + i, f"unique words only here {i} row txt") for i in range(3)],
+        "doc_id long, text string",
+    )
+    row = lsh_banding_audit(
+        dup, "text", "doc_id", threshold=0.9, shingle_k=1
+    ).collect()[0]
+    assert row["n_docs"] == 7
+    assert row["n_true_pairs"] == 6  # the 4 identical docs' pairs
+    assert row["n_found"] == 6 and row["recall"] == 1.0
+    assert 0.0 <= row["precision"] <= 1.0
+
+    distinct = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(5)],
+        "doc_id long, text string",
+    )
+    row = lsh_banding_audit(
+        distinct, "text", "doc_id", threshold=0.5, shingle_k=1
+    ).collect()[0]
+    assert row["n_true_pairs"] == 0
+    assert row["recall"] == 1.0  # vacuous truth
