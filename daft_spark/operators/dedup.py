@@ -1355,3 +1355,40 @@ def fuzzy_contamination(
             ),
         )
     )
+
+
+def resolve_keep_best(
+    clustered: DataFrame,
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Keeper POLICY over a resolved clustering: production dedup keeps
+    the best-QUALITY member of each duplicate cluster, not the
+    min-id one (the min-id representative from ``duplicate_clusters``/
+    ``near_dup_resolve`` is a deterministic anchor, but when a crawl
+    holds five near-copies you keep the longest / cleanest / highest-
+    scored copy and drop the rest). Input: any frame carrying
+    (id_col, cluster_id, quality_col). Output: the input plus
+    ``keeper_id`` (the cluster's max-quality member, min id on ties —
+    fully deterministic) and ``is_kept``.
+
+    One aggregation on cluster_id + one broadcast-or-shuffle join of
+    (cluster_id, keeper_id) back — the quality column rides the
+    existing rows; no text moves. At 100 TB this replaces the
+    filter("is_representative") step at identical cost."""
+    keepers = (
+        clustered.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("__q"),
+                    (-F.col(id_col)).alias("__negid"),
+                )
+            ).alias("__best")
+        )
+        .select(
+            "cluster_id", (-F.col("__best.__negid")).alias("keeper_id")
+        )
+    )
+    out = clustered.join(keepers, "cluster_id")
+    return out.withColumn("is_kept", F.col(id_col) == F.col("keeper_id"))

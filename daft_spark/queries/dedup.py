@@ -1264,3 +1264,91 @@ def dedup_lsh_banding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("recall") >= 0.95).alias("recall_ge_095"),
         (F.col("precision") >= 0.60).alias("precision_ge_060"),
     )
+
+
+@register(
+    "dedup_winnow_keep_best",
+    """
+    WITH RECURSIVE uniq AS (
+      SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
+    n AS (
+      SELECT rep AS doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM uniq),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM n WHERE len(s) >= 11),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+      FROM h),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 200),
+    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+    wn AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    star AS (
+      SELECT u.rep AS id_a, d.doc_id AS id_b
+      FROM documents d JOIN uniq u ON d.text = u.text AND d.doc_id <> u.rep),
+    edges AS (
+      SELECT id_a, id_b FROM wn UNION SELECT id_b, id_a FROM wn
+      UNION SELECT id_a, id_b FROM star UNION SELECT id_b, id_a FROM star),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.node),
+    clu AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY length(d.text) DESC, c.doc_id)
+               AS rn
+      FROM clu c JOIN documents d ON d.doc_id = c.doc_id),
+    keepers AS (
+      SELECT cluster_id, doc_id AS keeper_id FROM ranked WHERE rn = 1)
+    SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+           CAST(r.cluster_id AS BIGINT) AS cluster_id,
+           CAST(k.keeper_id AS BIGINT) AS keeper_id,
+           r.doc_id = k.keeper_id AS is_kept
+    FROM ranked r JOIN keepers k ON r.cluster_id = k.cluster_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_winnow_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper POLICY over the winnow resolution (operators/dedup.py
+    resolve_keep_best): production dedup keeps the best-QUALITY member
+    of each duplicate cluster — here the longest text, min doc_id on
+    ties — not the min-id anchor. Composes the fully-deterministic
+    winnow resolve (exact collapse -> reps-only fingerprint mining ->
+    star edges -> CC) with one cluster-keyed max(struct(quality,
+    -id)) aggregate and a keeper join-back; the quality column rides
+    existing rows, the text never shuffles. The oracle replays the
+    whole composition INCLUDING the keeper ranking."""
+    from daft_spark.operators.dedup import (
+        exact_dedup,
+        near_dup_resolve,
+        resolve_keep_best,
+    )
+    from daft_spark.operators.winnow import winnow_similarity
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    reps = exact_dedup(d, ["text"], "doc_id", keep="min")
+    edges = winnow_similarity(
+        reps, "text", "doc_id", k=8, w=4, min_shared=2, max_doc_freq=200
+    ).select("id_a", "id_b")
+    clustered = near_dup_resolve(
+        d, "text", "doc_id", edge_sources=(), extra_edges=edges
+    ).join(d.select("doc_id", F.length("text").alias("__ql")), "doc_id")
+    out = resolve_keep_best(clustered, "__ql", "doc_id")
+    return out.select(
+        "doc_id", "cluster_id", "keeper_id", "is_kept"
+    ).orderBy("doc_id")

@@ -914,3 +914,27 @@ def test_lsh_banding_audit_bounds(spark):
     ).collect()[0]
     assert row["n_true_pairs"] == 0
     assert row["recall"] == 1.0  # vacuous truth
+
+
+def test_resolve_keep_best_policy(spark):
+    """Keeper = max quality, min id on ties; singleton clusters keep
+    themselves."""
+    from daft_spark.operators.dedup import resolve_keep_best
+
+    clustered = spark.createDataFrame(
+        [
+            (1, 100, 5),  # cluster 100: ids 1(q5), 2(q9), 3(q9)
+            (2, 100, 9),
+            (3, 100, 9),
+            (7, 700, 1),  # singleton
+        ],
+        "doc_id long, cluster_id long, q long",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in resolve_keep_best(clustered, "q", "doc_id").collect()
+    }
+    assert rows[1]["keeper_id"] == 2 and not rows[1]["is_kept"]
+    assert rows[2]["is_kept"]  # q=9 tie broken by min id
+    assert not rows[3]["is_kept"]
+    assert rows[7]["keeper_id"] == 7 and rows[7]["is_kept"]
