@@ -149,3 +149,51 @@ def winnow_similarity(
             ).alias("jaccard"),
         )
     )
+
+
+def winnow_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """VERBATIM-leak benchmark decontamination via winnowing: flag
+    every corpus document sharing >= ``min_shared`` selected
+    fingerprints with ANY benchmark document. The winnowing guarantee
+    makes this a tunable literal-copy detector: any shared normalized
+    character run longer than w+k-1 (= 11 at defaults) is certain to
+    share a fingerprint — unlike token-shingle rules, robust to
+    whitespace/punctuation edits, and unlike MinHash, deterministic
+    (no banding miss probability). Returns every corpus row's
+    (id_col, n_shared_fps, contaminated).
+
+    Scale shape: the benchmark side reduces to a DISTINCT fingerprint
+    set and BROADCASTS (eval benchmarks are tiny next to a 100 TB
+    corpus); the corpus side is the (id, fp) keys-only winnow frame,
+    semi-joined executor-side — the only exchange is the per-doc count
+    keyed by id, and the corpus text never shuffles."""
+    bfp = (
+        winnow_fingerprints(bench, text_col, id_col, k=k, w=w)
+        .select("fp")
+        .distinct()
+    )
+    cfp = winnow_fingerprints(corpus, text_col, id_col, k=k, w=w)
+    shared = (
+        cfp.join(F.broadcast(bfp), "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
+            (F.coalesce("n_shared_fps", F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -1352,3 +1352,61 @@ def dedup_winnow_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "cluster_id", "keeper_id", "is_kept"
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_winnow_decontaminate",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM n WHERE len(s) >= 11),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+      FROM h),
+    bfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 7 = 0),
+    shared AS (
+      SELECT doc_id, count(*) AS n_shared
+      FROM fp JOIN bfp USING (fp)
+      WHERE doc_id % 7 <> 0
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_fps,
+           coalesce(s.n_shared, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN shared s ON s.doc_id = d.doc_id
+    WHERE d.doc_id % 7 <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERBATIM-leak decontamination (operators/winnow.py
+    winnow_decontaminate): corpus docs (doc_id % 7 != 0) flagged when
+    they share >= 2 winnowed fingerprints with any benchmark doc
+    (% 7 == 0) — the literal-copy companion to the n-gram
+    (dedup_contamination), Bloom (dedup_bloom_decontaminate) and
+    near-dup (dedup_fuzzy_decontaminate) rules: the winnowing
+    guarantee certifies any shared normalized run > w+k-1 = 11 chars
+    shares a fingerprint, robust to whitespace/punct edits and with
+    NO probabilistic miss (unlike banding/Bloom). Benchmark
+    fingerprints broadcast; the corpus side is keys-only. Every
+    fingerprint is md5-52, so the oracle replays the ENTIRE rule —
+    per-doc shared counts included — bit-exactly."""
+    from daft_spark.operators.winnow import winnow_decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    return winnow_decontaminate(
+        corpus, bench, "text", "doc_id", k=8, w=4, min_shared=2
+    ).orderBy("doc_id")
