@@ -1410,3 +1410,100 @@ def dedup_winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_decontaminate(
         corpus, bench, "text", "doc_id", k=8, w=4, min_shared=2
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_impact_report",
+    """
+    WITH RECURSIVE uniq AS (
+      SELECT min(doc_id) AS rep, text FROM documents GROUP BY text),
+    n AS (
+      SELECT rep AS doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM uniq),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM n WHERE len(s) >= 11),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+      FROM h),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 200),
+    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+    wn AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    star AS (
+      SELECT u.rep AS id_a, d.doc_id AS id_b
+      FROM documents d JOIN uniq u ON d.text = u.text AND d.doc_id <> u.rep),
+    edges AS (
+      SELECT id_a, id_b FROM wn UNION SELECT id_b, id_a FROM wn
+      UNION SELECT id_a, id_b FROM star UNION SELECT id_b, id_a FROM star),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.node),
+    clu AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node),
+    per_cluster AS (
+      SELECT c.cluster_id,
+             count(*) AS sz,
+             sum(CASE WHEN c.doc_id <> c.cluster_id
+                      THEN length(d.text) ELSE 0 END) AS chars_rm
+      FROM clu c JOIN documents d ON d.doc_id = c.doc_id
+      GROUP BY c.cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz) - count(*) AS BIGINT) AS n_docs_removed,
+           CAST(sum(chars_rm) AS BIGINT) AS chars_removed
+    FROM per_cluster GROUP BY sz ORDER BY cluster_size
+    """,
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP IMPACT REPORT — the summary every production dedup run
+    publishes before anyone trusts it: cluster-size histogram with
+    docs and characters removed per size bucket (keep-one-per-cluster,
+    min-id keeper), over the fully-deterministic winnow resolution.
+    One groupBy on cluster_id + one on size; the only payload read is
+    length(text), which rides the existing rows. The oracle replays
+    collapse, winnowing, CC, and the histogram arithmetic exactly —
+    an impact report that cannot drift from the resolve it reports
+    on, because both are the same replayed pipeline."""
+    from daft_spark.operators.dedup import exact_dedup, near_dup_resolve
+    from daft_spark.operators.winnow import winnow_similarity
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    reps = exact_dedup(d, ["text"], "doc_id", keep="min")
+    edges = winnow_similarity(
+        reps, "text", "doc_id", k=8, w=4, min_shared=2, max_doc_freq=200
+    ).select("id_a", "id_b")
+    clustered = near_dup_resolve(
+        d, "text", "doc_id", edge_sources=(), extra_edges=edges
+    ).join(d.select("doc_id", F.length("text").alias("__chars")), "doc_id")
+    per_cluster = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.sum(
+            F.when(~F.col("is_representative"), F.col("__chars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__chars_rm"),
+    )
+    return (
+        per_cluster.groupBy(F.col("__sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("__sz").alias("n_docs"),
+            (F.sum("__sz") - F.count(F.lit(1))).alias("n_docs_removed"),
+            F.sum("__chars_rm").alias("chars_removed"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -163,3 +163,27 @@ def test_ewma_windowed_matches_truncated_recurrence(spark):
         assert abs(out[t] - y) < 1e-9, (t, out[t], y)
     with pytest.raises(ValueError):
         ewma_windowed(df, "x", "i", k=0)
+
+
+def test_ewma_overflow_guard_raises(spark):
+    """Quantized values past 2^(63-k) must raise, not wrap the long
+    accumulator (r12 advice)."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from daft_spark.operators.timeseries import ewma_windowed
+
+    # mid-range: fits the long cast but overflows the k=32 accumulator
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 1e9)], "uid long, t long, v double"
+    )
+    out = ewma_windowed(df, "v", "t", by=["uid"], k=32, scale=100)
+    with pytest.raises(Exception, match="ewma_windowed"):
+        out.collect()
+    # astronomically large: Spark's ANSI cast raises before the guard —
+    # either way the job FAILS instead of silently wrapping
+    df2 = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 1e18)], "uid long, t long, v double"
+    )
+    with pytest.raises(Exception, match="ewma_windowed|CAST_OVERFLOW"):
+        ewma_windowed(df2, "v", "t", by=["uid"], k=32, scale=100).collect()
