@@ -367,7 +367,12 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity for all pairs (optionally blocked
     by ``block_cols`` to bound the quadratic) — the brute-force oracle
     companion to MinHash LSH. Returns (id_a, id_b, jaccard >= threshold).
-    """
+
+    The right side BROADCASTS: callers bound ``df`` by contract (the
+    all-pairs compare is the cost model), and without the hint the
+    non-equi self-join plans as a CartesianProduct over spread^2
+    partition pairs — measured 625 tasks / 55 s of pure task fixed
+    cost for a 300-doc sample at sf10 vs ~5 s broadcast."""
     base = _spread(df).select(
         *(block_cols or []),
         F.col(id_col).alias("__id"),
@@ -389,7 +394,7 @@ def jaccard_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        a.join(b, cond)
+        a.join(F.broadcast(b), cond)
         .select(
             "id_a",
             "id_b",

@@ -907,3 +907,19 @@ def test_winnow_resolve_no_text_shuffle(spark):
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_decontaminate_broadcast_keys_only(spark):
+    """dedup_winnow_decontaminate: the benchmark fingerprint set must
+    BROADCAST (eval benchmarks are tiny next to the corpus) and no
+    Exchange may carry document text."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["dedup_winnow_decontaminate"].spark_fn(spark, SF_DIR)
+    )
+    assert "BroadcastExchange" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    assert "CartesianProduct" not in plan
