@@ -437,8 +437,10 @@ def jaccard_pairs_hashed(
     b = sh.select(F.col("__vid").alias("id_b"), F.col("__vsh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # broadcast: bounded-sample contract, same CartesianProduct
+    # fixed-cost fix as jaccard_pairs (625 tasks -> spread tasks)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

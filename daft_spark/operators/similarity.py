@@ -294,7 +294,14 @@ def pairs_above_threshold(
     a, b = df.select(*sel), df.select(*selb)
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
+        # the block equality makes this a real equi-join (SMJ/SHJ with
+        # the id residual) — the scale path; never broadcast the corpus
         cond = cond & (F.col("ba") == F.col("bb"))
+    else:
+        # unblocked = bounded brute force by contract; without the hint
+        # the pure non-equi join plans as CartesianProduct over
+        # spread^2 partition pairs (see dedup.jaccard_pairs)
+        b = F.broadcast(b)
     return (
         a.join(b, cond)
         .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("sim"))
