@@ -211,3 +211,57 @@ def top_ngrams_sketch(
         .orderBy(F.col("est_count").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def zipf_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """CORPUS-HEALTH Zipf audit: OLS fit of ln(count) ~ ln(rank) over
+    the ``top_k`` unigrams — natural-language corpora sit near slope
+    -1 with r2 > 0.9; boilerplate floods, template spam, or a broken
+    extraction stage bend the curve, so the (slope, r2, top-1 share)
+    triple is the cheap per-shard drift alarm a 100 TB ingest runs
+    beside source-divergence checks.
+
+    ONE row out: n_distinct_tokens, top_k, zipf_slope, zipf_r2,
+    top1_share. Shape: token counts are a map-side-combining groupBy
+    (Zipf itself collapses the exchange: the head dominates), the
+    top-k is TakeOrdered-sized, and the regression runs over k rows —
+    driver never sees tokens. Deterministic: ties rank by token."""
+    from pyspark.sql import Window
+
+    from daft_spark.operators.dedup import tokens_of
+    from daft_spark.operators.spread import spread as _spread
+
+    toks = _spread(df).select(
+        F.explode(tokens_of(F.col(text_col))).alias("__t")
+    ).filter(F.col("__t") != "")
+    counts = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.col("__c").desc(), F.col("__t"))
+    # the global window runs over the top_k survivors only (filter on
+    # row_number over a pre-limited sort would shuffle everything;
+    # orderBy+limit keeps it TakeOrdered-sized before the rank)
+    top = counts.orderBy(F.col("__c").desc(), "__t").limit(top_k)
+    ranked = top.withColumn("__r", F.row_number().over(w))
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__c").cast("double"))
+    stats = ranked.agg(
+        F.regr_slope(y, x).alias("__slope"),
+        F.regr_r2(y, x).alias("__r2"),
+        F.max(F.when(F.col("__r") == 1, F.col("__c"))).alias("__c1"),
+        F.sum("__c").alias("__ctot"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    n_distinct = counts.agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens")
+    )
+    return n_distinct.crossJoin(stats).select(
+        "n_distinct_tokens",
+        F.col("__k").alias("top_k"),
+        F.round("__slope", 6).alias("zipf_slope"),
+        F.round("__r2", 6).alias("zipf_r2"),
+        F.round(F.col("__c1") / F.col("__ctot"), 6).alias("top1_share"),
+    )

@@ -2233,3 +2233,50 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "quality_bucket",
         F.col("curriculum_rank"),
     ).orderBy("curriculum_rank")
+
+
+@register(
+    "text_zipf_audit",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             ' ')) AS t
+      FROM documents),
+    counts AS (
+      SELECT t, count(*) AS c FROM toks WHERE t <> '' GROUP BY t),
+    top AS (
+      SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS r
+      FROM counts ORDER BY c DESC, t LIMIT 1000),
+    stats AS (
+      SELECT regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))
+               AS slope,
+             regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))) AS r2,
+             max(CASE WHEN r = 1 THEN c END) AS c1,
+             sum(c) AS ctot,
+             count(*) AS k
+      FROM top)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM counts)
+             AS n_distinct_tokens,
+           CAST(k AS BIGINT) AS top_k,
+           round(slope, 6) AS zipf_slope,
+           round(r2, 6) AS zipf_r2,
+           round(CAST(c1 AS DOUBLE) / ctot, 6) AS top1_share
+    FROM stats
+    """,
+)
+def text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-HEALTH Zipf audit (operators/repetition.py zipf_audit):
+    OLS fit of ln(count) ~ ln(rank) over the top-1000 unigrams plus
+    the top-1 token share — the per-shard drift alarm run beside
+    text_source_divergence (template spam or a broken extractor bends
+    the curve long before eyeballs catch it). Token counts collapse
+    map-side (Zipf itself shrinks the exchange), the fit runs over
+    1000 rows. The oracle replays tokenization, counts, deterministic
+    tie-ranked top-k, and the regression sums exactly (both engines'
+    regr_slope/regr_r2 are the same OLS arithmetic; round-6 absorbs
+    summation-order digits)."""
+    from daft_spark.operators.repetition import zipf_audit
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return zipf_audit(d, "text", "doc_id", top_k=1000)
