@@ -2280,3 +2280,149 @@ def text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return zipf_audit(d, "text", "doc_id", top_k=1000)
+
+
+@register(
+    "pipeline_corpus_curation_v4",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE doc_id % 7 <> 0 AND length(text) >= 50),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM documents),
+    hh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM norm WHERE len(s) >= 11),
+    fp_all AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+      FROM hh),
+    uniq AS (SELECT min(doc_id) AS rep, text FROM corpus GROUP BY text),
+    rep_fp AS (
+      SELECT f.doc_id, f.fp FROM fp_all f JOIN uniq u ON u.rep = f.doc_id),
+    rare AS (SELECT fp FROM rep_fp GROUP BY fp HAVING count(*) <= 200),
+    kept AS (SELECT r.doc_id, r.fp FROM rep_fp r JOIN rare USING (fp)),
+    wn AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    star AS (
+      SELECT u.rep AS id_a, c.doc_id AS id_b
+      FROM corpus c JOIN uniq u ON c.text = u.text AND c.doc_id <> u.rep),
+    edges AS (
+      SELECT id_a, id_b FROM wn UNION SELECT id_b, id_a FROM wn
+      UNION SELECT id_a, id_b FROM star UNION SELECT id_b, id_a FROM star),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.node),
+    clu AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY length(d.text) DESC, c.doc_id)
+               AS rn
+      FROM clu c JOIN corpus d ON d.doc_id = c.doc_id),
+    keepers AS (SELECT doc_id FROM ranked WHERE rn = 1),
+    bfp AS (
+      SELECT DISTINCT fp FROM fp_all WHERE doc_id % 7 = 0),
+    shared AS (
+      SELECT f.doc_id, count(*) AS n_shared
+      FROM fp_all f JOIN keepers k ON k.doc_id = f.doc_id
+      JOIN bfp USING (fp)
+      GROUP BY f.doc_id),
+    final AS (
+      SELECT k.doc_id FROM keepers k
+      LEFT JOIN shared s ON s.doc_id = k.doc_id
+      WHERE coalesce(s.n_shared, 0) < 2)
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(count(k.doc_id) - count(f.doc_id) AS BIGINT)
+             AS n_contaminated,
+           CAST(count(f.doc_id) AS BIGINT) AS n_final,
+           CAST(coalesce(sum(CASE WHEN f.doc_id IS NOT NULL
+                             THEN length(c.text) END), 0) AS BIGINT)
+             AS chars_final
+    FROM corpus c
+    LEFT JOIN keepers k ON k.doc_id = c.doc_id
+    LEFT JOIN final f ON f.doc_id = c.doc_id
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def pipeline_corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINNOW-FAMILY curation loop in one checked composition
+    (r13's capstone, the v1/v2/v3 convention): min-length gate ->
+    exact collapse -> winnow pair mining over reps -> connected
+    components -> BEST-QUALITY keeper per cluster (longest text, min
+    id ties) -> winnow decontamination of the keepers against the
+    benchmark split (doc_id % 7 == 0) -> per-source funnel report
+    (docs in, kept, contaminated, final, chars). Every stage is
+    deterministic (md5-52 fingerprints, length ranking), so the
+    oracle replays the ENTIRE pipeline — one lost edge, a wrong
+    keeper, or a missed contamination flag shifts a funnel count and
+    hash-mismatches. Scale: text rides no exchange (collapse keys,
+    (doc,fp) index rows, id-only CC labels); benchmark fps broadcast;
+    the funnel is three id-keyed joins + one groupBy."""
+    from daft_spark.operators.dedup import (
+        exact_dedup,
+        near_dup_resolve,
+        resolve_keep_best,
+    )
+    from daft_spark.operators.winnow import (
+        winnow_decontaminate,
+        winnow_similarity,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(
+        (F.col("doc_id") % 7 != 0) & (F.length("text") >= 50)
+    )
+    reps = exact_dedup(corpus.select("doc_id", "text"), ["text"], "doc_id")
+    edges = winnow_similarity(
+        reps, "text", "doc_id", k=8, w=4, min_shared=2, max_doc_freq=200
+    ).select("id_a", "id_b")
+    clustered = near_dup_resolve(
+        corpus.select("doc_id", "text"), "text", "doc_id",
+        edge_sources=(), extra_edges=edges,
+    ).join(corpus.select("doc_id", F.length("text").alias("__ql")), "doc_id")
+    keepers = (
+        resolve_keep_best(clustered, "__ql", "doc_id")
+        .filter(F.col("is_kept"))
+        .select("doc_id")
+    )
+    kept_docs = corpus.join(keepers, "doc_id")
+    dec = winnow_decontaminate(
+        kept_docs, bench, "text", "doc_id", k=8, w=4, min_shared=2
+    )
+    final_ids = dec.filter(~F.col("contaminated")).select("doc_id")
+    funnel = (
+        corpus.select("doc_id", "source", F.length("text").alias("__chars"))
+        .join(keepers.withColumn("__k", F.lit(1)), "doc_id", "left")
+        .join(final_ids.withColumn("__f", F.lit(1)), "doc_id", "left")
+    )
+    return (
+        funnel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.count("__k").alias("n_kept"),
+            (F.count("__k") - F.count("__f")).alias("n_contaminated"),
+            F.count("__f").alias("n_final"),
+            F.coalesce(
+                F.sum(F.when(F.col("__f").isNotNull(), F.col("__chars"))),
+                F.lit(0),
+            ).alias("chars_final"),
+        )
+        .orderBy("source")
+    )
