@@ -1150,3 +1150,75 @@ def topk_cosine_ivfpq(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_drift_audit(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    by: str = "label",
+) -> DataFrame:
+    """EMBEDDING-DISTRIBUTION drift audit between two corpus slices
+    (snapshots, encoder versions, shards): per ``by`` group, the
+    cosine between the two slices' MEAN vectors plus each slice's
+    count and mean L2 norm — centroid cosine near 1 and stable norms
+    mean the space didn't move; a re-trained or mis-versioned encoder
+    shows up as centroid rotation/norm shift long before downstream
+    recall degrades. The ANN-index companion check: a stored IVF index
+    (operators/ann_index.py) keys on centroid geometry, so this is the
+    gate before reusing an index across ingest batches.
+
+    Shape: each side explodes to (group, dim, value) keys-only rows —
+    the exchange carries group+dim keys, never vectors — aggregates a
+    d-width centroid table per side, and the drift math is a (group,
+    dim)-keyed equi-join + one scalar aggregation per group. Norms are
+    in-row F.aggregate (codegen). At 100 TB each side is one scan +
+    one groups×d-sized exchange."""
+
+    def _centroid(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(
+            F.col(by).alias("__g"),
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("__d", "__v"),
+        )
+        return ex.groupBy("__g", "__d").agg(F.avg("__v").alias(f"__c{tag}"))
+
+    def _stats(df: DataFrame, tag: str) -> DataFrame:
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        )
+        return df.select(F.col(by).alias("__g"), norm.alias("__n")).groupBy(
+            "__g"
+        ).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.avg("__n").alias(f"__mn{tag}"),
+        )
+
+    joined = _centroid(df_a, "a").join(_centroid(df_b, "b"), ["__g", "__d"])
+    drift = joined.groupBy("__g").agg(
+        (
+            F.sum(F.col("__ca") * F.col("__cb"))
+            / (
+                F.sqrt(F.sum(F.col("__ca") * F.col("__ca")))
+                * F.sqrt(F.sum(F.col("__cb") * F.col("__cb")))
+            )
+        ).alias("__cos")
+    )
+    return (
+        _stats(df_a, "a")
+        .join(_stats(df_b, "b"), "__g")
+        .join(drift, "__g")
+        .select(
+            F.col("__g").alias(by),
+            "n_a",
+            "n_b",
+            F.round("__cos", 6).alias("centroid_cosine"),
+            F.round("__mna", 6).alias("mean_norm_a"),
+            F.round("__mnb", 6).alias("mean_norm_b"),
+        )
+    )

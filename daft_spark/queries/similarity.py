@@ -617,3 +617,59 @@ def sim_ann_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries int, stored_equals_inmemory boolean, "
         "missing_rows int, recall_ge_070 boolean, append_visible boolean",
     )
+
+
+@register(
+    "sim_embedding_drift",
+    """
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS side,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, side, d, avg(v) AS c
+      FROM ex GROUP BY label, side, d),
+    cosres AS (
+      SELECT a.label,
+             sum(a.c * b.c)
+               / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))) AS cc
+      FROM cent a JOIN cent b ON a.label = b.label AND a.d = b.d
+      WHERE a.side = 0 AND b.side = 1
+      GROUP BY a.label),
+    norms AS (
+      SELECT label, vec_id % 2 AS side,
+             sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    st AS (
+      SELECT label, side, count(*) AS n, avg(nrm) AS mn
+      FROM norms GROUP BY label, side)
+    SELECT a.label,
+           CAST(a.n AS BIGINT) AS n_a,
+           CAST(b.n AS BIGINT) AS n_b,
+           round(c.cc, 6) AS centroid_cosine,
+           round(a.mn, 6) AS mean_norm_a,
+           round(b.mn, 6) AS mean_norm_b
+    FROM st a
+    JOIN st b ON a.label = b.label AND a.side = 0 AND b.side = 1
+    JOIN cosres c ON c.label = a.label
+    ORDER BY a.label
+    """,
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-DISTRIBUTION drift audit (operators/similarity.py
+    embedding_drift_audit): per label, centroid cosine + count + mean
+    L2 norm between two corpus slices (vec_id parity stands in for
+    snapshot/encoder-version splits) — the gate before reusing a
+    stored IVF index across ingest batches (the index keys on centroid
+    geometry). Exchanges carry (label, dim) keys, never vectors. The
+    oracle replays the explode, per-dim means, cosine, and norm
+    statistics exactly (both sides cast float32 -> double before any
+    arithmetic; round-6 absorbs summation-order digits)."""
+    from daft_spark.operators.similarity import embedding_drift_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift_audit(a, b, "embedding", "label").orderBy("label")
