@@ -938,3 +938,45 @@ def test_resolve_keep_best_policy(spark):
     assert rows[2]["is_kept"]  # q=9 tie broken by min id
     assert not rows[3]["is_kept"]
     assert rows[7]["keeper_id"] == 7 and rows[7]["is_kept"]
+
+
+def test_embedding_drift_audit_identity_and_shift(spark):
+    """Identical slices -> centroid cosine 1.0 and equal norms; an
+    orthogonal shift shows up as cosine << 1."""
+    from daft_spark.operators.similarity import embedding_drift_audit
+
+    a = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    same = embedding_drift_audit(a, a).collect()[0]
+    assert same["centroid_cosine"] == 1.0
+    assert same["mean_norm_a"] == same["mean_norm_b"] == 1.0
+    b = spark.createDataFrame(
+        [(i, [0.0, 2.0, 0.0, 0.0], 0) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rot = embedding_drift_audit(a, b).collect()[0]
+    assert rot["centroid_cosine"] == 0.0
+    assert rot["n_a"] == 4 and rot["n_b"] == 3
+    assert rot["mean_norm_b"] == 2.0
+
+
+def test_zipf_audit_detects_zipfian_text(spark):
+    """A corpus drawn with true Zipf frequencies fits slope ~ -1; the
+    audit must recover it (the alarm's calibration case)."""
+    from daft_spark.operators.repetition import zipf_audit
+
+    # token w{r} appears floor(1000/r) times -> exact Zipf, slope -1
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * (1000 // r)
+    docs = [
+        (i, " ".join(words[i * 120:(i + 1) * 120]))
+        for i in range((len(words) + 119) // 120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = zipf_audit(df, "text", "doc_id", top_k=50).collect()[0]
+    assert row["top_k"] == 50
+    assert -1.05 <= row["zipf_slope"] <= -0.93, row
+    assert row["zipf_r2"] > 0.97
