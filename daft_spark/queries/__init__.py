@@ -267,28 +267,52 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # now), mm_classify_image (mm_classify_text r12✓ shares the
 # classifier plumbing). Those 14 plus any post-freeze r13
 # registrations lead the r14 window.
+# Round-14 rotation (FROZEN at round start, first commit, per the r13
+# verdict task 1): the 8 never-driver-seen r13 registrations lead (all
+# 8 verified driver-grade exact by the r13 judge's independent run),
+# then the 14 r8-stale rows deferred from the r13 freeze (the 6
+# catalog adapters, the iceberg maintenance family,
+# lake_delta_cdf_partitioned, lake_maintenance,
+# lake_time_travel_hudi_paimon, mm_classify_image), then 28 of the 49
+# r9-stale rows — chosen where this round's code churns (dedup/sim/
+# pipeline/text/window/fn families touched by the r13 ADVICE fixes in
+# operators/dedup.py, similarity.py, ann_index.py), the 8 TPC-H rows
+# (final knob arm, verdict task 6), and 8 of the sql_* passthrough
+# battery. The 21 r9 rows deferred to r15 are frozen io/lake/rel/
+# stream surfaces with r13✓ twins on shared code (lake_delta_merge/
+# optimize/cdf, stream_delta_source/sink r13✓; the rel_* family's
+# siblings r10–r11✓): io_checkpoint_resume, io_csv_roundtrip,
+# io_json_roundtrip, lake_delta_restore, lake_delta_roundtrip,
+# lake_iceberg_branch_write, lake_iceberg_incremental, mm_embed_image,
+# rel_cross_join, rel_distinct, rel_explode, rel_explode_multi,
+# rel_explode_outer, rel_join_null_safe, rel_limit_offset,
+# rel_union_by_name, sql_scalar_subquery, sql_window_in_sql,
+# stream_delta_cdf, stream_iceberg_sink, stream_paimon_source. Those
+# 21 plus any post-freeze r14 registrations lead the r15 window.
 DRIVER_PRIORITY: list[str] = [
-    # 15 never-driver-seen rows: 11 r12 registrations + 4 r11 deferrals
-    "sim_ann_ivf_stored", "sim_ann_ivfpq_stored",
-    "text_winnow_fingerprints", "dedup_winnow_pairs",
-    "pipeline_grouped_split", "rel_ewma", "rel_twap",
-    "text_source_divergence", "agg_count_min_sketch",
-    "pipeline_calibrated_filter", "pipeline_curriculum_order",
-    "agg_mode_deterministic", "rel_key_skew_report_approx",
-    "text_top_ngrams_sketch", "pipeline_corpus_curation_v3",
-    # 35 of the 49 r8-stale rows (oldest green evidence in the ledger)
-    "agg_count_modes", "agg_cube", "agg_hll_sketch",
-    "agg_map_groups_zscore", "agg_percentiles", "agg_rollup",
-    "agg_stats", "agg_summarize", "agg_udaf_weighted_mean",
-    "dedup_contamination", "dedup_embedding_lsh", "dedup_embedding_resolve",
-    "lake_delta_cdf", "lake_delta_column_mapping", "lake_delta_dv_update",
-    "lake_delta_merge", "lake_delta_optimize", "lake_iceberg_partition_evolution",
-    "lake_iceberg_schema_evolution", "lake_iceberg_upsert", "lake_time_travel",
-    "mm_prompt", "pipeline_corpus_curation", "stream_delta_sink",
-    "stream_delta_source", "stream_iceberg_source", "text_c4_rules",
-    "text_gopher_rules", "text_pii_scrub", "text_repetition",
-    "w_min_periods", "w_row_number", "w_running_agg",
-    "w_sessionize", "w_spark_extras",
+    # 8 never-driver-seen r13 registrations (judge-verified sim-exact)
+    "dedup_winnow_resolve", "dedup_winnow_keep_best",
+    "dedup_winnow_decontaminate", "dedup_lsh_banding_audit",
+    "dedup_impact_report", "text_zipf_audit",
+    "pipeline_corpus_curation_v4", "sim_embedding_drift",
+    # 14 r8-stale rows deferred from the r13 freeze
+    "sql_glue_catalog", "sql_gravitino_catalog", "sql_paimon_catalog",
+    "sql_postgres_catalog", "sql_s3tables_catalog", "sql_unity_catalog",
+    "lake_iceberg_refs", "lake_iceberg_metadata_tables",
+    "lake_iceberg_compaction", "lake_iceberg_sorted",
+    "lake_delta_cdf_partitioned", "lake_maintenance",
+    "lake_time_travel_hudi_paimon", "mm_classify_image",
+    # 28 of the 49 r9-stale rows (churning code families + tpch + sql)
+    "dedup_exact_keepmin", "dedup_shingle_containment",
+    "dedup_substring_spans", "sim_pairs_threshold", "sim_topk_cosine",
+    "pipeline_token_budget_mix", "text_lm_perplexity",
+    "text_ngram_repetition", "text_stratified_sample",
+    "w_order_only_global", "fn_udf_scalar_batch", "fn_udtf_lateral",
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q12",
+    "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q22",
+    "sql_case_cast_union", "sql_cte_join", "sql_exists_subquery",
+    "sql_expr_battery", "sql_grouping_sets", "sql_having_positional",
+    "sql_in_subquery", "sql_not_in_anti",
 ]
 
 
