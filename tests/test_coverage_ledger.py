@@ -1,8 +1,15 @@
-"""The last-green ledger must never silently lag the newest driver
-artifact (r9 verdict: the r8-generated ledger went stale the moment the
-driver dropped CORRECTNESS_r09.json and the r10 rotation planning
-depended on it). The full suite now fails loudly instead."""
+"""The last-green ledger must never silently lag a driver artifact it
+CLAIMS to cover (r9 verdict: the r8-generated ledger went stale the
+moment the driver dropped CORRECTNESS_r09.json and the r10 rotation
+planning depended on it). But the driver writes CORRECTNESS_r{N+1}
+AFTER the builder's final round-N commit, so a strictly-newest check
+was mechanically red between rounds for four rounds running (r13
+verdict task 2). The guard now fails only when the ledger is wrong
+about rounds it records as covered; a newer driver-written artifact
+warns and passes — the builder's round-start regeneration absorbs it.
+"""
 
+import json
 import os
 import subprocess
 import sys
@@ -16,7 +23,47 @@ def test_last_green_ledger_is_current():
         capture_output=True, text=True, cwd=REPO,
     )
     assert r.returncode == 0, (
-        "COVERAGE.md ledger is stale vs the newest CORRECTNESS_r*.json — "
-        "run `python tools/coverage_rounds.py` and commit.\n"
-        + r.stdout + r.stderr
+        "COVERAGE.md ledger is stale vs the CORRECTNESS_r*.json rounds "
+        "it claims to cover — run `python tools/coverage_rounds.py` and "
+        "commit.\n" + r.stdout + r.stderr
     )
+
+
+def _write_artifact(repo, rnd, rows):
+    with open(os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json"), "w") as f:
+        json.dump(rows, f)
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True}
+
+
+def test_driver_writes_after_close_warns_not_fails(tmp_path):
+    """Simulate the exact between-rounds sequence: builder regenerates
+    the ledger at round N, commits, THEN the driver writes
+    CORRECTNESS_r{N+1}.json. The check must warn and exit 0; a stale
+    ledger for a covered round must still exit 1."""
+    sys.path.insert(0, REPO)
+    from tools import coverage_rounds as cr
+
+    repo = str(tmp_path)
+    names = ["q_a", "q_b"]
+    cov = os.path.join(repo, "COVERAGE.md")
+    _write_artifact(repo, 1, {"q_a": GREEN})
+
+    # Builder regenerates the ledger with r1 as newest (round close).
+    rounds = cr.last_green_rounds(repo, names)
+    with open(cov, "w") as f:
+        f.write("# COVERAGE\n\n" + cr.render(rounds, latest=1) + "\n")
+    assert cr.check(repo, names) == 0  # current, trivially
+
+    # Driver writes r2 after the builder's final commit.
+    _write_artifact(repo, 2, {"q_b": GREEN})
+    assert cr.check(repo, names) == 0, (
+        "a driver artifact newer than the ledger's recorded round must "
+        "WARN, not fail"
+    )
+
+    # But a ledger that is wrong about a round it CLAIMS to cover
+    # (r1 artifact changed under it) must still fail.
+    _write_artifact(repo, 1, {"q_a": GREEN, "q_b": GREEN})
+    assert cr.check(repo, names) == 1
