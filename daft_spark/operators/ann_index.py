@@ -174,13 +174,17 @@ def _probe_lists(
     """Rank stored centroids per query; return (probes df, distinct
     probed centroid ids). The collect is bounded by num_centroids.
 
-    Deliberately NOT persisted: the ranking is read twice (the eager
-    centroid-id collect here, then once more inside the returned
-    search plan), and a persist would outlive the lazy result —
-    repeated searches in a long-lived session would accumulate cached
-    blocks with no unpersist point. One recompute of a
-    broadcast-centroid crossJoin + per-query top-nprobe window is
-    cheaper than an unbounded cache."""
+    The ranking is read twice (the eager centroid-id collect here,
+    then once more inside the returned search plan), so it is pinned
+    with an eager ``localCheckpoint``: if the caller's queries frame
+    is non-deterministic (sample/limit/rand upstream), a recompute
+    could probe a centroid absent from the prune list built here and
+    silently drop results (r13 ADVICE). localCheckpoint materializes
+    ONE consistent snapshot — bounded by contract (probes is
+    broadcast into the search join downstream, i.e. nqueries×nprobe
+    rows) — and its blocks are released by the ContextCleaner when
+    the frame is garbage-collected, unlike a persist() with no
+    unpersist point."""
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     q = queries.select(F.col(query_id), F.col(query_vec))
     qc = q.crossJoin(F.broadcast(cents)).withColumn(
@@ -193,6 +197,7 @@ def _probe_lists(
         qc.withColumn("__pr", F.row_number().over(wq))
         .filter(F.col("__pr") <= nprobe)
         .select(F.col(query_id), F.col(query_vec), "centroid_id")
+        .localCheckpoint(eager=True)
     )
     probed = sorted(
         r["centroid_id"]

@@ -28,7 +28,7 @@ explicitly with ``daft_spark.context.release_caches(spark)`` (or
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_TOKEN_PATTERN = "[a-z0-9]+"
@@ -368,11 +368,17 @@ def jaccard_pairs(
     by ``block_cols`` to bound the quadratic) — the brute-force oracle
     companion to MinHash LSH. Returns (id_a, id_b, jaccard >= threshold).
 
-    The right side BROADCASTS: callers bound ``df`` by contract (the
-    all-pairs compare is the cost model), and without the hint the
-    non-equi self-join plans as a CartesianProduct over spread^2
-    partition pairs — measured 625 tasks / 55 s of pure task fixed
-    cost for a 300-doc sample at sf10 vs ~5 s broadcast."""
+    Plan shape (r13 ADVICE): WITHOUT block_cols the right side
+    BROADCASTS — callers bound ``df`` by contract (the all-pairs
+    compare is the cost model), and without the hint the non-equi
+    self-join plans as a CartesianProduct over spread^2 partition
+    pairs (measured 625 tasks / 55 s of pure task fixed cost for a
+    300-doc sample at sf10 vs ~5 s broadcast). WITH block_cols the
+    join has equi-keys and stays a shuffled SMJ/SHJ on them —
+    blocking is precisely the knob that makes corpus-scale inputs
+    legal here, and broadcasting the corpus would OOM (mirrors
+    similarity.pairs_above_threshold's 'never broadcast the
+    corpus')."""
     base = _spread(df).select(
         *(block_cols or []),
         F.col(id_col).alias("__id"),
@@ -393,8 +399,9 @@ def jaccard_pairs(
         cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    right = b if block_cols else F.broadcast(b)
     return (
-        a.join(F.broadcast(b), cond)
+        a.join(right, cond)
         .select(
             "id_a",
             "id_b",
@@ -1377,25 +1384,20 @@ def resolve_keep_best(
     scored copy and drop the rest). Input: any frame carrying
     (id_col, cluster_id, quality_col). Output: the input plus
     ``keeper_id`` (the cluster's max-quality member, min id on ties —
-    fully deterministic) and ``is_kept``.
+    fully deterministic) and ``is_kept``. Works for ANY orderable id
+    type — string doc ids (URLs, hashes) included; the earlier
+    arithmetic-negation tiebreak (-id) only handled numerics and would
+    overflow long-min under ANSI (r13 ADVICE).
 
-    One aggregation on cluster_id + one broadcast-or-shuffle join of
-    (cluster_id, keeper_id) back — the quality column rides the
-    existing rows; no text moves. At 100 TB this replaces the
+    One exchange: a window partitioned on cluster_id ordered by
+    (quality desc, id asc) takes the first id as keeper — no second
+    frame, no join back; the quality column rides the existing rows
+    and no text moves. At 100 TB this replaces the
     filter("is_representative") step at identical cost."""
-    keepers = (
-        clustered.groupBy("cluster_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col(quality_col).alias("__q"),
-                    (-F.col(id_col)).alias("__negid"),
-                )
-            ).alias("__best")
-        )
-        .select(
-            "cluster_id", (-F.col("__best.__negid")).alias("keeper_id")
-        )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = clustered.join(keepers, "cluster_id")
+    out = clustered.withColumn("keeper_id", F.first(id_col).over(w))
     return out.withColumn("is_kept", F.col(id_col) == F.col("keeper_id"))

@@ -939,6 +939,26 @@ def test_resolve_keep_best_policy(spark):
     assert not rows[3]["is_kept"]
     assert rows[7]["keeper_id"] == 7 and rows[7]["is_kept"]
 
+    # String doc ids (URLs/hashes) — the r13 ADVICE case: the old
+    # arithmetic-negation tiebreak raised AnalysisException here.
+    str_clustered = spark.createDataFrame(
+        [
+            ("https://a.example/1", 100, 5),
+            ("https://b.example/2", 100, 9),
+            ("https://c.example/3", 100, 9),
+            ("sha256:deadbeef", 700, 1),
+        ],
+        "doc_id string, cluster_id long, q long",
+    )
+    srows = {
+        r["doc_id"]: r
+        for r in resolve_keep_best(str_clustered, "q", "doc_id").collect()
+    }
+    assert srows["https://a.example/1"]["keeper_id"] == "https://b.example/2"
+    assert srows["https://b.example/2"]["is_kept"]  # tie -> min string id
+    assert not srows["https://c.example/3"]["is_kept"]
+    assert srows["sha256:deadbeef"]["is_kept"]
+
 
 def test_embedding_drift_audit_identity_and_shift(spark):
     """Identical slices -> centroid cosine 1.0 and equal norms; an

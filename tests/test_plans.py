@@ -923,3 +923,31 @@ def test_winnow_decontaminate_broadcast_keys_only(spark):
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_pairs_blocked_is_shuffled_equi_join(spark):
+    """jaccard_pairs plan shape (r13 ADVICE): unblocked -> broadcast
+    (bounded-sample contract, kills the CartesianProduct); blocked ->
+    plain shuffled equi-join on the block keys (blocking is the knob
+    that makes corpus-scale inputs legal — never broadcast the
+    corpus)."""
+    from daft_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"tok{i} tok{i+1} tok{i+2} tok{i+3}")
+         for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    unblocked = plan_of(
+        jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    )
+    assert "CartesianProduct" not in unblocked
+    assert "BroadcastExchange" in unblocked
+
+    blocked = plan_of(
+        jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
+                      block_cols=["source"])
+    )
+    assert "CartesianProduct" not in blocked
+    # equi-join on the block key, NOT a broadcast of the corpus side
+    assert ("SortMergeJoin" in blocked) or ("ShuffledHashJoin" in blocked), blocked
