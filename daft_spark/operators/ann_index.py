@@ -329,3 +329,50 @@ def search_ivf_index(
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def index_refresh_report(
+    spark: SparkSession,
+    path: str,
+    new_batch: DataFrame,
+    min_centroid_cosine: float = 0.98,
+    max_norm_drift: float = 0.01,
+    max_growth: float = 2.0,
+) -> DataFrame:
+    """Per-INVERTED-LIST rebuild-or-reuse gate for a stored index:
+    assigns ``new_batch`` to the STORED centroids (ivf_assign — the
+    same routing a plain append would use), then runs
+    similarity.index_refresh_decision between each list's stored
+    vectors and its incoming vectors, keyed on centroid_id. A list
+    whose incoming mass rotated away from the stored centroid
+    ('centroid_rotation'), re-scaled ('norm_shift'), or dwarfs the
+    stored list ('growth') flags rebuild=true — append there would
+    mis-route future probes or unbalance the list. Lists receiving no
+    new vectors produce no row (nothing to drift).
+
+    Operationally: ``append_to_index`` when no row flags rebuild,
+    ``build_ivf_index`` from scratch otherwise. Cost: one assign of
+    the batch (broadcast centroids) + the drift audit's
+    (centroid_id, dim)-keyed exchanges; stored vectors are scanned
+    once and never collected."""
+    from daft_spark.operators.similarity import (
+        index_refresh_decision,
+        ivf_assign,
+    )
+
+    meta = read_index_meta(path)
+    corpus_id, corpus_vec = meta["id_col"], meta["vec_col"]
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    stored = spark.read.parquet(os.path.join(path, "vectors"))
+    assigned = ivf_assign(
+        new_batch, cents, corpus_id=corpus_id, corpus_vec=corpus_vec
+    ).select(corpus_id, corpus_vec, "centroid_id")
+    return index_refresh_decision(
+        stored,
+        assigned,
+        vec_col=corpus_vec,
+        by="centroid_id",
+        min_centroid_cosine=min_centroid_cosine,
+        max_norm_drift=max_norm_drift,
+        max_growth=max_growth,
+    )

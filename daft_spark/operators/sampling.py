@@ -672,3 +672,82 @@ def length_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def pack_efficiency_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    eod_tokens: int = 1,
+    by: list[str] | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """PACKING-EFFICIENCY audit over a ``pack_sequences`` plan: per
+    packing stream, the numbers that decide seq_len and the packing
+    policy before a 100 TB tokenization run —
+
+      n_docs / total_tokens — stream size (EOD markers included)
+      n_sequences           — ceil(total / seq_len): training sequences
+      fill_rate             — total / (n_sequences * seq_len); the only
+                              padding waste under split-across-boundary
+                              packing is the final partial sequence, so
+                              a low fill_rate means the stream is too
+                              small for the seq_len
+      n_straddling / straddle_rate — documents split across a sequence
+                              boundary (attention-mask fragmentation)
+      trunc_loss_tokens / trunc_loss_rate — tokens BEYOND each doc's
+                              first sequence boundary: what a
+                              truncate-at-boundary loader (the
+                              no-straddle alternative) would discard —
+                              the direct cost comparison between the
+                              two packing policies
+      n_span1 / n_span2 / n_span3plus — histogram of sequences spanned
+
+    One aggregation over the placement plan — the underlying window
+    moves (id, n_tokens) rows only (pack_sequences contract), and the
+    audit adds a group-keyed agg of that plan's columns; text never
+    shuffles and nothing collects."""
+    plan = pack_sequences(
+        df, text_col, id_col, seq_len=seq_len, eod_tokens=eod_tokens,
+        by=by, n_shards=n_shards,
+    )
+    cols = ["shard"] if by is None else list(by)
+    end = F.col("start_offset") + F.col("n_tokens")
+    first_boundary = (F.col("first_seq") + 1) * F.lit(seq_len)
+    trunc = end - F.least(end, first_boundary)
+    straddle = (F.col("n_seqs_spanned") > 1).cast("long")
+    agg = plan.groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("last_seq") + 1).alias("n_sequences"),
+        F.sum(straddle).alias("n_straddling"),
+        F.sum(trunc).alias("trunc_loss_tokens"),
+        F.sum((F.col("n_seqs_spanned") == 1).cast("long")).alias("n_span1"),
+        F.sum((F.col("n_seqs_spanned") == 2).cast("long")).alias("n_span2"),
+        F.sum((F.col("n_seqs_spanned") >= 3).cast("long")).alias(
+            "n_span3plus"
+        ),
+    )
+    return agg.select(
+        *cols,
+        "n_docs",
+        "total_tokens",
+        "n_sequences",
+        F.round(
+            F.col("total_tokens")
+            / (F.col("n_sequences") * F.lit(seq_len)).cast("double"),
+            6,
+        ).alias("fill_rate"),
+        "n_straddling",
+        F.round(F.col("n_straddling") / F.col("n_docs").cast("double"), 6)
+        .alias("straddle_rate"),
+        "trunc_loss_tokens",
+        F.round(
+            F.col("trunc_loss_tokens") / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("trunc_loss_rate"),
+        "n_span1",
+        "n_span2",
+        "n_span3plus",
+    )

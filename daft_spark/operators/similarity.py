@@ -1222,3 +1222,66 @@ def embedding_drift_audit(
             F.round("__mnb", 6).alias("mean_norm_b"),
         )
     )
+
+
+def index_refresh_decision(
+    df_baseline: DataFrame,
+    df_current: DataFrame,
+    vec_col: str = "embedding",
+    by: str = "label",
+    min_centroid_cosine: float = 0.98,
+    max_norm_drift: float = 0.01,
+    max_growth: float = 2.0,
+) -> DataFrame:
+    """AUTO REBUILD-OR-REUSE gate for a stored ANN index
+    (operators/ann_index.py): composes ``embedding_drift_audit``
+    between the indexed slice and a new ingest batch and turns the
+    per-group drift statistics into an explicit, auditable decision —
+    the operational question behind the drift audit ("did the space
+    move enough that the stored centroids are stale?"). Per ``by``
+    group returns the audit columns plus
+
+      norm_ratio    — mean_norm_current / mean_norm_baseline
+      growth_ratio  — n_current / n_baseline
+      rebuild       — true if ANY trigger fired
+      reason        — comma-joined fired triggers ('centroid_rotation',
+                      'norm_shift', 'growth'), or 'none'
+
+    Triggers: centroid cosine below ``min_centroid_cosine`` (the
+    space rotated — stored IVF centroids mis-route probes);
+    |norm_ratio - 1| above ``max_norm_drift`` (encoder re-scale —
+    ADC/int8 quantization ranges stale); growth_ratio above
+    ``max_growth`` (the batch dwarfs the index — list sizes skew even
+    without drift; append would unbalance the inverted lists).
+
+    All comparisons run on the audit's ROUND-6 values, so an external
+    replay (the DuckDB oracle) deriving the booleans from identically
+    rounded numbers decides bit-identically — no threshold boundary
+    flips between engines. Cost: the drift audit's (group, dim)-keyed
+    exchanges plus a width-constant projection; nothing new shuffles.
+    """
+    audit = embedding_drift_audit(df_baseline, df_current, vec_col, by)
+    norm_ratio = F.round(F.col("mean_norm_b") / F.col("mean_norm_a"), 6)
+    growth = F.round(F.col("n_b") / F.col("n_a"), 6)
+    d = audit.select(
+        F.col(by),
+        F.col("n_a").alias("n_baseline"),
+        F.col("n_b").alias("n_current"),
+        "centroid_cosine",
+        norm_ratio.alias("norm_ratio"),
+        growth.alias("growth_ratio"),
+    )
+    rotated = F.col("centroid_cosine") < F.lit(min_centroid_cosine)
+    shifted = F.abs(F.col("norm_ratio") - 1.0) > F.lit(max_norm_drift)
+    grown = F.col("growth_ratio") > F.lit(max_growth)
+    reason = F.concat_ws(
+        ",",
+        F.when(rotated, F.lit("centroid_rotation")),
+        F.when(shifted, F.lit("norm_shift")),
+        F.when(grown, F.lit("growth")),
+    )
+    return d.select(
+        "*",
+        (rotated | shifted | grown).alias("rebuild"),
+        F.when(reason == "", F.lit("none")).otherwise(reason).alias("reason"),
+    )

@@ -673,3 +673,81 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)
     return embedding_drift_audit(a, b, "embedding", "label").orderBy("label")
+
+
+@register(
+    "sim_index_refresh",
+    """
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS side,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, side, d, avg(v) AS c
+      FROM ex GROUP BY label, side, d),
+    cosres AS (
+      SELECT a.label,
+             sum(a.c * b.c)
+               / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))) AS cc
+      FROM cent a JOIN cent b ON a.label = b.label AND a.d = b.d
+      WHERE a.side = 0 AND b.side = 1
+      GROUP BY a.label),
+    norms AS (
+      SELECT label, vec_id % 2 AS side,
+             sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    st AS (
+      SELECT label, side, count(*) AS n, avg(nrm) AS mn
+      FROM norms GROUP BY label, side),
+    base AS (
+      SELECT a.label,
+             CAST(a.n AS BIGINT) AS n_baseline,
+             CAST(b.n AS BIGINT) AS n_current,
+             round(c.cc, 6) AS centroid_cosine,
+             round(b.mn / a.mn, 6) AS norm_ratio,
+             round(CAST(b.n AS DOUBLE) / a.n, 6) AS growth_ratio
+      FROM st a
+      JOIN st b ON a.label = b.label AND a.side = 0 AND b.side = 1
+      JOIN cosres c ON c.label = a.label),
+    flags AS (
+      SELECT *,
+             centroid_cosine < 0.0 AS rot,
+             abs(norm_ratio - 1.0) > 0.001 AS shift,
+             growth_ratio > 1.5 AS grown
+      FROM base)
+    SELECT label, n_baseline, n_current, centroid_cosine, norm_ratio,
+           growth_ratio,
+           (rot OR shift OR grown) AS rebuild,
+           CASE WHEN NOT (rot OR shift OR grown) THEN 'none'
+                ELSE concat_ws(',',
+                  CASE WHEN rot THEN 'centroid_rotation' END,
+                  CASE WHEN shift THEN 'norm_shift' END,
+                  CASE WHEN grown THEN 'growth' END)
+           END AS reason
+    FROM flags ORDER BY label
+    """,
+)
+def sim_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO rebuild-or-reuse gate (operators/similarity.py
+    index_refresh_decision): the drift audit's per-label statistics
+    turned into an explicit decision — centroid rotation / norm shift /
+    growth triggers, comma-joined reason string. vec_id parity stands
+    in for indexed-slice vs ingest-batch. The synthetic corpus is
+    UNCLUSTERED (per-label parity-half centroids are near-orthogonal
+    noise, cosine in [-0.25, 0.30]), so the demo threshold sits at 0.0
+    to exercise both branches; production defaults are 0.98/0.01/2.0.
+    All triggers compare ROUND-6 values, so the oracle's replay
+    decides bit-identically. The per-inverted-list composition against
+    a STORED index (assign batch to stored centroids, decide per list)
+    is ann_index.index_refresh_report, pytest-covered."""
+    from daft_spark.operators.similarity import index_refresh_decision
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return index_refresh_decision(
+        a, b, "embedding", "label",
+        min_centroid_cosine=0.0, max_norm_drift=0.001, max_growth=1.5,
+    ).orderBy("label")

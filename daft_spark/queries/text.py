@@ -2426,3 +2426,61 @@ def pipeline_corpus_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_pack_audit",
+    """
+    WITH n AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-za-z0-9]+')) + 1 AS nt
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, nt,
+             sum(nt) OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING) AS e
+      FROM n),
+    p AS (
+      SELECT source, nt, e,
+             (e - nt) // 2048 AS first_seq,
+             (e - 1) // 2048 AS last_seq
+      FROM c)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(max(last_seq) + 1 AS BIGINT) AS n_sequences,
+           round(sum(nt) / ((max(last_seq) + 1) * 2048.0), 6) AS fill_rate,
+           CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddling,
+           round(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+                 / (1.0 * count(*)), 6) AS straddle_rate,
+           CAST(sum(e - least(e, (first_seq + 1) * 2048)) AS BIGINT)
+             AS trunc_loss_tokens,
+           round(sum(e - least(e, (first_seq + 1) * 2048))
+                 / (1.0 * sum(nt)), 6) AS trunc_loss_rate,
+           CAST(sum(CASE WHEN last_seq = first_seq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_span1,
+           CAST(sum(CASE WHEN last_seq - first_seq = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_span2,
+           CAST(sum(CASE WHEN last_seq - first_seq >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_span3plus
+    FROM p GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING-EFFICIENCY audit (operators/sampling.py
+    pack_efficiency_audit) over the pipeline_pack_sequences plan:
+    per-source fill rate (padding waste = final partial sequence
+    only), boundary-straddle rate, the token loss a
+    truncate-at-boundary loader would pay instead, and the
+    sequences-spanned histogram — the numbers that pick seq_len and
+    the packing policy before a 100 TB tokenization run. The oracle
+    replays the token counts, md5 packing order, running sums, and
+    every boundary aggregate exactly."""
+    from daft_spark.operators.sampling import pack_efficiency_audit
+
+    return pack_efficiency_audit(
+        _docs(spark, sf_dir), "text", "doc_id",
+        seq_len=2048, eod_tokens=1, by=["source"],
+    ).orderBy("source")

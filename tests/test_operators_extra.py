@@ -1000,3 +1000,89 @@ def test_zipf_audit_detects_zipfian_text(spark):
     assert row["top_k"] == 50
     assert -1.05 <= row["zipf_slope"] <= -0.93, row
     assert row["zipf_r2"] > 0.97
+
+
+def test_index_refresh_decision_triggers(spark):
+    """Each trigger fires independently and composes in the reason
+    string; identical slices reuse."""
+    from daft_spark.operators.similarity import index_refresh_decision
+
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0], "a") for i in range(10)]
+        + [(i + 10, [0.0, 1.0, 0.0], "b") for i in range(10)]
+        + [(i + 20, [0.0, 0.0, 1.0], "c") for i in range(10)]
+        + [(i + 30, [1.0, 1.0, 0.0], "d") for i in range(10)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    # a: identical -> reuse; b: orthogonal rotation; c: 2x norm scale;
+    # d: 30 incoming vs 10 indexed -> growth
+    cur = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0], "a") for i in range(10)]
+        + [(i + 10, [1.0, 0.0, 0.0], "b") for i in range(10)]
+        + [(i + 20, [0.0, 0.0, 2.0], "c") for i in range(10)]
+        + [(i + 30, [1.0, 1.0, 0.0], "d") for i in range(30)],
+        "vec_id long, embedding array<float>, label string",
+    )
+    rows = {
+        r["label"]: r
+        for r in index_refresh_decision(base, cur, "embedding", "label")
+        .collect()
+    }
+    assert not rows["a"]["rebuild"] and rows["a"]["reason"] == "none"
+    assert rows["b"]["reason"] == "centroid_rotation"
+    assert rows["c"]["reason"] == "norm_shift"
+    assert rows["c"]["norm_ratio"] == 2.0
+    assert rows["d"]["reason"] == "growth"
+    assert rows["d"]["growth_ratio"] == 3.0
+
+
+def test_index_refresh_report_per_list(spark, tmp_path):
+    """Against a STORED index: an append-shaped batch reuses; a
+    re-scaled batch flags norm_shift on the lists it routes to."""
+    from daft_spark.operators.ann_index import (
+        build_ivf_index,
+        index_refresh_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 4 == 0), float(i % 4 == 1),
+              float(i % 4 == 2), float(i % 4 == 3)]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(corpus, path, num_centroids=4, kind="ivf")
+
+    same = corpus.withColumn("vec_id", F.col("vec_id") + 1000)
+    rep = index_refresh_report(spark, path, same)
+    assert rep.filter(F.col("rebuild")).count() == 0
+
+    scaled = corpus.selectExpr(
+        "vec_id + 2000 as vec_id",
+        "transform(embedding, x -> x * CAST(1.5 AS FLOAT)) as embedding",
+    )
+    rep2 = index_refresh_report(spark, path, scaled)
+    bad = rep2.filter(F.col("rebuild")).collect()
+    assert bad and all("norm_shift" in r["reason"] for r in bad)
+
+
+def test_pack_efficiency_audit_hand_case(spark):
+    """seq_len=10, single stream: 3 docs of 6 tokens each (incl. EOD)
+    -> total 18, 2 sequences, fill 0.9; exactly one doc straddles the
+    10-boundary losing 2 tokens to a truncate-at-boundary loader."""
+    from daft_spark.operators.sampling import pack_efficiency_audit
+
+    docs = spark.createDataFrame(
+        [(i, "t1 t2 t3 t4 t5", "s") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    row = pack_efficiency_audit(
+        docs, "text", "doc_id", seq_len=10, eod_tokens=1, by=["source"]
+    ).collect()[0]
+    assert row["n_docs"] == 3 and row["total_tokens"] == 18
+    assert row["n_sequences"] == 2
+    assert abs(row["fill_rate"] - 0.9) < 1e-9
+    # placements: [0,6) [6,12) [12,18) -> the middle doc straddles seq 0/1
+    assert row["n_straddling"] == 1 and row["n_span2"] == 1
+    assert row["n_span1"] == 2 and row["n_span3plus"] == 0
+    assert row["trunc_loss_tokens"] == 2
+    assert abs(row["trunc_loss_rate"] - 2 / 18) < 1e-6
