@@ -888,9 +888,14 @@ def test_stored_ivf_search_partition_pruned_no_training(spark, tmp_path):
     # are the query-side embeddings input (vec_id < 2 pushed down)
     locs = re.findall(r"Location:.*", plan)
     assert any("ivf_idx/vectors" in ln for ln in locs), plan
-    assert any("ivf_idx/centroids" in ln for ln in locs), plan
+    # The probes side (queries x broadcast centroids, top-nprobe) is
+    # pinned by an eager localCheckpoint (r13 ADVICE — one consistent
+    # snapshot feeds both the prune list and this plan), so the
+    # centroids/queries scans ran inside the checkpoint and surface
+    # here as a materialized RDD scan, not parquet locations.
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     for ln in locs:
-        assert "ivf_idx" in ln or "embeddings" in ln, ln
+        assert "ivf_idx" in ln, ln
 
 
 def test_winnow_resolve_no_text_shuffle(spark):

@@ -53,6 +53,15 @@ CONFIGS: dict[str, dict[str, str]] = {
         "spark.sql.shuffle.partitions": "64",
         "spark.sql.autoBroadcastJoinThreshold": "33554432",
     },
+    # r13 verdict task 6 — the declared FINAL arm: parquet vectorized
+    # reader batch size (default 4096 rows) and scan open cost
+    # (default 4MB; lower packs more small files per split).
+    "batch16k": {"spark.sql.parquet.columnarReaderBatchSize": "16384"},
+    "opencost64k": {"spark.sql.files.openCostInBytes": "65536"},
+    "batch16k_opencost64k": {
+        "spark.sql.parquet.columnarReaderBatchSize": "16384",
+        "spark.sql.files.openCostInBytes": "65536",
+    },
 }
 
 _CHILD = r"""
