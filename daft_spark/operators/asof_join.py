@@ -200,7 +200,12 @@ def join_asof(
     identical results): backward/forward window 1.1s vs broadcast 1.8s
     (the array build dominates — window keeps those), nearest window
     7.0s vs broadcast 4.2s (one broadcast array replaces TWO
-    directional window passes — broadcast wins).
+    directional window passes — broadcast wins). Re-verified r14
+    (probes/ASOF_BACKWARD_AB_r14.json): backward-by window 0.9s vs
+    broadcast 1.4s forced at sf10 — the registered row's remaining
+    gap is presentation orderBy + driver collect of the full click
+    stream (6.4s of the 7.3s row), not the join plan (the raw operator
+    beats DuckDB's whole query, 0.9s vs 1.5s).
     """
     if strategy not in _STRATEGIES:
         raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")

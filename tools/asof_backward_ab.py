@@ -97,9 +97,11 @@ def main() -> None:
         blk["nosort_bcast"] = _timed(lambda: forced(q(True)), release)
 
         con = duckdb.connect()
+        ep = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(ep):
+            ep = os.path.join(ep, "*.parquet")
         con.execute(
-            "create view events as select * from "
-            f"read_parquet('{sf_dir}/events.parquet')"
+            f"create view events as select * from read_parquet('{ep}')"
         )
         from daft_spark.queries import all_queries
 

@@ -56,9 +56,11 @@ def _duck(sql: str, sf_dir: str) -> float:
 
     con = duckdb.connect()
     for t in ("events", "documents"):
+        p = os.path.join(sf_dir, t + ".parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
         con.execute(
-            f"create view {t} as select * from "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"create view {t} as select * from read_parquet('{p}')"
         )
     con.execute(sql).fetchall()
     times = []
