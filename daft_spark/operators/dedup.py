@@ -1401,3 +1401,57 @@ def resolve_keep_best(
     )
     out = clustered.withColumn("keeper_id", F.first(id_col).over(w))
     return out.withColumn("is_kept", F.col(id_col) == F.col("keeper_id"))
+
+
+def quality_shift_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """DEDUP-BIAS audit: exact dedup (16-byte hash keys, min-id keeper)
+    and then, per ``by`` group, whether the removed copies differ in
+    quality from the kept representatives — the post-dedup sanity check
+    before trusting a curated mix (mass duplication concentrates in
+    specific sources/templates, so dedup can silently shift a source's
+    quality profile). Returns one row per group:
+
+      n_docs / n_kept / n_removed / removal_rate
+      q_kept_avg / q_removed_avg — mean quality of keepers vs removed
+                                   copies (null when nothing removed)
+
+    Scale shape: one window over (xxhash64(text), length) moving
+    (id, by, quality) rows — the text column itself never shuffles —
+    then one narrow aggregation per group. Averages are emitted
+    round-6 so an external SQL replay matches bit-for-bit."""
+    cols = list(by or [])
+    keyed = df.select(
+        F.col(id_col),
+        *cols,
+        F.col(quality_col).alias("__q"),
+        F.xxhash64(text_col).alias("__h"),
+        F.length(text_col).alias("__len"),
+    )
+    w = Window.partitionBy("__h", "__len")
+    keyed = keyed.withColumn(
+        "__kept", F.col(id_col) == F.min(id_col).over(w)
+    )
+    kept = F.col("__kept")
+    agg = keyed.groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_removed"),
+        F.avg(F.when(kept, F.col("__q"))).alias("__qk"),
+        F.avg(F.when(~kept, F.col("__q"))).alias("__qr"),
+    )
+    return agg.select(
+        *cols,
+        "n_docs",
+        "n_kept",
+        "n_removed",
+        F.round(F.col("n_removed") / F.col("n_docs").cast("double"), 6)
+        .alias("removal_rate"),
+        F.round("__qk", 6).alias("q_kept_avg"),
+        F.round("__qr", 6).alias("q_removed_avg"),
+    )

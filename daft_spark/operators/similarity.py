@@ -1285,3 +1285,65 @@ def index_refresh_decision(
         (rotated | shifted | grown).alias("rebuild"),
         F.when(reason == "", F.lit("none")).otherwise(reason).alias("reason"),
     )
+
+
+def semdedup_sweep(
+    df: DataFrame,
+    thresholds: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    mine_threshold: float | None = None,
+) -> DataFrame:
+    """SemDedup THRESHOLD-SWEEP audit: for each candidate cosine
+    threshold, how much of the corpus embedding-dedup would remove —
+    the dial you turn BEFORE committing a 100 TB semantic dedup run
+    (Abbas et al. 2023 pick the threshold from exactly this curve).
+    A vector is removed at threshold t when any LOWER-id vector in its
+    block has cosine >= t (the min-id keeper used across the dedup
+    family). Returns one row per threshold:
+    (threshold, n_total, n_removed, n_kept, removal_rate).
+
+    Shape: ONE pair-mining pass at the loosest threshold (blocked
+    equi-join via pairs_above_threshold — never all-pairs when
+    block_col is given), one groupBy(id) max-similarity aggregation,
+    then a single-row conditional aggregate unpivoted with stack — no
+    per-threshold rescans. Comparisons run on ROUND-6 similarities so
+    an external replay decides identically; ``mine_threshold``
+    (default: loosest sweep threshold - 0.05) stays strictly below the
+    sweep so the raw-vs-rounded boundary can't drop a pair the sweep
+    would count."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(float(t) for t in thresholds)
+    mine = mine_threshold if mine_threshold is not None else ts[0] - 0.05
+    pairs = pairs_above_threshold(
+        df, mine, id_col=id_col, vec_col=vec_col, block_col=block_col
+    )
+    nn = pairs.groupBy("id_b").agg(F.round(F.max("sim"), 6).alias("__nn"))
+    counts = nn.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("__nn") >= F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"__r{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    stacked = ", ".join(
+        f"CAST({t} AS DOUBLE), __r{i}" for i, t in enumerate(ts)
+    )
+    row = counts.crossJoin(F.broadcast(tot))
+    out = row.selectExpr(
+        "__n",
+        f"stack({len(ts)}, {stacked}) as (threshold, n_removed)",
+    )
+    return out.select(
+        "threshold",
+        F.col("__n").alias("n_total"),
+        "n_removed",
+        (F.col("__n") - F.col("n_removed")).alias("n_kept"),
+        F.round(F.col("n_removed") / F.col("__n").cast("double"), 6).alias(
+            "removal_rate"
+        ),
+    )

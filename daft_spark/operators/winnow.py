@@ -159,6 +159,7 @@ def winnow_decontaminate(
     k: int = 8,
     w: int = 4,
     min_shared: int = 2,
+    min_shared_fraction: float | None = None,
 ) -> DataFrame:
     """VERBATIM-leak benchmark decontamination via winnowing: flag
     every corpus document sharing >= ``min_shared`` selected
@@ -169,6 +170,15 @@ def winnow_decontaminate(
     whitespace/punctuation edits, and unlike MinHash, deterministic
     (no banding miss probability). Returns every corpus row's
     (id_col, n_shared_fps, contaminated).
+
+    ``min_shared_fraction`` switches to a PROPORTIONAL rule:
+    contaminated when n_shared / n_fps >= fraction (the
+    high-overlap-share discipline for boilerplate-heavy corpora,
+    where an absolute count flags everything because templates alias
+    fingerprints corpus-wide); the output then also carries ``n_fps``
+    (the doc's distinct selected fingerprints) so the rule is
+    auditable. Documents too short to fingerprint are never flagged
+    under either rule.
 
     Scale shape: the benchmark side reduces to a DISTINCT fingerprint
     set and BROADCASTS (eval benchmarks are tiny next to a 100 TB
@@ -186,14 +196,35 @@ def winnow_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )
+    if min_shared_fraction is None:
+        return (
+            corpus.select(id_col)
+            .join(shared, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
+                (F.coalesce("n_shared_fps", F.lit(0)) >= min_shared).alias(
+                    "contaminated"
+                ),
+            )
+        )
+    totals = cfp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fps"))
+    n_sh = F.coalesce("n_shared_fps", F.lit(0))
+    n_fp = F.coalesce("n_fps", F.lit(0))
     return (
         corpus.select(id_col)
         .join(shared, id_col, "left")
+        .join(totals, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
-            (F.coalesce("n_shared_fps", F.lit(0)) >= min_shared).alias(
-                "contaminated"
-            ),
+            n_sh.alias("n_shared_fps"),
+            n_fp.alias("n_fps"),
+            F.when(
+                n_fp > 0,
+                n_sh.cast("double") / n_fp.cast("double")
+                >= F.lit(float(min_shared_fraction)),
+            )
+            .otherwise(F.lit(False))
+            .alias("contaminated"),
         )
     )

@@ -1507,3 +1507,65 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+_Q_TOKS = "regexp_extract_all(lower(text), '[a-za-z0-9]+')"
+_Q_SW = ("['the','and','of','to','in','is','that','with','a','an','it',"
+         "'for','on','as','are','was']")
+
+
+@register(
+    "dedup_quality_shift",
+    f"""
+    WITH m AS (
+      SELECT doc_id, source, text,
+             (CASE WHEN len({_Q_TOKS}) BETWEEN 5 AND 100000
+                   THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(coalesce(list_sum(
+                     [length(t) FOR t IN {_Q_TOKS}]), 0) AS DOUBLE)
+                     / greatest(len({_Q_TOKS}), 1) BETWEEN 2.0 AND 12.0
+                   THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(length(regexp_replace(text,
+                     '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) <= 0.2
+                   THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(len(list_filter({_Q_TOKS},
+                     t -> list_contains({_Q_SW}, t))) AS DOUBLE)
+                     / greatest(len({_Q_TOKS}), 1) >= 0.01
+                   THEN 0.25 ELSE 0.0 END) AS q
+      FROM documents),
+    k AS (
+      SELECT source, q,
+             doc_id = min(doc_id) OVER (PARTITION BY text) AS kept
+      FROM m)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           round(sum(CASE WHEN kept THEN 0 ELSE 1 END)
+                 / (1.0 * count(*)), 6) AS removal_rate,
+           round(avg(CASE WHEN kept THEN q END), 6) AS q_kept_avg,
+           round(avg(CASE WHEN NOT kept THEN q END), 6) AS q_removed_avg
+    FROM k GROUP BY source ORDER BY source
+    """,
+)
+def dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-BIAS audit (operators/dedup.py quality_shift_report):
+    exact dedup with the min-id keeper, then per-source kept-vs-removed
+    quality averages and removal rate — did dedup shift a source's
+    quality profile? Quality is the composite C4/Gopher heuristic
+    (functions/text.py quality_score); the oracle replays the full
+    composite, the min-id-per-text keeper, and every aggregate. The
+    Spark side keys the dedup window on (xxhash64(text), length) so
+    text never shuffles (equivalent to PARTITION BY text absent a
+    64-bit+length collision)."""
+    from daft_spark.functions.text import quality_score
+    from daft_spark.operators.dedup import quality_shift_report
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", "text", quality_score(F.col("text")).alias("q")
+    )
+    return quality_shift_report(
+        d, "text", "doc_id", "q", by=["source"]
+    ).orderBy("source")

@@ -751,3 +751,48 @@ def sim_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, "embedding", "label",
         min_centroid_cosine=0.0, max_norm_drift=0.001, max_growth=1.5,
     ).orderBy("label")
+
+
+@register(
+    "sim_semdedup_sweep",
+    """
+    WITH nn AS (
+      SELECT b.vec_id AS id,
+             round(max(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[]))), 6) AS s
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.label = b.label
+      GROUP BY b.vec_id),
+    tot AS (SELECT count(*) AS n FROM embeddings),
+    t(threshold) AS (VALUES (CAST(0.4 AS DOUBLE)), (0.6), (0.8))
+    SELECT t.threshold,
+           CAST(tot.n AS BIGINT) AS n_total,
+           CAST(coalesce(sum(CASE WHEN nn.s >= t.threshold
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_removed,
+           CAST(tot.n - coalesce(sum(CASE WHEN nn.s >= t.threshold
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_kept,
+           round(coalesce(sum(CASE WHEN nn.s >= t.threshold
+                                   THEN 1 ELSE 0 END), 0)
+                 / (1.0 * tot.n), 6) AS removal_rate
+    FROM t CROSS JOIN tot LEFT JOIN nn ON TRUE
+    GROUP BY t.threshold, tot.n ORDER BY t.threshold
+    """,
+)
+def sim_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup threshold-sweep audit (operators/similarity.py
+    semdedup_sweep): removal-rate curve at cosine 0.4/0.6/0.8 with the
+    min-id keeper, label-blocked (the k-means-blocking discipline that
+    confines the quadratic at scale). One blocked pair-mining pass at
+    0.35, one per-vector max aggregation, one stacked conditional
+    aggregate; decisions compare round-6 similarities so the oracle's
+    full-pair replay decides identically."""
+    from daft_spark.operators.similarity import semdedup_sweep
+
+    emb = _emb(spark, sf_dir)
+    return semdedup_sweep(
+        emb, [0.4, 0.6, 0.8], id_col="vec_id", vec_col="embedding",
+        block_col="label",
+    ).orderBy("threshold")

@@ -2484,3 +2484,219 @@ def pipeline_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "text", "doc_id",
         seq_len=2048, eod_tokens=1, by=["source"],
     ).orderBy("source")
+
+
+@register(
+    "pipeline_corpus_curation_v5",
+    """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id % 7 <> 0 AND length(text) >= 50),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+  FROM documents),
+hh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(s) - 8 + 2), i ->
+           CAST(list_sum(list_transform(range(1, 14), j ->
+             (strpos('0123456789abcdef',
+                     substr(md5(substr(s, i, 8)), j, 1)) - 1)
+             * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+  FROM norm WHERE len(s) >= 11),
+fp_all AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+  FROM hh),
+uniq AS (SELECT min(doc_id) AS rep, text FROM corpus GROUP BY text),
+rep_fp AS (
+  SELECT f.doc_id, f.fp FROM fp_all f JOIN uniq u ON u.rep = f.doc_id),
+rare AS (SELECT fp FROM rep_fp GROUP BY fp HAVING count(*) <= 50),
+kept AS (SELECT r.doc_id, r.fp FROM rep_fp r JOIN rare USING (fp)),
+wn AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 20),
+star AS (
+  SELECT u.rep AS id_a, c.doc_id AS id_b
+  FROM corpus c JOIN uniq u ON c.text = u.text AND c.doc_id <> u.rep),
+edges AS (
+  SELECT id_a, id_b FROM wn UNION SELECT id_b, id_a FROM wn
+  UNION SELECT id_a, id_b FROM star UNION SELECT id_b, id_a FROM star),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.id_b, r.lbl FROM reach r JOIN edges e ON e.id_a = r.node),
+clu AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.doc_id) AS rn
+  FROM clu c JOIN corpus d ON d.doc_id = c.doc_id),
+keepers AS (SELECT doc_id FROM ranked WHERE rn = 1),
+bfp AS (
+  SELECT DISTINCT fp FROM fp_all WHERE doc_id % 7 = 0),
+nfp AS (
+  SELECT f.doc_id, count(*) AS total
+  FROM fp_all f JOIN keepers k ON k.doc_id = f.doc_id GROUP BY 1),
+shared AS (
+  SELECT f.doc_id, count(*) AS n_shared
+  FROM fp_all f JOIN keepers k ON k.doc_id = f.doc_id
+  JOIN bfp USING (fp)
+  GROUP BY f.doc_id),
+final AS (
+  SELECT k.doc_id FROM keepers k
+  LEFT JOIN nfp t ON t.doc_id = k.doc_id
+  LEFT JOIN shared s ON s.doc_id = k.doc_id
+  WHERE NOT (coalesce(t.total, 0) > 0 AND
+             CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+               / coalesce(t.total, 1) >= 0.95)),
+curated AS (
+  SELECT c.doc_id, c.source, c.text,
+         CAST(len(regexp_extract_all(lower(c.text), '[a-z0-9]+'))
+              AS DOUBLE) AS toks
+  FROM corpus c JOIN final f ON f.doc_id = c.doc_id),
+g AS (SELECT source, sum(toks) AS weight FROM curated GROUP BY source),
+tot AS (SELECT sum(weight) AS t FROM g),
+tgt(source, share) AS (VALUES
+  ('src0', 0.4 / 1.0), ('src1', 0.3 / 1.0),
+  ('src2', 0.2 / 1.0), ('src3', 0.1 / 1.0)),
+sc AS (
+  SELECT g.source, g.weight / tot.t AS cur,
+         coalesce(tgt.share, 0.0) AS tshare
+  FROM g CROSS JOIN tot LEFT JOIN tgt USING (source)),
+mx AS (SELECT max(CASE WHEN cur > 0 THEN tshare / cur ELSE 0 END) AS m
+       FROM sc),
+rates AS (
+  SELECT source,
+         round(CASE WHEN mx.m > 0
+               THEN (CASE WHEN cur > 0 THEN tshare / cur ELSE 0 END) / mx.m
+               ELSE 0 END, 6) AS rate
+  FROM sc CROSS JOIN mx),
+mixed AS (
+  SELECT c.doc_id, c.source, c.toks FROM curated c
+  JOIN rates USING (source)
+  WHERE list_sum(list_transform(range(1, 14), i ->
+          (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR) || 'mix14'), i, 1)) - 1)
+          * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 < rates.rate),
+sp AS (
+  SELECT doc_id, source, toks,
+         CASE WHEN list_sum(list_transform(range(1, 14), i ->
+                (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || 'sp14'), i, 1)) - 1)
+                * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 < 0.9
+              THEN 'train' ELSE 'val' END AS split
+  FROM mixed),
+packed AS (
+  SELECT doc_id, split, source,
+         CAST(toks + 1 AS BIGINT) AS nt,
+         CAST(sum(toks + 1) OVER (PARTITION BY split, source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM sp),
+place AS (
+  SELECT split, source, nt, e,
+         CAST((e - nt) // 512 AS BIGINT) AS first_seq,
+         CAST((e - 1) // 512 AS BIGINT) AS last_seq
+  FROM packed)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(max(last_seq) + 1 AS BIGINT) AS n_sequences,
+       round(sum(nt) / ((max(last_seq) + 1) * 512.0), 6) AS fill_rate,
+       CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddling,
+       round(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+             / (1.0 * count(*)), 6) AS straddle_rate,
+       CAST(sum(e - least(e, (first_seq + 1) * 512)) AS BIGINT)
+         AS trunc_loss_tokens,
+       round(sum(e - least(e, (first_seq + 1) * 512))
+             / (1.0 * sum(nt)), 6) AS trunc_loss_rate
+FROM place GROUP BY split, source ORDER BY split, source
+    """,
+)
+def pipeline_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATION -> LAYOUT -> AUDIT in one checked composition: the v4
+    winnow-curation chain (tighter mining: min_shared=20 rare
+    fingerprints, doc-freq cut 50 — over the boilerplate-heavy
+    synthetic corpus the v4 defaults collapse everything into ONE
+    cluster and the count-based decontamination rule flags every doc,
+    see COVERAGE.md r14 notes) -> PROPORTIONAL winnow decontamination
+    (contaminated iff >= 95% of a keeper's fingerprints appear in the
+    benchmark split) -> mixture_weights toward the 40/30/20/10 source
+    target computed over the CURATED corpus -> apply_mixture (salt
+    'mix14') -> hash_split 90/10 (salt 'sp14') -> pack_sequences per
+    (split, source) at seq_len 512 -> pack_efficiency_audit. The
+    oracle replays the ENTIRE chain — fingerprints, closure, keeper
+    ranking, proportional contamination, rates, membership, split,
+    packing order, and every audit aggregate; one mis-kept or
+    mis-packed document shifts a count and mismatches. Scale: text
+    rides no exchange anywhere; the packing window moves
+    (id, n_tokens) rows only; rates and benchmark fps broadcast."""
+    from daft_spark.functions.text import token_count
+    from daft_spark.operators.dedup import (
+        exact_dedup,
+        near_dup_resolve,
+        resolve_keep_best,
+    )
+    from daft_spark.operators.sampling import (
+        apply_mixture,
+        hash_split,
+        mixture_weights,
+        pack_efficiency_audit,
+    )
+    from daft_spark.operators.winnow import (
+        winnow_decontaminate,
+        winnow_similarity,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(
+        (F.col("doc_id") % 7 != 0) & (F.length("text") >= 50)
+    )
+    reps = exact_dedup(corpus.select("doc_id", "text"), ["text"], "doc_id")
+    edges = winnow_similarity(
+        reps, "text", "doc_id", k=8, w=4, min_shared=20, max_doc_freq=50
+    ).select("id_a", "id_b")
+    clustered = near_dup_resolve(
+        corpus.select("doc_id", "text"), "text", "doc_id",
+        edge_sources=(), extra_edges=edges,
+    ).join(corpus.select("doc_id", F.length("text").alias("__ql")), "doc_id")
+    keepers = (
+        resolve_keep_best(clustered, "__ql", "doc_id")
+        .filter(F.col("is_kept"))
+        .select("doc_id")
+    )
+    kept_docs = corpus.join(keepers, "doc_id")
+    dec = winnow_decontaminate(
+        kept_docs, bench, "text", "doc_id", k=8, w=4,
+        min_shared_fraction=0.95,
+    )
+    final_ids = dec.filter(~F.col("contaminated")).select("doc_id")
+    curated = corpus.join(final_ids, "doc_id").select(
+        "doc_id", "source", "text",
+        token_count(F.col("text")).cast("double").alias("toks"),
+    )
+    rates = mixture_weights(
+        curated, ["source"],
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        weight_col="toks",
+    )
+    mixed = apply_mixture(curated, rates, ["source"], id_col="doc_id",
+                          salt="mix14")
+    sp = hash_split(mixed, {"train": 0.9, "val": 0.1}, id_col="doc_id",
+                    salt="sp14")
+    audit = pack_efficiency_audit(
+        sp, "text", "doc_id", seq_len=512, eod_tokens=1,
+        by=["split", "source"],
+    )
+    return audit.select(
+        "split", "source", "n_docs", "total_tokens", "n_sequences",
+        "fill_rate", "n_straddling", "straddle_rate",
+        "trunc_loss_tokens", "trunc_loss_rate",
+    ).orderBy("split", "source")

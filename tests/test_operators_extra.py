@@ -1086,3 +1086,58 @@ def test_pack_efficiency_audit_hand_case(spark):
     assert row["n_span1"] == 2 and row["n_span3plus"] == 0
     assert row["trunc_loss_tokens"] == 2
     assert abs(row["trunc_loss_rate"] - 2 / 18) < 1e-6
+
+
+def test_quality_shift_report_hand_case(spark):
+    """Two exact copies of a low-quality doc + one unique high-quality
+    doc in source s1: the removed copy's stats isolate cleanly."""
+    from daft_spark.operators.dedup import quality_shift_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "dup dup", 0.25),
+            (2, "s1", "dup dup", 0.25),   # removed (min-id keeper)
+            (3, "s1", "unique good", 0.75),
+            (4, "s2", "only one", 0.5),
+        ],
+        "doc_id long, source string, text string, q double",
+    )
+    rows = {
+        r["source"]: r
+        for r in quality_shift_report(df, "text", "doc_id", "q",
+                                      by=["source"]).collect()
+    }
+    s1 = rows["s1"]
+    assert s1["n_docs"] == 3 and s1["n_kept"] == 2 and s1["n_removed"] == 1
+    assert abs(s1["removal_rate"] - 1 / 3) < 1e-6
+    assert s1["q_kept_avg"] == 0.5 and s1["q_removed_avg"] == 0.25
+    s2 = rows["s2"]
+    assert s2["n_removed"] == 0 and s2["q_removed_avg"] is None
+
+
+def test_semdedup_sweep_hand_case(spark):
+    """3 vectors in one block: v1 || v2 (cos 1), v3 orthogonal. At any
+    threshold <= 1 only v2 is removed (lower-id keeper v1)."""
+    from daft_spark.operators.similarity import semdedup_sweep
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [2.0, 0.0], 0),   # cos(v1,v2)=1 -> removed
+            (3, [0.0, 1.0], 0),
+            (4, [1.0, 1.0], 1),   # alone in its block
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        r["threshold"]: r
+        for r in semdedup_sweep(df, [0.5, 0.9], block_col="label").collect()
+    }
+    for t in (0.5, 0.9):
+        assert rows[t]["n_total"] == 4
+        assert rows[t]["n_removed"] == 1 and rows[t]["n_kept"] == 3
+        assert abs(rows[t]["removal_rate"] - 0.25) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semdedup_sweep(df, [])

@@ -11,6 +11,7 @@ TakeOrderedAndProject, partial/final agg -> HashAggregate x2.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -956,3 +957,55 @@ def test_jaccard_pairs_blocked_is_shuffled_equi_join(spark):
     assert "CartesianProduct" not in blocked
     # equi-join on the block key, NOT a broadcast of the corpus side
     assert ("SortMergeJoin" in blocked) or ("ShuffledHashJoin" in blocked), blocked
+
+
+def test_quality_shift_no_text_shuffle(spark):
+    """dedup_quality_shift: the dedup window keys on
+    (xxhash64(text), length) and the per-group agg moves scalar
+    quality/count partials — document text must never ride an
+    Exchange."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["dedup_quality_shift"].spark_fn(spark, SF_DIR)
+    )
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_sweep_blocked_no_cartesian(spark):
+    """sim_semdedup_sweep: ONE blocked pair-mining pass (equi-join on
+    the block key, never all-pairs), one per-id max agg, one stacked
+    conditional aggregate — no CartesianProduct and no per-threshold
+    rescan (exactly one join of the corpus against itself)."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["sim_semdedup_sweep"].spark_fn(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    # formatted output lists each scan twice (tree line + "(N) Scan
+    # parquet" detail header) — count the detail headers
+    scans = len(
+        [ln for ln in plan.splitlines()
+         if re.match(r"^\(\d+\) Scan parquet", ln.strip())]
+    )
+    assert scans <= 3, f"{scans} corpus scans (expected <=3):\n{plan}"
+
+
+def test_curation_v5_no_text_shuffle(spark):
+    """pipeline_corpus_curation_v5 (curation -> decontamination ->
+    mixture -> split -> packing -> audit): text rides no Exchange in
+    the ENTIRE composition; the packing window moves (id, n_tokens)
+    rows only."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["pipeline_corpus_curation_v5"].spark_fn(spark, SF_DIR)
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    assert "CartesianProduct" not in plan
