@@ -228,3 +228,186 @@ def winnow_decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def winnow_threshold_sweep(
+    df: DataFrame,
+    thresholds: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 200,
+) -> DataFrame:
+    """Near-dup THRESHOLD-SWEEP audit over winnowing-fingerprint
+    Jaccard: for each candidate threshold, how much of the corpus a
+    fingerprint-Jaccard dedup would remove — the dial you turn BEFORE
+    committing a 100 TB near-dup run (the fingerprint-set analogue of
+    operators/similarity.py semdedup_sweep; MOSS scores matches from
+    exactly this fingerprint-overlap statistic, Schleimer et al. 2003
+    §5). A document is removed at threshold t when any LOWER-id
+    candidate partner has fingerprint Jaccard >= t (the min-id keeper
+    used across the dedup family). Returns one row per threshold:
+    (threshold, n_total, n_removed, n_kept, removal_rate).
+
+    Shape: ONE winnow_similarity pass mines candidates (inverted-index
+    equi-join on 8-byte fp keys, stop-fingerprint cut — never
+    all-pairs, text never shuffles), one groupBy(id) max-Jaccard
+    aggregation, then a single-row conditional aggregate unpivoted
+    with stack — no per-threshold rescans. Jaccards are round-6 (from
+    winnow_similarity) so an external replay decides identically;
+    ``min_shared``/``max_doc_freq`` bound the candidate set exactly as
+    in the production pair miner, so the curve measures the pipeline
+    that would actually run."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(float(t) for t in thresholds)
+    pairs = winnow_similarity(
+        df, text_col, id_col,
+        k=k, w=w, min_shared=min_shared, max_doc_freq=max_doc_freq,
+    )
+    nn = pairs.groupBy("id_b").agg(F.max("jaccard").alias("__nn"))
+    counts = nn.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("__nn") >= F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"__r{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    stacked = ", ".join(
+        f"CAST({t} AS DOUBLE), __r{i}" for i, t in enumerate(ts)
+    )
+    row = counts.crossJoin(F.broadcast(tot))
+    out = row.selectExpr(
+        "__n",
+        f"stack({len(ts)}, {stacked}) as (threshold, n_removed)",
+    )
+    return out.select(
+        "threshold",
+        F.col("__n").alias("n_total"),
+        "n_removed",
+        (F.col("__n") - F.col("n_removed")).alias("n_kept"),
+        F.round(F.col("n_removed") / F.col("__n").cast("double"), 6).alias(
+            "removal_rate"
+        ),
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """CROSS-SOURCE contamination matrix: for every pair of corpus
+    slices (sources, crawls, snapshots), the winnowed-fingerprint
+    overlap — which sources duplicate each other, the first question a
+    multi-source 100 TB mixture audit asks (a high-containment pair
+    means one source is substantially embedded in the other, so their
+    mixture weights double-count). One row per overlapping unordered
+    pair: (source_a, source_b, fps_a, fps_b, shared_fps, containment,
+    jaccard), containment = shared / min(|A|, |B|).
+
+    Shape: fingerprints collapse to DISTINCT (source, fp) before
+    anything joins — per-source duplication factors out, so the join
+    input is bounded by distinct corpus content, not corpus size; the
+    pair join is fp-keyed (8-byte keys, fan-out per fp bounded by the
+    source count squared) and the totals frame is |sources| rows,
+    broadcast. Text never shuffles. The distinct frame is persisted
+    because the lazy plan reads it three times (totals + both join
+    sides) — dedup-module cache policy, reclaim via
+    context.release_caches(spark)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    src = df.select(F.col(id_col), F.col(by))
+    sfp = fps.join(src, id_col).select(by, "fp").distinct().persist()
+    tot = sfp.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    a = sfp.select(F.col(by).alias("source_a"), "fp")
+    b = sfp.select(F.col(by).alias("source_b"), "fp")
+    pair = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    ta = tot.select(F.col(by).alias("source_a"), F.col("__n").alias("fps_a"))
+    tb = tot.select(F.col(by).alias("source_b"), F.col("__n").alias("fps_b"))
+    return (
+        pair.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a", "source_b", "fps_a", "fps_b", "shared_fps",
+            F.round(
+                F.col("shared_fps")
+                / F.least("fps_a", "fps_b").cast("double"),
+                6,
+            ).alias("containment"),
+            F.round(
+                F.col("shared_fps")
+                / (F.col("fps_a") + F.col("fps_b") - F.col("shared_fps")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def novelty_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Per-slice CONTENT-NOVELTY audit (Lee et al. 2022's dedup
+    motivation read forward): a document's novelty is the fraction of
+    its winnowed fingerprints whose FIRST corpus occurrence (minimum
+    ``id_col``, the ingest-order proxy) is the document itself. A
+    slice whose incoming documents are mostly re-fingerprints of
+    earlier content adds tokens but no information — the go/no-go
+    audit before paying to ingest another crawl snapshot. One row per
+    ``by`` group: (source, n_docs, avg_novelty, n_fully_novel,
+    n_fully_stale); documents too short to fingerprint are excluded
+    (they have no novelty evidence either way).
+
+    Shape: fp -> min(id) is one keys-only aggregation; the join back
+    to (id, fp) is fp-keyed; the per-doc and per-source rollups carry
+    integer counts (n_fps, n_seen), so novelty ratios are computed
+    once per doc from exact integers. Text never shuffles; the
+    fingerprint frame is persisted (read by first-occurrence agg and
+    join) under the dedup-module cache policy."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()
+    first = fps.groupBy("fp").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        fps.join(first, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nf"),
+            F.sum((F.col("__first") < F.col(id_col)).cast("long")).alias(
+                "__ns"
+            ),
+        )
+    )
+    src = df.select(F.col(id_col), F.col(by))
+    return (
+        per_doc.join(src, id_col)
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(
+                    (F.col("__nf") - F.col("__ns"))
+                    / F.col("__nf").cast("double")
+                ),
+                6,
+            ).alias("avg_novelty"),
+            F.sum((F.col("__ns") == 0).cast("long")).alias("n_fully_novel"),
+            F.sum((F.col("__ns") == F.col("__nf")).cast("long")).alias(
+                "n_fully_stale"
+            ),
+        )
+    )

@@ -1569,3 +1569,134 @@ def dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_shift_report(
         d, "text", "doc_id", "q", by=["source"]
     ).orderBy("source")
+
+
+@register(
+    "dedup_threshold_sweep",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM n WHERE len(s) >= 11),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+      FROM h),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 200),
+    kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+    sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    nn AS (
+      SELECT id_b,
+             max(round(CAST(shared AS DOUBLE)
+                       / (sa.n + sb.n - shared), 6)) AS m
+      FROM inter JOIN sz sa ON sa.doc_id = id_a
+                 JOIN sz sb ON sb.doc_id = id_b
+      GROUP BY id_b),
+    tot AS (SELECT count(*) AS n FROM documents),
+    t(threshold) AS (VALUES (CAST(0.5 AS DOUBLE)), (0.7), (0.9))
+    SELECT t.threshold,
+           CAST(tot.n AS BIGINT) AS n_total,
+           CAST(coalesce(sum(CASE WHEN nn.m >= t.threshold
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_removed,
+           CAST(tot.n - coalesce(sum(CASE WHEN nn.m >= t.threshold
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_kept,
+           round(coalesce(sum(CASE WHEN nn.m >= t.threshold
+                                   THEN 1 ELSE 0 END), 0)
+                 / (1.0 * tot.n), 6) AS removal_rate
+    FROM t CROSS JOIN tot LEFT JOIN nn ON TRUE
+    GROUP BY t.threshold, tot.n ORDER BY t.threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold-sweep audit (operators/winnow.py
+    winnow_threshold_sweep): removal-rate curve at fingerprint-Jaccard
+    0.5/0.7/0.9 with the min-id keeper — the dial that picks the
+    near-dup threshold before a corpus-scale run, measured on the SAME
+    candidate miner the production pipeline uses (winnow_similarity:
+    inverted-index fp join, stop-fingerprint cut, min_shared=2). One
+    mining pass, one per-doc max aggregation, one stacked conditional
+    aggregate; the oracle replays hashes, window minima, the df cut,
+    pair Jaccards, and every count bit-exactly."""
+    from daft_spark.operators.winnow import winnow_threshold_sweep
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return winnow_threshold_sweep(
+        d, [0.5, 0.7, 0.9], "text", "doc_id",
+        k=8, w=4, min_shared=2, max_doc_freq=200,
+    ).orderBy("threshold")
+
+
+@register(
+    "dedup_source_overlap",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM n WHERE len(s) >= 11),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+      FROM h),
+    sfp AS (
+      SELECT DISTINCT d.source AS source, f.fp
+      FROM fp f JOIN documents d USING (doc_id)),
+    tot AS (SELECT source, count(*) AS n FROM sfp GROUP BY source),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared
+      FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           CAST(ta.n AS BIGINT) AS fps_a,
+           CAST(tb.n AS BIGINT) AS fps_b,
+           CAST(shared AS BIGINT) AS shared_fps,
+           round(CAST(shared AS DOUBLE) / least(ta.n, tb.n), 6)
+             AS containment,
+           round(CAST(shared AS DOUBLE) / (ta.n + tb.n - shared), 6)
+             AS jaccard
+    FROM pair JOIN tot ta ON ta.source = source_a
+              JOIN tot tb ON tb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (operators/winnow.py
+    source_overlap_matrix): winnowed-fingerprint overlap between every
+    pair of sources — which slices duplicate each other (a
+    high-containment pair double-counts under independent mixture
+    weights). Fingerprints collapse to DISTINCT (source, fp) before
+    the pair join, so the join input is bounded by distinct content,
+    not corpus size; the oracle replays hashes, window minima, the
+    distinct collapse, and both overlap ratios bit-exactly."""
+    from daft_spark.operators.winnow import source_overlap_matrix
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return source_overlap_matrix(
+        d, "text", "doc_id", by="source", k=8, w=4
+    ).orderBy("source_a", "source_b")

@@ -2700,3 +2700,56 @@ def pipeline_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fill_rate", "n_straddling", "straddle_rate",
         "trunc_loss_tokens", "trunc_loss_rate",
     ).orderBy("split", "source")
+
+
+@register(
+    "text_novelty_audit",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS s
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) - 8 + 2), i ->
+               CAST(list_sum(list_transform(range(1, 14), j ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(substr(s, i, 8)), j, 1)) - 1)
+                 * 2.0 ** (4 * (13 - j)))) AS BIGINT)) AS hs
+      FROM n WHERE len(s) >= 11),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(hs) - 4 + 2), j -> list_min(hs[j:j+3])))) AS fp
+      FROM h),
+    first AS (SELECT fp, min(doc_id) AS f FROM fp GROUP BY fp),
+    pd AS (
+      SELECT p.doc_id, count(*) AS nf,
+             sum(CASE WHEN first.f < p.doc_id THEN 1 ELSE 0 END) AS ns
+      FROM fp p JOIN first USING (fp) GROUP BY 1)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg((nf - ns) / (1.0 * nf)), 6) AS avg_novelty,
+           CAST(sum(CASE WHEN ns = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fully_novel,
+           CAST(sum(CASE WHEN ns = nf THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fully_stale
+    FROM pd JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def text_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content-novelty audit (operators/winnow.py
+    novelty_report): share of each document's winnowed fingerprints
+    first seen in THAT document (min doc_id = ingest-order proxy) —
+    the is-this-crawl-adding-anything gate before paying to ingest
+    another snapshot. The oracle replays hashes, window minima,
+    first-occurrence assignment, and every per-source aggregate;
+    novelty ratios come from exact integer (n_fps, n_seen) counts."""
+    from daft_spark.operators.winnow import novelty_report
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return novelty_report(
+        d, "text", "doc_id", by="source", k=8, w=4
+    ).orderBy("source")

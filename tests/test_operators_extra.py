@@ -1141,3 +1141,74 @@ def test_semdedup_sweep_hand_case(spark):
 
     with _pytest.raises(ValueError):
         semdedup_sweep(df, [])
+
+
+def test_winnow_threshold_sweep_hand_case(spark):
+    """Docs 1 and 2 are exact copies (fingerprint Jaccard 1.0), doc 3
+    is unique: one removal at every threshold <= 1.0."""
+    from daft_spark.operators.winnow import winnow_threshold_sweep
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different content with no shared runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["threshold"]: r
+        for r in winnow_threshold_sweep(df, [0.5, 1.0]).collect()
+    }
+    for t in (0.5, 1.0):
+        assert rows[t]["n_total"] == 3
+        assert rows[t]["n_removed"] == 1 and rows[t]["n_kept"] == 2
+        assert abs(rows[t]["removal_rate"] - 1 / 3) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnow_threshold_sweep(df, [])
+
+
+def test_source_overlap_matrix_hand_case(spark):
+    """s1 and s2 carry the same text (full overlap); s3 is disjoint —
+    exactly one matrix row, containment = jaccard = 1.0."""
+    from daft_spark.operators.winnow import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "the quick brown fox jumps over the lazy dog"),
+            (2, "s2", "the quick brown fox jumps over the lazy dog"),
+            (3, "s3", "completely different content with no shared runs"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = source_overlap_matrix(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert r["fps_a"] == r["fps_b"] == r["shared_fps"] > 0
+    assert r["containment"] == 1.0 and r["jaccard"] == 1.0
+
+
+def test_novelty_report_hand_case(spark):
+    """Doc 2 re-fingerprints doc 1 exactly (novelty 0); docs 1 and 3
+    are first occurrences (novelty 1)."""
+    from daft_spark.operators.winnow import novelty_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "the quick brown fox jumps over the lazy dog"),
+            (2, "a", "the quick brown fox jumps over the lazy dog"),
+            (3, "b", "completely different content with no shared runs"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in novelty_report(df).collect()}
+    a = rows["a"]
+    assert a["n_docs"] == 2
+    assert abs(a["avg_novelty"] - 0.5) < 1e-6
+    assert a["n_fully_novel"] == 1 and a["n_fully_stale"] == 1
+    b = rows["b"]
+    assert b["n_docs"] == 1 and b["avg_novelty"] == 1.0
+    assert b["n_fully_novel"] == 1 and b["n_fully_stale"] == 0

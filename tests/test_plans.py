@@ -1009,3 +1009,50 @@ def test_curation_v5_no_text_shuffle(spark):
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
     assert "CartesianProduct" not in plan
+
+
+def test_threshold_sweep_no_text_shuffle(spark):
+    """dedup_threshold_sweep: the winnow candidate mine + max-Jaccard
+    rollup + stacked counts must never shuffle document text — every
+    Exchange carries (doc, fp) index keys or id-only aggregates; the
+    single-row totals frame broadcasts."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["dedup_threshold_sweep"].spark_fn(spark, SF_DIR)
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_source_overlap_keys_only(spark):
+    """dedup_source_overlap: the pair join runs on DISTINCT
+    (source, fp) keys — no Exchange carries text, the per-source
+    totals broadcast, and no cartesian product appears."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["dedup_source_overlap"].spark_fn(spark, SF_DIR)
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_novelty_audit_keys_only(spark):
+    """text_novelty_audit: first-occurrence agg and join-back run on
+    (doc, fp) keys only — text never shuffles."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["text_novelty_audit"].spark_fn(spark, SF_DIR)
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    assert "CartesianProduct" not in plan
