@@ -265,3 +265,75 @@ def zipf_audit(
         F.round("__r2", 6).alias("zipf_r2"),
         F.round(F.col("__c1") / F.col("__ctot"), 6).alias("top1_share"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fractions: list[float] | None = None,
+) -> DataFrame:
+    """CORPUS-HEALTH vocabulary-growth (Heaps' law) audit: distinct
+    unigram vocabulary vs corpus prefix size at ingest-order cutoffs
+    (``id_col`` quantiles of max id) — natural corpora keep minting
+    types (V ~ n^beta, beta ~ 0.5); a curve that saturates early means
+    template spam or a broken extraction stage, the same alarm family
+    as zipf_audit read along the other axis. One row per fraction:
+    (fraction, cutoff_id, n_docs, n_tokens, n_vocab, type_token_ratio).
+
+    Shape: token first-occurrence (min id per token) is ONE
+    map-side-combining aggregation — the cumulative-distinct-per-
+    prefix rollup that would otherwise need a pass per cutoff falls
+    out of it as conditional sums; per-doc occurrence counts are a
+    second narrow agg; the max-id scalar broadcasts. Text never
+    shuffles and nothing rescans per fraction."""
+    from daft_spark.operators.dedup import tokens_of
+    from daft_spark.operators.spread import spread as _spread
+
+    fs = sorted(float(f) for f in (fractions or [0.25, 0.5, 0.75, 1.0]))
+    if not fs or fs[0] <= 0 or fs[-1] > 1:
+        raise ValueError("fractions must lie in (0, 1]")
+    toks = (
+        _spread(df)
+        .select(F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("__t"))
+        .filter(F.col("__t") != "")
+    )
+    first = toks.groupBy("__t").agg(F.min(id_col).alias("__first"))
+    per_doc = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    mx = df.agg(F.max(id_col).alias("__mx"))
+
+    def cut(i):
+        return F.floor(F.col("__mx") * F.lit(fs[i])).cast("long")
+
+    nd = df.select(F.col(id_col)).crossJoin(F.broadcast(mx)).agg(
+        *[F.sum((F.col(id_col) <= cut(i)).cast("long")).alias(f"__d{i}")
+          for i in range(len(fs))],
+        F.max("__mx").alias("__mx"),
+    )
+    nt = per_doc.crossJoin(F.broadcast(mx)).agg(
+        *[F.coalesce(
+            F.sum(F.when(F.col(id_col) <= cut(i), F.col("__n"))), F.lit(0)
+        ).alias(f"__t{i}") for i in range(len(fs))]
+    )
+    nv = first.crossJoin(F.broadcast(mx)).agg(
+        *[F.coalesce(
+            F.sum((F.col("__first") <= cut(i)).cast("long")), F.lit(0)
+        ).alias(f"__v{i}") for i in range(len(fs))]
+    )
+    row = nd.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nv))
+    stacked = ", ".join(
+        f"CAST({fs[i]} AS DOUBLE), CAST(FLOOR(__mx * {fs[i]}) AS BIGINT), "
+        f"__d{i}, __t{i}, __v{i}"
+        for i in range(len(fs))
+    )
+    out = row.selectExpr(
+        f"stack({len(fs)}, {stacked}) as "
+        "(fraction, cutoff_id, n_docs, n_tokens, n_vocab)"
+    )
+    return out.select(
+        "fraction", "cutoff_id", "n_docs", "n_tokens", "n_vocab",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_vocab") / F.col("n_tokens").cast("double"), 6),
+        ).alias("type_token_ratio"),
+    )

@@ -751,3 +751,46 @@ def pack_efficiency_audit(
         "n_span2",
         "n_span3plus",
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Training-shard MANIFEST + balance audit: assign every document
+    its deterministic md5-derived shard in [0, n_shards) (the same
+    ``_implicit_shard`` key pack_sequences shards by) and roll up the
+    per-shard load — (shard, n_docs, n_tokens, n_chars, token_share).
+    This is the pre-flight check before a 1000-worker training job:
+    data-parallel readers each consume one shard, so the slowest shard
+    sets the epoch time and a skewed manifest wastes the whole fleet's
+    step budget. The md5 key is content-independent and uniform, so
+    shares concentrate near 1/n_shards — a shard far off that line
+    means an id-space pathology (e.g. ids correlated with length).
+
+    Shape: one narrow projection (id, token_count, char_count — the
+    text itself never shuffles; token_count is one regex scan), one
+    groupBy(shard) with map-side partial aggregation, and a broadcast
+    single-row total for the share column. Output is n_shards rows."""
+    from daft_spark.functions.text import token_count
+
+    d = df.select(F.col(id_col), F.col(text_col))
+    d = _implicit_shard(d, id_col, n_shards).select(
+        "shard",
+        token_count(F.col(text_col)).cast("long").alias("__nt"),
+        F.length(F.col(text_col)).cast("long").alias("__nc"),
+    )
+    per = d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum("__nc").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard", "n_docs", "n_tokens", "n_chars",
+        F.round(
+            F.col("n_tokens") / F.col("__tot").cast("double"), 6
+        ).alias("token_share"),
+    )

@@ -1347,3 +1347,50 @@ def semdedup_sweep(
             "removal_rate"
         ),
     )
+
+
+def quantization_distortion_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    by: str = "label",
+) -> DataFrame:
+    """INT8-quantization DISTORTION audit: per-``by`` slice, how much
+    cosine geometry the symmetric int8 quantization
+    (quantize_embeddings) gives up — (n_vecs, avg_fidelity,
+    min_fidelity, max_abs_err), fidelity = cos(original, quantized)
+    (the per-vector scale cancels, so this is exactly the similarity
+    error an int8 ANN index serves). The dial before committing a
+    100 TB corpus to int8 storage: avg says the typical query is
+    safe, MIN says the worst vector is, max_abs_err bounds the
+    per-element reconstruction error (<= scale/2 by construction).
+    Zero vectors carry no geometry and are excluded.
+
+    Shape: one codegen projection per vector (quantize + three dot
+    products via zip_with/aggregate — JVM-side, no UDF, no shuffle of
+    vectors), then a keys-only groupBy(by) rollup. Fidelities are
+    round-6 BEFORE aggregation so an external replay decides min/avg
+    identically."""
+    q = quantize_embeddings(df, vec_col, id_col, keep_cols=[by, vec_col])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    fid = F.round(
+        dot(v, qd) / (F.sqrt(dot(v, v)) * F.sqrt(dot(qd, qd))), 6
+    )
+    err = F.round(
+        F.array_max(
+            F.zip_with(
+                v, qd, lambda x, y: F.abs(x - y * F.col("scale"))
+            )
+        ),
+        6,
+    )
+    m = q.filter(F.col("scale") > 0).select(
+        F.col(by), fid.alias("__fid"), err.alias("__err")
+    )
+    return m.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("__fid"), 6).alias("avg_fidelity"),
+        F.min("__fid").alias("min_fidelity"),
+        F.round(F.max("__err"), 6).alias("max_abs_err"),
+    )

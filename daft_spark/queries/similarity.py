@@ -796,3 +796,50 @@ def sim_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, [0.4, 0.6, 0.8], id_col="vec_id", vec_col="embedding",
         block_col="label",
     ).orderBy("threshold")
+
+
+@register(
+    "sim_quantization_distortion",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale0
+      FROM embeddings),
+    qq AS (
+      SELECT vec_id, label, v, scale0 AS scale,
+             list_transform(v,
+                 x -> CAST(floor(x / scale0 + 0.5) AS INT)) AS qv
+      FROM q WHERE scale0 > 0),
+    m AS (
+      SELECT label,
+             round(list_sum(list_transform(range(1, len(v) + 1),
+                     i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv,
+                        x -> CAST(x AS DOUBLE) * x)))), 6) AS fid,
+             round(list_max(list_transform(range(1, len(v) + 1),
+                     i -> abs(v[i] - qv[i] * scale))), 6) AS err
+      FROM qq)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(fid), 6) AS avg_fidelity,
+           min(fid) AS min_fidelity,
+           round(max(err), 6) AS max_abs_err
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def sim_quantization_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 distortion audit (operators/similarity.py
+    quantization_distortion_report): per-label cosine fidelity of the
+    quantized vectors vs the originals plus the max per-element
+    reconstruction error — the EXACT-oracle upgrade of the
+    invariant-only quantized-recall rows (the oracle replays the
+    quantization, all three dot products, and every aggregate). One
+    codegen projection + a keys-only rollup; vectors never shuffle."""
+    from daft_spark.operators.similarity import quantization_distortion_report
+
+    return quantization_distortion_report(
+        _emb(spark, sf_dir), "embedding", "vec_id", by="label"
+    ).orderBy("label")

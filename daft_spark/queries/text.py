@@ -2753,3 +2753,100 @@ def text_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_report(
         d, "text", "doc_id", by="source", k=8, w=4
     ).orderBy("source")
+
+
+@register(
+    "text_vocab_growth",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(
+                 lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+                 ' ')) AS t
+      FROM documents),
+    tk AS (SELECT doc_id, t FROM toks WHERE t <> ''),
+    first AS (SELECT t, min(doc_id) AS f FROM tk GROUP BY t),
+    dt AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    fr(fraction) AS (VALUES (CAST(0.25 AS DOUBLE)), (0.5), (0.75), (1.0)),
+    cut AS (
+      SELECT fraction, CAST(floor(mx.m * fraction) AS BIGINT) AS cutoff_id
+      FROM fr CROSS JOIN mx),
+    nd AS (
+      SELECT c.fraction, c.cutoff_id,
+             sum(CASE WHEN d.doc_id <= c.cutoff_id THEN 1 ELSE 0 END)
+               AS n_docs
+      FROM cut c CROSS JOIN documents d GROUP BY 1, 2),
+    nt AS (
+      SELECT c.fraction,
+             coalesce(sum(CASE WHEN dt.doc_id <= c.cutoff_id
+                               THEN dt.n END), 0) AS n_tokens
+      FROM cut c CROSS JOIN dt GROUP BY 1),
+    nv AS (
+      SELECT c.fraction,
+             coalesce(sum(CASE WHEN first.f <= c.cutoff_id
+                               THEN 1 END), 0) AS n_vocab
+      FROM cut c CROSS JOIN first GROUP BY 1)
+    SELECT nd.fraction, nd.cutoff_id,
+           CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+           CAST(nv.n_vocab AS BIGINT) AS n_vocab,
+           CASE WHEN nt.n_tokens > 0
+                THEN round(nv.n_vocab / (1.0 * nt.n_tokens), 6)
+           END AS type_token_ratio
+    FROM nd JOIN nt USING (fraction) JOIN nv USING (fraction)
+    ORDER BY nd.fraction
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth audit (operators/repetition.py
+    vocab_growth): distinct unigram vocabulary vs corpus prefix at
+    25/50/75/100% ingest-order cutoffs — saturation-too-early is the
+    template-spam alarm, the axis zipf_audit doesn't see. On the
+    synthetic corpus the curve saturates immediately (tiny closed
+    vocabulary) — the alarm firing as designed. The oracle replays
+    tokenization, first occurrences, per-doc counts, cutoff
+    arithmetic, and every conditional sum."""
+    from daft_spark.operators.repetition import vocab_growth
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return vocab_growth(d, "text", "doc_id").orderBy("fraction")
+
+
+@register(
+    "pipeline_shard_manifest",
+    """
+    WITH s AS (
+      SELECT CAST(floor(list_sum(list_transform(range(1, 14), i ->
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR) || 'shard'),
+                                i, 1)) - 1)
+                 * 2.0 ** (4 * (13 - i)))) / 2.0 ** 52 * 64) AS INT)
+               AS shard,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt,
+             length(text) AS nc
+      FROM documents),
+    per AS (
+      SELECT shard, count(*) AS n_docs, sum(nt) AS n_tokens,
+             sum(nc) AS n_chars
+      FROM s GROUP BY shard),
+    tot AS (SELECT sum(n_tokens) AS t FROM per)
+    SELECT shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(n_tokens / (1.0 * tot.t), 6) AS token_share
+    FROM per CROSS JOIN tot ORDER BY shard
+    """,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest + balance audit (operators/sampling.py
+    shard_manifest): per-shard docs/tokens/chars/share under the
+    deterministic md5 shard key pack_sequences uses — the pre-flight
+    balance check before a 1000-worker data-parallel run (the slowest
+    shard sets the epoch time). The oracle replays the 52-bit md5
+    uniform, the floor(u*n) assignment, and every rollup."""
+    from daft_spark.operators.sampling import shard_manifest
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return shard_manifest(d, "text", "doc_id", n_shards=64).orderBy("shard")

@@ -1212,3 +1212,72 @@ def test_novelty_report_hand_case(spark):
     b = rows["b"]
     assert b["n_docs"] == 1 and b["avg_novelty"] == 1.0
     assert b["n_fully_novel"] == 1 and b["n_fully_stale"] == 0
+
+
+def test_shard_manifest_hand_case(spark):
+    """Counts are conserved across shards and shares sum to 1."""
+    from daft_spark.operators.sampling import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} word another") for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = shard_manifest(df, "text", "doc_id", n_shards=4).collect()
+    assert all(0 <= r["shard"] < 4 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == 20
+    assert sum(r["n_tokens"] for r in rows) == 60
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-5
+
+
+def test_vocab_growth_hand_case(spark):
+    """Vocabulary accumulates by first occurrence: docs 1-2 carry
+    {a,b,c}, doc 4 adds d."""
+    from daft_spark.operators.repetition import vocab_growth
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b"), (4, "d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["fraction"]: r
+        for r in vocab_growth(df, fractions=[0.5, 1.0]).collect()
+    }
+    h = rows[0.5]
+    assert h["cutoff_id"] == 2 and h["n_docs"] == 2
+    assert h["n_tokens"] == 4 and h["n_vocab"] == 3
+    assert abs(h["type_token_ratio"] - 0.75) < 1e-9
+    f = rows[1.0]
+    assert f["cutoff_id"] == 4 and f["n_docs"] == 4
+    assert f["n_tokens"] == 7 and f["n_vocab"] == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vocab_growth(df, fractions=[0.0, 2.0])
+
+
+def test_quantization_distortion_hand_case(spark):
+    """A vector that quantizes exactly has fidelity 1.0 / error 0;
+    zero vectors are excluded; every error is bounded by scale/2."""
+    from daft_spark.operators.similarity import (
+        quantization_distortion_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [127.0, 0.0], "a"),     # exact: scale 1, qv [127, 0]
+            (2, [0.0, 0.0], "a"),       # zero vector -> excluded
+            (3, [100.0, 0.5], "b"),     # inexact second element
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    rows = {r["label"]: r for r in
+            quantization_distortion_report(df).collect()}
+    a = rows["a"]
+    assert a["n_vecs"] == 1
+    assert a["avg_fidelity"] == 1.0 and a["min_fidelity"] == 1.0
+    assert a["max_abs_err"] == 0.0
+    b = rows["b"]
+    assert b["n_vecs"] == 1
+    assert 0.9 < b["min_fidelity"] < 1.0
+    # per-element error bounded by scale/2 = (100/127)/2
+    assert b["max_abs_err"] <= (100.0 / 127.0) / 2 + 1e-9

@@ -1056,3 +1056,49 @@ def test_novelty_audit_keys_only(spark):
         if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
     assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_no_text_shuffle(spark):
+    """pipeline_shard_manifest: the groupBy(shard) exchange carries
+    (shard, counts) only — text reduces to token/char counts before
+    any shuffle; the totals row broadcasts."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["pipeline_shard_manifest"].spark_fn(spark, SF_DIR)
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_growth_no_text_shuffle(spark):
+    """text_vocab_growth: exchanges carry exploded tokens or id-keyed
+    counts, never the document text; the scalar frames broadcast."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["text_vocab_growth"].spark_fn(spark, SF_DIR)
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantization_distortion_no_vector_shuffle(spark):
+    """sim_quantization_distortion: the only exchange is the
+    label-keyed rollup — embeddings and quantized vectors never
+    shuffle."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(
+        all_queries()["sim_quantization_distortion"].spark_fn(spark, SF_DIR)
+    )
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "embedding#" not in ln and "qvec" not in ln, ln
+    assert "CartesianProduct" not in plan

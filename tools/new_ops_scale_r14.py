@@ -33,6 +33,9 @@ QUERIES = [
     "dedup_threshold_sweep",
     "dedup_source_overlap",
     "text_novelty_audit",
+    "sim_quantization_distortion",
+    "text_vocab_growth",
+    "pipeline_shard_manifest",
 ]
 
 SFS = {"sf1": "/tmp/spark_graft_sf1", "sf10": "/tmp/spark_graft_sf10"}
