@@ -2491,7 +2491,7 @@ def pipeline_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH RECURSIVE corpus AS (
   SELECT doc_id, source, text FROM documents
-  WHERE doc_id % 97 <> 0 AND length(text) >= 50),
+  WHERE doc_id >= 32 AND length(text) >= 50),
 norm AS (
   SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text),
@@ -2538,7 +2538,7 @@ ranked AS (
   FROM clu c JOIN corpus d ON d.doc_id = c.doc_id),
 keepers AS (SELECT doc_id FROM ranked WHERE rn = 1),
 bfp AS (
-  SELECT DISTINCT fp FROM fp_all WHERE doc_id % 97 = 0),
+  SELECT DISTINCT fp FROM fp_all WHERE doc_id < 32),
 nfp AS (
   SELECT f.doc_id, count(*) AS total
   FROM fp_all f JOIN keepers k ON k.doc_id = f.doc_id GROUP BY 1),
@@ -2627,12 +2627,13 @@ def pipeline_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster and the count-based decontamination rule flags every doc,
     see COVERAGE.md r14 notes) -> PROPORTIONAL winnow decontamination
     (contaminated iff >= 95% of a keeper's fingerprints appear in the
-    benchmark split, doc_id % 97 == 0 — ~1%, the realistic
-    benchmark-to-corpus ratio; a 1/7 split's fingerprints COVER the
-    whole template corpus at sf1+, flagging every keeper and emptying
-    the funnel — measured r14, the degenerate-rule alarm the
-    proportional variant exists to avoid) -> mixture_weights toward
-    the 40/30/20/10 source
+    benchmark split, doc_id < 32 — an ABSOLUTE-size benchmark, the
+    realistic semantics: a benchmark is a fixed external artifact
+    that does NOT grow with the corpus. The r14 scale receipts
+    caught both degenerate alternatives: a 1/7 split's fingerprints
+    cover the whole template corpus at sf1+ and a 1% split covers it
+    by sf10 — every keeper flagged, funnel empty) ->
+    mixture_weights toward the 40/30/20/10 source
     target computed over the CURATED corpus -> apply_mixture (salt
     'mix14') -> hash_split 90/10 (salt 'sp14') -> pack_sequences per
     (split, source) at seq_len 512 -> pack_efficiency_audit. The
@@ -2660,9 +2661,9 @@ def pipeline_corpus_curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    bench = d.filter(F.col("doc_id") % 97 == 0)
+    bench = d.filter(F.col("doc_id") < 32)
     corpus = d.filter(
-        (F.col("doc_id") % 97 != 0) & (F.length("text") >= 50)
+        (F.col("doc_id") >= 32) & (F.length("text") >= 50)
     )
     reps = exact_dedup(corpus.select("doc_id", "text"), ["text"], "doc_id")
     edges = winnow_similarity(
