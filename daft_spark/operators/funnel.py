@@ -309,3 +309,80 @@ def profile_columns(
         F.col("__s.min_value").alias("min_value"),
         F.col("__s.max_value").alias("max_value"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    lookback_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: credit each conversion event to the
+    most recent touch event (by the same user) within the lookback
+    window, or to ``'unattributed'`` — the standard marketing/product
+    revenue-attribution rollup. One row per channel:
+    (channel, n_conversions, revenue, avg_latency_sec); latency is the
+    whole-second epoch gap touch -> conversion (NULL for
+    unattributed).
+
+    Scale shape: NO join — one window over (user, ts, id) carries the
+    last touch forward as a struct (``last(..., ignorenulls)`` over an
+    unbounded-preceding frame keeps ts/type consistent in one
+    column), then a channel-keyed rollup. The event stream shuffles
+    once on user_id — exactly the sessionization exchange — and the
+    payload is five narrow columns; at 100 TB the alternative
+    per-conversion range join re-shuffles conversions AND touches.
+    Ties: the window orders by (ts, id) — total and engine-portable;
+    window membership compares whole-second epochs (integer math, the
+    funnel-family convention)."""
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type cannot also be a touch type")
+    from pyspark.sql import Window
+
+    ev = df.select(
+        F.col(user_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(event_col).alias("__e"),
+        F.col(value_col).alias("__v"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("__ts", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col("__e").isin(list(touch_types)),
+        F.struct(
+            F.unix_timestamp("__ts").alias("sec"),
+            F.col("__e").alias("typ"),
+        ),
+    )
+    t = ev.withColumn("__lt", F.last(touch, ignorenulls=True).over(w))
+    conv = t.filter(F.col("__e") == conversion_type).select(
+        F.col("__v"),
+        (F.unix_timestamp("__ts") - F.col("__lt.sec")).alias("__lat"),
+        F.when(
+            F.col("__lt").isNotNull()
+            & (
+                F.col("__lt.sec")
+                >= F.unix_timestamp("__ts") - F.lit(int(lookback_seconds))
+            ),
+            F.col("__lt.typ"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("channel"),
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum("__v"), 6).alias("revenue"),
+        F.round(
+            F.avg(F.when(F.col("channel") != "unattributed", F.col("__lat"))),
+            6,
+        ).alias("avg_latency_sec"),
+    )

@@ -1266,3 +1266,48 @@ def rel_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("last_ts", 6).alias("last_ts"),
         "n_events",
     ).orderBy("user_id")
+
+
+@register(
+    "rel_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN struct_pack(
+                                    sec := CAST(floor(epoch(ts)) AS BIGINT),
+                                    typ := event_type) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS lt
+      FROM events),
+    c AS (
+      SELECT value,
+             CASE WHEN lt IS NOT NULL
+                       AND lt.sec >= CAST(floor(epoch(ts)) AS BIGINT) - 14400
+                  THEN lt.typ ELSE 'unattributed' END AS channel,
+             CAST(floor(epoch(ts)) AS BIGINT) - lt.sec AS lat
+      FROM t WHERE event_type = 'purchase')
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(sum(value), 6) AS revenue,
+           round(avg(CASE WHEN channel <> 'unattributed' THEN lat END), 6)
+             AS avg_latency_sec
+    FROM c GROUP BY channel ORDER BY channel
+    """,
+)
+def rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution (operators/funnel.py
+    last_touch_attribution): each purchase credits the most recent
+    view/click by the same user within a 4-hour lookback, else
+    'unattributed' — per-channel conversions, revenue, and mean
+    touch->purchase latency. NO join: one user-keyed window carries
+    the last touch forward as a struct; the oracle replays the
+    identical window, whole-second epoch math, and every rollup."""
+    from daft_spark.operators.funnel import last_touch_attribution
+
+    ev = _events(spark, sf_dir)
+    return last_touch_attribution(
+        ev, ["view", "click"], "purchase", 14400,
+        "user_id", "ts", "event_type", "event_id", "value",
+    ).orderBy("channel")

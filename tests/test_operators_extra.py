@@ -1281,3 +1281,48 @@ def test_quantization_distortion_hand_case(spark):
     assert 0.9 < b["min_fidelity"] < 1.0
     # per-element error bounded by scale/2 = (100/127)/2
     assert b["max_abs_err"] <= (100.0 / 127.0) / 2 + 1e-9
+
+
+def test_last_touch_attribution_hand_case(spark):
+    """In-window touch credits; stale touch and no-touch fall to
+    'unattributed'; latency is the whole-second gap."""
+    import datetime as dt
+
+    from daft_spark.operators.funnel import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [
+            (1, at(0), 1, "view", 0.0),
+            (2, at(100), 1, "purchase", 10.0),   # view 100s ago -> view
+            (3, at(200), 1, "click", 0.0),
+            (4, at(500), 1, "purchase", 20.0),   # click 300s ago -> click
+            (5, at(0), 2, "purchase", 5.0),      # no touch -> unattributed
+            (6, at(0), 3, "view", 0.0),
+            (7, at(5000), 3, "purchase", 7.0),   # stale -> unattributed
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    rows = {
+        r["channel"]: r
+        for r in last_touch_attribution(
+            df, ["view", "click"], "purchase", 3600
+        ).collect()
+    }
+    assert rows["view"]["n_conversions"] == 1
+    assert rows["view"]["revenue"] == 10.0
+    assert rows["view"]["avg_latency_sec"] == 100.0
+    assert rows["click"]["n_conversions"] == 1
+    assert rows["click"]["avg_latency_sec"] == 300.0
+    u = rows["unattributed"]
+    assert u["n_conversions"] == 2 and u["revenue"] == 12.0
+    assert u["avg_latency_sec"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        last_touch_attribution(df, ["view", "purchase"], "purchase", 60)

@@ -1102,3 +1102,17 @@ def test_quantization_distortion_no_vector_shuffle(spark):
         if "Exchange hashpartitioning" in ln:
             assert "embedding#" not in ln and "qvec" not in ln, ln
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_no_join(spark):
+    """rel_attribution must plan as ONE user-keyed window + a channel
+    rollup — no join of conversions against touches, no cartesian
+    product (the per-conversion range-join alternative re-shuffles
+    both sides at 100 TB)."""
+    from daft_spark.queries import all_queries
+
+    plan = plan_of(all_queries()["rel_attribution"].spark_fn(spark, SF_DIR))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+    assert "Window" in plan
