@@ -315,6 +315,18 @@ DRIVER_PRIORITY: list[str] = [
     "sql_in_subquery", "sql_not_in_anti",
 ]
 
+# ROUND-15 ROTATION QUEUE (for the r15 first-commit freeze): the 12
+# post-freeze r14 registrations lead — sim_index_refresh,
+# pipeline_pack_audit, dedup_quality_shift, sim_semdedup_sweep,
+# pipeline_corpus_curation_v5, dedup_threshold_sweep,
+# dedup_source_overlap, text_novelty_audit,
+# sim_quantization_distortion, text_vocab_growth,
+# pipeline_shard_manifest, rel_attribution (all driver-grade exact at
+# sf0.001+sf0.01 this round, probes/DRIVER_SIM_r14.txt + the two
+# post-sweep singles) — then the 21 r9-stale rows deferred from the
+# r14 freeze (named above), then the stalest remainder per the
+# COVERAGE.md last-green ledger.
+
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules exactly once.
