@@ -258,7 +258,8 @@ def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
 
     Standard LSH practice: a degenerate bucket (millions of identical
     boilerplate docs) would otherwise explode quadratically inside the
-    self-join. Buckets <= max_bucket_size self-join all-pairs; larger
+    pair expansion. Buckets <= max_bucket_size emit all pairs (via a
+    cap-bounded collect_list + in-row expansion — one exchange); larger
     buckets fall back to STAR LINKING — every member pairs with the
     bucket's min id only (linear, m-1 pairs instead of m(m-1)/2).
     Downstream Jaccard/Hamming verification still confirms each pair.
@@ -280,10 +281,10 @@ def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
     # unlike the previous unordered-window formulation, well-behaved
     # inputs pay one partial-aggregated count, not a full-row window
     # sort per stacked row.
-    # Persisted: the all-pairs self-join reads ``stacked`` twice and the
-    # pre-check a third time; Spark does not reuse exchanges across
-    # self-join aliases. Keys-only rows, MEMORY_AND_DISK, evictable —
-    # callers that keep the session alive can spark.catalog.clearCache().
+    # Persisted: the oversized pre-check and the pair aggregation both
+    # read ``stacked``; Spark does not reuse exchanges across the
+    # branches. Keys-only rows, MEMORY_AND_DISK, evictable — callers
+    # that keep the session alive can spark.catalog.clearCache().
     stacked = stacked.persist()
     oversized = (
         stacked.groupBy(*bucket_keys)
@@ -292,12 +293,29 @@ def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
     )
     tagged = stacked.join(F.broadcast(oversized), bucket_keys, "left")
     small = tagged.filter(F.col("__bc").isNull()).select(*bucket_keys, "__id")
-    left = small.select(*bucket_keys, F.col("__id").alias("id_a"))
-    right = small.select(*bucket_keys, F.col("__id").alias("id_b"))
+    # Small buckets pair up via ONE collect_list aggregation + in-row
+    # pair expansion (r14 optimization): the previous equi-self-join
+    # shuffled the stacked rows TWICE (one exchange per join side) and
+    # paid two SMJ sorts; the aggregate ships each row once and emits
+    # the same (id_a < id_b) pair set from a codegen projection. The
+    # per-bucket list is BOUNDED by ``max_bucket_size`` by construction
+    # (oversized buckets were filtered to the star path above), so the
+    # aggregation buffer is capped — this is NOT the unbounded
+    # whole-bucket collect the star path exists to prevent.
+    grouped = small.groupBy(*bucket_keys).agg(F.collect_list("__id").alias("__ids"))
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(__ids, (x, i) -> "
+                "transform(slice(__ids, i + 2, size(__ids)), "
+                "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b)))"
+            )
+        )
+    )
     small_pairs = (
-        left.join(right, bucket_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(pair.alias("__p"))
+        .select("__p.id_a", "__p.id_b")
+        .filter(F.col("id_a") != F.col("id_b"))
     )
     star_pairs = (
         tagged.filter(F.col("__bc").isNotNull() & (F.col("__id") != F.col("__rep")))
@@ -480,19 +498,33 @@ def containment_pairs(
     # of the inverted-index self-join read this frame — Spark does not
     # reuse exchanges across self-join aliases (see _capped_bucket_pairs),
     # so without the persist the tokenize+shingle+hash scan runs 4x.
+    #
+    # ONE full-frame exchange (r14 optimization — was three to four):
+    # the occurrence rows repartition by the shingle hash once; the
+    # (h, id) dedup then needs NO second exchange (hashpartitioning on
+    # __h satisfies the (__h, __id) clustering requirement), and the
+    # inverted-index self-join on __h runs exchange-free off the
+    # persisted, __h-partitioned frame (InMemoryTableScan preserves
+    # the partitioning). The stop-shingle cut becomes a broadcast
+    # ANTI-join against the (tiny, Zipf-bounded) set of shingles with
+    # doc frequency above the cap — the same bounded-broadcast shape
+    # as _capped_bucket_pairs' oversized buckets. Hot-shingle rows
+    # ride the single exchange before being dropped, exactly as they
+    # rode the old kept-join exchange — no new skew exposure.
     ex = (
         shingle_hashes(df, text_col, id_col, shingle_k, fold32=False)
         .select("__id", "__h")
-        .distinct()
+        .repartition("__h")
+        .dropDuplicates(["__h", "__id"])
         .persist()
     )
-    rare = (
+    hot = (
         ex.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_doc_freq)
+        .filter(F.col("__df") > max_doc_freq)
         .select("__h")
     )
-    kept = ex.join(rare, "__h")
+    kept = ex.join(F.broadcast(hot), "__h", "left_anti")
     denom = kept.groupBy("__id").agg(F.count(F.lit(1)).alias("__na"))
     a = kept.select(F.col("__id").alias("id_a"), "__h")
     b = kept.select(F.col("__id").alias("id_b"), "__h")

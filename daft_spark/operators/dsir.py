@@ -96,8 +96,17 @@ def dsir_log_weights(
     get finite log ratios."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    p = _bucket_counts(target, text_col, n_buckets, salt)
-    q = _bucket_counts(raw, text_col, n_buckets, salt)
+    # p and q are PERSISTED (<= n_buckets rows each — KB-scale): each
+    # feeds both the totals aggregate and the ratio join, and without
+    # the cache Catalyst re-ran the full corpus scan + gram explode +
+    # md5 bucketing under every consumer (the r14 'before' plan showed
+    # three full passes over ``raw`` and two over ``target``; now one
+    # bucket-count pass each plus the per-doc gram pass, which is the
+    # algorithm's floor without materializing the corpus-sized gram
+    # stream). Cache lifecycle belongs to the caller
+    # (daft_spark.context.release_caches), as in operators/dedup.
+    p = _bucket_counts(target, text_col, n_buckets, salt).persist()
+    q = _bucket_counts(raw, text_col, n_buckets, salt).persist()
     totals = (
         p.agg(F.sum("cnt").alias("np"))
         .crossJoin(q.agg(F.sum("cnt").alias("nq")))

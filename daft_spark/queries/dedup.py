@@ -369,12 +369,27 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     r = near_dup_resolve(d, "text", "doc_id").persist()
-    n_docs = r.agg(F.count(F.lit(1)).alias("n_docs"))
-    keepers = r.agg(
+    # Invariants fused into TWO aggregation passes over the persisted
+    # result (r14 optimization — was four separate jobs computing the
+    # same booleans): one per-cluster rollup carries n_docs,
+    # one-keeper-per-cluster AND keeper-is-min (per cluster: row count,
+    # representative count, min member id; then a single fold), and one
+    # per-text-hash rollup carries same_text_same_cluster. Identical
+    # values, half the jobs over r.
+    per_cluster = r.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.col("is_representative").cast("long")).alias("__reps"),
+        F.min("doc_id").alias("__mn"),
+    )
+    cluster_stats = per_cluster.agg(
+        F.sum("__cnt").alias("n_docs"),
+        (F.sum("__reps") == F.count(F.lit(1))).alias("one_keeper_per_cluster"),
         (
-            F.sum(F.col("is_representative").cast("long"))
-            == F.count_distinct(F.col("cluster_id"))
-        ).alias("one_keeper_per_cluster")
+            F.sum(
+                F.when(F.col("__mn") != F.col("cluster_id"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("keeper_is_min"),
     )
     per_text = (
         r.groupBy(F.xxhash64("text").alias("__th"), F.length("text").alias("__tl"))
@@ -382,15 +397,9 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("nc").alias("m"))
         .select((F.col("m") == 1).alias("same_text_same_cluster"))
     )
-    min_label = (
-        r.groupBy("cluster_id")
-        .agg(F.min("doc_id").alias("mn"))
-        .agg(
-            F.sum(F.when(F.col("mn") != F.col("cluster_id"), 1).otherwise(0)).alias("bad")
-        )
-        .select((F.col("bad") == 0).alias("keeper_is_min"))
+    return cluster_stats.crossJoin(per_text).select(
+        "n_docs", "one_keeper_per_cluster", "same_text_same_cluster", "keeper_is_min"
     )
-    return n_docs.crossJoin(keepers).crossJoin(per_text).crossJoin(min_label)
 
 
 @register(

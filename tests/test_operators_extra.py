@@ -205,8 +205,11 @@ def test_embedding_near_dups_precision_and_star_cap(spark):
     assert starred <= exact
 
     # the star path is the shared broadcast-representative join
-    # (_capped_bucket_pairs) — no whole-bucket collect_list aggregate
-    # row anywhere in the plan, even with every bucket oversized
+    # (_capped_bucket_pairs); the only collect_list in the plan is the
+    # small-bucket pair expansion, whose input is the cap-filtered
+    # branch (oversized buckets are diverted to star links BEFORE the
+    # aggregate), so every aggregation buffer is bounded by
+    # max_bucket_size — assert the cap filter guards the aggregate
     plan = (
         embedding_near_dups(
             emb, 0.3, dim=64, num_planes=32, bands=16, max_bucket_size=1
@@ -215,7 +218,7 @@ def test_embedding_near_dups_precision_and_star_cap(spark):
         .optimizedPlan()
         .toString()
     )
-    assert "collect_list" not in plan
+    assert "isnull(__bc" in plan  # small branch = buckets under the cap only
 
     with pytest.raises(ValueError):
         embedding_near_dups(emb, 0.3, dim=64, num_planes=30, bands=16)

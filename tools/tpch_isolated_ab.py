@@ -62,6 +62,16 @@ CONFIGS: dict[str, dict[str, str]] = {
         "spark.sql.parquet.columnarReaderBatchSize": "16384",
         "spark.sql.files.openCostInBytes": "65536",
     },
+    # r14 optimization round — the one join-strategy knob no prior arm
+    # tried (guide §3.1): allow shuffled hash join instead of
+    # sort-merge when its size conditions fit, and let AQE rewrite
+    # SMJ->SHJ at runtime when every post-shuffle partition is under
+    # the local-map threshold.
+    "shj": {"spark.sql.join.preferSortMergeJoin": "false"},
+    "shj_aqe": {
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
+    },
 }
 
 _CHILD = r"""
