@@ -27,7 +27,7 @@ graph diameter — near-dup clusters are dense (star/clique-ish), so
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -51,9 +51,16 @@ def connected_components(
     # to the materialized blocks — per-round cost stays constant, the
     # same discipline GraphFrames applies to its iterative algorithms.
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # The edge count (needed for the partition clamp below) rides the
+    # checkpoint materialization as an observed metric instead of a
+    # separate count() job over the materialized blocks (r14: one job,
+    # not two, per invocation — the same fusion as the loop's
+    # convergence check).
+    eobs = Observation()
     edges = (
         fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .observe(eobs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
 
@@ -66,7 +73,7 @@ def connected_components(
     # per partition keeps a partition tens of MB; at real scale the
     # clamp returns the session setting unchanged. Restored in finally.
     spark = pairs.sparkSession
-    ecnt = edges.count()  # free: edges is already materialized
+    ecnt = int(eobs.get["n"])
     session_sp = spark.conf.get("spark.sql.shuffle.partitions")
     loop_sp = min(int(session_sp), max(1, ecnt // 2_000_000 + 1))
     try:
@@ -95,11 +102,12 @@ def _propagate_to_fixpoint(edges: DataFrame, max_iterations: int) -> DataFrame:
     for _ in range(max_iterations):
         # propagate: each node takes min(own label, neighbors' labels).
         # The node's OLD label rides along as a second agg column (it is
-        # unique per node, so min() just carries it) — the convergence
-        # check is then a scan over the already-materialized checkpoint
-        # instead of a second shuffle join per round (round-6 constant-
-        # cost fix: halves the per-round stage count; dedup_resolve's
-        # 7.7 s at sf0.1 was ~25 tiny jobs of pure stage overhead).
+        # unique per node, so min() just carries it), and the convergence
+        # check rides the checkpoint materialization as an OBSERVED
+        # metric (r14): one Spark job per round instead of two — the
+        # previous separate count() job re-scanned the materialized
+        # labels frame, which at corpus scale is a full cached-frame
+        # pass per round for a single boolean.
         comp_type = labels.schema["component"].dataType
         neighbor_labels = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -109,17 +117,22 @@ def _propagate_to_fixpoint(edges: DataFrame, max_iterations: int) -> DataFrame:
                 F.lit(None).cast(comp_type).alias("old"),
             )
         )
+        obs = Observation()
         new_labels = (
             labels.select("node", "component", F.col("component").alias("old"))
             .unionAll(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"), F.min("old").alias("old"))
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") < F.col("old")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
         # scalar convergence check: any node whose label shrank this round?
-        changed = (
-            new_labels.filter(F.col("component") < F.col("old")).limit(1).count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
@@ -241,35 +254,43 @@ def pagerank(
             .groupBy("__d")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("__d", "node"), "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n)
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            contrib.withColumnRenamed("__d", "node"), "node", "left"
+        ).crossJoin(F.broadcast(dangling)).select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n)
+            ).alias("rank"),
         )
+        dobs = None
         if tol is not None:
-            # join the two CHECKPOINTED rank frames — never re-derive
-            # the round's with_deg lineage (sf10 probe: re-deriving
-            # cost +50% per round; this join is two narrow scans)
-            delta_row = (
-                ranks.select("node", "rank")
-                .join(
-                    prev_ranks.select(
-                        "node", F.col("rank").alias("__prev")
-                    ),
+            # L1 delta vs the PREVIOUS (checkpointed) rank frame — never
+            # re-derive the round's with_deg lineage (sf10 probe:
+            # re-deriving cost +50% per round). Since r14 the delta
+            # rides the checkpoint materialization as an observed
+            # metric (the connected_components fusion): the prev-rank
+            # join runs inside the same job that writes the checkpoint
+            # blocks instead of a separate two-scan job per round. The
+            # inner join is total: both frames carry exactly one row
+            # per node of the fixed node set.
+            dobs = Observation()
+            ranks = (
+                ranks.join(
+                    prev_ranks.select("node", F.col("rank").alias("__prev")),
                     "node",
                 )
-                .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
-                .first()
+                .observe(
+                    dobs,
+                    F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"),
+                )
+                .select("node", "rank")
             )
-            d = None if delta_row["d"] is None else float(delta_row["d"])
+        ranks = ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            dval = dobs.get["d"]
+            d = None if dval is None else float(dval)
             if stats is not None:
                 stats["final_delta"] = d
             if d is not None and d < tol:

@@ -141,3 +141,27 @@ def test_pagerank_tol_early_exit_and_validation(spark):
 
     with _p.raises(ValueError, match="tol"):
         pagerank(edges, iters=3, tol=0.0)
+
+
+def test_cc_convergence_rides_checkpoint_job(spark):
+    """r14 optimization pin: the per-round convergence check is an
+    OBSERVED metric on the checkpoint materialization (one Spark job
+    per propagation round), and the edge count rides the edge-frame
+    checkpoint the same way — not separate count() jobs. A 5-node path
+    (4 propagation rounds) measures 26 jobs fused vs 36 with the
+    two-jobs-per-round loop; the bound catches a regression to the
+    separate-count shape while tolerating minor Spark-internal drift."""
+    from daft_spark.operators.cluster import connected_components
+
+    sc = spark.sparkContext
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    sc.setJobGroup("cc_fused_jobs", "test_cc_convergence_rides_checkpoint_job")
+    try:
+        out = connected_components(pairs)
+        got = {r["node"]: r["component"] for r in out.collect()}
+        jobs = sc.statusTracker().getJobIdsForGroup("cc_fused_jobs")
+    finally:
+        sc.setJobGroup("", "")
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    assert len(jobs) <= 30, f"CC loop ran {len(jobs)} jobs — convergence " \
+        "check no longer fused into the checkpoint materialization?"

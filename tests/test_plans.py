@@ -485,16 +485,27 @@ def test_lm_count_joins_consume_per_doc_counts_not_occurrences(spark):
     d = load_table(spark, SF_DIR, "documents")
     out = bigram_lm_scores(d)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # the reducing aggregate groups on (doc_id, __w1, __w2) and must sit
-    # BELOW every join (deeper = larger line index in the tree print)
+    # The reducing aggregate groups on (doc_id, __w1, __w2) and must sit
+    # BELOW every join (deeper = larger line index in the tree print).
+    # Since r14 the per-doc frame is persisted, so the reducer prints as
+    # the HashAggregate inside the InMemoryRelation's cached plan rather
+    # than a logical Aggregate — accept both spellings; the property
+    # pinned is unchanged (joins consume reduced rows, and the
+    # occurrence-level posexplode only ever feeds a reducer, never a
+    # join directly).
     lines = plan.splitlines()
     reducer = [
         i for i, ln in enumerate(lines)
-        if re.search(r"Aggregate \[[^\]]*doc_id[^\]]*__w1[^\]]*__w2", ln)
+        if re.search(
+            r"(HashAggregate\(keys=\[|Aggregate \[)[^\]]*doc_id[^\]]*__w1[^\]]*__w2",
+            ln,
+        )
     ]
     joins = [i for i, ln in enumerate(lines) if "Join" in ln]
-    assert reducer, plan
-    assert joins and max(joins) < max(reducer), plan
+    gens = [i for i, ln in enumerate(lines) if "Generate posexplode" in ln]
+    assert reducer and gens, plan
+    assert joins and max(joins) < min(reducer), plan
+    assert min(gens) > min(reducer), plan
 
 
 def test_lm_scores_exact_on_zipfian_skew(spark):
