@@ -96,17 +96,19 @@ def dsir_log_weights(
     get finite log ratios."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    # p and q are PERSISTED (<= n_buckets rows each — KB-scale): each
-    # feeds both the totals aggregate and the ratio join, and without
-    # the cache Catalyst re-ran the full corpus scan + gram explode +
-    # md5 bucketing under every consumer (the r14 'before' plan showed
-    # three full passes over ``raw`` and two over ``target``; now one
-    # bucket-count pass each plus the per-doc gram pass, which is the
-    # algorithm's floor without materializing the corpus-sized gram
-    # stream). Cache lifecycle belongs to the caller
-    # (daft_spark.context.release_caches), as in operators/dedup.
-    p = _bucket_counts(target, text_col, n_buckets, salt).persist()
-    q = _bucket_counts(raw, text_col, n_buckets, salt).persist()
+    # p and q each feed the totals aggregate AND the ratio join, so
+    # Catalyst re-runs the corpus scan + gram explode + md5 bucketing
+    # under every consumer (three passes over ``raw``, two over
+    # ``target``). Persisting the two <= n_buckets-row count frames
+    # (the r14 candidate fix) was interleave-A/B'd on a quiet host and
+    # REJECTED: the cache barrier serializes branches that otherwise
+    # run concurrently and measured neutral-to-slower at sf0.1 AND sf1
+    # on 32 AND 8 cores (sf0.1 medians 2.95 s no-persist vs 3.62 s
+    # persisted; probes/LM_DSIR_PERSIST_AB_r14.json). On a saturated
+    # cluster the duplicate bucket-count pass costs real throughput —
+    # revisit with a cluster-scale measurement before re-adding.
+    p = _bucket_counts(target, text_col, n_buckets, salt)
+    q = _bucket_counts(raw, text_col, n_buckets, salt)
     totals = (
         p.agg(F.sum("cnt").alias("np"))
         .crossJoin(q.agg(F.sum("cnt").alias("nq")))

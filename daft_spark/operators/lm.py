@@ -89,26 +89,28 @@ def bigram_lm_scores(
     # one per occurrence — the skew-hardening that keeps a web-scale
     # "of the" from funneling occurrence rows into one join partition.
     #
-    # per_doc and c12 are PERSISTED: per_doc feeds three consumers (the
-    # c12 fold, the c1 fold through c12, and the score join) and
-    # Catalyst does not reuse the exchange across the broadcast-build
-    # subtrees — the r14 'before' plan re-ran the scan + token explode
-    # + per-doc aggregation under EACH branch (4 parquet scans of
-    # documents, no ReusedExchange). Caching the two REDUCED frames
-    # (one row per distinct (doc, bigram) / per distinct bigram — never
-    # occurrence rows) cuts the explode+aggregate passes from 3 to 1
-    # and the scans from 4 to 2. Callers that keep the session alive
-    # own the cache lifecycle (daft_spark.context.release_caches), the
-    # same contract as operators/dedup.minhash_near_dups.
-    per_doc = (
-        bigrams.groupBy(id_col, "__w1", "__w2")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .persist()
+    # per_doc feeds three consumers (the c12 fold, the c1 fold through
+    # c12, and the score join) and Catalyst recomputes it under each —
+    # 4 parquet scans, no ReusedExchange. Two alternatives were built
+    # and interleave-A/B'd on a quiet host in r14 and REJECTED:
+    # persisting per_doc+c12 (2-scan floor, but the cache fill
+    # serializes branches that otherwise run concurrently and the
+    # columnar cache build costs more than the recompute it saves —
+    # old min 2.31 s vs new 4.95 s at sf0.1, still behind at sf1 on 32
+    # AND 8 cores; probes/LM_DSIR_PERSIST_AB_r14.json), and folding
+    # c12/c1 as windows over per_doc (value-identical, locally ≈equal —
+    # but a web-scale hot bigram's per-doc rows land in ONE window
+    # partition with no AQE skew splitting, the exact funnel this
+    # join+groupBy shape avoids). The duplicated passes are the
+    # measured-cheapest SKEW-SAFE formulation at every measurable
+    # configuration.
+    per_doc = bigrams.groupBy(id_col, "__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__n")
     )
     # model: bigram counts + prefix totals fold from the reduced frame
     # (map-side combine); vocab size is a 1-row broadcast cross join,
     # the standard way to attach a scalar without collect()
-    c12 = per_doc.groupBy("__w1", "__w2").agg(F.sum("__n").alias("__c12")).persist()
+    c12 = per_doc.groupBy("__w1", "__w2").agg(F.sum("__n").alias("__c12"))
     c1 = c12.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
     vocab = toks.select(F.countDistinct("__tok").alias("__v"))
     logp = F.round(
