@@ -276,16 +276,37 @@ def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
     max_bucket_size or pre-dedup exact duplicates if oversized buckets
     of non-identical docs are expected.
     """
-    # Oversized buckets found with a map-side-combining groupBy (cheap
-    # keys-only pre-check, almost always empty) and broadcast back —
-    # unlike the previous unordered-window formulation, well-behaved
-    # inputs pay one partial-aggregated count, not a full-row window
-    # sort per stacked row.
-    # Persisted: the oversized pre-check and the pair aggregation both
-    # read ``stacked``; Spark does not reuse exchanges across the
-    # branches. Keys-only rows, MEMORY_AND_DISK, evictable — callers
-    # that keep the session alive can spark.catalog.clearCache().
-    stacked = stacked.persist()
+    # Oversized buckets found with a groupBy (cheap keys-only
+    # pre-check, almost always empty) and broadcast back — unlike the
+    # previous unordered-window formulation, well-behaved inputs pay
+    # one aggregated count, not a full-row window sort per stacked row.
+    # Persisted AND bucket-partitioned: the oversized pre-check, the
+    # pair aggregation, and the star path all read ``stacked``; Spark
+    # does not reuse exchanges across the branches, so without the
+    # repartition each bucket-keyed consumer paid its own
+    # hashpartitioning exchange of the stacked stream (three in the
+    # miner plan: the oversized groupBy under BOTH tagged consumers,
+    # plus the collect_list pair groupBy). ONE repartition on the
+    # bucket keys inside the cache fill satisfies every downstream
+    # clustering requirement — the same single-exchange shape as
+    # containment_pairs' __h repartition. A degenerate hot bucket's
+    # rows land in one partition, but they are keys-only (~24 B) and
+    # linear in the bucket size — the identical exposure the old
+    # pair-groupBy exchange had. Keys-only rows, MEMORY_AND_DISK,
+    # evictable — callers that keep the session alive can
+    # spark.catalog.clearCache().
+    #
+    # The fill is EAGER (count() below): Spark plans each consumer
+    # when the whole query compiles, and against a cold cache it
+    # cannot see the cached plan's partitioning, so it conservatively
+    # re-inserts the hashpartitioning exchange under every consumer —
+    # executed-plan audit showed all three exchanges STILL running on
+    # top of the lazy repartitioned cache. Materializing the cache
+    # first lets every downstream plan read the built, bucket-
+    # partitioned InMemoryRelation exchange-free (verified: 0
+    # ENSURE_REQUIREMENTS band exchanges after the fill).
+    stacked = stacked.repartition(*bucket_keys).persist()
+    stacked.count()
     oversized = (
         stacked.groupBy(*bucket_keys)
         .agg(F.count(F.lit(1)).alias("__bc"), F.min("__id").alias("__rep"))
