@@ -72,6 +72,13 @@ CONFIGS: dict[str, dict[str, str]] = {
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
     },
+    # r14 optimization round, deferred item 3 (guide §2.3): shuffle /
+    # spill / broadcast block compression codec. lz4 is the Spark
+    # default (fast, weak compression); zstd trades CPU for smaller
+    # shuffle bytes — the win axis is network-bound cluster shuffles,
+    # so a local[32] loss is expected and would mean "parameterize for
+    # cluster, keep lz4 locally", not "never".
+    "zstd": {"spark.io.compression.codec": "zstd"},
 }
 
 _CHILD = r"""
@@ -139,10 +146,13 @@ def main() -> None:
     out_path = args[1] if len(args) > 1 else os.path.join(
         REPO, "probes", "TPCH_AQE_AB_r12.json")
     want = None
+    queries = QUERIES
     for a in sys.argv[1:]:
         if a.startswith("--configs="):
             want = a.split("=", 1)[1].split(",")
-    results: dict = {"sf_dir": sf_dir, "queries": QUERIES, "configs": {}}
+        if a.startswith("--queries="):
+            queries = a.split("=", 1)[1].split(",")
+    results: dict = {"sf_dir": sf_dir, "queries": queries, "configs": {}}
     for cname, overrides in CONFIGS.items():
         if want and cname not in want:
             continue
@@ -150,7 +160,7 @@ def main() -> None:
             os.environ,
             AB_OVERRIDES=json.dumps(overrides),
             AB_SF_DIR=sf_dir,
-            AB_QUERIES=json.dumps(QUERIES),
+            AB_QUERIES=json.dumps(queries),
         )
         print(f"# config {cname} ...", file=sys.stderr)
         proc = subprocess.run(
