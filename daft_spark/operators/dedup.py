@@ -520,13 +520,20 @@ def containment_pairs(
     # reuse exchanges across self-join aliases (see _capped_bucket_pairs),
     # so without the persist the tokenize+shingle+hash scan runs 4x.
     #
-    # ONE full-frame exchange (r14 optimization — was three to four):
-    # the occurrence rows repartition by the shingle hash once; the
-    # (h, id) dedup then needs NO second exchange (hashpartitioning on
-    # __h satisfies the (__h, __id) clustering requirement), and the
-    # inverted-index self-join on __h runs exchange-free off the
-    # persisted, __h-partitioned frame (InMemoryTableScan preserves
-    # the partitioning). The stop-shingle cut becomes a broadcast
+    # ONE full-frame exchange of COMPUTED rows (r14 optimization — was
+    # three to four recomputing scans): the occurrence rows repartition
+    # by the shingle hash once; the (h, id) dedup then needs NO second
+    # exchange (hashpartitioning on __h satisfies the (__h, __id)
+    # clustering requirement). Cold-planned consumers of the LAZY cache
+    # do still insert conservative ENSURE_REQUIREMENTS re-exchanges of
+    # the cached (not recomputed) rows on __h — the eager-fill fix that
+    # removes them (à la _capped_bucket_pairs) was A/B'd and LOST at
+    # sf1 (probes/CONTAINMENT_EAGER_AB_r14.json: old wins all passes,
+    # worst +33%): the lazy fill pipelines the cache build into the
+    # first consumer's job, and locally the in-memory re-exchanges cost
+    # less than a dedicated materialization pass over this frame. On a
+    # network-bound cluster that trade reverses; revisit there, not
+    # here. The stop-shingle cut becomes a broadcast
     # ANTI-join against the (tiny, Zipf-bounded) set of shingles with
     # doc frequency above the cap — the same bounded-broadcast shape
     # as _capped_bucket_pairs' oversized buckets. Hot-shingle rows
