@@ -289,43 +289,44 @@ def register(name: str, oracle: str | None, comparable: bool = True):
 # rel_union_by_name, sql_scalar_subquery, sql_window_in_sql,
 # stream_delta_cdf, stream_iceberg_sink, stream_paimon_source. Those
 # 21 plus any post-freeze r14 registrations lead the r15 window.
+# Round-15 rotation (FROZEN at round start, first commit, per the r14
+# verdict task 7): the 12 never-driver-seen rows lead (the post-freeze
+# r14 registrations, ledger r0 row after folding CORRECTNESS_r14 in —
+# all driver-grade exact at sf0.001+sf0.01 in the r14 close receipts,
+# probes/DRIVER_SIM_r14.txt), then the 21 r9-stale rows deferred from
+# the r14 freeze, then 17 of the 50 r10-stale rows: the 10 dedup_* and
+# sim_ann_lsh_recall + pipeline_corpus_curation_v2 first because this
+# round's optimization work churns operators/dedup.py (verify-join
+# prune, broadcast guards) and those rows exercise exactly that code,
+# then the 5 alphabetically-first remaining r10 rows. The 33 r10 rows
+# deferred to r16: agg/fn/io/lake/pipeline/rel/stream/text/w families
+# with r11–r14 twins on shared code.
 DRIVER_PRIORITY: list[str] = [
-    # 8 never-driver-seen r13 registrations (judge-verified sim-exact)
-    "dedup_winnow_resolve", "dedup_winnow_keep_best",
-    "dedup_winnow_decontaminate", "dedup_lsh_banding_audit",
-    "dedup_impact_report", "text_zipf_audit",
-    "pipeline_corpus_curation_v4", "sim_embedding_drift",
-    # 14 r8-stale rows deferred from the r13 freeze
-    "sql_glue_catalog", "sql_gravitino_catalog", "sql_paimon_catalog",
-    "sql_postgres_catalog", "sql_s3tables_catalog", "sql_unity_catalog",
-    "lake_iceberg_refs", "lake_iceberg_metadata_tables",
-    "lake_iceberg_compaction", "lake_iceberg_sorted",
-    "lake_delta_cdf_partitioned", "lake_maintenance",
-    "lake_time_travel_hudi_paimon", "mm_classify_image",
-    # 28 of the 49 r9-stale rows (churning code families + tpch + sql)
-    "dedup_exact_keepmin", "dedup_shingle_containment",
-    "dedup_substring_spans", "sim_pairs_threshold", "sim_topk_cosine",
-    "pipeline_token_budget_mix", "text_lm_perplexity",
-    "text_ngram_repetition", "text_stratified_sample",
-    "w_order_only_global", "fn_udf_scalar_batch", "fn_udtf_lateral",
-    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q12",
-    "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q22",
-    "sql_case_cast_union", "sql_cte_join", "sql_exists_subquery",
-    "sql_expr_battery", "sql_grouping_sets", "sql_having_positional",
-    "sql_in_subquery", "sql_not_in_anti",
+    # 12 never-driver-seen post-freeze r14 registrations (ledger r0)
+    "dedup_quality_shift", "dedup_source_overlap",
+    "dedup_threshold_sweep", "pipeline_corpus_curation_v5",
+    "pipeline_pack_audit", "pipeline_shard_manifest",
+    "rel_attribution", "sim_index_refresh",
+    "sim_quantization_distortion", "sim_semdedup_sweep",
+    "text_novelty_audit", "text_vocab_growth",
+    # 21 r9-stale rows deferred from the r14 freeze
+    "io_checkpoint_resume", "io_csv_roundtrip", "io_json_roundtrip",
+    "lake_delta_restore", "lake_delta_roundtrip",
+    "lake_iceberg_branch_write", "lake_iceberg_incremental",
+    "mm_embed_image", "rel_cross_join", "rel_distinct", "rel_explode",
+    "rel_explode_multi", "rel_explode_outer", "rel_join_null_safe",
+    "rel_limit_offset", "rel_union_by_name", "sql_scalar_subquery",
+    "sql_window_in_sql", "stream_delta_cdf", "stream_iceberg_sink",
+    "stream_paimon_source",
+    # 17 of the 50 r10-stale rows (this round's churned code first)
+    "dedup_clusters", "dedup_minhash_lsh", "dedup_minhash_lsh_pipeline",
+    "dedup_ngram_jaccard", "dedup_normalized", "dedup_resolve",
+    "dedup_resolve_containment", "dedup_semdedup", "dedup_simhash",
+    "dedup_span_removal", "sim_ann_lsh_recall",
+    "pipeline_corpus_curation_v2",
+    "agg_any_value", "agg_approx_bounds", "agg_null_group_keys",
+    "agg_product_bool", "agg_skew",
 ]
-
-# ROUND-15 ROTATION QUEUE (for the r15 first-commit freeze): the 12
-# post-freeze r14 registrations lead — sim_index_refresh,
-# pipeline_pack_audit, dedup_quality_shift, sim_semdedup_sweep,
-# pipeline_corpus_curation_v5, dedup_threshold_sweep,
-# dedup_source_overlap, text_novelty_audit,
-# sim_quantization_distortion, text_vocab_growth,
-# pipeline_shard_manifest, rel_attribution (all driver-grade exact at
-# sf0.001+sf0.01 this round, probes/DRIVER_SIM_r14.txt + the two
-# post-sweep singles) — then the 21 r9-stale rows deferred from the
-# r14 freeze (named above), then the stalest remainder per the
-# COVERAGE.md last-green ledger.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -163,5 +163,11 @@ def test_cc_convergence_rides_checkpoint_job(spark):
     finally:
         sc.setJobGroup("", "")
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    # NOTE: this bound pins Spark-internal job accounting (measured 26
+    # fused vs 36 unfused on Spark 4.1). A Spark minor upgrade or AQE
+    # change can legitimately shift the count without any repo
+    # regression — on upgrade, re-derive the bound by re-measuring the
+    # fused and unfused shapes rather than treating a failure here as a
+    # product bug.
     assert len(jobs) <= 30, f"CC loop ran {len(jobs)} jobs — convergence " \
         "check no longer fused into the checkpoint materialization?"

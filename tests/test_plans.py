@@ -487,12 +487,13 @@ def test_lm_count_joins_consume_per_doc_counts_not_occurrences(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     # The reducing aggregate groups on (doc_id, __w1, __w2) and must sit
     # BELOW every join (deeper = larger line index in the tree print).
-    # Since r14 the per-doc frame is persisted, so the reducer prints as
-    # the HashAggregate inside the InMemoryRelation's cached plan rather
-    # than a logical Aggregate — accept both spellings; the property
-    # pinned is unchanged (joins consume reduced rows, and the
-    # occurrence-level posexplode only ever feeds a reducer, never a
-    # join directly).
+    # The matcher accepts both the logical `Aggregate [...]` spelling and
+    # the `HashAggregate(keys=[...])` spelling a persisted frame's cached
+    # plan prints, so the pin survives persist/no-persist changes (the
+    # r14 lm.py persist was tried and reverted; the shipped code does
+    # NOT persist). The property pinned is unchanged either way: joins
+    # consume reduced rows, and the occurrence-level posexplode only
+    # ever feeds a reducer, never a join directly.
     lines = plan.splitlines()
     reducer = [
         i for i, ln in enumerate(lines)

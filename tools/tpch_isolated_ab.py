@@ -15,6 +15,11 @@ Configs:
   aqe64_scan512 both
 
 Usage: python tools/tpch_isolated_ab.py [sf_dir] [out_json] [--configs a,b]
+
+NOTE: a default run (no --configs) sweeps EVERY entry in CONFIGS,
+including arms added for one-off documented-no A/Bs (shj/shj_aqe/zstd)
+that are expected to lose locally — ~11 full fresh-JVM config runs.
+Pass --configs explicitly for anything but a deliberate full sweep.
 """
 
 from __future__ import annotations
