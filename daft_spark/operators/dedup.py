@@ -28,10 +28,51 @@ explicitly with ``daft_spark.context.release_caches(spark)`` (or
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_TOKEN_PATTERN = "[a-z0-9]+"
+
+# r15: the two forced broadcasts inside the miners (oversized-bucket
+# reps, hot stop-shingles) are bounded BY CONSTRUCTION, not by
+# assertion — each is counted first (one cheap job over an
+# already-cached frame) and falls back to a plain shuffle join above
+# this many rows. 2M keys-only rows ≈ tens of MB broadcast — safely
+# inside the driver/executor budget at the default 8 GB broadcast cap;
+# production tunes via env without touching code.
+_BROADCAST_KEY_LIMIT = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_KEY_LIMIT", "2000000")
+)
+
+# r15, verdict task 1 (guide §3.4) — verify-side semi-join prune:
+# TRIED AND REVERTED, documented NO at every locally measurable
+# configuration. The idea: semi-join the verify payload side (shingle
+# sets / embedding vectors) down to ids appearing in >= 1 candidate
+# pair before the two verify joins consume it — at realistic
+# duplication rates most docs are never candidates. Measured on
+# purpose-built realistic-duplication fixtures (tools/gen_realdup.py,
+# 4% dup involvement; the gen_sf fixtures are pathological — ~every
+# doc is a candidate — and cannot measure the prune):
+#   - 50k docs / 32c: off 8.24-8.77 s vs prune 10.2-10.6 s (LOSES
+#     ~20-24%, both formulations; probes/VERIFY_PRUNE_AB_rd1*_r15.json)
+#   - 500k docs / 32c: v1 (unpersisted pruned frame, semi-join runs
+#     once per verify consumer) LOSES ~10%; v2 (pruned frame persisted)
+#     77.6 vs 80.1 s — within noise (VERIFY_PRUNE_AB_rd10*_r15.json)
+#   - 500k docs / 8c (saturated): TIE leaning old (83.7 vs 79.8 min;
+#     VERIFY_PRUNE_AB_rd10_c8_r15.json)
+# Mechanism: locally there is NO exchange of the sets side to remove —
+# the r14 cache design already reuses the groupBy(__id) partitioning
+# through the __vid rename, so the verify joins pay only in-partition
+# sorts (or broadcast-probe when the sets frame is under the
+# auto-broadcast threshold, as at sf0.1). The prune's fixed machinery
+# (a stats job for its gate, candidate persist, ids distinct, a full
+# semi scan, a persist barrier) costs more than two in-memory sorts at
+# any size that fits this box. The lever's real target is the
+# disk-spill / network regime (100 TB sets frames that cannot sit in
+# memory), where pair identity is already proven by these probes'
+# checksums — a cluster-side revisit, like the lm/dsir persists (r14).
 
 
 # _spread moved to operators/spread.py (shared with text/similarity
@@ -306,13 +347,32 @@ def _capped_bucket_pairs(stacked: DataFrame, bucket_keys: list[str],
     # partitioned InMemoryRelation exchange-free (verified: 0
     # ENSURE_REQUIREMENTS band exchanges after the fill).
     stacked = stacked.repartition(*bucket_keys).persist()
-    stacked.count()
-    oversized = (
-        stacked.groupBy(*bucket_keys)
-        .agg(F.count(F.lit(1)).alias("__bc"), F.min("__id").alias("__rep"))
-        .filter(F.col("__bc") > max_bucket_size)
+    n_stacked = stacked.count()
+    counts = stacked.groupBy(*bucket_keys).agg(
+        F.count(F.lit(1)).alias("__bc"), F.min("__id").alias("__rep")
     )
-    tagged = stacked.join(F.broadcast(oversized), bucket_keys, "left")
+    # r15: the oversized-rep broadcast is bounded BY CONSTRUCTION. The
+    # common case needs NO extra work: every oversized bucket holds
+    # > max_bucket_size rows, so n_oversized < n_stacked /
+    # (max_bucket_size + 1) — when that arithmetic bound (free, from
+    # the fill count above) clears _BROADCAST_KEY_LIMIT the forced
+    # broadcast is provably safe. Only when the bound alone cannot
+    # prove safety (a corpus with > limit*(cap+1) stacked rows), or
+    # when the caller wants the verify-prune statistic, is the frame
+    # persisted and counted — one job over the cached keys-only frame,
+    # amortized at exactly the scales that trigger it. Above the limit
+    # the join falls back to the exchange-free SMJ both cached sides'
+    # bucket-key partitioning already supports.
+    over_bound = n_stacked // (max_bucket_size + 1)
+    if over_bound > _BROADCAST_KEY_LIMIT:
+        oversized = counts.filter(F.col("__bc") > max_bucket_size).persist()
+        n_over = oversized.count()
+        safe = n_over <= _BROADCAST_KEY_LIMIT
+    else:
+        oversized = counts.filter(F.col("__bc") > max_bucket_size)
+        safe = True  # over_bound <= limit proves it
+    over_side = F.broadcast(oversized) if safe else oversized
+    tagged = stacked.join(over_side, bucket_keys, "left")
     small = tagged.filter(F.col("__bc").isNull()).select(*bucket_keys, "__id")
     # Small buckets pair up via ONE collect_list aggregation + in-row
     # pair expansion (r14 optimization): the previous equi-self-join
@@ -546,13 +606,27 @@ def containment_pairs(
         .dropDuplicates(["__h", "__id"])
         .persist()
     )
+    # r15: the hot-shingle broadcast is bounded BY CONSTRUCTION, not by
+    # the Zipf assumption — the hot set's true bound is
+    # total_occurrences / max_doc_freq, which on a 100 TB corpus with a
+    # small cap could blow the driver if force-broadcast. The set is
+    # persisted (8-byte keys, one row per HOT shingle) and counted, and
+    # only broadcasts under _BROADCAST_KEY_LIMIT rows; above it the
+    # anti-join falls back to the exchange-free SMJ both sides' __h
+    # partitioning already supports. The count job is the same
+    # aggregation the broadcast build ran before (and it fills ``ex``'s
+    # cache exactly where the build did), so the guard adds one
+    # near-free job over the tiny cached hot frame.
     hot = (
         ex.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > max_doc_freq)
         .select("__h")
+        .persist()
     )
-    kept = ex.join(F.broadcast(hot), "__h", "left_anti")
+    n_hot = hot.count()
+    hot_side = F.broadcast(hot) if n_hot <= _BROADCAST_KEY_LIMIT else hot
+    kept = ex.join(hot_side, "__h", "left_anti")
     denom = kept.groupBy("__id").agg(F.count(F.lit(1)).alias("__na"))
     a = kept.select(F.col("__id").alias("id_a"), "__h")
     b = kept.select(F.col("__id").alias("id_b"), "__h")
@@ -699,6 +773,10 @@ def minhash_near_dups(
     sig = both.select("__id", *[f"__m{i}" for i in range(num_hashes)])
     cands = _band_candidates(sig, num_hashes, bands, max_bucket_size)
     sets = both.select(F.col("__id").alias("__vid"), F.col("__vsh"))
+    # NOTE (r15): a §3.4 semi-join prune of ``sets`` down to candidate
+    # ids before the verify joins was tried and REVERTED — documented
+    # NO at every locally measurable configuration; see the decision
+    # record at the top of this module and the VERIFY_PRUNE_AB_* probes.
     return _verify_with_sets(cands, sets, threshold)
 
 

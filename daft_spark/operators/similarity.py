@@ -375,6 +375,10 @@ def embedding_near_dups(
 
     cand = _capped_bucket_pairs(buckets, ["__band", "__key"], max_bucket_size)
 
+    # NOTE (r15): a §3.4 semi-join prune of the vector side down to
+    # candidate ids before the verify joins was tried and REVERTED with
+    # the text miner's (documented NO at every locally measurable
+    # configuration — decision record in operators/dedup.py).
     va = sig.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
     vb = sig.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
     return (

@@ -1329,3 +1329,73 @@ def test_last_touch_attribution_hand_case(spark):
 
     with _pytest.raises(ValueError):
         last_touch_attribution(df, ["view", "purchase"], "purchase", 60)
+
+
+def test_miner_broadcast_guards_fall_back_above_limit(spark, monkeypatch):
+    """r15 (verdict task 3): the two forced broadcasts inside the
+    miners — oversized-bucket reps in _capped_bucket_pairs and hot
+    stop-shingles in containment_pairs — are bounded BY CONSTRUCTION:
+    the frame is counted first and only broadcasts under
+    _BROADCAST_KEY_LIMIT rows. With the limit forced to 0 both take the
+    shuffle-join fallback (no broadcast HINT in the analyzed plan —
+    Spark's own auto-broadcast below autoBroadcastJoinThreshold stays
+    legal and is bounded by that conf) and the pair sets are
+    identical."""
+    import daft_spark.operators.dedup as dd
+    from daft_spark.io.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def containment():
+        # low cap so the hot stop-shingle set is non-empty
+        return dd.containment_pairs(
+            docs, "text", "doc_id", threshold=0.5, max_doc_freq=5
+        ).select("id_a", "id_b")
+
+    def lsh():
+        # max_bucket_size=1 forces every shared bucket oversized, so the
+        # guarded oversized-rep frame is non-empty
+        return dd.minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=16, bands=8, max_bucket_size=1
+        )
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    def hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    base_cont, base_lsh = containment(), lsh()
+    assert hinted(base_cont) and hinted(base_lsh)  # default: broadcast path
+    got_cont, got_lsh = rows(base_cont), rows(base_lsh)
+    assert got_cont and got_lsh  # non-trivial fixtures
+
+    spark.catalog.clearCache()
+    monkeypatch.setattr(dd, "_BROADCAST_KEY_LIMIT", 0)
+    fb_cont, fb_lsh = containment(), lsh()
+    assert not hinted(fb_cont) and not hinted(fb_lsh)  # fallback: no forced hint
+    assert rows(fb_cont) == got_cont
+    assert rows(fb_lsh) == got_lsh
+    spark.catalog.clearCache()
+
+
+def test_verify_prune_decision_record(spark):
+    """r15 (verdict task 1): the verify-side semi-join prune was tried
+    and REVERTED (documented NO at every locally measurable
+    configuration — probes/VERIFY_PRUNE_AB_*_r15.json). This pin keeps
+    the shipped verify shape honest: the miner plans NO LeftSemi join
+    (the reverted prune's signature), and the decision record stays in
+    the module so the revert cannot silently un-document itself."""
+    import daft_spark.operators.dedup as dd
+    from daft_spark.io.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = dd.minhash_near_dups(
+        docs, "text", "doc_id", num_hashes=16, bands=8, threshold=0.5
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" not in plan
+    import inspect
+
+    src = inspect.getsource(dd)
+    assert "TRIED AND REVERTED" in src  # decision record present
