@@ -104,9 +104,15 @@ def dsir_log_weights(
     # REJECTED: the cache barrier serializes branches that otherwise
     # run concurrently and measured neutral-to-slower at sf0.1 AND sf1
     # on 32 AND 8 cores (sf0.1 medians 2.95 s no-persist vs 3.62 s
-    # persisted; probes/LM_DSIR_PERSIST_AB_r14.json). On a saturated
-    # cluster the duplicate bucket-count pass costs real throughput —
-    # revisit with a cluster-scale measurement before re-adding.
+    # persisted; probes/LM_DSIR_PERSIST_AB_r14.json). r15 CLOSED it
+    # permanently on this hardware (r14 verdict task 5): under
+    # saturated cores — sf1/local[4] and sf10/local[8], where pipelining
+    # across idle cores cannot mask the saved bucket-count pass — the
+    # persist still only TIES (sf10/8c old med 31.0 s vs 30.9 s, mins
+    # identical at 30.9; same probe JSON, keys spark_graft_sf1_c4 /
+    # spark_graft_sf10_c8). No configuration shows a win, so the
+    # simpler no-persist formulation stands; only a network-bound
+    # multi-node cluster measurement could justify re-adding.
     p = _bucket_counts(target, text_col, n_buckets, salt)
     q = _bucket_counts(raw, text_col, n_buckets, salt)
     totals = (

@@ -104,6 +104,19 @@ def bigram_lm_scores(
     # join+groupBy shape avoids). The duplicated passes are the
     # measured-cheapest SKEW-SAFE formulation at every measurable
     # configuration.
+    #
+    # r15 CLOSED the persist question permanently on this hardware
+    # (r14 verdict task 5 — "re-measure under saturated cores"): the
+    # persist also loses with cores saturated by real data, where
+    # idle-core pipelining cannot mask the saved pass — sf1/local[4]
+    # old med 4.32 s vs persist 4.73 s, sf10/local[8] old med 23.6 s
+    # vs persist 26.1 s, old ahead in every interleaved pass
+    # (probes/LM_DSIR_PERSIST_AB_r14.json keys spark_graft_sf1_c4,
+    # spark_graft_sf10_c8). Five configurations, zero wins: the
+    # columnar cache build + InMemoryTableScan costs more than the
+    # saved recompute at ANY local scale/parallelism, not just when
+    # spare cores hide it. Only a genuinely network-bound multi-node
+    # cluster could reverse this; no further local revisits.
     per_doc = bigrams.groupBy(id_col, "__w1", "__w2").agg(
         F.count(F.lit(1)).alias("__n")
     )
