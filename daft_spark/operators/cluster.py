@@ -31,6 +31,24 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+# r15 (CC_LOOPPART_PROBE_r15.json): ~125k edges per loop partition —
+# the measured knee on the sf10 resolve graph (990k symmetric edges:
+# width 1 = 4.36 s, 4 = 1.66, 8 = 1.45, flat through 32), with tiny
+# graphs unaffected (width stays 1 below 125k edges; the sf0.1 sweep
+# shows widths 1-8 indistinguishable there anyway). The session
+# setting is always the upper bound, so 100 TB-tuned sessions keep
+# their full width on genuinely large edge sets.
+_LOOP_EDGES_PER_PARTITION = 125_000
+
+
+def _loop_partitions(n_edges: int, session_partitions: int) -> int:
+    """Shuffle width for the propagation loop: scale with the edge
+    count, never above the session's configured width."""
+    return min(
+        session_partitions, max(1, n_edges // _LOOP_EDGES_PER_PARTITION + 1)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -69,13 +87,25 @@ def connected_components(
     # (≤2 longs/row), so a dedup corpus whose session is tuned for
     # 100 TB scans would otherwise run every tiny propagation round as
     # a full-width shuffle — pure stage overhead (round-6 A/B at
-    # sf0.1: 32 -> 4 partitions halved the loop wall time). ~2M edges
-    # per partition keeps a partition tens of MB; at real scale the
-    # clamp returns the session setting unchanged. Restored in finally.
+    # sf0.1: 32 -> 4 partitions halved the loop wall time).
+    #
+    # Divisor retuned r15, 2M -> 125k edges/partition: at ~1M symmetric
+    # edges (sf10 resolve graph) the 2M clamp forced the whole loop
+    # through ONE serial task and the loop was the LARGEST stage of
+    # both resolve rows (RESOLVE_DECOMP at sf10: cc 5.3-5.6 s of
+    # 11.6-13.7 s). The width sweep on that graph reads min 4.36 s at
+    # width 1, 2.39 at 2, 1.66 at 4, 1.45 at 8, flat 8-16-32
+    # (probes/CC_LOOPPART_PROBE_r15.json, labels identical at every
+    # width) — so ~125k edges/partition sits at the knee. Tiny graphs
+    # are unaffected in both directions: below 125k edges the clamp
+    # still yields width 1, and the same sweep at sf0.1 (498 edges)
+    # shows widths 1-8 indistinguishable (0.55-0.64 s) because AQE
+    # coalesces unused partitions anyway. At real scale the
+    # min(session_sp, ...) cap governs unchanged. Restored in finally.
     spark = pairs.sparkSession
     ecnt = int(eobs.get["n"])
     session_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_sp = min(int(session_sp), max(1, ecnt // 2_000_000 + 1))
+    loop_sp = _loop_partitions(ecnt, int(session_sp))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
         # NOT pre-hashed by the loop's join key: A/B'd r12 — an extra

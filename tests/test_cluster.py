@@ -171,3 +171,20 @@ def test_cc_convergence_rides_checkpoint_job(spark):
     # product bug.
     assert len(jobs) <= 30, f"CC loop ran {len(jobs)} jobs — convergence " \
         "check no longer fused into the checkpoint materialization?"
+
+
+def test_cc_loop_width_scales_with_edge_count():
+    """r15 optimization pin: the propagation loop's shuffle width
+    scales with the edge count (~125k edges/partition) instead of the
+    r6-era 2M divisor that serialized the sf10 resolve loop onto one
+    task (CC_LOOPPART_PROBE_r15.json: width 1 = 4.36 s vs 8 = 1.45 s
+    on 990k edges, labels identical at every width). The session
+    setting stays the hard upper bound."""
+    from daft_spark.operators.cluster import _loop_partitions
+
+    assert _loop_partitions(0, 32) == 1
+    assert _loop_partitions(498, 32) == 1          # sf0.1 resolve graph
+    assert _loop_partitions(124_999, 32) == 1      # below one full partition
+    assert _loop_partitions(990_498, 32) == 8      # sf10 resolve graph
+    assert _loop_partitions(990_498, 4) == 4       # session width caps
+    assert _loop_partitions(10**9, 32) == 32       # large scale: full width
